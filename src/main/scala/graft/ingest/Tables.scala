@@ -1,0 +1,40 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * One parquet file per table under `sfDir`. All reads go through here so
+  * that scan options (and, at cluster scale, bucketing / file-index
+  * strategies) are controlled in one place. Column pruning and predicate
+  * pushdown are left to Catalyst — callers express plain
+  * `select`/`filter` and the parquet scan receives `ReadSchema` /
+  * `PushedFilters` automatically.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
+      // default; read it as long nanos and truncate to microseconds
+      // (exactly what DuckDB/Arrow do when narrowing ns → µs).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Register every fixture table as a temp view (for spark.sql users). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}
