@@ -19,7 +19,7 @@ object SparkEntry {
     queries("cdc_leaderboard")(spark, "/root/testdata/sf0.001")
 
   private[graft] val registry: Map[String, QueryDef] =
-    CdcQueries.defs
+    CdcQueries.defs ++ RelationalQueries.defs ++ OperatorQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, v) => k -> v.build }

@@ -1,0 +1,77 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Queries for the operators Spark lacks natively (as-of join, interval
+  * join) and for DataFrame-API-only surfaces (pivot). Oracles use
+  * DuckDB-specific SQL (ASOF JOIN, nested-loop range join) — cheap at
+  * oracle SF, while the Spark side uses the scale-path implementation.
+  */
+object OperatorQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Backward as-of join: each click is matched to the user's latest
+    // preceding (or simultaneous) view.
+    "op_asof_join" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+          .agg(max(col("event_id")).as("view_event_id"))
+        AsOfJoin.backward(clicks, "user_id", "ts", views, "v_user", "view_ts")
+          .select("event_id", "user_id", "ts", "view_event_id", "view_ts")
+      },
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id AS v_user, ts AS view_ts, MAX(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts, v.view_event_id, v.view_ts
+        |FROM clicks c
+        |ASOF LEFT JOIN views v ON c.user_id = v.v_user AND c.ts >= v.view_ts""".stripMargin),
+
+    // Binned interval join: events counted into 2-hour windows anchored
+    // at a subset of signup events (half-open [start, end)).
+    "op_range_join" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val points = e.select(col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+        val wins = e
+          .filter(col("event_type") === "signup" && pmod(col("event_id"), lit(20)) === 0)
+          .select(col("event_id").as("win_id"), col("ts").as("start_ts"),
+            (col("ts") + expr("INTERVAL 2 HOURS")).as("end_ts"))
+        val pairs = RangeJoin.binned(points, "p_ts", wins, "start_ts", "end_ts", 3600L)
+        wins.join(pairs.groupBy("win_id").agg(count(lit(1)).as("n")), Seq("win_id"), "left")
+          .select(col("win_id"), coalesce(col("n"), lit(0L)).as("n_events"))
+      },
+      """WITH wins AS (
+        |  SELECT event_id AS win_id, ts AS start_ts, ts + INTERVAL 2 HOUR AS end_ts
+        |  FROM events WHERE event_type = 'signup' AND event_id % 20 = 0)
+        |SELECT w.win_id, COUNT(e.ts) AS n_events
+        |FROM wins w LEFT JOIN events e ON e.ts >= w.start_ts AND e.ts < w.end_ts
+        |GROUP BY w.win_id""".stripMargin),
+
+    // DataFrame pivot (explicit value list ⇒ stable schema at any SF).
+    "op_pivot" -> QueryDef(
+      (s, d) => {
+        val types = Seq("view", "click", "purchase", "signup", "error")
+        val p = Tables.events(s, d)
+          .withColumn("cohort", pmod(col("user_id"), lit(10)))
+          .groupBy("cohort").pivot("event_type", types).count()
+        p.select(col("cohort") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      },
+      """SELECT user_id % 10 AS cohort,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+        |FROM events GROUP BY user_id % 10""".stripMargin))
+}
