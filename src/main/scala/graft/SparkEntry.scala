@@ -19,7 +19,8 @@ object SparkEntry {
     queries("cdc_leaderboard")(spark, "/root/testdata/sf0.001")
 
   private[graft] val registry: Map[String, QueryDef] =
-    CdcQueries.defs ++ RelationalQueries.defs ++ OperatorQueries.defs
+    CdcQueries.defs ++ RelationalQueries.defs ++ OperatorQueries.defs ++
+      DedupQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, v) => k -> v.build }

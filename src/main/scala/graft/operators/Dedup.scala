@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+
+/** Document deduplication — the operator family a large-scale
+  * training-data pipeline runs over a 100 TB text corpus.
+  *
+  * Everything here is shuffle-conscious:
+  *   - exact dedup is one hash aggregation on a digest (never on the
+  *     full text — the shuffle carries 32 bytes per row, not documents);
+  *   - near-dup detection is MinHash + LSH banding: signatures are
+  *     computed scan-side (map-only), candidate generation is an
+  *     equi-self-join on band keys (hash shuffle on small keys), and the
+  *     exact Jaccard check runs only on candidates — never all pairs;
+  *   - SimHash gives a 16-bit fingerprint whose Hamming-neighborhoods
+  *     can be bucketed for blocking.
+  *
+  * All hashing is [[graft.functions.PortableHash]] (MD5-based) so every
+  * step is reproducible in the DuckDB oracle with identical constants.
+  */
+object Dedup {
+
+  /** Canonical text form for exact dedup: lowercase, collapse whitespace. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact dedup groups: one row per distinct normalized text with the
+    * surviving (minimum) id and the duplicate count. */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(normalize(col(textCol))).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word `n`-gram shingles of a text column. Tokenization is
+    * single-space split of the [[normalize]]d text — deliberately, so the
+    * DuckDB oracle can reproduce it without regex-split edge cases. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(normalize(text), " ")
+    val grams = transform(
+      sequence(lit(1), size(w) - lit(n - 1)),
+      i => array_join(slice(w, i, lit(n)), " "))
+    array_distinct(when(size(w) >= n, grams)
+      .otherwise(array(array_join(w, " "))))
+  }
+
+  /** MinHash signature: k columns `s0..s{k-1}`, each the minimum of the
+    * i-th affine hash over the shingle set. Map-only (no shuffle). */
+  def withMinhashSignature(df: DataFrame, shingleCol: String, k: Int): DataFrame = {
+    val hashed = transform(col(shingleCol), s => hash60(s))
+    (0 until k).foldLeft(df.withColumn("__hs", hashed)) { (d, i) =>
+      d.withColumn(s"s$i", array_min(transform(col("__hs"), h => affine(h, i))))
+    }.drop("__hs")
+  }
+
+  /** LSH band keys: `bands` strings, each concatenating `rowsPerBand`
+    * consecutive signature values (plus the band index, so bands never
+    * collide across positions). */
+  def bandKeys(bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      val sigCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"s$i"))
+      concat_ws(",", lit(b) +: sigCols: _*)
+    }
+    array(keys: _*)
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band. */
+  def candidatePairs(signed: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val b = signed.select(col(idCol).as("__id"),
+      explode(bandKeys(bands, rowsPerBand)).as("__band"))
+    b.as("x").join(b.as("y"), col("x.__band") === col("y.__band"))
+      .filter(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns (int/int IEEE
+    * division — engine-portable bit-for-bit). */
+  def jaccard(sa: Column, sb: Column): Column =
+    size(array_intersect(sa, sb)) / size(array_union(sa, sb))
+
+  /** Full near-duplicate pipeline: shingle → MinHash(k) → LSH(bands) →
+    * exact-Jaccard verification at `threshold`. Returns (a, b, jaccard).
+    */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+    require(k % bands == 0, "k must divide into equal bands")
+    val sh = docs.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+    val signed = withMinhashSignature(sh, "__sh", k)
+    val cand = candidatePairs(signed, "__id", bands, k / bands)
+    cand
+      .join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), "a")
+      .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), "b")
+      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** 16-bit SimHash over word tokens (with multiplicity): bit b is set
+    * when the token-weighted ±1 vote of hash-bit b is positive. */
+  def simhash16(text: Column): Column = {
+    val hs = transform(split(normalize(text), " "), w => hash60(w))
+    val bits = (0 until 16).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + (pmod(shiftright(h, b), lit(2L)) * 2L - 1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+}

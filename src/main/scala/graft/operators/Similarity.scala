@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Similarity search over an embedding column (`Array[Float]` cast to
+  * `Array[Double]` at the boundary for portable arithmetic).
+  *
+  * Two paths:
+  *   - [[knnBruteForce]]: exact top-k by cosine — the correctness
+  *     baseline. Cross join pruned to a query subset; per-pair cost is
+  *     one fused `aggregate(zip_with(...))` (stays in codegen, no UDF).
+  *   - [[withHyperplaneBuckets]] + [[knnLsh]]: random-hyperplane LSH.
+  *     Buckets are sign-bit strings of dot products against
+  *     deterministic pseudo-random hyperplanes (derived from
+  *     [[PortableHash.seedLong]], no RNG — reproducible across engines
+  *     and runs). Multiple tables boost recall. At 100 TB scale this is
+  *     the only shape that works: bucketing is map-only, candidate
+  *     generation is an equi-join on (table, bucket), and the exact
+  *     re-rank touches only candidates.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ — left-to-right double accumulation (engine-portable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic hyperplane `p` of table `t`: 64 integer coordinates in
+    * [-1000, 1000] derived from MD5 seeds. */
+  def hyperplane(t: Int, p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map(j =>
+      (PortableHash.seedLong(s"hp-$t-$p-$j") % 2001L - 1000L).toDouble)
+
+  /** Adds `bucket_t0..bucket_t{tables-1}`: the sign-bit bucket of `vecCol`
+    * in each LSH table. Map-only — safe to run scan-side at any scale. */
+  def withHyperplaneBuckets(df: DataFrame, vecCol: String,
+      tables: Int, planes: Int, dims: Int): DataFrame =
+    (0 until tables).foldLeft(df) { (d, t) =>
+      val bits = (0 until planes).map { p =>
+        val hp = array(hyperplane(t, p, dims).map(lit): _*)
+        when(dot(col(vecCol), hp) > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      d.withColumn(s"bucket_t$t", bits.reduce(_ + _))
+    }
+
+  /** Exact brute-force top-k cosine neighbors for each query row.
+    * `queries` and `corpus` both need (`idCol`, `vecCol`); ties and
+    * float-noise are broken by rounding the score to 9 decimals and then
+    * by neighbor id, so ranks are engine-stable. */
+  def knnBruteForce(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos9", round(cosine(col("__qv"), col("__cv")), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos9").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
+  }
+
+  /** LSH-bucketed ANN: candidates share a bucket in ≥1 table; exact
+    * cosine re-rank of candidates only. Same output shape as
+    * [[knnBruteForce]] (may return < k rows per query — ANN recall). */
+  def knnLsh(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, tables: Int = 2, planes: Int = 8, dims: Int = 64,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val b = withHyperplaneBuckets(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v",
+      tables, planes, dims)
+    val exploded = b.select(col("__id"), col("__v"),
+      explode(array((0 until tables).map(t =>
+        concat_ws(":", lit(t), col(s"bucket_t$t"))): _*)).as("__bucket"))
+    val q = exploded.filter(queryFilter)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"), col("__bucket"))
+    val cand = q.join(
+        exploded.select(col("__id").as("neighbor_id"), col("__v").as("__cv"), col("__bucket")),
+        Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv")
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos9").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cos9", round(cosine(col("__qv"), col("__cv")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
+  }
+
+  /** Near-duplicate vector pairs: LSH candidates verified at an exact
+    * cosine `threshold`. Returns (a, b) with a < b. */
+  def nearDuplicateVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, tables: Int = 2, planes: Int = 8, dims: Int = 64): DataFrame = {
+    val b = withHyperplaneBuckets(
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v",
+      tables, planes, dims)
+    val exploded = b.select(col("__id"), col("__v"),
+      explode(array((0 until tables).map(t =>
+        concat_ws(":", lit(t), col(s"bucket_t$t"))): _*)).as("__bucket"))
+    exploded.as("x")
+      .join(exploded.as("y"), col("x.__bucket") === col("y.__bucket"))
+      .filter(col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        col("x.__v").as("__va"), col("y.__v").as("__vb"))
+      .distinct()
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("a"), col("b"))
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash._
+
+/** Text-analysis operators a large-scale training-data pipeline runs over
+  * a 100 TB document corpus: token counting, quality scoring, n-gram
+  * language identification, and rolling-hash fingerprinting.
+  *
+  * Every operator is a pure column expression (whole-stage-codegen'd,
+  * map-only — no shuffle, no UDF), so the cost at cluster scale is one
+  * pass over the parquet scan with column pruning down to `text`.
+  * Tokenization is single-space split of [[Dedup.normalize]]d text so the
+  * DuckDB oracle reproduces it exactly.
+  */
+object TextAnalysis {
+
+  /** Normalized word tokens. */
+  def tokens(text: Column): Column = split(Dedup.normalize(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words are split again on letter/digit/other
+    * boundaries and every run of >4 letters counts one extra subword per
+    * 4 letters (a crude but deterministic BPE proxy). */
+  def subwordCount(text: Column): Column = {
+    val pieces = split(
+      regexp_replace(Dedup.normalize(text),
+        "([0-9]+|[^a-z0-9 ]+)", " $1 "),
+      " +")
+    val nonEmpty = filter(pieces, p => length(p) > 0)
+    aggregate(nonEmpty, lit(0L),
+      (acc, p) => acc + lit(1L) + floor((length(p) - lit(1)) / lit(4.0)).cast("long"))
+  }
+
+  private val punctChars = ".,!?;:"
+  private val stopwords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as")
+
+  /** Punctuation character count (fixed class `[.,!?;:]`). */
+  def punctCount(text: Column): Column =
+    length(text) - length(translate(text, punctChars, ""))
+
+  /** Stopword token count over the normalized tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  /** Mean word length over normalized tokens. */
+  def meanWordLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)) /
+      tokenCount(text).cast("double")
+
+  /** Composite quality score in [0, 1]: penalizes very short docs, high
+    * punctuation density and stopword-free (non-linguistic) text.
+    * All-double arithmetic, identical expression in the oracle. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(20.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio * 10.0, lit(0.0))
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val stopScore = least(stopRatio * 4.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Marker stopwords per language for the n-gram language-ID heuristic.
+    * Order matters: ties resolve to the FIRST language in this list. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "you", "that", "it"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "vous"),
+    "es" -> Seq("el", "los", "las", "es", "una", "que", "por", "con"))
+
+  /** Marker-hit count for one language. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+  }
+
+  /** Predicted language: argmax of [[langScore]], first-listed wins ties;
+    * `und` (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.foldRight(lit("und")) { case ((l, s), other) =>
+      when(s === best, lit(l)).otherwise(other)
+    }
+    when(best > 0, pick).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash fingerprint over word 5-gram shingles: the minimum
+    * 60-bit shingle hash — one stable 60-bit id per document body that is
+    * invariant to small appends (winnowing's k-gram-minimum idea). */
+  def fingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(Dedup.shingles(text, n), s => hash60(s)))
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.operators.{Dedup, Similarity}
+
+/** Deduplication query surface over the `documents` / `embeddings`
+  * fixtures — the operator family a 100 TB training-data pipeline needs.
+  * Oracles are generated from [[OracleSql]] with the SAME hash constants
+  * as the Spark plans, so both engines compute identical values.
+  *
+  * Fixture-tuned parameters (documents are short word-salad from a small
+  * vocabulary; embeddings are unclustered random vectors):
+  *   - MinHash shingle size 1 (word-set similarity), threshold 0.9;
+  *   - blocked 2-gram Jaccard at threshold 0.08 (99th pct ≈ 0.08);
+  *   - embedding near-dup cosine threshold 0.35 (max pairwise ≈ 0.46).
+  */
+object DedupQueries {
+  import OracleSql._
+
+  private val P = graft.functions.PortableHash.P
+  private val K = 12
+  private val Bands = 4
+  private val RowsPerBand = K / Bands
+
+  /** DuckDB CTEs for the shared MinHash pipeline (shingle → sign → band). */
+  private def minhashCtes(n: Int): String = {
+    val sigs = (0 until K).map(i => s"${minhash("__hs", i)} AS s$i").mkString(", ")
+    val bandKeys = (0 until Bands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i")
+      s"concat_ws(',', $b, ${cols.mkString(", ")})"
+    }.mkString("[", ", ", "]")
+    s"""sh AS (
+       |  SELECT doc_id AS __id, ${shingles(tokens("text"), n)} AS __sh FROM documents),
+       |signed AS (
+       |  SELECT __id, $sigs
+       |  FROM (SELECT __id, list_transform(__sh, s -> ${graft.functions.PortableHash.hash60Sql("s")}) AS __hs FROM sh)),
+       |bands AS (
+       |  SELECT __id, unnest($bandKeys) AS __band FROM signed),
+       |cand AS (
+       |  SELECT DISTINCT x.__id AS a, y.__id AS b
+       |  FROM bands x JOIN bands y ON x.__band = y.__band AND x.__id < y.__id)""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact dedup: hash-groupBy on the 32-byte digest of normalized text
+    // (the shuffle carries digests, not documents — the only shape that
+    // works at 100 TB).
+    "dedup_exact" -> QueryDef(
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text"),
+      s"""SELECT md5(${normalize("text")}) AS text_hash,
+         |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin),
+
+    // MinHash + LSH banding near-dup: map-only signatures, equi-join on
+    // band keys, exact Jaccard verification on candidates only.
+    "dedup_minhash_pairs" -> QueryDef(
+      (s, d) => Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
+        n = 1, k = K, bands = Bands, threshold = 0.9),
+      s"""WITH ${minhashCtes(1)}
+         |SELECT c.a, c.b, ${jaccard("sa.__sh", "sb.__sh")} AS jaccard
+         |FROM cand c
+         |JOIN sh sa ON sa.__id = c.a
+         |JOIN sh sb ON sb.__id = c.b
+         |WHERE ${jaccard("sa.__sh", "sb.__sh")} >= 0.9""".stripMargin),
+
+    // SimHash fingerprints: one 16-bit signature per document, map-only.
+    "dedup_simhash" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash")),
+      s"""SELECT doc_id, ${simhash16(tokens("text"))} AS simhash
+         |FROM documents""".stripMargin),
+
+    // Blocked n-gram Jaccard: candidate pairs share a `source` block
+    // (sampled 1-in-2), exact 2-gram Jaccard above threshold. The block
+    // key bounds the quadratic term — the standard blocking shape at scale.
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), col("source"),
+            Dedup.shingles(col("text"), 2).as("sh2"))
+        sh.as("x").join(sh.as("y"),
+            col("x.source") === col("y.source") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .withColumn("jaccard", Dedup.jaccard(col("x.sh2"), col("y.sh2")))
+          .filter(col("jaccard") >= 0.08)
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
+      },
+      s"""WITH sh AS (
+         |  SELECT doc_id, source, ${shingles(tokens("text"), 2)} AS sh2
+         |  FROM documents WHERE doc_id % 2 = 0)
+         |SELECT x.doc_id AS a, y.doc_id AS b, ${jaccard("x.sh2", "y.sh2")} AS jaccard
+         |FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
+         |WHERE ${jaccard("x.sh2", "y.sh2")} >= 0.08""".stripMargin),
+
+    // Embedding-cosine near-dup: random-hyperplane LSH candidates, exact
+    // cosine verification. Vectors quantized to integer-valued doubles so
+    // all arithmetic is exact (order-independent, engine-portable).
+    "dedup_embedding_cosine" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
+        Similarity.nearDuplicateVectors(e, "vec_id", "qv",
+          threshold = 0.35, tables = 2, planes = 8, dims = 64)
+      }, {
+        val buckets = (0 until 2).map(t =>
+          s"SELECT vec_id, v, concat_ws(':', $t, ${lshBucket("v", t, 8, 64)}) AS bkt FROM e")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+           |b AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+           |  FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+           |SELECT c.a, c.b FROM cand c
+           |JOIN e ea ON ea.vec_id = c.a
+           |JOIN e eb ON eb.vec_id = c.b
+           |WHERE ${cosine("ea.v", "eb.v", 64)} >= 0.35""".stripMargin
+      }))
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.operators.Similarity
+
+/** Similarity-search query surface over the `embeddings` fixture.
+  * Vectors are quantized (`round(x*1000)` as integer-valued doubles) so
+  * every dot/norm is exact integer arithmetic — order-independent and
+  * bit-identical in the DuckDB oracle.
+  *
+  *   - brute-force top-k = correctness baseline (quadratic — query set
+  *     is a 1-in-10 sample; at 100 TB you never run this shape, you run:)
+  *   - LSH top-k = the scale path: map-only bucketing, equi-join on
+  *     (table, bucket) keys, exact re-rank of candidates only.
+  */
+object SimilarityQueries {
+  import OracleSql._
+
+  private val K = 10
+  private val Dims = 64
+  private val Tbls = 2
+  private val Planes = 8
+
+  private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Exact top-10 cosine neighbors for each sampled query vector.
+    "sim_knn_brute" -> QueryDef(
+      (s, d) => {
+        val e = quantized(s, d)
+        val q = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        Similarity.knnBruteForce(q, e, "vec_id", "qv", K)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |s AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${cosine("q.v", "c.v", Dims)}, 9) AS cos9
+         |  FROM e q, e c
+         |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)
+         |SELECT query_id, neighbor_id, rank, cos9 FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+         |  FROM s)
+         |WHERE rank <= $K""".stripMargin),
+
+    // LSH-bucketed ANN top-10 for the same query sample (recall < 1 by
+    // construction; identical bucketing constants on both sides).
+    "sim_knn_lsh" -> QueryDef(
+      (s, d) => {
+        val e = quantized(s, d)
+        Similarity.knnLsh(e, "vec_id", "qv", K,
+            tables = Tbls, planes = Planes, dims = Dims,
+            queryFilter = pmod(col("__id"), lit(10)) === 0)
+          .withColumn("rank", col("rank").cast("long"))
+      }, {
+        val buckets = (0 until Tbls).map(t =>
+          s"SELECT vec_id, v, concat_ws(':', $t, ${lshBucket("v", t, Planes, Dims)}) AS bkt FROM e")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+           |b AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+           |  FROM b q JOIN b c ON q.bkt = c.bkt
+           |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+           |scored AS (
+           |  SELECT cand.query_id, cand.neighbor_id,
+           |    round(${cosine("eq.v", "ec.v", Dims)}, 9) AS cos9
+           |  FROM cand
+           |  JOIN e eq ON eq.vec_id = cand.query_id
+           |  JOIN e ec ON ec.vec_id = cand.neighbor_id)
+           |SELECT query_id, neighbor_id, rank, cos9 FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= $K""".stripMargin
+      }))
+}
