@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+import graft.operators.Dedup
+
+/** Dedup operator semantics on crafted corpora: exact groups, shingling,
+  * MinHash/LSH candidate pruning + recall, SimHash locality. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize collapses whitespace and case") {
+    val got = Seq("  Hello   WORLD \t x ").toDF("t")
+      .select(Dedup.normalize(col("t"))).as[String].head()
+    got shouldBe "hello world x"
+  }
+
+  test("exactGroups: keeper is min id, copies counted") {
+    val docs = Seq(
+      (10L, "The quick fox"), (20L, "the  QUICK fox"), (30L, "other text"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    g.length shouldBe 2
+    val dup = g.find(_.getAs[Long]("n_copies") == 2L).get
+    dup.getAs[Long]("keeper_id") shouldBe 10L
+  }
+
+  test("shingles: distinct word n-grams; short docs fall back to whole text") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3).as("sh"))
+    val rows = df.as[Seq[String]].collect()
+    rows(0) should contain theSameElementsAs Seq("a b c", "b c d")
+    rows(1) shouldBe Seq("a b")
+  }
+
+  test("jaccard on shingle sets") {
+    val j = Seq(("a b c", "b c d")).toDF("x", "y")
+      .select(Dedup.jaccard(
+        Dedup.shingles(col("x"), 1), Dedup.shingles(col("y"), 1)))
+      .as[Double].head()
+    j shouldBe 0.5 // {b,c} / {a,b,c,d}
+  }
+
+  test("nearDuplicates finds planted near-dup pairs and prunes the rest") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " lambda"),            // jaccard 10/11 ≈ 0.91
+      (3L, "one two three four five"),
+      (4L, "totally different words here entirely six")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text",
+      n = 1, k = 12, bands = 4, threshold = 0.8).collect()
+    pairs.map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet shouldBe Set((1L, 2L))
+    pairs.head.getAs[Double]("jaccard") shouldBe (10.0 / 11.0)
+  }
+
+  test("LSH candidate generation never pairs identical-signature docs apart") {
+    // identical docs must share every band → always candidates
+    val docs = Seq((1L, "same words here"), (2L, "same words here"))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id").as("__id"),
+      Dedup.shingles(col("text"), 1).as("__sh"))
+    val signed = Dedup.withMinhashSignature(sh, "__sh", 12)
+    Dedup.candidatePairs(signed, "__id", 4, 3).count() shouldBe 1
+  }
+
+  test("simhash16: identical texts agree; disjoint vocabularies differ") {
+    val vals = Seq("alpha beta gamma", "alpha beta gamma", "xx yy zz qq")
+      .toDF("t").select(Dedup.simhash16(col("t")).as("s")).as[Long].collect()
+    vals(0) shouldBe vals(1)
+    vals(0) should not be vals(2)
+    vals.foreach(v => assert(v >= 0L && v < 65536L))
+  }
+
+  test("portable hash: hash60 equals driver-side MD5 computation") {
+    val got = Seq("hello").toDF("s")
+      .select(PortableHash.hash60(col("s"))).as[Long].head()
+    got shouldBe PortableHash.seedLong("hello")
+    // affine constants are in-range
+    (0 until 12).foreach { i =>
+      PortableHash.constantA(i) should (be >= 1L and be < PortableHash.P)
+      PortableHash.constantB(i) should (be >= 0L and be < PortableHash.P)
+    }
+  }
+}

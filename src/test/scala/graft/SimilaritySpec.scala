@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Similarity-search semantics: exact cosine algebra, brute-force top-k
+  * ranking, LSH bucketing invariants (ANN ⊆ exact candidates). */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot / norm / cosine algebra") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),
+      (Seq(3.0, 4.0), Seq(3.0, 4.0))).toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.norm(col("a")).as("n"),
+      Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    got(0).getDouble(0) shouldBe 0.0
+    got(0).getDouble(2) shouldBe 0.0
+    got(1).getDouble(2) shouldBe 1.0 +- 1e-12
+    got(2).getDouble(1) shouldBe 5.0
+  }
+
+  test("knnBruteForce ranks by cosine desc with deterministic tie-break") {
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),   // query
+      (2L, Seq(2.0, 0.0)),   // cos 1.0
+      (3L, Seq(1.0, 1.0)),   // cos ~0.707
+      (4L, Seq(0.0, 1.0)),   // cos 0
+      (5L, Seq(-1.0, 0.0))   // cos -1
+    ).toDF("vec_id", "v")
+    val q = corpus.filter(col("vec_id") === 1L)
+    val out = Similarity.knnBruteForce(q, corpus, "vec_id", "v", 3)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Long]("neighbor_id")) shouldBe Array(2L, 3L, 4L)
+    out.map(_.getAs[Int]("rank")) shouldBe Array(1, 2, 3)
+  }
+
+  test("identical vectors always share every LSH bucket") {
+    val df = Seq((1L, (0 until 64).map(_.toDouble)),
+      (2L, (0 until 64).map(_.toDouble))).toDF("vec_id", "v")
+    val b = Similarity.withHyperplaneBuckets(df, "v", tables = 2, planes = 8, dims = 64)
+    val rows = b.orderBy("vec_id").collect()
+    (0 until 2).foreach { t =>
+      rows(0).getAs[Long](s"bucket_t$t") shouldBe rows(1).getAs[Long](s"bucket_t$t")
+    }
+  }
+
+  test("knnLsh results are a subset of brute-force candidates with same scores") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 40L).map(i =>
+      (i, Seq.fill(64)((rnd.nextInt(2001) - 1000).toDouble))).toDF("vec_id", "v")
+    val brute = Similarity.knnBruteForce(
+      corpus.filter(pmod(col("vec_id"), lit(4)) === 0), corpus, "vec_id", "v", 5)
+      .select("query_id", "neighbor_id", "cos9").as[(Long, Long, Double)]
+      .collect().map { case (q, n, c) => (q, n) -> c }.toMap
+    val lsh = Similarity.knnLsh(corpus, "vec_id", "v", 5,
+      tables = 2, planes = 4, dims = 64,
+      queryFilter = pmod(col("__id"), lit(4)) === 0)
+      .select("query_id", "neighbor_id", "cos9").as[(Long, Long, Double)].collect()
+    lsh should not be empty
+    // every ANN pair's score matches the exact score for that pair
+    lsh.foreach { case (q, n, c) => brute.get((q, n)).foreach(_ shouldBe c) }
+  }
+
+  test("hyperplanes are deterministic across invocations") {
+    Similarity.hyperplane(0, 0, 8) shouldBe Similarity.hyperplane(0, 0, 8)
+    Similarity.hyperplane(0, 0, 8) should not be Similarity.hyperplane(1, 0, 8)
+  }
+}

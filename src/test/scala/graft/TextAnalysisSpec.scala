@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Text-analysis operator semantics on crafted documents. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token, punctuation and stopword counting") {
+    val r = Seq("The quick fox, and the lazy dog!").toDF("t").select(
+      TextAnalysis.tokenCount(col("t")).as("tok"),
+      TextAnalysis.punctCount(col("t")).as("punct"),
+      TextAnalysis.stopwordCount(col("t")).as("stop")).head()
+    r.getAs[Int]("tok") shouldBe 7
+    r.getAs[Int]("punct") shouldBe 2 // comma + bang
+    r.getAs[Int]("stop") shouldBe 3  // the, and, the
+  }
+
+  test("subword count: long words split into ~4-char pieces") {
+    val r = Seq(("cat", 1L), ("catamaran", 3L), ("a b", 2L))
+      .toDF("t", "want")
+      .select(TextAnalysis.subwordCount(col("t")).as("n"), col("want"))
+      .collect()
+    // "cat"(3) → 1; "catamaran"(9) → 1 + floor(8/4) = 3; "a b" → 2
+    r.foreach(row => row.getAs[Long]("n") shouldBe row.getAs[Long]("want"))
+  }
+
+  test("quality score is bounded in [0,1] and orders junk below prose") {
+    val df = Seq(
+      "The cat sat on the mat and it was happy with that for a while.",
+      "!!! ??? ;;; ::: ,,, ...",
+      "x").toDF("t")
+      .select(TextAnalysis.qualityScore(col("t")).as("q"))
+    val qs = df.as[Double].collect()
+    qs.foreach(q => assert(q >= 0.0 && q <= 1.0, s"q=$q out of range"))
+    qs(0) should be > qs(1)
+    qs(0) should be > qs(2)
+  }
+
+  test("language ID picks the language with most marker hits") {
+    val r = Seq(
+      "the cat and the dog of it",
+      "der hund und die katze ist nicht hier",
+      "le chat et la maison est une belle",
+      "el gato es una casa con los perros",
+      "zzz qqq www").toDF("t")
+      .select(TextAnalysis.langId(col("t")).as("l")).as[String].collect()
+    r shouldBe Array("en", "de", "fr", "es", "und")
+  }
+
+  test("fingerprint: stable under duplication, sensitive to content") {
+    val r = Seq(
+      "one two three four five six seven eight",
+      "one two three four five six seven eight",
+      "nine ten eleven twelve thirteen fourteen fifteen sixteen").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("fp")).as[Long].collect()
+    r(0) shouldBe r(1)
+    r(0) should not be r(2)
+  }
+}
