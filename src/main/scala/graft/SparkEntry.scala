@@ -20,7 +20,8 @@ object SparkEntry {
 
   private[graft] val registry: Map[String, QueryDef] =
     CdcQueries.defs ++ RelationalQueries.defs ++ OperatorQueries.defs ++
-      DedupQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs
+      DedupQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
+      MultimodalQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, v) => k -> v.build }

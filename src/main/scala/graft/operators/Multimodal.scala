@@ -1,0 +1,119 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media as
+  * opaque `binary` columns with typed metadata, decode / feature-extract
+  * / frame-sample as partition-local transforms.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * pluggable [[Decoder]] with a deterministic fake implementation — the
+  * Spark-side plumbing (schema, batch iteration via `mapPartitions`,
+  * partition sizing, feature-vector shape) is real and tested. At
+  * cluster scale this is the exact shape of a GPU/codec UDF stage:
+  * partition-local, no shuffle, column-pruned input, fixed-width output.
+  */
+object Multimodal {
+
+  /** Typed media metadata — the part that is NOT opaque. */
+  case class MediaMeta(format: String, width: Int, height: Int,
+      n_frames: Int, sample_rate: Int)
+
+  case class MediaRecord(media_id: Long, kind: String, content: Array[Byte],
+      meta: MediaMeta)
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      features: Array[Float])
+
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** The decode seam. A real deployment plugs in a codec here (invoked
+    * per partition — amortize model/codec init across the partition's
+    * rows); tests and this container use [[FakeDecoder]]. */
+  trait Decoder extends Serializable {
+    /** Fixed output dimensionality (column shape is part of the schema). */
+    def dims: Int
+    def decode(content: Array[Byte], meta: MediaMeta): Array[Float]
+  }
+
+  /** Deterministic stand-in for a codec+encoder: moment statistics of the
+    * byte stream per stride. Real plumbing, fake math. */
+  final class FakeDecoder(val dims: Int = 8) extends Decoder {
+    def decode(content: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val out = new Array[Float](dims)
+      var i = 0
+      while (i < content.length) {
+        out(i % dims) += (content(i) & 0xff) / 255.0f
+        i += 1
+      }
+      if (content.length > 0) {
+        var d = 0
+        while (d < dims) { out(d) /= math.max(1, content.length / dims); d += 1 }
+      }
+      out
+    }
+  }
+
+  /** Deterministic fake media over the `documents` fixture: UTF-8 bytes
+    * of the text play the opaque payload; metadata is derived from
+    * doc_id. Gives every multimodal test a reproducible binary column. */
+  def fakeMediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val bytes = text.getBytes(StandardCharsets.UTF_8)
+        val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+        MediaRecord(id, kind, bytes,
+          MediaMeta(kind match {
+            case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
+          }, 64 + (id % 8).toInt * 16, 64, 1 + (id % 10).toInt, 16000))
+    }
+  }
+
+  /** Decode/feature-extract stage: partition-local batch iteration — the
+    * decoder is instantiated once per partition (the expensive-init
+    * pattern for codecs/models), rows stream through it. */
+  def extractFeatures(media: Dataset[MediaRecord], decoder: Decoder)
+      : Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition init happens here (decoder is closure-serialized;
+      // a real codec would open its native context at this point)
+      it.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+          decoder.decode(r.content, r.meta))
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th frame of the payload, where frame
+    * i is the i-th of `n_frames` equal slices (a real impl samples
+    * keyframes; slicing is the deterministic stand-in). flatMap keeps it
+    * partition-local — no shuffle, output fans out ≤ n_frames per row. */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      val n = math.max(1, r.meta.n_frames)
+      val sz = math.max(1, r.content.length / n)
+      (0 until n by stride).map { i =>
+        val from = i * sz
+        val until = if (i == n - 1) r.content.length else math.min((i + 1) * sz, r.content.length)
+        Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.content, from, until))
+      }
+    }
+  }
+
+  /** Metadata-only resize (stub): a real impl re-encodes `content`; the
+    * metadata contract — what downstream stages read — is exercised. */
+  def resizeMeta(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+  }
+}

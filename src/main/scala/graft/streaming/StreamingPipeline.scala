@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+import graft.enrich.Enrichment
+import graft.ingest.DebeziumParser
+import graft.views.EngagementViews
+
+/** Structured Streaming wiring of the CDC pipeline (SURVEY.md §7 step 4).
+  *
+  * The reference runs one hand-built Flink dataflow
+  * (`EngagementStreamingJob.java:64-120`): Kafka → parse → keyed-state
+  * enrich → Redis/BigQuery. Here the same logic flows through
+  * `readStream` with micro-batch semantics:
+  *
+  *   - source: Kafka (`format("kafka")`) or any raw `value` stream
+  *     (MemoryStream in tests) — S1/S2;
+  *   - parse: the SAME batch [[DebeziumParser]] columns (streaming and
+  *     batch share one implementation — Catalyst doesn't care);
+  *   - enrich: stream-static broadcast join (J1 option (a), SURVEY §2.3);
+  *     the exact drop-on-miss variant is [[StatefulEnricher]];
+  *   - A4 window: event-time 1-minute tumbling window behind a watermark
+  *     — the reference has NO watermark (state never expires,
+  *     `EngagementStreamingJob.java:77,83`); we bound state by the same
+  *     10-minute horizon its Redis TTL imposes (T4);
+  *   - K1: per-micro-batch KV upsert via `foreachBatch` (A1–A3 recomputed
+  *     on the batch, last-write-wins into the sink — idempotent under
+  *     replay, matching the reference's convergence story T5);
+  *   - K2/K3: hour-partitioned parquet warehouse in append mode —
+  *     micro-batching IS the reference's hand-built 10k/30s buffer.
+  *
+  * Exactly-once: checkpointLocation + the file sink's commit log give the
+  * genuinely-exactly-once path the reference only claims (T5).
+  */
+object StreamingPipeline {
+
+  /** S1/S2 — Kafka value stream (string-deserialized, like the
+    * reference's value-only `SimpleStringSchema`). */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value")
+
+  /** Parse + enrich a raw CDC value stream against a static/batch
+    * dimension. Returns the enriched stream; misses surface via
+    * [[Enrichment.enrich]]'s anti-join channel on the batch side or via
+    * [[StatefulEnricher]] for reference-exact ordering. */
+  def enrichStream(rawEvents: DataFrame, contentDim: DataFrame): DataFrame = {
+    val parsed = DebeziumParser.parseEvents(rawEvents)
+    Enrichment.enrich(parsed.rows, contentDim).rows
+  }
+
+  /** A4 — watermarked 1-minute tumbling windows over the enriched
+    * stream; append-mode-compatible (rows emit once the watermark passes
+    * the window end). Zset-member dedup ⇒ group by the full triple. */
+  def minuteWindowsStream(enriched: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    EngagementViews.validOnly(enriched)
+      .withWatermark("event_ts", watermark)
+      .groupBy(
+        window(col("event_ts"), "1 minute").as("w"),
+        col("content_id"), col("engagement_pct"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_minute"),
+        col("content_id"), col("engagement_pct"), col("n_events"))
+
+  /** Minimal KV-view sink contract (the Redis surface K1): upsert a
+    * (key, value) pair; last write wins. */
+  trait KvSink extends Serializable {
+    def upsert(view: String, key: String, value: String): Unit
+  }
+
+  /** Driver-local KV sink for tests/local runs; thread-safe. */
+  final class InMemoryKvSink extends KvSink {
+    val store = new ConcurrentHashMap[String, String]()
+    def upsert(view: String, key: String, value: String): Unit =
+      store.put(s"$view/$key", value)
+    def get(view: String, key: String): Option[String] =
+      Option(store.get(s"$view/$key"))
+  }
+
+  /** K1 — per-micro-batch maintenance of the A1–A3 views into a KV sink.
+    * Each batch recomputes the views *on the batch's rows* and upserts —
+    * exactly the reference's per-event ZADD/HSET pattern, amortized to
+    * micro-batches. Collect is bounded: A1 is top-K (≤ k rows) and A2/A3
+    * are per-key latest values of one micro-batch, not of history. */
+  def kvViewsWriter(enriched: DataFrame, sink: KvSink, topK: Int = 100)(
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    enriched.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          EngagementViews.leaderboard(b, topK).collect().foreach { r =>
+            sink.upsert("top_engagement", r.getAs[String]("member"),
+              r.getAs[java.math.BigDecimal]("score").toPlainString)
+          }
+          EngagementViews.contentStats(b).collect().foreach { r =>
+            sink.upsert("content_stats", r.getAs[String]("content_id"),
+              Seq("latest_engagement", "content_type", "content_title",
+                "event_type", "device", "total_events")
+                .map(f => s"$f=${r.getAs[Any](f)}").mkString(","))
+          }
+          EngagementViews.userContentLatest(b).collect().foreach { r =>
+            sink.upsert("user_engagement",
+              s"${r.getAs[String]("user_id")}:${r.getAs[String]("content_id")}",
+              r.getAs[java.math.BigDecimal]("engagement_pct").toPlainString)
+          }
+        } finally b.unpersist()
+        ()
+      }
+
+  /** K2/K3 — hour-partitioned parquet warehouse (the BigQuery table:
+    * `TimePartitioning(HOUR, event_ts)` + clustering (content_type,
+    * event_type), `BigQuerySink.java:104-145`). Partition pruning on
+    * `event_hour` replaces BQ partition pruning; AQE-coalesced writes
+    * replace the 10k/30s hand buffer. */
+  def warehouseWriter(enriched: DataFrame, path: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"))
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    enriched
+      .withColumn("event_hour",
+        date_format(date_trunc("hour", col("event_ts")), "yyyy-MM-dd-HH"))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .partitionBy("event_hour")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+
+  /** Convenience: run a whole in-memory pipeline once (tests/demos) —
+    * process all available source data, then stop. */
+  def runOnce(writer: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+}

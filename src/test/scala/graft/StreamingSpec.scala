@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{StatefulEnricher, StreamingPipeline}
+
+/** End-to-end Structured Streaming semantics over MemoryStream feeds:
+  * CDC parse → enrich → views, watermarked windows, KV upserts, and the
+  * reference-exact drop-on-miss stateful enricher. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import StatefulEnricher._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private def eventMsg(id: Long, cid: String, durMs: Int, ts: String) =
+    s"""{"payload":{"op":"c","after":{"id":$id,"content_id":"$cid",
+       |"user_id":"u$id","event_type":"play","event_ts":"$ts",
+       |"duration_ms":$durMs,"device":"ios","raw_payload":"{}"}}}"""
+      .stripMargin.replace("\n", "")
+
+  private lazy val contentDim = Seq(
+    ("c1", "slug1", "Title1", "podcast", Some(100),
+      Timestamp.valueOf("2025-08-01 00:00:00")))
+    .toDF("id", "slug", "title", "content_type", "length_seconds", "publish_ts")
+
+  test("stream-static enrichment + KV views via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData(
+      eventMsg(1, "c1", 30000, "2025-08-08T10:00:00.000000"),
+      eventMsg(2, "c1", 90000, "2025-08-08T10:05:00.000000"),
+      eventMsg(3, "cMISS", 1000, "2025-08-08T10:01:00.000000"))
+
+    val enriched = StreamingPipeline.enrichStream(in.toDF(), contentDim)
+    val sink = new StreamingPipeline.InMemoryKvSink
+    StreamingPipeline.runOnce(
+      StreamingPipeline.kvViewsWriter(enriched, sink)(tmp("ckpt-kv")))
+
+    // c1's latest (event 2, 90s/100s = 90.00) wins the stats hash
+    sink.get("content_stats", "c1").get should include("latest_engagement=90.00")
+    sink.get("top_engagement", "c1:podcast:Title1") shouldBe Some("90.00")
+    sink.get("user_engagement", "u2:c1") shouldBe Some("90.00")
+    // the miss never reaches any view
+    sink.store.keySet().forEach(k => assert(!k.contains("cMISS")))
+  }
+
+  test("watermarked minute windows emit closed windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData(
+      eventMsg(1, "c1", 50000, "2025-08-08T10:00:10.000000"),
+      eventMsg(2, "c1", 50000, "2025-08-08T10:00:40.000000"), // same triple → dedup
+      eventMsg(3, "c1", 20000, "2025-08-08T10:01:10.000000"),
+      // advances the watermark far past the windows above
+      eventMsg(4, "c1", 10000, "2025-08-08T11:00:00.000000"))
+
+    val enriched = StreamingPipeline.enrichStream(in.toDF(), contentDim)
+    val out = StreamingPipeline.minuteWindowsStream(enriched)
+    val q = out.writeStream.format("memory").queryName("mw")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val rows = spark.table("mw").orderBy("window_minute").collect()
+    // 10:00 (deduped to one member, n=2) and 10:01 closed; 11:00 still open
+    rows.length shouldBe 2
+    rows(0).getAs[Long]("n_events") shouldBe 2L
+    rows(1).getAs[Long]("n_events") shouldBe 1L
+  }
+
+  test("hour-partitioned warehouse sink writes partition directories") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    in.addData(
+      eventMsg(1, "c1", 30000, "2025-08-08T10:59:00.000000"),
+      eventMsg(2, "c1", 30000, "2025-08-08T11:01:00.000000"))
+    val enriched = StreamingPipeline.enrichStream(in.toDF(), contentDim)
+    val out = tmp("wh")
+    StreamingPipeline.runOnce(
+      StreamingPipeline.warehouseWriter(enriched, out, tmp("ckpt-wh")))
+    val parts = new java.io.File(out).list().filter(_.startsWith("event_hour="))
+    parts.toSet shouldBe Set("event_hour=2025-08-08-10", "event_hour=2025-08-08-11")
+    spark.read.parquet(out).count() shouldBe 2
+  }
+
+  test("stateful enricher: drop-on-miss before dim arrival, enrich after") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[EventRec]
+    val content = MemoryStream[ContentRec]
+
+    val enriched = StatefulEnricher.enrich(
+      StatefulEnricher.union(events.toDS(), content.toDS()))
+    val q = enriched.writeStream.format("memory").queryName("se")
+      .outputMode("append").start()
+
+    def ev(id: Long, cid: String) = EventRec(id, cid, s"u$id", "play",
+      Timestamp.valueOf("2025-08-08 10:00:00"), Some(30000), "ios", "{}")
+
+    // batch 1: event before its dimension row exists → miss
+    events.addData(ev(1, "c9"))
+    q.processAllAvailable()
+    // batch 2: dimension arrives
+    content.addData(ContentRec("c9", "s", "T", "video", Some(100),
+      Timestamp.valueOf("2025-08-01 00:00:00")))
+    q.processAllAvailable()
+    // batch 3: same-key event now enriches; state held the dim row
+    events.addData(ev(2, "c9"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("se").orderBy("event_id").collect()
+    rows.map(_.getAs[Boolean]("matched")) shouldBe Array(false, true)
+    rows(1).getAs[java.math.BigDecimal]("engagement_pct")
+      .compareTo(new java.math.BigDecimal("30.00")) shouldBe 0
+  }
+}
