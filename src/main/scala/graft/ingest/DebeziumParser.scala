@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
 
 import graft.schemas.Schemas
 
@@ -35,30 +35,38 @@ object DebeziumParser {
     */
   final case class Parsed(rows: DataFrame, errors: DataFrame)
 
-  private val jsonOpts = Map("mode" -> "PERMISSIVE")
-
   /** Normalize a DataFrame holding raw message text in `valueCol` into the
     * given row schema. Timestamp-typed fields in `rowSchema` should be
     * declared as StringType and converted afterwards with
     * [[parseTimestampMicros]] (the reference keeps timestamps as strings
     * until a hard-coded micro-precision parse; we parse tolerantly).
+    *
+    * ONE `from_json` per row: the envelope member, the flattened row
+    * fields and the corrupt-record marker live in a single merged schema,
+    * so the JSON text is tokenized once — this is the hot path of the
+    * whole CDC pipeline (the reference also single-parses, Jackson
+    * `readTree`, `EngagementStreamingJob.java:219`).
     */
   def parse(df: DataFrame, rowSchema: StructType, valueCol: String = "value"): Parsed = {
     val v = col(valueCol).cast(StringType)
-    val env = from_json(v, Schemas.envelope(rowSchema), jsonOpts)
-    val flat = from_json(v, Schemas.flattened(rowSchema), jsonOpts)
+    val merged = StructType(
+      Schemas.envelope(rowSchema).fields ++
+        Schemas.flattened(rowSchema).fields :+
+        StructField("__corrupt", StringType, nullable = true))
+    val p = from_json(v, merged,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt"))
 
     // A flattened record is "present" when any declared row field is
     // non-null AND it is not an envelope (envelopes have a payload member).
-    val flatRow = struct(rowSchema.fieldNames.map(f => flat.getField(f).as(f)).toSeq: _*)
+    val flatRow = struct(rowSchema.fieldNames.map(f => p.getField(f).as(f)).toSeq: _*)
     val flatPresent = rowSchema.fieldNames
-      .map(f => flat.getField(f).isNotNull)
+      .map(f => p.getField(f).isNotNull)
       .reduce(_ || _)
 
-    val isJson = v.isNotNull && get_json_object(v, "$").isNotNull
-    val envAfter = env.getField("payload").getField("after")
+    val isJson = v.isNotNull && p.getField("__corrupt").isNull
+    val envAfter = p.getField("payload").getField("after")
     val after = when(envAfter.isNotNull, envAfter)
-      .when(env.getField("payload").isNull && flatPresent, flatRow)
+      .when(p.getField("payload").isNull && flatPresent, flatRow)
 
     val tagged = df
       .withColumn("__after", after)

@@ -45,14 +45,22 @@ object Dedup {
       .otherwise(array(array_join(w, " "))))
   }
 
+  /** Hashed shingle set: 60-bit integer per shingle. All downstream
+    * set-ops (MinHash, Jaccard intersect/union) run on primitive longs —
+    * far cheaper than string comparisons, and the shuffle carries 8-byte
+    * elements instead of shingle text. Collisions are negligible (60-bit)
+    * and in any case identical in the DuckDB oracle (same MD5 hash). */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => hash60(s))
+
   /** MinHash signature: k columns `s0..s{k-1}`, each the minimum of the
-    * i-th affine hash over the shingle set. Map-only (no shuffle). */
-  def withMinhashSignature(df: DataFrame, shingleCol: String, k: Int): DataFrame = {
-    val hashed = transform(col(shingleCol), s => hash60(s))
-    (0 until k).foldLeft(df.withColumn("__hs", hashed)) { (d, i) =>
-      d.withColumn(s"s$i", array_min(transform(col("__hs"), h => affine(h, i))))
-    }.drop("__hs")
-  }
+    * i-th affine hash over the pre-hashed shingle set (see
+    * [[hashedShingles]]). Map-only (no shuffle). */
+  def withMinhashSignature(df: DataFrame, hashedShingleCol: String, k: Int): DataFrame =
+    (0 until k).foldLeft(df) { (d, i) =>
+      d.withColumn(s"s$i",
+        array_min(transform(col(hashedShingleCol), h => affine(h, i))))
+    }
 
   /** LSH band keys: `bands` strings, each concatenating `rowsPerBand`
     * consecutive signature values (plus the band index, so bands never
@@ -87,7 +95,8 @@ object Dedup {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
-    val sh = docs.select(col(idCol).as("__id"), shingles(col(textCol), n).as("__sh"))
+    val sh = docs.select(col(idCol).as("__id"),
+      hashedShingles(col(textCol), n).as("__sh"))
     val signed = withMinhashSignature(sh, "__sh", k)
     val cand = candidatePairs(signed, "__id", bands, k / bands)
     cand

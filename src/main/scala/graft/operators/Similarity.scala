@@ -56,10 +56,16 @@ object Similarity {
     * by neighbor id, so ranks are engine-stable. */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // norms are per-vector, not per-pair: compute them once on each side
+    // of the O(|Q|·|C|) join (3× fewer fused dot products in the hot loop;
+    // values are bit-identical — same expression over the same vector).
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      norm(col(vecCol)).as("__cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos9", round(cosine(col("__qv"), col("__cv")), 9))
+      .withColumn("cos9",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 9))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos9").desc, col("neighbor_id").asc)
     scored
@@ -75,23 +81,27 @@ object Similarity {
       k: Int, tables: Int = 2, planes: Int = 8, dims: Int = 64,
       queryFilter: Column = lit(true)): DataFrame = {
     val b = withHyperplaneBuckets(
-      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v",
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n")), "__v",
       tables, planes, dims)
-    val exploded = b.select(col("__id"), col("__v"),
+    val exploded = b.select(col("__id"), col("__v"), col("__n"),
       explode(array((0 until tables).map(t =>
         concat_ws(":", lit(t), col(s"bucket_t$t"))): _*)).as("__bucket"))
     val q = exploded.filter(queryFilter)
-      .select(col("__id").as("query_id"), col("__v").as("__qv"), col("__bucket"))
+      .select(col("__id").as("query_id"), col("__v").as("__qv"),
+        col("__n").as("__qn"), col("__bucket"))
     val cand = q.join(
-        exploded.select(col("__id").as("neighbor_id"), col("__v").as("__cv"), col("__bucket")),
+        exploded.select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
+          col("__n").as("__cn"), col("__bucket")),
         Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "__qv", "__cv")
+      .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos9").desc, col("neighbor_id").asc)
     cand
-      .withColumn("cos9", round(cosine(col("__qv"), col("__cv")), 9))
+      .withColumn("cos9",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 9))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
@@ -102,18 +112,20 @@ object Similarity {
   def nearDuplicateVectors(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 2, planes: Int = 8, dims: Int = 64): DataFrame = {
     val b = withHyperplaneBuckets(
-      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v")), "__v",
+      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        norm(col(vecCol)).as("__n")), "__v",
       tables, planes, dims)
-    val exploded = b.select(col("__id"), col("__v"),
+    val exploded = b.select(col("__id"), col("__v"), col("__n"),
       explode(array((0 until tables).map(t =>
         concat_ws(":", lit(t), col(s"bucket_t$t"))): _*)).as("__bucket"))
     exploded.as("x")
       .join(exploded.as("y"), col("x.__bucket") === col("y.__bucket"))
       .filter(col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
-        col("x.__v").as("__va"), col("y.__v").as("__vb"))
+        col("x.__v").as("__va"), col("y.__v").as("__vb"),
+        col("x.__n").as("__na"), col("y.__n").as("__nb"))
       .distinct()
-      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select(col("a"), col("b"))
   }
 }

@@ -24,18 +24,22 @@ object DedupQueries {
   private val Bands = 4
   private val RowsPerBand = K / Bands
 
-  /** DuckDB CTEs for the shared MinHash pipeline (shingle → sign → band). */
-  private def minhashCtes(n: Int): String = {
-    val sigs = (0 until K).map(i => s"${minhash("__hs", i)} AS s$i").mkString(", ")
+  /** DuckDB CTEs for the shared MinHash pipeline (hashed shingle → sign →
+    * band). `where` bounds the corpus (sampling — the fixture vocabulary
+    * is 31 words, so near-dup density is pathological; see below). */
+  private def minhashCtes(n: Int, where: String): String = {
+    val sigs = (0 until K).map(i => s"${minhash("__sh", i)} AS s$i").mkString(", ")
     val bandKeys = (0 until Bands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i")
       s"concat_ws(',', $b, ${cols.mkString(", ")})"
     }.mkString("[", ", ", "]")
     s"""sh AS (
-       |  SELECT doc_id AS __id, ${shingles(tokens("text"), n)} AS __sh FROM documents),
+       |  SELECT doc_id AS __id,
+       |    list_transform(${shingles(tokens("text"), n)},
+       |      s -> ${graft.functions.PortableHash.hash60Sql("s")}) AS __sh
+       |  FROM documents WHERE $where),
        |signed AS (
-       |  SELECT __id, $sigs
-       |  FROM (SELECT __id, list_transform(__sh, s -> ${graft.functions.PortableHash.hash60Sql("s")}) AS __hs FROM sh)),
+       |  SELECT __id, $sigs FROM sh),
        |bands AS (
        |  SELECT __id, unnest($bandKeys) AS __band FROM signed),
        |cand AS (
@@ -55,11 +59,16 @@ object DedupQueries {
          |FROM documents GROUP BY 1""".stripMargin),
 
     // MinHash + LSH banding near-dup: map-only signatures, equi-join on
-    // band keys, exact Jaccard verification on candidates only.
+    // band keys, exact Jaccard verification on candidates only. The
+    // corpus is sampled 1-in-5: with a 31-word vocabulary, 1-gram
+    // near-dup density is ~7% of ALL pairs, so band buckets degenerate
+    // toward all-pairs — at real scale the mitigation is a bucket-size
+    // cap / document-frequency pruning, here a sample bounds the output.
     "dedup_minhash_pairs" -> QueryDef(
-      (s, d) => Dedup.nearDuplicates(Tables.documents(s, d), "doc_id", "text",
-        n = 1, k = K, bands = Bands, threshold = 0.9),
-      s"""WITH ${minhashCtes(1)}
+      (s, d) => Dedup.nearDuplicates(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
+        "doc_id", "text", n = 1, k = K, bands = Bands, threshold = 0.9),
+      s"""WITH ${minhashCtes(1, "doc_id % 5 = 0")}
          |SELECT c.a, c.b, ${jaccard("sa.__sh", "sb.__sh")} AS jaccard
          |FROM cand c
          |JOIN sh sa ON sa.__id = c.a
@@ -81,8 +90,15 @@ object DedupQueries {
         val sh = Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(2)) === 0)
           .select(col("doc_id"), col("source"),
-            Dedup.shingles(col("text"), 2).as("sh2"))
-        sh.as("x").join(sh.as("y"),
+            Dedup.hashedShingles(col("text"), 2).as("sh2"))
+        // The block key has tiny cardinality (~20 sources), so a shuffle
+        // join would bound parallelism at 20 tasks. Round-robin the probe
+        // side and broadcast the (block-key → docs) build side: every
+        // core gets an even slice of the quadratic Jaccard work. At real
+        // scale (build side too big to broadcast) the fix is instead a
+        // higher-cardinality composite block key.
+        sh.repartition(s.sparkContext.defaultParallelism).as("x")
+          .join(broadcast(sh).as("y"),
             col("x.source") === col("y.source") &&
               col("x.doc_id") < col("y.doc_id"))
           .withColumn("jaccard", Dedup.jaccard(col("x.sh2"), col("y.sh2")))
@@ -90,7 +106,9 @@ object DedupQueries {
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
       },
       s"""WITH sh AS (
-         |  SELECT doc_id, source, ${shingles(tokens("text"), 2)} AS sh2
+         |  SELECT doc_id, source,
+         |    list_transform(${shingles(tokens("text"), 2)},
+         |      s -> ${graft.functions.PortableHash.hash60Sql("s")}) AS sh2
          |  FROM documents WHERE doc_id % 2 = 0)
          |SELECT x.doc_id AS a, y.doc_id AS b, ${jaccard("x.sh2", "y.sh2")} AS jaccard
          |FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id

@@ -60,7 +60,7 @@ class DedupSpec extends SparkSpec {
     val docs = Seq((1L, "same words here"), (2L, "same words here"))
       .toDF("doc_id", "text")
     val sh = docs.select(col("doc_id").as("__id"),
-      Dedup.shingles(col("text"), 1).as("__sh"))
+      Dedup.hashedShingles(col("text"), 1).as("__sh"))
     val signed = Dedup.withMinhashSignature(sh, "__sh", 12)
     Dedup.candidatePairs(signed, "__id", 4, 3).count() shouldBe 1
   }
