@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+
+/** Beyond-the-reference relational surface (SURVEY.md §2.9): CUBE /
+  * GROUPING SETS, session windows, JSON path extraction, explode/unnest
+  * lateral fan-out, skew-salted aggregation, and approximate sketches.
+  *
+  * Where Spark SQL and DuckDB share a dialect the query is one SQL text
+  * run on both; otherwise the Spark side is DataFrame API with a
+  * hand-matched oracle.
+  */
+object AdvancedQueries {
+
+  private def sqlBoth(q: String): QueryDef =
+    QueryDef((s, d) => { Tables.registerAll(s, d); s.sql(q) }, q)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // CUBE: all 4 grouping combinations in one pass (Expand + hash agg).
+    "adv_cube" -> sqlBoth(
+      """SELECT l_returnflag, l_linestatus,
+        |  GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+
+    // Explicit GROUPING SETS with mixed arities.
+    "adv_grouping_sets" -> sqlBoth(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority), ())""".stripMargin),
+
+    // Event-time session windows (30-minute inactivity gap) per user.
+    // Spark: native session_window aggregation (merging-window state at
+    // streaming scale). Oracle: classic gaps-and-islands SQL.
+    "adv_session_windows" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events")),
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              <= INTERVAL 30 MINUTE
+        |         THEN 0 ELSE 1 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin),
+
+    // JSON path extraction over constructed nested documents (the
+    // fixture payload is flat; nesting is built deterministically by
+    // string concat so both engines see identical text).
+    "adv_json_path" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .withColumn("doc", concat(
+          lit("{\"meta\":{\"type\":\""), col("event_type"),
+          lit("\",\"ids\":["), col("event_id"), lit(","), col("user_id"),
+          lit("]},\"payload\":"), col("props"), lit("}")))
+        .select(col("event_id"),
+          get_json_object(col("doc"), "$.meta.type").as("j_type"),
+          get_json_object(col("doc"), "$.meta.ids[1]").as("j_user"),
+          get_json_object(col("doc"), "$.payload.k").as("j_k")),
+      """SELECT event_id,
+        |  json_extract_string(doc, '$.meta.type') AS j_type,
+        |  json_extract_string(doc, '$.meta.ids[1]') AS j_user,
+        |  json_extract_string(doc, '$.payload.k') AS j_k
+        |FROM (
+        |  SELECT event_id,
+        |    '{"meta":{"type":"' || event_type || '","ids":[' || event_id || ','
+        |      || user_id || ']},"payload":' || props || '}' AS doc
+        |  FROM events)""".stripMargin),
+
+    // Lateral fan-out: one row per normalized token (explode ≈ unnest).
+    // Bounded to a sample — fan-out ~100× per doc.
+    "adv_explode_tokens" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(20)) === 0)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "token"),
+      """SELECT doc_id, unnest(range(len(w))) AS pos, unnest(w) AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents WHERE doc_id % 20 = 0) t""".stripMargin),
+
+    // Skew-salted two-phase aggregation: the group key has ~5 distinct
+    // values (pathological skew at cluster scale — 5 reducers own all
+    // data). Phase 1 pre-aggregates on (key, salt-of-16) spreading each
+    // hot key over 16 reducers; phase 2 merges the 80 partials. Results
+    // are identical to a plain GROUP BY (the oracle) by construction —
+    // sums in DECIMAL so re-association is exact.
+    "adv_skew_salted_agg" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .withColumn("__salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("__salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast("decimal(18,6)")).as("pv"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n_events"),
+          sum(col("pv")).cast("decimal(38,6)").as("sum_value")),
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin),
+
+    // Approximate sketches (HLL++ distinct count, quantile sketch):
+    // engine-specific estimators — no cross-engine oracle; bounds are
+    // asserted in AdvancedQueriesSpec against exact values.
+    "adv_approx_sketches" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median")),
+      None))
+}
