@@ -24,8 +24,17 @@ import graft.functions.PortableHash
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ — left-to-right double accumulation (engine-portable). */
+  /** Σ aᵢ·bᵢ — left-to-right double accumulation (engine-portable).
+    * Runs as the native codegen'd [[graft.functions.VectorFunctions.DotProduct]]
+    * expression; [[dotComposable]] is the built-ins-only equivalent,
+    * pinned bit-identical by VectorFunctionsSpec. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
+
+  /** The same dot product from composable built-ins (zip_with +
+    * aggregate): allocates the product array and dispatches a lambda per
+    * element — kept as the semantic reference for the native expression. */
+  def dotComposable(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to `private[sql]` seams needed when defining custom Catalyst
+  * expressions outside Spark's source tree — the Column ⇄ Expression
+  * conversions that Spark 4 classic keeps internal. Lives under
+  * `org.apache.spark.sql` purely for access; no Spark code is modified.
+  */
+object CatalystBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
