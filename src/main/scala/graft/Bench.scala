@@ -22,7 +22,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // End-to-end pipeline throughput (BASELINE.md's rec/s SLO): CDC JSON
+    // → parse → enrich → all four views, one shared enriched pass.
+    val (rows, rps) = try {
+      val t0 = System.nanoTime()
+      val raw = graft.queries.CdcQueries.jsonMessages(
+        graft.queries.CdcMapping.fact(spark, sfDir))
+      val parsed = graft.ingest.DebeziumParser
+        .parse(raw, graft.queries.CdcQueries.fixtureRowSchema).rows
+        .withColumn("event_ts", graft.ingest.DebeziumParser
+          .parseTimestampMicros(org.apache.spark.sql.functions.col("event_ts")))
+      val enriched = graft.enrich.Enrichment
+        .enrich(parsed, graft.queries.CdcMapping.dim(spark, sfDir)).rows.persist()
+      val n = enriched.count()
+      graft.views.EngagementViews.leaderboard(enriched, 100).count()
+      graft.views.EngagementViews.contentStats(enriched).count()
+      graft.views.EngagementViews.userContentLatest(enriched).count()
+      graft.views.EngagementViews.minuteWindows(enriched).count()
+      enriched.unpersist()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (n, n / dt)
+    } catch { case _: Throwable => (0L, 0.0) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
