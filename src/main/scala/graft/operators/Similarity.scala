@@ -116,6 +116,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
   }
 
+  /** IVF (inverted-file) ANN — the other classic scale path next to LSH.
+    *
+    * Centroids are a deterministic id-sample of the corpus (no RNG, no
+    * k-means iterations — reproducible in the oracle; a production build
+    * would train centroids offline and broadcast them the same way).
+    * Assignment = argmin of exact squared L2 distance to the broadcast
+    * centroid set: map-only over the corpus, ties broken by centroid id.
+    * Queries probe the `nprobe` nearest centroid cells and re-rank only
+    * those cells' members by exact cosine. Shuffle happens once, on the
+    * small (cell_id) key — never an all-pairs join.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column, nprobe: Int): (DataFrame, DataFrame) = {
+    val cents = corpus.filter(centroidFilter)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+    // squared L2 in exact integer-valued doubles: |a|² - 2a·b + |b|²
+    val d2 = dot(col("__v"), col("__v")) -
+      lit(2.0) * dot(col("__v"), col("cent_v")) +
+      dot(col("cent_v"), col("cent_v"))
+    val scored = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d2", d2)
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__d2").asc, col("cent_id").asc)
+    val ranked = scored.withColumn("__cr", row_number().over(w))
+    val assigned = ranked.filter(col("__cr") === 1)
+      .select(col("__id"), col("__v"), col("cent_id").as("cell_id"))
+    val probes = ranked.filter(col("__cr") <= nprobe)
+      .select(col("__id").as("query_id"), col("cent_id").as("cell_id"))
+    (assigned, probes)
+  }
+
+  /** IVF top-k: probe `nprobe` cells per query, exact cosine re-rank of
+    * cell members only. Same output shape as [[knnBruteForce]]. */
+  def knnIvf(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      centroidFilter: Column, nprobe: Int = 3,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val (assigned, probes) = ivfAssign(corpus, idCol, vecCol, centroidFilter, nprobe)
+    val queries = assigned.filter(queryFilter)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"),
+        norm(col("__v")).as("__qn"))
+    val cand = queries
+      .join(probes, Seq("query_id"))
+      .join(assigned.select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
+        norm(col("__v")).as("__cn"), col("cell_id")), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos9").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cos9",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
+  }
+
   /** Near-duplicate vector pairs: LSH candidates verified at an exact
     * cosine `threshold`. Returns (a, b) with a < b. */
   def nearDuplicateVectors(corpus: DataFrame, idCol: String, vecCol: String,

@@ -49,6 +49,47 @@ object SimilarityQueries {
          |  FROM s)
          |WHERE rank <= $K""".stripMargin),
 
+    // IVF ANN top-10: deterministic id-sampled centroids (1-in-50),
+    // broadcast argmin-L2 cell assignment, 3-cell probe, exact re-rank.
+    "sim_knn_ivf" -> QueryDef(
+      (s, d) => {
+        val e = quantized(s, d)
+        Similarity.knnIvf(e, "vec_id", "qv", K,
+            centroidFilter = pmod(col("vec_id"), lit(50)) === 0, nprobe = 3,
+            queryFilter = pmod(col("__id"), lit(10)) === 0)
+          .withColumn("rank", col("rank").cast("long"))
+      }, {
+        def d2(v: String, c: String) =
+          s"(${dot(v, v, Dims)} - 2.0 * ${dot(v, c, Dims)} + ${dot(c, c, Dims)})"
+        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cent_id, v AS cent_v FROM e WHERE vec_id % 50 = 0),
+           |scored AS (
+           |  SELECT e.vec_id AS id, e.v, c.cent_id,
+           |    ${d2("e.v", "c.cent_v")} AS d2
+           |  FROM e, c),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY id ORDER BY d2 ASC, cent_id ASC) AS cr
+           |  FROM scored),
+           |assigned AS (SELECT id, v, cent_id AS cell_id FROM ranked WHERE cr = 1),
+           |probes AS (SELECT id AS query_id, cent_id AS cell_id FROM ranked WHERE cr <= 3),
+           |cand AS (
+           |  SELECT DISTINCT q.id AS query_id, q.v AS qv, a.id AS neighbor_id, a.v AS cv
+           |  FROM assigned q
+           |  JOIN probes p ON p.query_id = q.id
+           |  JOIN assigned a ON a.cell_id = p.cell_id AND a.id <> q.id
+           |  WHERE q.id % 10 = 0),
+           |s2 AS (
+           |  SELECT query_id, neighbor_id,
+           |    round(${cosine("qv", "cv", Dims)}, 9) AS cos9
+           |  FROM cand)
+           |SELECT query_id, neighbor_id, rank, cos9 FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+           |  FROM s2)
+           |WHERE rank <= $K""".stripMargin
+      }),
+
     // LSH-bucketed ANN top-10 for the same query sample (recall < 1 by
     // construction; identical bucketing constants on both sides).
     "sim_knn_lsh" -> QueryDef(

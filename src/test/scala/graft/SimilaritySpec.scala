@@ -65,6 +65,22 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (q, n, c) => brute.get((q, n)).foreach(_ shouldBe c) }
   }
 
+  test("knnIvf scores agree with exact scores; probes bound the candidates") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (1L to 60L).map(i =>
+      (i, Seq.fill(16)((rnd.nextInt(2001) - 1000).toDouble))).toDF("vec_id", "v")
+    val brute = Similarity.knnBruteForce(
+      corpus.filter(pmod(col("vec_id"), lit(6)) === 0), corpus, "vec_id", "v", 5)
+      .select("query_id", "neighbor_id", "cos9").as[(Long, Long, Double)]
+      .collect().map { case (q, n, c) => (q, n) -> c }.toMap
+    val ivf = Similarity.knnIvf(corpus, "vec_id", "v", 5,
+      centroidFilter = pmod(col("vec_id"), lit(12)) === 0, nprobe = 2,
+      queryFilter = pmod(col("__id"), lit(6)) === 0)
+      .select("query_id", "neighbor_id", "cos9").as[(Long, Long, Double)].collect()
+    ivf should not be empty
+    ivf.foreach { case (q, n, c) => brute.get((q, n)).foreach(_ shouldBe c) }
+  }
+
   test("hyperplanes are deterministic across invocations") {
     Similarity.hyperplane(0, 0, 8) shouldBe Similarity.hyperplane(0, 0, 8)
     Similarity.hyperplane(0, 0, 8) should not be Similarity.hyperplane(1, 0, 8)
