@@ -40,12 +40,14 @@ object AsOfJoin {
     val rStruct = struct(rCols.map(col): _*)
     val rType = right.select(rStruct.as("r")).schema("r").dataType
 
+    // keys keep their native type (casting e.g. a string key to a numeric
+    // would silently null it); unionByName enforces both sides agree
     val l2 = left.select(
-      col(leftKey).cast("long").as("__k"), col(leftTs).as("__ts"),
+      col(leftKey).as("__k"), col(leftTs).as("__ts"),
       lit(1).as("__side"), struct(lCols.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
     val r2 = right.select(
-      col(rightKey).cast("long").as("__k"), col(rightTs).as("__ts"),
+      col(rightKey).as("__k"), col(rightTs).as("__ts"),
       lit(0).as("__side"), lit(null).cast(left.select(struct(lCols.map(col): _*).as("l")).schema("l").dataType).as("__l"),
       rStruct.as("__r"))
 

@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** As-of and interval join semantics on crafted rows, including the
+  * string-key path and half-open interval boundaries. */
+class JoinOperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of join: latest right row at or before each left ts") {
+    val trades = Seq(
+      ("AAPL", ts("2025-01-01 10:00:05"), 100),
+      ("AAPL", ts("2025-01-01 10:00:00"), 101), // equal-ts quote matches (<=)
+      ("MSFT", ts("2025-01-01 09:00:00"), 102)) // before any quote → nulls
+      .toDF("sym", "trade_ts", "qty")
+    val quotes = Seq(
+      ("AAPL", ts("2025-01-01 10:00:00"), 1.0),
+      ("AAPL", ts("2025-01-01 10:00:03"), 2.0),
+      ("MSFT", ts("2025-01-01 10:00:00"), 3.0))
+      .toDF("q_sym", "quote_ts", "px")
+
+    val out = AsOfJoin.backward(trades, "sym", "trade_ts", quotes, "q_sym", "quote_ts")
+      .orderBy("qty").collect()
+    out.map(r => Option(r.getAs[java.lang.Double]("px"))) shouldBe
+      Array(Some(2.0), Some(1.0), None) // string keys work; <= at equal ts
+  }
+
+  test("binned range join: half-open bounds, bins never duplicate pairs") {
+    val points = Seq((1L, ts("2025-01-01 10:00:00")), (2L, ts("2025-01-01 11:00:00")),
+      (3L, ts("2025-01-01 12:00:00"))).toDF("p_id", "p_ts")
+    val wins = Seq((10L, ts("2025-01-01 10:00:00"), ts("2025-01-01 12:00:00")))
+      .toDF("w_id", "w_start", "w_end")
+    val out = RangeJoin.binned(points, "p_ts", wins, "w_start", "w_end", 600L)
+    // start inclusive (p1), interior (p2), end exclusive (p3 out)
+    out.select("p_id").as[Long].collect().sorted shouldBe Array(1L, 2L)
+    out.count() shouldBe 2 // exactly one pair per (point, window)
+  }
+}
