@@ -89,6 +89,26 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 2
   }
 
+  test("warehouse sink is exactly-once across a checkpoint restart (T1/T5)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = tmp("wh-eo")
+    val ckpt = tmp("ckpt-eo")
+
+    in.addData(eventMsg(1, "c1", 30000, "2025-08-08T10:00:00.000000"))
+    StreamingPipeline.runOnce(StreamingPipeline.warehouseWriter(
+      StreamingPipeline.enrichStream(in.toDF(), contentDim), out, ckpt))
+
+    // restart from the same checkpoint with more source data: only the
+    // new offsets are processed — no duplicates of event 1
+    in.addData(eventMsg(2, "c1", 40000, "2025-08-08T10:01:00.000000"))
+    StreamingPipeline.runOnce(StreamingPipeline.warehouseWriter(
+      StreamingPipeline.enrichStream(in.toDF(), contentDim), out, ckpt))
+
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    ids shouldBe Array(1L, 2L)
+  }
+
   test("stateful enricher: drop-on-miss before dim arrival, enrich after") {
     implicit val sqlCtx = spark.sqlContext
     val events = MemoryStream[EventRec]
