@@ -45,13 +45,15 @@ object Dedup {
       .otherwise(array(array_join(w, " "))))
   }
 
-  /** Hashed shingle set: 60-bit integer per shingle. All downstream
-    * set-ops (MinHash, Jaccard intersect/union) run on primitive longs —
-    * far cheaper than string comparisons, and the shuffle carries 8-byte
-    * elements instead of shingle text. Collisions are negligible (60-bit)
+  /** Hashed shingle set: 60-bit integer per shingle, SORTED. All
+    * downstream set-ops (MinHash, Jaccard intersect/union) run on
+    * primitive longs — far cheaper than string comparisons, and the
+    * shuffle carries 8-byte elements instead of shingle text. Sorting
+    * once at build time lets [[jaccardSorted]] use an allocation-free
+    * merge scan per candidate pair. Collisions are negligible (60-bit)
     * and in any case identical in the DuckDB oracle (same MD5 hash). */
   def hashedShingles(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => hash60(s))
+    array_sort(transform(shingles(text, n), s => hash60(s)))
 
   /** MinHash signature: k columns `s0..s{k-1}`, each the minimum of the
     * i-th affine hash over the pre-hashed shingle set (see
@@ -89,6 +91,15 @@ object Dedup {
   def jaccard(sa: Column, sb: Column): Column =
     size(array_intersect(sa, sb)) / size(array_union(sa, sb))
 
+  /** Same value on SORTED distinct long arrays ([[hashedShingles]]) via
+    * the native merge-scan expression: |A∩B| by one pass, |A∪B| as
+    * |A|+|B|−|A∩B| — no per-pair hash-set allocation in the candidate
+    * join's hot loop. */
+  def jaccardSorted(sa: Column, sb: Column): Column = {
+    val ic = graft.functions.SetFunctions.sortedIntersectCount(sa, sb)
+    ic / (size(sa) + size(sb) - ic)
+  }
+
   /** Full near-duplicate pipeline: shingle → MinHash(k) → LSH(bands) →
     * exact-Jaccard verification at `threshold`. Returns (a, b, jaccard).
     */
@@ -102,7 +113,7 @@ object Dedup {
     cand
       .join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), "a")
       .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), "b")
-      .withColumn("jaccard", jaccard(col("__sha"), col("__shb")))
+      .withColumn("jaccard", jaccardSorted(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }

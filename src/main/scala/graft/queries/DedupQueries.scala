@@ -101,7 +101,7 @@ object DedupQueries {
           .join(broadcast(sh).as("y"),
             col("x.source") === col("y.source") &&
               col("x.doc_id") < col("y.doc_id"))
-          .withColumn("jaccard", Dedup.jaccard(col("x.sh2"), col("y.sh2")))
+          .withColumn("jaccard", Dedup.jaccardSorted(col("x.sh2"), col("y.sh2")))
           .filter(col("jaccard") >= 0.08)
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
       },
