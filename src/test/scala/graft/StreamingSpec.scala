@@ -19,6 +19,8 @@ class StreamingSpec extends SparkSpec {
   private def tmp(prefix: String) =
     Files.createTempDirectory(prefix).toString
 
+  private def ts(s: String) = Timestamp.valueOf(s)
+
   private def eventMsg(id: Long, cid: String, durMs: Int, ts: String) =
     s"""{"payload":{"op":"c","after":{"id":$id,"content_id":"$cid",
        |"user_id":"u$id","event_type":"play","event_ts":"$ts",
@@ -87,6 +89,27 @@ class StreamingSpec extends SparkSpec {
     val parts = new java.io.File(out).list().filter(_.startsWith("event_hour="))
     parts.toSet shouldBe Set("event_hour=2025-08-08-10", "event_hour=2025-08-08-11")
     spark.read.parquet(out).count() shouldBe 2
+  }
+
+  test("streaming session windows merge within the gap and close past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    in.addData(
+      (1L, ts("2025-08-08 10:00:00")),
+      (1L, ts("2025-08-08 10:10:00")), // merges: gap < 30 min
+      (1L, ts("2025-08-08 11:30:00")), // new session
+      (1L, ts("2025-08-08 15:00:00"))) // watermark driver; still open
+    val out = in.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("sess").orderBy("session_window.start").collect()
+    rows.map(_.getAs[Long]("count")) shouldBe Array(2L, 1L)
+    rows(0).getAs[org.apache.spark.sql.Row]("session_window")
+      .getAs[Timestamp]("end") shouldBe ts("2025-08-08 10:40:00")
   }
 
   test("warehouse sink is exactly-once across a checkpoint restart (T1/T5)") {
