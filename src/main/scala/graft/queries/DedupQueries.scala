@@ -114,6 +114,52 @@ object DedupQueries {
          |FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
          |WHERE ${jaccard("x.sh2", "y.sh2")} >= 0.08""".stripMargin),
 
+    // Capstone composition — the corpus-curation pipeline a training-data
+    // run executes at 100 TB: language gate → quality gate → exact-dedup
+    // keeper join, emitting the surviving documents. One scan, one
+    // map-only expression pass, one hash-agg on digests, one semi join.
+    "curate_corpus" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val gated = docs.filter(
+          graft.operators.TextAnalysis.langId(col("text")) === "en" &&
+            graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.5)
+        val keepers = Dedup.exactGroups(gated, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        gated.join(keepers, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      }, {
+        val toks = s"${tokens("text")}"
+        val scores = graft.operators.TextAnalysis.langMarkers.map { case (l, ms) =>
+          s"len(list_filter(w, t -> list_contains(${ms.map(m => s"'$m'").mkString("[", ", ", "]")}, t))) AS s_$l"
+        }.mkString(", ")
+        val langs = graft.operators.TextAnalysis.langMarkers.map(_._1)
+        val best = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+        val pick = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+        val qual =
+          s"""round((least(len(w) / 20.0, 1.0)
+             | + greatest(1.0 - ((length(text) - length(translate(text, '.,!?;:', '')))
+             |     / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 0.0)
+             | + least((len(list_filter(w, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)))
+             |     / greatest(len(w)::DOUBLE, 1.0)) * 4.0, 1.0)) / 3.0, 6)""".stripMargin
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang, source, n_chars, text,
+           |    CASE WHEN $best > 0 THEN (CASE $pick ELSE 'und' END)
+           |         ELSE 'und' END AS lang_pred,
+           |    $qual AS quality
+           |  FROM (SELECT *, $scores FROM
+           |        (SELECT doc_id, lang, source, n_chars, text, $toks AS w
+           |         FROM documents))),
+           |gated AS (
+           |  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5),
+           |keepers AS (
+           |  SELECT MIN(doc_id) AS doc_id FROM gated
+           |  GROUP BY md5(${normalize("text")}))
+           |SELECT g.doc_id, g.lang, g.source, g.n_chars
+           |FROM gated g WHERE EXISTS (
+           |  SELECT 1 FROM keepers k WHERE k.doc_id = g.doc_id)""".stripMargin
+      }),
+
     // Embedding-cosine near-dup: random-hyperplane LSH candidates, exact
     // cosine verification. Vectors quantized to integer-valued doubles so
     // all arithmetic is exact (order-independent, engine-portable).
