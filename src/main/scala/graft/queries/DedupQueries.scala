@@ -124,9 +124,13 @@ object DedupQueries {
         val gated = docs.filter(
           graft.operators.TextAnalysis.langId(col("text")) === "en" &&
             graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.5)
-        val keepers = Dedup.exactGroups(gated, "doc_id", "text")
-          .select(col("keeper_id").as("doc_id"))
-        gated.join(keepers, Seq("doc_id"), "left_semi")
+        // keep-first-per-digest via one window pass (single shuffle on
+        // the digest) instead of agg + semi-join, which would compute
+        // the gated subtree twice and shuffle twice.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(Dedup.normalize(col("text")))).orderBy(col("doc_id"))
+        gated.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
           .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       }, {
         val toks = s"${tokens("text")}"
@@ -151,13 +155,12 @@ object DedupQueries {
            |        (SELECT doc_id, lang, source, n_chars, text, $toks AS w
            |         FROM documents))),
            |gated AS (
-           |  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5),
-           |keepers AS (
-           |  SELECT MIN(doc_id) AS doc_id FROM gated
-           |  GROUP BY md5(${normalize("text")}))
-           |SELECT g.doc_id, g.lang, g.source, g.n_chars
-           |FROM gated g WHERE EXISTS (
-           |  SELECT 1 FROM keepers k WHERE k.doc_id = g.doc_id)""".stripMargin
+           |  SELECT * FROM scored WHERE lang_pred = 'en' AND quality >= 0.5)
+           |SELECT doc_id, lang, source, n_chars FROM (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY md5(${normalize("text")}) ORDER BY doc_id) AS rn
+           |  FROM gated)
+           |WHERE rn = 1""".stripMargin
       }),
 
     // Embedding-cosine near-dup: random-hyperplane LSH candidates, exact
