@@ -1,0 +1,43 @@
+package graft
+
+/** Plan-shape regression guards — the 100 TB invariants. A correctness
+  * pass with a quadratic or unpruned plan is still a failing build. */
+class PlanSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  /** Queries allowed to contain a nested-loop/cartesian stage:
+    * the brute-force kNN baseline (deliberately quadratic) and the IVF
+    * centroid assignment (broadcast of a dimension-sized centroid set). */
+  private val quadraticByDesign = Set("sim_knn_brute", "sim_knn_ivf")
+
+  test("no query plans an accidental cartesian / nested-loop join") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = plan(name)
+      val bad = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
+      if (bad && !quadraticByDesign(name)) Some(name) else None
+    }
+    offenders shouldBe empty
+  }
+
+  test("enrichment joins broadcast the dimension (fact side never shuffles)") {
+    val p = plan("cdc_enrich")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  test("text queries prune the documents scan to the used columns") {
+    plan("text_stats") should include("ReadSchema: struct<doc_id:bigint,text:string>")
+  }
+
+  test("top-K plans as TakeOrderedAndProject, not a global sort") {
+    plan("rel_top_orders") should include("TakeOrderedAndProject")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    plan("dedup_minhash_pairs") should include("PushedFilters: [")
+  }
+}
