@@ -61,4 +61,21 @@ object AsOfJoin {
       .select(lCols.map(n => col(s"__l.$n").as(n)) ++
               rCols.map(n => col(s"__match.$n").as(n)): _*)
   }
+
+  /** Backward as-of with a tolerance horizon: a match older than
+    * `toleranceSeconds` before the left timestamp is discarded (nulls,
+    * left-outer). Correct by construction: the carried row is the
+    * *latest* preceding right row, so if it is out of horizon, every
+    * other candidate is older still. */
+  def backwardWithin(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      toleranceSeconds: Long): DataFrame = {
+    val joined = backward(left, leftKey, leftTs, right, rightKey, rightTs)
+      .withColumn("__ok", col(rightTs).isNotNull &&
+        col(rightTs) >= (col(leftTs) - expr(s"INTERVAL $toleranceSeconds SECONDS")))
+    right.columns.foldLeft(joined) { (df, n) =>
+      df.withColumn(n, when(col("__ok"), col(n)))
+    }.drop("__ok")
+  }
 }

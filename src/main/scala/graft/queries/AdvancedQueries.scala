@@ -60,6 +60,24 @@ object AdvancedQueries {
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    // Sliding event-time windows (10-minute width, 5-minute slide):
+    // each event lands in width/slide windows. Oracle expands the
+    // membership by unnesting the two aligned window starts.
+    "adv_sliding_windows" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n")),
+      """SELECT make_timestamp(CAST(s * 1000000 AS BIGINT)) AS window_start,
+        |       event_type, COUNT(*) AS n
+        |FROM (
+        |  SELECT event_type,
+        |    unnest([floor(epoch(ts) / 300) * 300,
+        |            floor(epoch(ts) / 300) * 300 - 300]) AS s
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin),
+
     // JSON path extraction over constructed nested documents (the
     // fixture payload is flat; nesting is built deterministically by
     // string concat so both engines see identical text).

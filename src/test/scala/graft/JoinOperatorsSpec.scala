@@ -31,6 +31,15 @@ class JoinOperatorsSpec extends SparkSpec {
       Array(Some(2.0), Some(1.0), None) // string keys work; <= at equal ts
   }
 
+  test("backwardWithin: matches older than the tolerance are discarded") {
+    val l = Seq(("k", ts("2025-01-01 10:10:00"), 1)).toDF("sym", "l_ts", "n")
+    val r = Seq(("k", ts("2025-01-01 10:00:00"), 9.0)).toDF("r_sym", "r_ts", "px")
+    AsOfJoin.backwardWithin(l, "sym", "l_ts", r, "r_sym", "r_ts", 3600L)
+      .head().getAs[java.lang.Double]("px") shouldBe 9.0
+    AsOfJoin.backwardWithin(l, "sym", "l_ts", r, "r_sym", "r_ts", 60L)
+      .head().getAs[java.lang.Double]("px") shouldBe null
+  }
+
   test("binned range join: half-open bounds, bins never duplicate pairs") {
     val points = Seq((1L, ts("2025-01-01 10:00:00")), (2L, ts("2025-01-01 11:00:00")),
       (3L, ts("2025-01-01 12:00:00"))).toDF("p_id", "p_ts")
