@@ -39,7 +39,11 @@ import graft.views.EngagementViews
 object StreamingPipeline {
 
   /** S1/S2 — Kafka value stream (string-deserialized, like the
-    * reference's value-only `SimpleStringSchema`). */
+    * reference's value-only `SimpleStringSchema`). Requires the
+    * `spark-sql-kafka-0-10` connector on the classpath (not shipped in
+    * this build's offline jar set — tests drive the same pipeline
+    * through MemoryStream instead; the parse/enrich/view stages are
+    * source-agnostic). */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
       startingOffsets: String): DataFrame =
     spark.readStream.format("kafka")
