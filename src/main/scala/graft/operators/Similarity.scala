@@ -89,26 +89,30 @@ object Similarity {
   def knnLsh(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, tables: Int = 2, planes: Int = 8, dims: Int = 64,
       queryFilter: Column = lit(true)): DataFrame = {
-    val b = withHyperplaneBuckets(
-      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        norm(col(vecCol)).as("__n")), "__v",
-      tables, planes, dims)
-    val exploded = b.select(col("__id"), col("__v"), col("__n"),
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    val b = withHyperplaneBuckets(vecs, "__v", tables, planes, dims)
+    // candidate generation carries ids only — the distinct/dedup shuffle
+    // must never haul the vectors themselves (at scale the id-pair set
+    // is bytes per row; the vectors re-attach afterwards by id join)
+    val exploded = b.select(col("__id"),
       explode(array((0 until tables).map(t =>
         concat_ws(":", lit(t), col(s"bucket_t$t"))): _*)).as("__bucket"))
     val q = exploded.filter(queryFilter)
-      .select(col("__id").as("query_id"), col("__v").as("__qv"),
-        col("__n").as("__qn"), col("__bucket"))
+      .select(col("__id").as("query_id"), col("__bucket"))
     val cand = q.join(
-        exploded.select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
-          col("__n").as("__cn"), col("__bucket")),
+        exploded.select(col("__id").as("neighbor_id"), col("__bucket")),
         Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
+      .select("query_id", "neighbor_id")
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos9").desc, col("neighbor_id").asc)
     cand
+      .join(vecs.select(col("__id").as("query_id"), col("__v").as("__qv"),
+        col("__n").as("__qn")), Seq("query_id"))
+      .join(vecs.select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
+        col("__n").as("__cn")), Seq("neighbor_id"))
       .withColumn("cos9",
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 9))
       .withColumn("rank", row_number().over(w))
@@ -178,20 +182,22 @@ object Similarity {
     * cosine `threshold`. Returns (a, b) with a < b. */
   def nearDuplicateVectors(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, tables: Int = 2, planes: Int = 8, dims: Int = 64): DataFrame = {
-    val b = withHyperplaneBuckets(
-      corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-        norm(col(vecCol)).as("__n")), "__v",
-      tables, planes, dims)
-    val exploded = b.select(col("__id"), col("__v"), col("__n"),
+    val vecs = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    val b = withHyperplaneBuckets(vecs, "__v", tables, planes, dims)
+    val exploded = b.select(col("__id"),
       explode(array((0 until tables).map(t =>
         concat_ws(":", lit(t), col(s"bucket_t$t"))): _*)).as("__bucket"))
+    // ids-only candidate dedup (see knnLsh), vectors re-attached by id
     exploded.as("x")
       .join(exploded.as("y"), col("x.__bucket") === col("y.__bucket"))
       .filter(col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("a"), col("y.__id").as("b"),
-        col("x.__v").as("__va"), col("y.__v").as("__vb"),
-        col("x.__n").as("__na"), col("y.__n").as("__nb"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
+      .join(vecs.select(col("__id").as("a"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("a"))
+      .join(vecs.select(col("__id").as("b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("b"))
       .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select(col("a"), col("b"))
   }
