@@ -60,6 +60,14 @@ object AdvancedQueries {
         |       COUNT(*) AS n_events
         |FROM s GROUP BY user_id, sid""".stripMargin),
 
+    // LATERAL correlated subquery (same text on both engines).
+    "adv_lateral" -> sqlBoth(
+      """SELECT o_orderkey, o_orderstatus, t.max_qty, t.n_items
+        |FROM orders, LATERAL (
+        |  SELECT MAX(l_quantity) AS max_qty, COUNT(*) AS n_items
+        |  FROM lineitem WHERE l_orderkey = o_orderkey) t
+        |WHERE o_orderkey % 50 = 0""".stripMargin),
+
     // Sliding event-time windows (10-minute width, 5-minute slide):
     // each event lands in width/slide windows. Oracle expands the
     // membership by unnesting the two aligned window starts.
