@@ -48,6 +48,8 @@ object DebeziumParser {
     * `readTree`, `EngagementStreamingJob.java:219`).
     */
   def parse(df: DataFrame, rowSchema: StructType, valueCol: String = "value"): Parsed = {
+    require(!rowSchema.fieldNames.contains("payload"),
+      "row schema may not declare a field named 'payload' (reserved for the envelope)")
     val v = col(valueCol).cast(StringType)
     val merged = StructType(
       Schemas.envelope(rowSchema).fields ++

@@ -76,6 +76,18 @@ object StreamingPipeline {
       .select(col("w.start").as("window_minute"),
         col("content_id"), col("engagement_pct"), col("n_events"))
 
+  /** Streaming exact dedup: keep the first arrival per content digest,
+    * with state bounded by the watermark (`dropDuplicatesWithinWatermark`
+    * — duplicates later than the delay threshold may reappear, the
+    * documented trade for bounded state at 100 TB stream volume). */
+  def exactDedupStream(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__digest", md5(graft.operators.Dedup.normalize(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__digest")
+      .drop("__digest")
+
   /** Minimal KV-view sink contract (the Redis surface K1): upsert a
     * (key, value) pair; last write wins. */
   trait KvSink extends Serializable {

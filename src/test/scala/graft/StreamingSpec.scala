@@ -91,6 +91,25 @@ class StreamingSpec extends SparkSpec {
     spark.read.parquet(out).count() shouldBe 2
   }
 
+  test("streaming exact dedup keeps first arrival per digest across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingPipeline.exactDedupStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    in.addData(
+      (1L, "The quick fox", ts("2025-08-08 10:00:00")),
+      (2L, "the  QUICK fox", ts("2025-08-08 10:00:30")), // same normalized text
+      (3L, "other", ts("2025-08-08 10:01:00")))
+    q.processAllAvailable()
+    in.addData((4L, "THE QUICK  FOX", ts("2025-08-08 10:02:00"))) // dup, batch 2
+    q.processAllAvailable()
+    q.stop()
+    spark.table("dedup").select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L, 3L) // one survivor per digest, state crossed batches
+  }
+
   test("streaming session windows merge within the gap and close past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]

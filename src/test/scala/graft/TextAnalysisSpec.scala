@@ -27,6 +27,11 @@ class TextAnalysisSpec extends SparkSpec {
     r.foreach(row => row.getAs[Long]("n") shouldBe row.getAs[Long]("want"))
   }
 
+  test("mean word length over normalized tokens") {
+    Seq("ab abcd").toDF("t")
+      .select(TextAnalysis.meanWordLen(col("t"))).as[Double].head() shouldBe 3.0
+  }
+
   test("quality score is bounded in [0,1] and orders junk below prose") {
     val df = Seq(
       "The cat sat on the mat and it was happy with that for a while.",
