@@ -88,8 +88,7 @@ object VectorFunctions {
       CatalystBridge.expression(b.cast("array<double>"))))
 
   private val dotInfo = new ExpressionInfo(
-    DotProduct.getClass.getCanonicalName.stripSuffix("$"), null, "vec_dot",
-    "vec_dot(a, b) - dot product of two double arrays", "")
+    classOf[DotProduct].getCanonicalName, null, "vec_dot")
 
   /** Make `vec_dot` callable from SQL in an existing session. */
   def register(spark: SparkSession): Unit =
@@ -105,7 +104,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(
-        classOf[VectorFunctions.DotProduct].getCanonicalName, null, "vec_dot",
-        "vec_dot(a, b) - dot product of two double arrays", ""),
+        classOf[VectorFunctions.DotProduct].getCanonicalName, null, "vec_dot"),
       (children: Seq[Expression]) => VectorFunctions.DotProduct(children(0), children(1))))
 }
