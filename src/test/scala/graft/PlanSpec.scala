@@ -27,6 +27,10 @@ class PlanSpec extends SparkSpec {
     val p = plan("cdc_enrich")
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
+    // the ONLY exchange in the whole enrichment is the dimension
+    // broadcast — the fact scan reaches the output without a shuffle
+    p.linesIterator.filter(_.contains("Exchange"))
+      .foreach(l => l should include("BroadcastExchange"))
   }
 
   test("text queries prune the documents scan to the used columns") {

@@ -54,6 +54,14 @@ class VectorFunctionsSpec extends SparkSpec {
     e.eval(null) shouldBe (1.5 * 2.0 + -2.0 * 0.5 + 3.0 * 4.0)
   }
 
+  test("type mismatches fail analysis with a clear message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT 1").select(
+        VectorFunctions.vecDot(lit("not an array"), lit(2))).collect()
+    }
+    e.getMessage.toLowerCase should include("array")
+  }
+
   test("vec_dot is SQL-callable after registration") {
     VectorFunctions.register(spark)
     spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
