@@ -70,6 +70,38 @@ object CdcQueries {
          |         ROW_NUMBER() OVER (ORDER BY score DESC, member ASC) AS rk
          |  FROM member_latest) t WHERE rk <= 100""".stripMargin),
 
+    // A1 via the incremental top-K UDAF (functions.TopKAggregator):
+    // identical contract to cdc_leaderboard, maintained by a k-bounded
+    // associative merge buffer instead of sort-limit — the shape a
+    // streaming update-mode leaderboard needs. Scores as double.
+    "cdc_leaderboard_agg" -> QueryDef(
+      (s, d) => {
+        val latest = EngagementViews.validOnly(CdcMapping.enriched(s, d))
+          .withColumn("member", concat_ws(":",
+            col("content_id"), col("content_type"), col("content_title")))
+          .groupBy(col("member"))
+          .agg(max_by(col("engagement_pct"), struct(col("event_ts"), col("event_id")))
+            .cast("double").as("score"))
+        latest
+          .agg(graft.functions.TopKAggregator.topK(100)(
+            col("member"), col("score")).as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e._1").as("member"), col("e._2").as("score"))
+      },
+      s"""$validSql,
+         |member_latest AS (
+         |  SELECT member, engagement_pct AS score FROM (
+         |    SELECT concat_ws(':', content_id, content_type, content_title) AS member,
+         |           engagement_pct,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY concat_ws(':', content_id, content_type, content_title)
+         |             ORDER BY event_ts DESC, event_id DESC) AS rn
+         |    FROM valid) t WHERE rn = 1)
+         |SELECT member, score FROM (
+         |  SELECT member, score,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, member ASC) AS rk
+         |  FROM member_latest) t WHERE rk <= 100""".stripMargin),
+
     // A2 — per-content stats: six last-value fields + valid-event count.
     "cdc_content_stats" -> QueryDef(
       (s, d) => pctAsDouble(EngagementViews.contentStats(CdcMapping.enriched(s, d))),
