@@ -47,5 +47,23 @@ object MultimodalQueries {
         .toDF()
         .select(col("media_id"), col("frame_idx"),
           octet_length(col("frame_bytes")).cast("long").as("n_bytes")),
+      None),
+
+    // Composition: decoded media features → similarity search (the
+    // image-dedup/retrieval pipeline shape: decode partition-locally,
+    // then the candidate-pruned ANN machinery takes over). Rows-only
+    // (the decoder is not SQL-expressible); shape pinned in spec.
+    "mm_knn" -> QueryDef(
+      (s, d) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)),
+          new Multimodal.FakeDecoder(8)).toDF()
+          .select(col("media_id"),
+            transform(col("features"), x => round(x.cast("double") * 1000)).as("qv"))
+        graft.operators.Similarity.knnBruteForce(
+          feats.filter(pmod(col("media_id"), lit(25)) === 0), feats,
+          "media_id", "qv", 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
       None))
 }

@@ -49,6 +49,18 @@ class MultimodalSpec extends SparkSpec {
       .count(_.media_id == 2L) shouldBe 2
   }
 
+  test("mm_knn composition: k neighbors per query, scores in [-1,1]") {
+    val out = graft.SparkEntry.queries("mm_knn")(spark, "/root/testdata/sf0.001")
+      .collect()
+    out should not be empty
+    out.groupBy(_.getAs[Long]("query_id")).values
+      .foreach(_.length should be <= 5)
+    out.foreach { r =>
+      val c = r.getAs[Double]("cos9")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cos9=$c")
+    }
+  }
+
   test("resizeMeta rewrites the metadata contract only") {
     val r = Multimodal.resizeMeta(media, 32, 32).collect().sortBy(_.media_id)
     r.foreach { m => m.meta.width shouldBe 32; m.meta.height shouldBe 32 }
