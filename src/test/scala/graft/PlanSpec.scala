@@ -12,7 +12,7 @@ class PlanSpec extends SparkSpec {
   /** Queries allowed to contain a nested-loop/cartesian stage:
     * the brute-force kNN baseline (deliberately quadratic) and the IVF
     * centroid assignment (broadcast of a dimension-sized centroid set). */
-  private val quadraticByDesign = Set("sim_knn_brute", "sim_knn_ivf")
+  private val quadraticByDesign = Set("sim_knn_brute", "sim_knn_ivf", "mm_knn")
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
