@@ -48,8 +48,12 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       (n, n / dt)
     } catch { case _: Throwable => (0L, 0.0) }
+    // BASELINE.md gates, surfaced directly: leaderboard micro-batch
+    // latency (≤10 s target) and pipeline rec/s (≥1,667 target).
+    val lbSec = results.toMap.getOrElse("cdc_leaderboard", -1.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},"sf":"$sfDir"}""")
+      s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
+      s""""leaderboard_batch_sec":$lbSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
