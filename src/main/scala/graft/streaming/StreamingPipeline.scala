@@ -56,7 +56,14 @@ object StreamingPipeline {
   /** Parse + enrich a raw CDC value stream against a static/batch
     * dimension. Returns the enriched stream; misses surface via
     * [[Enrichment.enrich]]'s anti-join channel on the batch side or via
-    * [[StatefulEnricher]] for reference-exact ordering. */
+    * [[StatefulEnricher]] for reference-exact ordering.
+    *
+    * Initial snapshot (S5, `snapshot.mode=initial`): run the SAME
+    * parse/enrich in batch mode over the backfill data into the same
+    * warehouse path first, then start the stream from its checkpoint —
+    * batch and streaming share every stage here, and the file sink's
+    * commit log keeps the handoff exactly-once (proven by the
+    * checkpoint-restart case in StreamingSpec). */
   def enrichStream(rawEvents: DataFrame, contentDim: DataFrame): DataFrame = {
     val parsed = DebeziumParser.parseEvents(rawEvents)
     Enrichment.enrich(parsed.rows, contentDim).rows
