@@ -22,9 +22,10 @@ object AdvancedQueries {
     // CUBE: all 4 grouping combinations in one pass (Expand + hash agg).
     "adv_cube" -> sqlBoth(
       """SELECT l_returnflag, l_linestatus,
-        |  GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
 
@@ -37,7 +38,9 @@ object AdvancedQueries {
 
     // Event-time session windows (30-minute inactivity gap) per user.
     // Spark: native session_window aggregation (merging-window state at
-    // streaming scale). Oracle: classic gaps-and-islands SQL.
+    // streaming scale). Oracle: classic gaps-and-islands SQL. Sessions
+    // merge only on STRICT overlap (a gap of exactly 30:00 starts a new
+    // session in Spark), so the oracle's continuation predicate is `<`.
     "adv_session_windows" -> QueryDef(
       (s, d) => Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -47,7 +50,7 @@ object AdvancedQueries {
       """WITH m AS (
         |  SELECT user_id, ts,
         |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              <= INTERVAL 30 MINUTE
+        |              < INTERVAL 30 MINUTE
         |         THEN 0 ELSE 1 END AS brk
         |  FROM events),
         |s AS (
@@ -134,9 +137,9 @@ object AdvancedQueries {
           sum(col("value").cast("decimal(18,6)")).as("pv"))
         .groupBy(col("event_type"))
         .agg(sum(col("pn")).as("n_events"),
-          sum(col("pv")).cast("decimal(38,6)").as("sum_value")),
+          sum(col("pv")).cast("decimal(38,6)").cast("double").as("sum_value")),
       """SELECT event_type, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin),
 
     // Approximate sketches (HLL++ distinct count, quantile sketch):

@@ -26,15 +26,20 @@ object RelationalQueries {
 
     // TPC-H Q1-style pricing summary: hash aggregate with map-side partial
     // aggregation; all money math in DECIMAL so sums are exact at any SF.
+    // Decimal sums cast to DOUBLE at the query edge on BOTH engines: the
+    // interior arithmetic stays exact, and decimal->double is a single
+    // correctly-rounded conversion of the same exact value on each side,
+    // so the rendered values agree (Spark and DuckDB print decimal
+    // trailing zeros differently, which breaks the value hash otherwise).
     "rel_pricing_summary" -> sqlBoth(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-        |           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -51,8 +56,8 @@ object RelationalQueries {
     // TPC-H Q3-style: 3-way join + filtered aggregate + top-K by revenue.
     "rel_order_revenue" -> sqlBoth(
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -68,8 +73,8 @@ object RelationalQueries {
     // more than once.
     "rel_nation_revenue" -> sqlBoth(
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -85,14 +90,14 @@ object RelationalQueries {
     // with a total order inside each partition (determinism at any SF).
     "rel_window_funcs" -> sqlBoth(
       """SELECT o_orderkey, o_custkey, o_totalprice,
-        |  ROW_NUMBER() OVER w AS rn,
-        |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS status_rank,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+        |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS status_rank,
         |  LAG(o_orderkey) OVER w AS prev_orderkey,
         |  LEAD(o_orderkey) OVER w AS next_orderkey,
         |  COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend,
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_spend,
         |  FIRST_VALUE(o_orderkey) OVER w AS first_orderkey
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin),
@@ -109,10 +114,10 @@ object RelationalQueries {
     // ROLLUP + GROUPING(): multi-level aggregates in one pass.
     "rel_rollup" -> sqlBoth(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
-        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin),
 
@@ -185,7 +190,7 @@ object RelationalQueries {
         |  GREATEST(p_size, 10) AS size_hi,
         |  LEAST(p_size, 40) AS size_lo,
         |  SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt,
-        |  ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 3, 1) AS price_x3
+        |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 3, 1) AS DOUBLE) AS price_x3
         |FROM part""".stripMargin),
 
     // Conditional expressions.

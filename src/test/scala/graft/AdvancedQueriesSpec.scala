@@ -34,7 +34,8 @@ class AdvancedQueriesSpec extends SparkSpec {
     val plain = graft.ingest.Tables.events(spark, d)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("sum_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .cast("double").as("sum_value"))
     salted.exceptAll(plain).count() shouldBe 0
     plain.exceptAll(salted).count() shouldBe 0
   }
