@@ -39,21 +39,24 @@ object Multimodal {
     def decode(content: Array[Byte], meta: MediaMeta): Array[Float]
   }
 
-  /** Deterministic stand-in for a codec+encoder: moment statistics of the
-    * byte stream per stride. Real plumbing, fake math. */
+  /** Deterministic stand-in for a codec+encoder: per-stride byte moments.
+    * Real plumbing, fake math — but EXACT math: integer byte sums per
+    * residue class followed by a single float division, so the result is
+    * bit-reproducible and cross-engine expressible (the DuckDB oracle for
+    * `mm_features` recomputes it from the payload bytes). */
   final class FakeDecoder(val dims: Int = 8) extends Decoder {
     def decode(content: Array[Byte], meta: MediaMeta): Array[Float] = {
-      val out = new Array[Float](dims)
+      val sums = new Array[Long](dims)
       var i = 0
       while (i < content.length) {
-        out(i % dims) += (content(i) & 0xff) / 255.0f
+        sums(i % dims) += (content(i) & 0xff)
         i += 1
       }
-      if (content.length > 0) {
-        var d = 0
-        while (d < dims) { out(d) /= math.max(1, content.length / dims); d += 1 }
-      }
-      out
+      // exact: sums and 255*divisor stay < 2^24 so both are exact as
+      // Float; one IEEE float division is then correctly rounded — the
+      // same bits on any engine that divides float32 by float32
+      val div = (255L * math.max(1, content.length / dims)).toFloat
+      Array.tabulate(dims)(d => sums(d).toFloat / div)
     }
   }
 
@@ -102,8 +105,12 @@ object Multimodal {
       val n = math.max(1, r.meta.n_frames)
       val sz = math.max(1, r.content.length / n)
       (0 until n by stride).map { i =>
-        val from = i * sz
-        val until = if (i == n - 1) r.content.length else math.min((i + 1) * sz, r.content.length)
+        // both bounds clamped: when n_frames exceeds the byte count
+        // (sz clamps to 1), trailing frames are empty rather than an
+        // out-of-range copy
+        val from = math.min(i * sz, r.content.length)
+        val until = if (i == n - 1) r.content.length
+          else math.max(from, math.min((i + 1) * sz, r.content.length))
         Frame(r.media_id, i, java.util.Arrays.copyOfRange(r.content, from, until))
       }
     }

@@ -8,10 +8,36 @@ import graft.operators.Multimodal
 /** Multimodal plumbing queries over the deterministic fake media derived
   * from `documents` (the container ships no codecs — the decode step is
   * stubbed, the Spark plumbing is real; see [[Multimodal]]).
-  * `mm_binary_meta` is DuckDB-oracled; the mapPartitions stages are
-  * rows-only checks (not SQL-expressible) covered by MultimodalSpec.
+  * `mm_binary_meta`, `mm_features` and `mm_frames` are DuckDB-oracled
+  * (the fake decoder's byte arithmetic is exact and SQL-expressible);
+  * `mm_knn`'s ranking contract is pinned in MultimodalSpec.
   */
 object MultimodalQueries {
+
+  /** f0..f7 recomputed from the payload bytes in SQL: exact integer
+    * byte sums per residue class, then one float32 division — the same
+    * bits [[graft.operators.Multimodal.FakeDecoder]] produces. */
+  private val featuresOracle: String = {
+    val fcols = (0 until 8).map { d =>
+      s"""  CAST(CAST(SUM(CASE WHEN d = $d THEN byte ELSE 0 END) AS REAL)
+         |       / CAST(255 * GREATEST(1, n // 8) AS REAL) AS DOUBLE) AS f$d""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT doc_id, text, strlen(text) AS n,
+       |         unnest(range(strlen(text))) AS pos
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n, CAST(pos AS INT) % 8 AS d,
+       |         ord(substr(text, CAST(pos AS INT) + 1, 1)) AS byte
+       |  FROM b)
+       |SELECT doc_id AS media_id,
+       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |       WHEN doc_id % 3 = 1 THEN 'audio'
+       |       ELSE 'video' END AS kind,
+       |  CAST(n AS BIGINT) AS n_bytes,
+       |$fcols
+       |FROM s GROUP BY doc_id, n""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -33,21 +59,41 @@ object MultimodalQueries {
         |FROM documents""".stripMargin),
 
     // Partition-local decode/feature-extract (stubbed codec, real
-    // batching) — rows-only check.
+    // batching). The feature vector is emitted as scalar f0..f7 doubles
+    // — portable for the gate's canonicalizer (a raw array column is
+    // not hashable there) and recomputable exactly in SQL.
     "mm_features" -> QueryDef(
-      (s, d) => Multimodal.extractFeatures(
-        Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)),
-        new Multimodal.FakeDecoder(8)).toDF(),
-      None),
+      (s, d) => {
+        val feats = Multimodal.extractFeatures(
+          Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)),
+          new Multimodal.FakeDecoder(8)).toDF()
+        feats.select(col("media_id") +: col("kind") +: col("n_bytes") +:
+          (0 until 8).map(i =>
+            col("features").getItem(i).cast("double").as(s"f$i")): _*)
+      },
+      featuresOracle),
 
-    // Frame sampling fan-out — rows-only check on (media, frame) shape.
+    // Frame sampling fan-out — the slicing is integer arithmetic over
+    // byte lengths, so the (media, frame, n_bytes) shape is oracled.
     "mm_frames" -> QueryDef(
       (s, d) => Multimodal.sampleFrames(
         Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)), stride = 2)
         .toDF()
         .select(col("media_id"), col("frame_idx"),
           octet_length(col("frame_bytes")).cast("long").as("n_bytes")),
-      None),
+      """WITH m AS (
+        |  SELECT doc_id, strlen(text) AS len, 1 + doc_id % 10 AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, len, n, GREATEST(1, len // n) AS sz,
+        |         unnest(range(0, n, 2)) AS i
+        |  FROM m)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST((CASE WHEN i = n - 1 THEN len
+        |             ELSE GREATEST(LEAST(i * sz, len),
+        |                           LEAST((i + 1) * sz, len)) END)
+        |       - LEAST(i * sz, len) AS BIGINT) AS n_bytes
+        |FROM f""".stripMargin),
 
     // Composition: decoded media features → similarity search (the
     // image-dedup/retrieval pipeline shape: decode partition-locally,

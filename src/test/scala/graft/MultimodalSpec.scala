@@ -59,6 +59,16 @@ class MultimodalSpec extends SparkSpec {
       val c = r.getAs[Double]("cos9")
       assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"cos9=$c")
     }
+    // rank contract: within each query, rank is 1..k and scores are
+    // non-increasing along it (brute force IS the exact baseline — what
+    // we pin is that the reported ranking honors the scores)
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      sorted.map(_.getAs[Long]("rank")).toSeq shouldBe
+        (1L to sorted.length.toLong)
+      val scores = sorted.map(_.getAs[Double]("cos9")).toSeq
+      scores.zip(scores.tail).foreach { case (a, b) => a should be >= b }
+    }
   }
 
   test("resizeMeta rewrites the metadata contract only") {
