@@ -75,12 +75,26 @@ object Dedup {
     array(keys: _*)
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH band. */
+  /** Candidate pairs (a < b) sharing at least one LSH band.
+    *
+    * `bucketCap` bounds each band bucket to its cap lowest-id members
+    * before the self-join — the production mitigation for degenerate
+    * buckets (boilerplate-heavy corpora collapse many documents into one
+    * band, and an uncapped bucket of m docs costs m²/2 pairs). The cap
+    * is deterministic (row_number by id), so an oracle engine computes
+    * the identical candidate set, and it bounds the per-bucket quadratic
+    * term at cap²/2 regardless of corpus skew. */
   def candidatePairs(signed: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
+      bands: Int, rowsPerBand: Int, bucketCap: Int = Int.MaxValue): DataFrame = {
     val b = signed.select(col(idCol).as("__id"),
       explode(bandKeys(bands, rowsPerBand)).as("__band"))
-    b.as("x").join(b.as("y"), col("x.__band") === col("y.__band"))
+    val capped = if (bucketCap == Int.MaxValue) b else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__band")).orderBy(col("__id"))
+      b.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= bucketCap).drop("__rn")
+    }
+    capped.as("x").join(capped.as("y"), col("x.__band") === col("y.__band"))
       .filter(col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
@@ -104,18 +118,50 @@ object Dedup {
     * exact-Jaccard verification at `threshold`. Returns (a, b, jaccard).
     */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 12, bands: Int = 4, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, k: Int = 12, bands: Int = 4, threshold: Double = 0.8,
+      bucketCap: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0, "k must divide into equal bands")
     val sh = docs.select(col(idCol).as("__id"),
       hashedShingles(col(textCol), n).as("__sh"))
     val signed = withMinhashSignature(sh, "__sh", k)
-    val cand = candidatePairs(signed, "__id", bands, k / bands)
+    val cand = candidatePairs(signed, "__id", bands, k / bands, bucketCap)
     cand
       .join(sh.select(col("__id").as("a"), col("__sh").as("__sha")), "a")
       .join(sh.select(col("__id").as("b"), col("__sh").as("__shb")), "b")
       .withColumn("jaccard", jaccardSorted(col("__sha"), col("__shb")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Blocked exact-Jaccard near-dup pairs with a scale-safe join shape:
+    * candidates must share a composite block key — the caller's blocking
+    * column × a shingle-count band (near-dups have near-equal shingle
+    * counts, so banding multiplies block cardinality without losing the
+    * high-similarity pairs blocking is after) — and each block is capped
+    * to its `cap` lowest-id documents before the self-join.
+    *
+    * The cap makes the quadratic term per block O(cap²) REGARDLESS of
+    * corpus skew (a degenerate block can no longer go all-pairs), and it
+    * is deterministic (row_number by id), so an oracle engine computes
+    * the identical candidate set. The join itself is a plain shuffled
+    * equi-join — nothing is broadcast, so the build side never has to
+    * fit in memory and the same plan runs at 100 TB. */
+  def blockedJaccardPairs(docs: DataFrame, idCol: String, blockCol: String,
+      shingleCol: String, band: Int, cap: Int, threshold: Double): DataFrame = {
+    val blk = docs.withColumn("__blk",
+      concat_ws(":", col(blockCol), floor(size(col(shingleCol)) / lit(band))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__blk")).orderBy(col(idCol))
+    val capped = blk.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+    capped.as("x")
+      .join(capped.hint("shuffle_hash").as("y"),
+        col("x.__blk") === col("y.__blk") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("jaccard",
+        jaccardSorted(col(s"x.$shingleCol"), col(s"y.$shingleCol")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"), col("jaccard"))
   }
 
   /** 16-bit SimHash over word tokens (with multiplicity): bit b is set

@@ -25,9 +25,11 @@ object DedupQueries {
   private val RowsPerBand = K / Bands
 
   /** DuckDB CTEs for the shared MinHash pipeline (hashed shingle → sign →
-    * band). `where` bounds the corpus (sampling — the fixture vocabulary
-    * is 31 words, so near-dup density is pathological; see below). */
-  private def minhashCtes(n: Int, where: String): String = {
+    * band → capped bucket). `cap` mirrors the Spark side's deterministic
+    * LSH bucket-size cap — the fixture vocabulary is 31 words, so 1-gram
+    * near-dup density is pathological and band buckets degenerate toward
+    * all-pairs without it. */
+  private def minhashCtes(n: Int, where: String, cap: Int): String = {
     val sigs = (0 until K).map(i => s"${minhash("__sh", i)} AS s$i").mkString(", ")
     val bandKeys = (0 until Bands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i")
@@ -42,9 +44,15 @@ object DedupQueries {
        |  SELECT __id, $sigs FROM sh),
        |bands AS (
        |  SELECT __id, unnest($bandKeys) AS __band FROM signed),
+       |capped AS (
+       |  SELECT __id, __band FROM (
+       |    SELECT __id, __band,
+       |      row_number() OVER (PARTITION BY __band ORDER BY __id) AS __rn
+       |    FROM bands)
+       |  WHERE __rn <= $cap),
        |cand AS (
        |  SELECT DISTINCT x.__id AS a, y.__id AS b
-       |  FROM bands x JOIN bands y ON x.__band = y.__band AND x.__id < y.__id)""".stripMargin
+       |  FROM capped x JOIN capped y ON x.__band = y.__band AND x.__id < y.__id)""".stripMargin
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -59,16 +67,19 @@ object DedupQueries {
          |FROM documents GROUP BY 1""".stripMargin),
 
     // MinHash + LSH banding near-dup: map-only signatures, equi-join on
-    // band keys, exact Jaccard verification on candidates only. The
-    // corpus is sampled 1-in-5: with a 31-word vocabulary, 1-gram
-    // near-dup density is ~7% of ALL pairs, so band buckets degenerate
-    // toward all-pairs — at real scale the mitigation is a bucket-size
-    // cap / document-frequency pruning, here a sample bounds the output.
+    // band keys, exact Jaccard verification on candidates only — over
+    // the FULL corpus, with each band bucket capped to its 48 lowest-id
+    // members. The cap is the production mitigation for degenerate
+    // buckets (this fixture's 31-word vocabulary makes 1-gram near-dup
+    // density ~7% of all pairs): per-bucket work is bounded at cap²/2
+    // no matter how skewed the corpus, and the cap is deterministic so
+    // the oracle computes the identical candidate set.
     "dedup_minhash_pairs" -> QueryDef(
       (s, d) => Dedup.nearDuplicates(
-        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(5)) === 0),
-        "doc_id", "text", n = 1, k = K, bands = Bands, threshold = 0.9),
-      s"""WITH ${minhashCtes(1, "doc_id % 5 = 0")}
+        Tables.documents(s, d),
+        "doc_id", "text", n = 1, k = K, bands = Bands, threshold = 0.9,
+        bucketCap = 48),
+      s"""WITH ${minhashCtes(1, "doc_id >= 0", 48)}
          |SELECT c.a, c.b, ${jaccard("sa.__sh", "sb.__sh")} AS jaccard
          |FROM cand c
          |JOIN sh sa ON sa.__id = c.a
@@ -82,36 +93,33 @@ object DedupQueries {
       s"""SELECT doc_id, ${simhash16(tokens("text"))} AS simhash
          |FROM documents""".stripMargin),
 
-    // Blocked n-gram Jaccard: candidate pairs share a `source` block
-    // (sampled 1-in-2), exact 2-gram Jaccard above threshold. The block
-    // key bounds the quadratic term — the standard blocking shape at scale.
+    // Blocked n-gram Jaccard: candidate pairs share a composite block
+    // key — source × shingle-count band (near-equal sizes) — and each
+    // block is capped to its 64 lowest-id docs, so the per-block
+    // quadratic term is bounded no matter how skewed the corpus. The
+    // self-join is a plain shuffled equi-join: nothing broadcasts, the
+    // same plan runs at 100 TB (PlanSpec pins the no-broadcast shape).
     "dedup_ngram_jaccard" -> QueryDef(
-      (s, d) => {
-        val sh = Tables.documents(s, d)
+      (s, d) => Dedup.blockedJaccardPairs(
+        Tables.documents(s, d)
           .filter(pmod(col("doc_id"), lit(2)) === 0)
           .select(col("doc_id"), col("source"),
-            Dedup.hashedShingles(col("text"), 2).as("sh2"))
-        // The block key has tiny cardinality (~20 sources), so a shuffle
-        // join would bound parallelism at 20 tasks. Round-robin the probe
-        // side and broadcast the (block-key → docs) build side: every
-        // core gets an even slice of the quadratic Jaccard work. At real
-        // scale (build side too big to broadcast) the fix is instead a
-        // higher-cardinality composite block key.
-        sh.repartition(s.sparkContext.defaultParallelism).as("x")
-          .join(broadcast(sh).as("y"),
-            col("x.source") === col("y.source") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .withColumn("jaccard", Dedup.jaccardSorted(col("x.sh2"), col("y.sh2")))
-          .filter(col("jaccard") >= 0.08)
-          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), col("jaccard"))
-      },
+            Dedup.hashedShingles(col("text"), 2).as("sh2")),
+        "doc_id", "source", "sh2", band = 32, cap = 64, threshold = 0.08),
       s"""WITH sh AS (
          |  SELECT doc_id, source,
          |    list_transform(${shingles(tokens("text"), 2)},
          |      s -> ${graft.functions.PortableHash.hash60Sql("s")}) AS sh2
-         |  FROM documents WHERE doc_id % 2 = 0)
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |blk AS (
+         |  SELECT *, concat_ws(':', source, len(sh2) // 32) AS b FROM sh),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY b ORDER BY doc_id) AS rn
+         |    FROM blk)
+         |  WHERE rn <= 64)
          |SELECT x.doc_id AS a, y.doc_id AS b, ${jaccard("x.sh2", "y.sh2")} AS jaccard
-         |FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id
+         |FROM capped x JOIN capped y ON x.b = y.b AND x.doc_id < y.doc_id
          |WHERE ${jaccard("x.sh2", "y.sh2")} >= 0.08""".stripMargin),
 
     // Capstone composition — the corpus-curation pipeline a training-data

@@ -65,6 +65,41 @@ class DedupSpec extends SparkSpec {
     Dedup.candidatePairs(signed, "__id", 4, 3).count() shouldBe 1
   }
 
+  test("bucketCap bounds candidates on a pathological (all-identical) corpus") {
+    // 40 identical docs: every doc lands in the same bucket for every
+    // band — uncapped, that is 40·39/2 = 780 pairs; with cap 8 each
+    // band keeps ids 1..8, so exactly 8·7/2 = 28 distinct pairs emerge
+    // no matter how large the corpus grows.
+    val docs = (1L to 40L).map(i => (i, "same words every time"))
+      .toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id").as("__id"),
+      Dedup.hashedShingles(col("text"), 1).as("__sh"))
+    val signed = Dedup.withMinhashSignature(sh, "__sh", 12)
+    Dedup.candidatePairs(signed, "__id", 4, 3).count() shouldBe 780L
+    val capped = Dedup.candidatePairs(signed, "__id", 4, 3, bucketCap = 8)
+    capped.count() shouldBe 28L
+    // the kept members are the cap lowest ids
+    capped.agg(max(col("b"))).as[Long].head() shouldBe 8L
+  }
+
+  test("blockedJaccardPairs: same-block pairs found, cap bounds the block") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "s1", base), (2L, "s1", base + " lambda"),
+      (3L, "s2", base), // same text, different block → never paired
+      (4L, "s1", "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        Dedup.hashedShingles(col("text"), 1).as("sh1"))
+    val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "source", "sh1",
+      band = 8, cap = 64, threshold = 0.5)
+    pairs.collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet shouldBe
+      Set((1L, 2L))
+    // cap = 1 keeps a single doc per block → no pairs at all
+    Dedup.blockedJaccardPairs(docs, "doc_id", "source", "sh1",
+      band = 8, cap = 1, threshold = 0.0).count() shouldBe 0L
+  }
+
   test("simhash16: identical texts agree; disjoint vocabularies differ") {
     val vals = Seq("alpha beta gamma", "alpha beta gamma", "xx yy zz qq")
       .toDF("t").select(Dedup.simhash16(col("t")).as("s")).as[Long].collect()

@@ -42,6 +42,12 @@ class PlanSpec extends SparkSpec {
   }
 
   test("filter pushdown reaches the parquet scan") {
-    plan("dedup_minhash_pairs") should include("PushedFilters: [")
+    plan("rel_pricing_summary") should include("PushedFilters: [")
+  }
+
+  test("blocked jaccard never broadcasts the corpus (shuffled equi-join)") {
+    // the build side of the near-dup self-join grows with the corpus —
+    // a BroadcastExchange here is the plan that dies at 100 TB
+    plan("dedup_ngram_jaccard") should not include "BroadcastExchange"
   }
 }
