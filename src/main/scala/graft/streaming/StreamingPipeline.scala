@@ -101,46 +101,70 @@ object StreamingPipeline {
     def upsert(view: String, key: String, value: String): Unit
   }
 
-  /** Driver-local KV sink for tests/local runs; thread-safe. */
+  /** In-memory KV sink for tests/local runs; thread-safe. The backing
+    * map lives in a JVM-global registry keyed by sink id, so the copies
+    * task-closure serialization creates on executors all write to the
+    * same store (the single-JVM analogue of each executor partition
+    * holding a connection to the same external KV service). */
   final class InMemoryKvSink extends KvSink {
-    val store = new ConcurrentHashMap[String, String]()
+    private val id = java.util.UUID.randomUUID().toString
+    def store: ConcurrentHashMap[String, String] =
+      InMemoryKvSink.stores.computeIfAbsent(id,
+        _ => new ConcurrentHashMap[String, String]())
     def upsert(view: String, key: String, value: String): Unit =
       store.put(s"$view/$key", value)
     def get(view: String, key: String): Option[String] =
       Option(store.get(s"$view/$key"))
   }
 
+  object InMemoryKvSink {
+    private val stores =
+      new ConcurrentHashMap[String, ConcurrentHashMap[String, String]]()
+  }
+
   /** K1 — per-micro-batch maintenance of the A1–A3 views into a KV sink.
     * Each batch recomputes the views *on the batch's rows* and upserts —
     * exactly the reference's per-event ZADD/HSET pattern, amortized to
-    * micro-batches. Collect is bounded: A1 is top-K (≤ k rows) and A2/A3
-    * are per-key latest values of one micro-batch, not of history. */
+    * micro-batches. Upserts run EXECUTOR-SIDE via `foreachPartition`
+    * (the sink is serialized into each task — a production sink opens
+    * its connection per partition there): the driver never materializes
+    * a view, so A2/A3's per-batch key space — unbounded at high event
+    * rates — streams straight from the executors to the KV service. */
   def kvViewsWriter(enriched: DataFrame, sink: KvSink, topK: Int = 100)(
-      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    def upsertAll(view: DataFrame)(
+        row: org.apache.spark.sql.Row => (String, String, String)): Unit =
+      view.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        it.foreach { r =>
+          val (v, k, value) = row(r)
+          sink.upsert(v, k, value)
+        }
+      }
     enriched.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
-          EngagementViews.leaderboard(b, topK).collect().foreach { r =>
-            sink.upsert("top_engagement", r.getAs[String]("member"),
+          upsertAll(EngagementViews.leaderboard(b, topK)) { r =>
+            ("top_engagement", r.getAs[String]("member"),
               r.getAs[java.math.BigDecimal]("score").toPlainString)
           }
-          EngagementViews.contentStats(b).collect().foreach { r =>
-            sink.upsert("content_stats", r.getAs[String]("content_id"),
+          upsertAll(EngagementViews.contentStats(b)) { r =>
+            ("content_stats", r.getAs[String]("content_id"),
               Seq("latest_engagement", "content_type", "content_title",
                 "event_type", "device", "total_events")
                 .map(f => s"$f=${r.getAs[Any](f)}").mkString(","))
           }
-          EngagementViews.userContentLatest(b).collect().foreach { r =>
-            sink.upsert("user_engagement",
+          upsertAll(EngagementViews.userContentLatest(b)) { r =>
+            ("user_engagement",
               s"${r.getAs[String]("user_id")}:${r.getAs[String]("content_id")}",
               r.getAs[java.math.BigDecimal]("engagement_pct").toPlainString)
           }
         } finally b.unpersist()
         ()
       }
+  }
 
   /** K2/K3 — hour-partitioned parquet warehouse (the BigQuery table:
     * `TimePartitioning(HOUR, event_ts)` + clustering (content_type,
