@@ -1,6 +1,12 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Force FULL evaluation of every output column via the no-op sink.
+    * `.count()` would let Catalyst prune unused projections, so map-only
+    * queries would time the scan instead of their expression work. */
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,14 +18,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: JVM/codegen/session init and parquet footer reads
     // are one-time costs, not any query's cost.
-    try { SparkEntry.queries("cdc_enrich")(spark, sfDir).count() }
+    try { force(SparkEntry.queries("cdc_enrich")(spark, sfDir)) }
     catch { case _: Throwable => () }
     // min of two runs per query: the second run sees warm code/file
     // caches, and min is robust to interference on a shared machine.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
@@ -40,10 +46,10 @@ object Bench {
       val enriched = graft.enrich.Enrichment
         .enrich(parsed, graft.queries.CdcMapping.dim(spark, sfDir)).rows.persist()
       val n = enriched.count()
-      graft.views.EngagementViews.leaderboard(enriched, 100).count()
-      graft.views.EngagementViews.contentStats(enriched).count()
-      graft.views.EngagementViews.userContentLatest(enriched).count()
-      graft.views.EngagementViews.minuteWindows(enriched).count()
+      force(graft.views.EngagementViews.leaderboard(enriched, 100))
+      force(graft.views.EngagementViews.contentStats(enriched))
+      force(graft.views.EngagementViews.userContentLatest(enriched))
+      force(graft.views.EngagementViews.minuteWindows(enriched))
       enriched.unpersist()
       val dt = (System.nanoTime() - t0) / 1e9
       (n, n / dt)
