@@ -38,20 +38,33 @@ import graft.views.EngagementViews
   */
 object StreamingPipeline {
 
+  /** Reader options for the Kafka source — factored out so the wiring
+    * is assertable without the connector jar on the classpath. */
+  def kafkaOptions(bootstrap: String, topic: String,
+      startingOffsets: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets)
+
+  /** The value projection applied to the connector's output schema
+    * (binary `value` + metadata columns): string-deserialize, drop the
+    * rest — the reference's value-only `SimpleStringSchema`. */
+  def valueAsString(kafkaShaped: DataFrame): DataFrame =
+    kafkaShaped.selectExpr("CAST(value AS STRING) AS value")
+
   /** S1/S2 — Kafka value stream (string-deserialized, like the
     * reference's value-only `SimpleStringSchema`). Requires the
     * `spark-sql-kafka-0-10` connector on the classpath (not shipped in
-    * this build's offline jar set — tests drive the same pipeline
-    * through MemoryStream instead; the parse/enrich/view stages are
+    * this build's offline jar set — KafkaWiringSpec asserts the option
+    * map and the value projection, and tests drive the same pipeline
+    * through MemoryStream; the parse/enrich/view stages are
     * source-agnostic). */
   def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
       startingOffsets: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .load()
-      .selectExpr("CAST(value AS STRING) AS value")
+    valueAsString(
+      spark.readStream.format("kafka")
+        .options(kafkaOptions(bootstrap, topic, startingOffsets))
+        .load())
 
   /** Parse + enrich a raw CDC value stream against a static/batch
     * dimension. Returns the enriched stream; misses surface via
