@@ -26,7 +26,15 @@ class TopKAggregator(k: Int)
   override def zero: Seq[(String, Double)] = Seq.empty
 
   override def reduce(buf: Seq[(String, Double)], row: (String, Double)): Seq[(String, Double)] =
-    (row +: buf).sorted(ord).take(k)
+    // bounded insertion into the (always-sorted) buffer: O(1) reject of
+    // rows that sort at/after a full buffer's minimum — the common case
+    // once the buffer fills — and O(k) positional insert otherwise,
+    // instead of a full O(k log k) re-sort per input row
+    if (buf.lengthCompare(k) >= 0 && ord.gteq(row, buf.last)) buf
+    else {
+      val (before, after) = buf.span(e => ord.lt(e, row))
+      (before ++ (row +: after)).take(k)
+    }
 
   override def merge(a: Seq[(String, Double)], b: Seq[(String, Double)]): Seq[(String, Double)] =
     (a ++ b).sorted(ord).take(k)

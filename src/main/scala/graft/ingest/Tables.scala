@@ -10,6 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pushdown are left to Catalyst — callers express plain
   * `select`/`filter` and the parquet scan receives `ReadSchema` /
   * `PushedFilters` automatically.
+  *
+  * SESSION-WIDE SIDE EFFECT, by design: reading `events` flips
+  * `spark.sql.legacy.parquet.nanosAsLong=true` for the whole session and
+  * deliberately does NOT restore it — the flag has no per-read
+  * DataFrameReader option (it is SQLConf-only in Spark 4.1), and because
+  * DataFrames are lazy a restore-after-build could race the actual scan.
+  * Consequence: any later read of nanos-typed parquet in the same session
+  * also sees longs. All of this library's own reads go through this
+  * loader, so the flip is idempotent and invisible here; an embedding
+  * application that reads its own TIMESTAMP(NANOS) parquet must account
+  * for it.
   */
 object Tables {
   val all: Seq[String] = Seq(

@@ -19,12 +19,20 @@ import org.apache.spark.sql.functions._
   *   3. the join key becomes (key, salt): each hot key now spreads over
   *      S reducers.
   *
-  * Result is row-identical to the plain join by construction.
+  * Result is row-identical to the plain join by construction — for
+  * inner/left joins. Right/full-outer are rejected: the dimension is
+  * replicated S×, so every unmatched dim row would be emitted S times.
   */
 object SkewJoin {
 
+  private val supportedJoinTypes =
+    Set("inner", "left", "leftouter", "leftsemi", "leftanti", "cross")
+
   def salted(facts: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
       saltOn: Column, saltCount: Int, joinType: String = "inner"): DataFrame = {
+    require(supportedJoinTypes(joinType.toLowerCase.replace("_", "")),
+      s"salted join supports inner/left join types, not '$joinType': " +
+        "the replicated dimension would emit unmatched right-side rows saltCount times")
     val f = facts.withColumn("__salt", pmod(saltOn, lit(saltCount)))
     val d = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(saltCount - 1))))

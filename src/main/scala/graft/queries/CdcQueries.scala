@@ -59,10 +59,10 @@ object CdcQueries {
       s"""$validSql,
          |member_latest AS (
          |  SELECT member, engagement_pct AS score FROM (
-         |    SELECT concat_ws(':', content_id, content_type, content_title) AS member,
+         |    SELECT concat_ws(':', content_id, coalesce(content_type, 'null'), coalesce(content_title, 'null')) AS member,
          |           engagement_pct,
          |           ROW_NUMBER() OVER (
-         |             PARTITION BY concat_ws(':', content_id, content_type, content_title)
+         |             PARTITION BY concat_ws(':', content_id, coalesce(content_type, 'null'), coalesce(content_title, 'null'))
          |             ORDER BY event_ts DESC, event_id DESC) AS rn
          |    FROM valid) t WHERE rn = 1)
          |SELECT member, score FROM (
@@ -77,8 +77,7 @@ object CdcQueries {
     "cdc_leaderboard_agg" -> QueryDef(
       (s, d) => {
         val latest = EngagementViews.validOnly(CdcMapping.enriched(s, d))
-          .withColumn("member", concat_ws(":",
-            col("content_id"), col("content_type"), col("content_title")))
+          .withColumn("member", EngagementViews.member)
           .groupBy(col("member"))
           .agg(max_by(col("engagement_pct"), struct(col("event_ts"), col("event_id")))
             .cast("double").as("score"))
@@ -91,10 +90,10 @@ object CdcQueries {
       s"""$validSql,
          |member_latest AS (
          |  SELECT member, engagement_pct AS score FROM (
-         |    SELECT concat_ws(':', content_id, content_type, content_title) AS member,
+         |    SELECT concat_ws(':', content_id, coalesce(content_type, 'null'), coalesce(content_title, 'null')) AS member,
          |           engagement_pct,
          |           ROW_NUMBER() OVER (
-         |             PARTITION BY concat_ws(':', content_id, content_type, content_title)
+         |             PARTITION BY concat_ws(':', content_id, coalesce(content_type, 'null'), coalesce(content_title, 'null'))
          |             ORDER BY event_ts DESC, event_id DESC) AS rn
          |    FROM valid) t WHERE rn = 1)
          |SELECT member, score FROM (

@@ -25,6 +25,15 @@ object EngagementViews {
   private def latest(value: Column): Column =
     max_by(value, struct(col("event_ts"), col("event_id")))
 
+  /** The leaderboard member key, reference-exact: `String.format` in the
+    * reference renders a null dimension field as the literal "null"
+    * (`RedisSink.updateTopEngagement`), where bare concat_ws would skip
+    * it and silently merge distinct members. */
+  def member: Column =
+    concat_ws(":", col("content_id"),
+      coalesce(col("content_type"), lit("null")),
+      coalesce(col("content_title"), lit("null")))
+
   /** P6 gate applied by the reference before any Redis write. */
   def validOnly(enriched: DataFrame): DataFrame =
     enriched.filter(Enrichment.hasValidEngagement(col("engagement_pct")))
@@ -38,8 +47,7 @@ object EngagementViews {
     */
   def leaderboard(enriched: DataFrame, k: Int = 100): DataFrame =
     validOnly(enriched)
-      .withColumn("member",
-        concat_ws(":", col("content_id"), col("content_type"), col("content_title")))
+      .withColumn("member", member)
       .groupBy(col("member"))
       .agg(latest(col("engagement_pct")).as("score"))
       .orderBy(col("score").desc, col("member").asc)
