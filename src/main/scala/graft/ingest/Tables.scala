@@ -40,6 +40,7 @@ object Tables {
 
   def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")

@@ -13,6 +13,7 @@ import graft.ingest.Tables
   * hand-matched oracle.
   */
 object AdvancedQueries {
+  import OracleSql.tokens
 
   private def sqlBoth(q: String): QueryDef =
     QueryDef((s, d) => { Tables.registerAll(s, d); s.sql(q) }, q)
@@ -141,6 +142,33 @@ object AdvancedQueries {
       """SELECT event_type, COUNT(*) AS n_events,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin),
+
+    // Higher-order array functions (transform / filter / aggregate /
+    // zip_with) over the token arrays — all integer arithmetic, so the
+    // lambda pipelines are value-identical cross-engine.
+    "adv_higher_order" -> QueryDef(
+      (s, d) => {
+        val w = split(graft.operators.Dedup.normalize(col("text")), " ")
+        val lens = transform(w, t => length(t))
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"),
+            size(w).cast("long").as("n_tokens"),
+            aggregate(lens, lit(0), (acc, x) => acc + x)
+              .cast("long").as("total_chars"),
+            size(filter(w, t => length(t) >= 5)).cast("long").as("n_long"),
+            aggregate(zip_with(lens, sequence(lit(1), size(w)), (l, i) => l * i),
+              lit(0), (acc, x) => acc + x).cast("long").as("weighted_len"))
+      }, {
+        val toks = tokens("text")
+        s"""SELECT doc_id,
+           |  CAST(len(w) AS BIGINT) AS n_tokens,
+           |  CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT) AS total_chars,
+           |  CAST(len(list_filter(w, t -> length(t) >= 5)) AS BIGINT) AS n_long,
+           |  CAST(list_sum(list_transform(generate_series(1, len(w)),
+           |    i -> length(w[i]) * i)) AS BIGINT) AS weighted_len
+           |FROM (SELECT doc_id, $toks AS w FROM documents WHERE doc_id % 3 = 0)""".stripMargin
+      }),
 
     // Approximate sketches (HLL++ distinct count, quantile sketch):
     // engine-specific estimators — no cross-engine oracle; bounds are

@@ -6,9 +6,10 @@ import graft.ingest.Tables
 import graft.operators.{AsOfJoin, RangeJoin}
 
 /** Queries for the operators Spark lacks natively (as-of join, interval
-  * join) and for DataFrame-API-only surfaces (pivot). Oracles use
-  * DuckDB-specific SQL (ASOF JOIN, nested-loop range join) — cheap at
-  * oracle SF, while the Spark side uses the scale-path implementation.
+  * join) and for DataFrame-API-only surfaces (pivot/unpivot, stratified
+  * sampling). Oracles use DuckDB-specific SQL (ASOF JOIN, nested-loop
+  * range join) — cheap at oracle SF, while the Spark side uses the
+  * scale-path implementation.
   */
 object OperatorQueries {
 
@@ -56,6 +57,81 @@ object OperatorQueries {
         |SELECT w.win_id, COUNT(e.ts) AS n_events
         |FROM wins w LEFT JOIN events e ON e.ts >= w.start_ts AND e.ts < w.end_ts
         |GROUP BY w.win_id""".stripMargin),
+
+    // Backward as-of with a tolerance horizon: matches older than 30
+    // minutes before the click are discarded (left-outer nulls). The
+    // oracle nulls the ASOF match by the same horizon — correct by
+    // construction on both sides (the carried row is the LATEST
+    // preceding one, so out-of-horizon implies no candidate qualifies).
+    "op_asof_tolerance" -> QueryDef(
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"), col("ts").as("view_ts"))
+          .agg(max(col("event_id")).as("view_event_id"))
+        AsOfJoin.backwardWithin(clicks, "user_id", "ts",
+            views, "v_user", "view_ts", toleranceSeconds = 1800L)
+          .select("event_id", "user_id", "ts", "view_event_id", "view_ts")
+      },
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id AS v_user, ts AS view_ts, MAX(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  CASE WHEN v.view_ts >= c.ts - INTERVAL 30 MINUTE
+        |       THEN v.view_event_id END AS view_event_id,
+        |  CASE WHEN v.view_ts >= c.ts - INTERVAL 30 MINUTE
+        |       THEN v.view_ts END AS view_ts
+        |FROM clicks c
+        |ASOF LEFT JOIN views v ON c.user_id = v.v_user AND c.ts >= v.view_ts""".stripMargin),
+
+    // Unpivot (wide → long): the four lineitem measures melted into
+    // (metric, value) rows — Spark's Dataset.unpivot vs a UNION ALL
+    // oracle. Values cast to DOUBLE at the edge (decimal rendering).
+    "op_unpivot" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(pmod(col("l_orderkey"), lit(7)) === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "metric", "value"),
+      """SELECT l_orderkey, l_linenumber, m.metric,
+        |  CASE m.metric
+        |    WHEN 'quantity' THEN CAST(l_quantity AS DOUBLE)
+        |    WHEN 'extendedprice' THEN CAST(l_extendedprice AS DOUBLE)
+        |    WHEN 'discount' THEN CAST(l_discount AS DOUBLE)
+        |    ELSE CAST(l_tax AS DOUBLE) END AS value
+        |FROM lineitem,
+        |  (SELECT unnest(['quantity','extendedprice','discount','tax']) AS metric) m
+        |WHERE l_orderkey % 7 = 0""".stripMargin),
+
+    // Deterministic stratified sampling: per-stratum Bernoulli rates
+    // keyed on a portable hash of the row id — reproducible across
+    // engines AND across retried/replayed tasks (unlike rand()-based
+    // TABLESAMPLE, which cannot be replay-safe on a cluster).
+    "op_stratified_sample" -> QueryDef(
+      (s, d) => {
+        val rate = when(col("event_type") === "view", 10)
+          .when(col("event_type") === "click", 50)
+          .when(col("event_type") === "purchase", 25)
+          .otherwise(100)
+        Tables.events(s, d)
+          .filter(pmod(graft.functions.PortableHash.hash60(
+            col("event_id").cast("string")), lit(100)) < rate)
+          .select(col("event_id"), col("event_type"), col("user_id"))
+      },
+      s"""SELECT event_id, event_type, user_id FROM events
+         |WHERE ${graft.functions.PortableHash.hash60Sql("CAST(event_id AS VARCHAR)")} % 100 <
+         |  CASE event_type WHEN 'view' THEN 10 WHEN 'click' THEN 50
+         |       WHEN 'purchase' THEN 25 ELSE 100 END""".stripMargin),
 
     // DataFrame pivot (explicit value list ⇒ stable schema at any SF).
     "op_pivot" -> QueryDef(

@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.ingest.Tables
 
 /** The relational operator surface (SURVEY.md §2.9's "explicit absences"
@@ -101,6 +103,46 @@ object RelationalQueries {
         |  FIRST_VALUE(o_orderkey) OVER w AS first_orderkey
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin),
+
+    // Analytic-frame inventory: RANGE frames over an integer order key,
+    // ntile/percent_rank/cume_dist/dense_rank/nth_value. Ratio functions
+    // are single IEEE divisions of exact integers (portable); ranks
+    // pinned to BIGINT.
+    "rel_window_frames" -> sqlBoth(
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank,
+        |  CAST(CUME_DIST() OVER w AS DOUBLE) AS cume,
+        |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key,
+        |  COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)""".stripMargin),
+
+    // Regex function inventory. Patterns stay in the portable subset
+    // (character classes, anchors, bounded quantifiers) — identical
+    // semantics in Java regex (Spark) and RE2 (DuckDB). No shared text:
+    // the APIs differ (rlike vs regexp_matches), oracle is hand-matched.
+    "rel_regex_funcs" -> QueryDef(
+      (s, d) => Tables.part(s, d)
+        .filter(pmod(col("p_partkey"), lit(3)) === 0)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_upper"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          col("p_name").rlike("^[a-z]+ [a-z]+").as("two_words"),
+          length(regexp_replace(col("p_name"), "[^ ]", "")).cast("long").as("n_spaces")),
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_extract(p_type, '([A-Z]+)$', 1) AS last_upper,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  regexp_matches(p_name, '^[a-z]+ [a-z]+') AS two_words,
+        |  CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) AS BIGINT) AS n_spaces
+        |FROM part WHERE p_partkey % 3 = 0""".stripMargin),
 
     // Distinct aggregation (expand + two-phase aggregate in Spark).
     "rel_distinct_agg" -> sqlBoth(
