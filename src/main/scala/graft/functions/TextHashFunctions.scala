@@ -1,0 +1,201 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-hashing hot paths.
+  *
+  * The composable forms — `transform(arr, s => hash60(s))`,
+  * k × `array_min(transform(...affine...))`, per-bit `aggregate` votes —
+  * are correct but slow: Spark's higher-order functions are
+  * CodegenFallback, so every element pays interpreted lambda dispatch,
+  * and `hash60`'s `conv(substring(md5(s),1,15),16,10)` allocates a hex
+  * string + substring per element. These expressions compute the SAME
+  * values (pinned bit-identical by TextHashFunctionsSpec and by every
+  * DuckDB-oracled query downstream) in one compiled pass per row:
+  * MD5 straight to a 60-bit long (no hex round-trip), all k MinHash
+  * mins in a single scan, all 16 SimHash votes in a single scan.
+  */
+object TextHashFunctions {
+
+  /** First 15 hex digits of MD5 as a non-negative 60-bit long — exactly
+    * `CONV(SUBSTRING(MD5(s),1,15),16,10)` without the hex round-trip:
+    * bytes 0..6 followed by the high nibble of byte 7. */
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  def hash60(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** `Dedup.hashedShingles` body: distinct word n-grams of a token
+    * array (short docs fall back to the whole text), each hashed to 60
+    * bits, sorted ascending. Distinctness is by shingle TEXT (matching
+    * `array_distinct` before hashing), not by hash value. */
+  def hashedShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val nTok = tokens.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new java.util.ArrayList[UTF8String]()
+    if (nTok >= n) {
+      var i = 0
+      while (i <= nTok - n) {
+        var s = tokens.getUTF8String(i)
+        var j = 1
+        while (j < n) {
+          s = UTF8String.concat(s, Space, tokens.getUTF8String(i + j))
+          j += 1
+        }
+        if (seen.add(s)) out.add(s)
+        i += 1
+      }
+    } else {
+      var s = if (nTok == 0) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(0)
+      var j = 1
+      while (j < nTok) {
+        s = UTF8String.concat(s, Space, tokens.getUTF8String(j))
+        j += 1
+      }
+      out.add(s)
+    }
+    val hs = new Array[Long](out.size())
+    var i = 0
+    while (i < hs.length) { hs(i) = hash60(out.get(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    new GenericArrayData(hs)
+  }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** All k MinHash signature values of a pre-hashed shingle array in one
+    * scan: sig(i) = min over h of (h mod P * a_i + b_i) mod P. */
+  def minhashSig(hashed: ArrayData, k: Int): ArrayData = {
+    val a = affineA(k); val b = affineB(k)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hashed.numElements()
+    var i = 0
+    while (i < n) {
+      val hm = hashed.getLong(i) % PortableHash.P
+      var t = 0
+      while (t < k) {
+        val v = (hm * a(t) + b(t)) % PortableHash.P
+        if (v < sig(t)) sig(t) = v
+        t += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 16-bit SimHash over a token array (with multiplicity): hash each
+    * token, vote ±1 per bit, set bits with positive votes. */
+  def simhash16(tokens: ArrayData, dummy: Int): Long = {
+    val votes = new Array[Int](16)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hash60(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 16) {
+        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  // cached per-k affine constant arrays (identical to PortableHash.affine)
+  private val aCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private val bCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  def affineA(k: Int): Array[Long] =
+    aCache.computeIfAbsent(k, k => Array.tabulate(k)(PortableHash.constantA))
+  def affineB(k: Int): Array[Long] =
+    bCache.computeIfAbsent(k, k => Array.tabulate(k)(PortableHash.constantB))
+
+  /** Shared shape: array-in, value-out native expression whose codegen
+    * is one static helper call — compiled, no per-element lambda
+    * dispatch, and it keeps the enclosing whole-stage-codegen span
+    * intact (unlike CodegenFallback higher-order functions). */
+  abstract class ArrayHelperExpression extends UnaryExpression {
+    /** Static helper invocation: `helper` is called as
+      * `TextHashFunctions.helper(childValue, intArg)`. */
+    def helperName: String
+    def intArg: Int
+    def elementType: DataType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(t, _) if t == elementType => TypeCheckResult.TypeCheckSuccess
+        case t => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<${elementType.sql}>, got ${t.sql}")
+      }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.TextHashFunctions.$helperName($c, $intArg)")
+  }
+
+  case class HashedShingles60(child: Expression, n: Int)
+      extends ArrayHelperExpression {
+    override def prettyName: String = "hashed_shingles60"
+    override def helperName: String = "hashedShingles"
+    override def intArg: Int = n
+    override def elementType: DataType = StringType
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(a: Any): Any =
+      hashedShingles(a.asInstanceOf[ArrayData], n)
+    override protected def withNewChildInternal(c: Expression): HashedShingles60 =
+      copy(child = c)
+  }
+
+  case class MinHashSig(child: Expression, k: Int)
+      extends ArrayHelperExpression {
+    override def prettyName: String = "minhash_sig"
+    override def helperName: String = "minhashSig"
+    override def intArg: Int = k
+    override def elementType: DataType = LongType
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(a: Any): Any =
+      minhashSig(a.asInstanceOf[ArrayData], k)
+    override protected def withNewChildInternal(c: Expression): MinHashSig =
+      copy(child = c)
+  }
+
+  case class SimHash16(child: Expression) extends ArrayHelperExpression {
+    override def prettyName: String = "simhash16"
+    override def helperName: String = "simhash16"
+    override def intArg: Int = 0
+    override def elementType: DataType = StringType
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any): Any =
+      simhash16(a.asInstanceOf[ArrayData], 0)
+    override protected def withNewChildInternal(c: Expression): SimHash16 =
+      copy(child = c)
+  }
+
+  def hashedShingles60(tokens: Column, n: Int): Column =
+    CatalystBridge.column(HashedShingles60(CatalystBridge.expression(tokens), n))
+  def minhashSig(hashed: Column, k: Int): Column =
+    CatalystBridge.column(MinHashSig(CatalystBridge.expression(hashed), k))
+  def simhash16(tokens: Column): Column =
+    CatalystBridge.column(SimHash16(CatalystBridge.expression(tokens)))
+}

@@ -51,18 +51,29 @@ object Dedup {
     * shuffle carries 8-byte elements instead of shingle text. Sorting
     * once at build time lets [[jaccardSorted]] use an allocation-free
     * merge scan per candidate pair. Collisions are negligible (60-bit)
-    * and in any case identical in the DuckDB oracle (same MD5 hash). */
+    * and in any case identical in the DuckDB oracle (same MD5 hash).
+    *
+    * Native one-pass expression (shingle → distinct → hash → sort in
+    * compiled code); bit-identical to the composable
+    * `array_sort(transform(shingles(text,n), hash60))` — pinned by
+    * TextHashFunctionsSpec. */
   def hashedShingles(text: Column, n: Int): Column =
-    array_sort(transform(shingles(text, n), s => hash60(s)))
+    graft.functions.TextHashFunctions.hashedShingles60(
+      split(normalize(text), " "), n)
 
   /** MinHash signature: k columns `s0..s{k-1}`, each the minimum of the
     * i-th affine hash over the pre-hashed shingle set (see
-    * [[hashedShingles]]). Map-only (no shuffle). */
-  def withMinhashSignature(df: DataFrame, hashedShingleCol: String, k: Int): DataFrame =
-    (0 until k).foldLeft(df) { (d, i) =>
-      d.withColumn(s"s$i",
-        array_min(transform(col(hashedShingleCol), h => affine(h, i))))
-    }
+    * [[hashedShingles]]). Map-only (no shuffle). All k mins come from
+    * ONE compiled scan of the shingle array
+    * ([[graft.functions.TextHashFunctions.MinHashSig]]) instead of k
+    * interpreted `array_min(transform(...))` passes. */
+  def withMinhashSignature(df: DataFrame, hashedShingleCol: String, k: Int): DataFrame = {
+    val withSig = df.withColumn("__sig",
+      graft.functions.TextHashFunctions.minhashSig(col(hashedShingleCol), k))
+    (0 until k).foldLeft(withSig) { (d, i) =>
+      d.withColumn(s"s$i", col("__sig").getItem(i))
+    }.drop("__sig")
+  }
 
   /** LSH band keys: `bands` strings, each concatenating `rowsPerBand`
     * consecutive signature values (plus the band index, so bands never
@@ -165,14 +176,9 @@ object Dedup {
   }
 
   /** 16-bit SimHash over word tokens (with multiplicity): bit b is set
-    * when the token-weighted ±1 vote of hash-bit b is positive. */
-  def simhash16(text: Column): Column = {
-    val hs = transform(split(normalize(text), " "), w => hash60(w))
-    val bits = (0 until 16).map { b =>
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + (pmod(shiftright(h, b), lit(2L)) * 2L - 1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * when the token-weighted ±1 vote of hash-bit b is positive. One
+    * compiled hash+vote pass per row
+    * ([[graft.functions.TextHashFunctions.SimHash16]]). */
+  def simhash16(text: Column): Column =
+    graft.functions.TextHashFunctions.simhash16(split(normalize(text), " "))
 }

@@ -95,7 +95,9 @@ object TextAnalysis {
 
   /** Rolling-hash fingerprint over word 5-gram shingles: the minimum
     * 60-bit shingle hash — one stable 60-bit id per document body that is
-    * invariant to small appends (winnowing's k-gram-minimum idea). */
+    * invariant to small appends (winnowing's k-gram-minimum idea).
+    * [[Dedup.hashedShingles]] returns the hashes SORTED, so the minimum
+    * is element 0 — no extra pass. */
   def fingerprint(text: Column, n: Int = 5): Column =
-    array_min(transform(Dedup.shingles(text, n), s => hash60(s)))
+    Dedup.hashedShingles(text, n).getItem(0)
 }
