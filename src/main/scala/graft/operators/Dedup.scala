@@ -175,6 +175,29 @@ object Dedup {
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"), col("jaccard"))
   }
 
+  /** Benchmark-contamination check — the train/test n-gram overlap scan
+    * every training-data pipeline runs before a model ships. A training
+    * document is contaminated when it shares at least `minShared`
+    * distinct word n-grams with any benchmark document.
+    *
+    * Shape at 100 TB: both sides explode to (shingle-hash, id) pairs —
+    * the shuffle carries 16 bytes per n-gram, never text — and the
+    * equi-join on the hash is candidate generation, not all-pairs; the
+    * per-doc aggregation counts distinct shared shingles. Benchmark
+    * suites are small relative to the corpus, so Catalyst/AQE broadcasts
+    * that side when it fits and shuffles otherwise — no plan rewrite
+    * needed either way. */
+  def contamination(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, minShared: Int): DataFrame = {
+    def exploded(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as), explode(hashedShingles(col(textCol), n)).as("__h"))
+    exploded(train, "doc_id")
+      .join(exploded(bench, "bench_id").select(col("__h")).distinct(), "__h")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("__h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 16-bit SimHash over word tokens (with multiplicity): bit b is set
     * when the token-weighted ±1 vote of hash-bit b is positive. One
     * compiled hash+vote pass per row

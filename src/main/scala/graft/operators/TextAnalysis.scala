@@ -93,6 +93,28 @@ object TextAnalysis {
     when(best > 0, pick).otherwise(lit("und"))
   }
 
+  /** Intra-document repetition score in [0, 1): fraction of n-gram
+    * positions occupied by a repeat of an earlier n-gram — the standard
+    * boilerplate/spam signal in corpus curation (near-1 means the doc is
+    * one phrase repeated). 1 − distinct/total, exact integer division. */
+  def repetitionScore(text: Column, n: Int = 3): Column = {
+    val total = greatest(tokenCount(text) - lit(n - 1), lit(1))
+    val distinct = size(Dedup.hashedShingles(text, n))
+    round(lit(1.0) - distinct.cast("double") / total.cast("double"), 6)
+  }
+
+  /** PII masking for training text: emails, long digit runs and URLs
+    * replaced by typed placeholder tokens. Patterns stay in the subset
+    * where Java regex and RE2 agree (classes, quantifiers, alternation —
+    * no lookarounds). Map-only; at 100 TB this is one codegen'd
+    * regexp_replace chain over the scan. */
+  def maskPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>")
+    val url = regexp_replace(email, "https?://[^ ]+", "<URL>")
+    regexp_replace(url, "[0-9]{4,}", "<NUM>")
+  }
+
   /** Rolling-hash fingerprint over word 5-gram shingles: the minimum
     * 60-bit shingle hash — one stable 60-bit id per document body that is
     * invariant to small appends (winnowing's k-gram-minimum idea).

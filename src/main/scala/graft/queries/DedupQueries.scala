@@ -122,6 +122,29 @@ object DedupQueries {
          |FROM capped x JOIN capped y ON x.b = y.b AND x.doc_id < y.doc_id
          |WHERE ${jaccard("x.sh2", "y.sh2")} >= 0.08""".stripMargin),
 
+    // Benchmark contamination: training docs sharing ≥3 distinct word
+    // 3-grams with the benchmark slice (doc_id % 50 = 0). Both sides
+    // explode to (hash, id) — the shuffle carries 16-byte pairs, the
+    // equi-join on the hash is the candidate generator, and the distinct
+    // benchmark shingle set broadcasts when it fits.
+    "dedup_contamination" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contamination(
+          docs.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(50)) === 0),
+          "doc_id", "text", n = 3, minShared = 3)
+      },
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_transform(${shingles(tokens("text"), 3)},
+         |    s -> ${graft.functions.PortableHash.hash60Sql("s")})) AS h
+         |  FROM documents),
+         |b AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+         |t AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 <> 0)
+         |SELECT t.doc_id, count(DISTINCT t.h) AS n_shared
+         |FROM t JOIN b ON t.h = b.h
+         |GROUP BY t.doc_id HAVING count(DISTINCT t.h) >= 3""".stripMargin),
+
     // Capstone composition — the corpus-curation pipeline a training-data
     // run executes at 100 TB: language gate → quality gate → exact-dedup
     // keeper join, emitting the surviving documents. One scan, one

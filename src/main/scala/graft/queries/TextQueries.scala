@@ -83,5 +83,49 @@ object TextQueries {
       s"""SELECT doc_id,
          |  list_min(list_transform(${shingles(tokens("text"), 5)},
          |    s -> ${graft.functions.PortableHash.hash60Sql("s")})) AS fp
-         |FROM documents""".stripMargin))
+         |FROM documents""".stripMargin),
+
+    // Intra-document repetition score: fraction of 3-gram positions that
+    // repeat an earlier 3-gram — the boilerplate/spam gate of a curation
+    // pipeline. 1 − distinct/total, exact integer division.
+    "text_repetition" -> QueryDef(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.repetitionScore(col("text"), n = 3).as("repetition")),
+      s"""SELECT doc_id,
+         |  round(1.0 - len(list_distinct(${shingles(tokens("text"), 3)}))
+         |    / greatest(len(${tokens("text")}) - 2, 1)::DOUBLE, 6) AS repetition
+         |FROM documents""".stripMargin),
+
+    // PII masking: emails / URLs / long digit runs replaced by typed
+    // placeholders before text enters a training corpus. Map-only
+    // regexp_replace chain (patterns in the Java-regex ∩ RE2 subset).
+    "text_pii_mask" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"),
+          TextAnalysis.maskPii(col("text")).as("masked")),
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ ]+', '<URL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g') AS masked
+        |FROM documents WHERE doc_id % 4 = 0""".stripMargin),
+
+    // Corpus n-gram statistics: top-20 word 2-grams by document
+    // frequency (shingles are distinct per doc, so count(*) IS the doc
+    // frequency). Plans as hash-agg + TakeOrderedAndProject — the
+    // shuffle carries (gram, partial count), never documents.
+    "corpus_top_ngrams" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(explode(graft.operators.Dedup.shingles(col("text"), 2)).as("gram"))
+        .groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("gram").asc)
+        .limit(20),
+      s"""SELECT gram, df FROM (
+         |  SELECT s AS gram, count(*) AS df FROM (
+         |    SELECT doc_id, unnest(${shingles(tokens("text"), 2)}) AS s
+         |    FROM documents) GROUP BY s)
+         |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin))
 }
