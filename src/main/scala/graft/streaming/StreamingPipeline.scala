@@ -108,6 +108,30 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same key whose timestamp falls in
+    * `[leftTs − lookbackSeconds, leftTs]` — the attribution join
+    * (click ← preceding views) as a genuine two-sided stream join.
+    *
+    * Both sides are watermarked, and the time-bound condition is what
+    * lets Spark EXPIRE join state: without it, either side's state
+    * grows forever. State per key is bounded by
+    * watermark delay + lookback — the 100 TB stream-join invariant.
+    * (The stream-static broadcast join in [[enrichStream]] remains the
+    * right shape for dimension enrichment; this is for fact-to-fact
+    * correlation.) */
+  def intervalJoinStreams(
+      left: DataFrame, leftKey: String, leftTs: String,
+      right: DataFrame, rightKey: String, rightTs: String,
+      lookbackSeconds: Long, watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+        col(rightTs) <= col(leftTs))
+  }
+
   /** Minimal KV-view sink contract (the Redis surface K1): upsert a
     * (key, value) pair; last write wins. */
   trait KvSink extends Serializable {

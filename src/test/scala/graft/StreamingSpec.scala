@@ -110,6 +110,28 @@ class StreamingSpec extends SparkSpec {
       Array(1L, 3L) // one survivor per digest, state crossed batches
   }
 
+  test("stream-stream interval join pairs clicks with in-horizon views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, String, Timestamp)]
+    val views = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingPipeline.intervalJoinStreams(
+      clicks.toDF().toDF("click_id", "user", "click_ts"), "user", "click_ts",
+      views.toDF().toDF("view_id", "v_user", "view_ts"), "v_user", "view_ts",
+      lookbackSeconds = 600L)
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    views.addData(
+      (100L, "u1", ts("2025-08-08 10:00:00")), // in horizon for click 1
+      (101L, "u1", ts("2025-08-08 09:40:00")), // too old (> 10 min before)
+      (102L, "u2", ts("2025-08-08 10:01:00"))) // wrong user
+    clicks.addData((1L, "u1", ts("2025-08-08 10:05:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj")
+      .select("click_id", "view_id").as[(Long, Long)].collect()
+    rows.toSet shouldBe Set((1L, 100L))
+  }
+
   test("streaming session windows merge within the gap and close past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
