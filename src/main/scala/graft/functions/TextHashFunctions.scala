@@ -43,11 +43,10 @@ object TextHashFunctions {
     (v << 4) | ((d(7) & 0xf0L) >>> 4)
   }
 
-  /** `Dedup.hashedShingles` body: distinct word n-grams of a token
-    * array (short docs fall back to the whole text), each hashed to 60
-    * bits, sorted ascending. Distinctness is by shingle TEXT (matching
-    * `array_distinct` before hashing), not by hash value. */
-  def hashedShingles(tokens: ArrayData, n: Int): ArrayData = {
+  /** `Dedup.shingles` body: distinct word n-grams of a token array in
+    * first-occurrence order (matching `array_distinct`); short docs fall
+    * back to the whole text. */
+  def shingleStrings(tokens: ArrayData, n: Int): java.util.ArrayList[UTF8String] = {
     val nTok = tokens.numElements()
     val seen = new java.util.HashSet[UTF8String]()
     val out = new java.util.ArrayList[UTF8String]()
@@ -72,6 +71,23 @@ object TextHashFunctions {
       }
       out.add(s)
     }
+    out
+  }
+
+  /** [[shingleStrings]] as ArrayData (for the string-shingle expression). */
+  def shingleArray(tokens: ArrayData, n: Int): ArrayData = {
+    val out = shingleStrings(tokens, n)
+    val arr = new Array[AnyRef](out.size())
+    var i = 0
+    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** `Dedup.hashedShingles` body: [[shingleStrings]], each hashed to 60
+    * bits, sorted ascending. Distinctness is by shingle TEXT (matching
+    * `array_distinct` before hashing), not by hash value. */
+  def hashedShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val out = shingleStrings(tokens, n)
     val hs = new Array[Long](out.size())
     var i = 0
     while (i < hs.length) { hs(i) = hash60(out.get(i)); i += 1 }
@@ -167,6 +183,19 @@ object TextHashFunctions {
       copy(child = c)
   }
 
+  case class ShingleStrings(child: Expression, n: Int)
+      extends ArrayHelperExpression {
+    override def prettyName: String = "shingle_strings"
+    override def helperName: String = "shingleArray"
+    override def intArg: Int = n
+    override def elementType: DataType = StringType
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(a: Any): Any =
+      shingleArray(a.asInstanceOf[ArrayData], n)
+    override protected def withNewChildInternal(c: Expression): ShingleStrings =
+      copy(child = c)
+  }
+
   case class MinHashSig(child: Expression, k: Int)
       extends ArrayHelperExpression {
     override def prettyName: String = "minhash_sig"
@@ -192,6 +221,8 @@ object TextHashFunctions {
       copy(child = c)
   }
 
+  def shingleStrings(tokens: Column, n: Int): Column =
+    CatalystBridge.column(ShingleStrings(CatalystBridge.expression(tokens), n))
   def hashedShingles60(tokens: Column, n: Int): Column =
     CatalystBridge.column(HashedShingles60(CatalystBridge.expression(tokens), n))
   def minhashSig(hashed: Column, k: Int): Column =

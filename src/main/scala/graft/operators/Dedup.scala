@@ -35,15 +35,14 @@ object Dedup {
 
   /** Distinct word `n`-gram shingles of a text column. Tokenization is
     * single-space split of the [[normalize]]d text — deliberately, so the
-    * DuckDB oracle can reproduce it without regex-split edge cases. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = split(normalize(text), " ")
-    val grams = transform(
-      sequence(lit(1), size(w) - lit(n - 1)),
-      i => array_join(slice(w, i, lit(n)), " "))
-    array_distinct(when(size(w) >= n, grams)
-      .otherwise(array(array_join(w, " "))))
-  }
+    * DuckDB oracle can reproduce it without regex-split edge cases.
+    * Native one-pass expression; identical (including first-occurrence
+    * order) to the composable
+    * `array_distinct(transform(sequence, array_join(slice)))` form —
+    * pinned by TextHashFunctionsSpec. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextHashFunctions.shingleStrings(
+      split(normalize(text), " "), n)
 
   /** Hashed shingle set: 60-bit integer per shingle, SORTED. All
     * downstream set-ops (MinHash, Jaccard intersect/union) run on

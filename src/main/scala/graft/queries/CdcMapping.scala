@@ -24,9 +24,20 @@ import graft.ingest.Tables
   */
 object CdcMapping {
 
-  /** Fact side, named per `Schemas.engagementEvents`. */
+  /** Fact side, named per `Schemas.engagementEvents`.
+    *
+    * The round-robin repartition emulates the SOURCE's input
+    * parallelism: the real pipeline reads a multi-partition Kafka topic
+    * (or a multi-split 100 TB table), but the fixture is one parquet row
+    * group, which Spark cannot split — without this, every downstream
+    * parse/enrich stage would serialize on one core, which is the
+    * fixture artifact, not the plan. The fact still never HASH-shuffles
+    * through enrichment (PlanSpec pins broadcast-only joins plus this
+    * one source-side round-robin). */
   def fact(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir).select(
+    Tables.events(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
       col("event_id").as("id"),
       col("user_id").as("content_id"),
       pmod(col("event_id"), lit(97)).as("user_id"),

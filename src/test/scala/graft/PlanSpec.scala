@@ -23,14 +23,20 @@ class PlanSpec extends SparkSpec {
     offenders shouldBe empty
   }
 
-  test("enrichment joins broadcast the dimension (fact side never shuffles)") {
+  test("enrichment joins broadcast the dimension (fact side never hash-shuffles)") {
     val p = plan("cdc_enrich")
     p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
-    // the ONLY exchange in the whole enrichment is the dimension
-    // broadcast — the fact scan reaches the output without a shuffle
-    p.linesIterator.filter(_.contains("Exchange"))
-      .foreach(l => l should include("BroadcastExchange"))
+    // the only exchanges in the whole enrichment are the dimension
+    // broadcast and the single source-side round-robin (input-
+    // parallelism emulation for the unsplittable one-row-group fixture;
+    // a real Kafka topic / multi-split table arrives pre-parallel) —
+    // the fact never hash-partitions on its way to the output
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges.foreach(l =>
+      assert(l.contains("BroadcastExchange") || l.contains("RoundRobinPartitioning"),
+        s"unexpected fact-side shuffle: $l"))
+    exchanges.count(_.contains("RoundRobinPartitioning")) shouldBe 1
   }
 
   test("text queries prune the documents scan to the used columns") {

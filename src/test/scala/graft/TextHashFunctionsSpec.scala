@@ -22,6 +22,22 @@ class TextHashFunctionsSpec extends SparkSpec {
 
   private def tokens = split(Dedup.normalize(col("text")), " ")
 
+  test("shingleStrings == array_distinct(transform(sequence, join(slice)))") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val w = tokens
+      val classic = array_distinct(
+        when(org.apache.spark.sql.functions.size(w) >= n,
+          transform(sequence(lit(1), org.apache.spark.sql.functions.size(w) - lit(n - 1)),
+            i => array_join(slice(w, i, lit(n)), " ")))
+          .otherwise(array(array_join(w, " "))))
+      val diff = docs.select(
+        TextHashFunctions.shingleStrings(w, n).as("native"),
+        classic.as("classic"))
+        .filter(col("native") =!= col("classic"))
+      withClue(s"n=$n: ") { diff.count() shouldBe 0L }
+    }
+  }
+
   test("hashedShingles60 == array_sort(transform(shingles, hash60))") {
     for (n <- Seq(1, 2, 5)) {
       val composable = array_sort(
