@@ -170,6 +170,42 @@ object AdvancedQueries {
            |FROM (SELECT doc_id, $toks AS w FROM documents WHERE doc_id % 3 = 0)""".stripMargin
       }),
 
+    // Map-typed columns: construction (map_from_arrays), lookup
+    // (element_at), and the map higher-order function surface
+    // (map_filter) — per-cohort event-type count maps with hot-key
+    // extraction. The oracle computes the same scalars without the map
+    // detour (DuckDB 1.0 map extraction returns lists — the values are
+    // what must agree, not the container).
+    "adv_map_funcs" -> QueryDef(
+      (s, d) => {
+        val types = Seq("view", "click", "purchase", "signup", "error")
+        val counts = types.map(t =>
+          count(when(col("event_type") === t, 1)).as(s"c_$t"))
+        Tables.events(s, d)
+          .groupBy(pmod(col("user_id"), lit(10)).as("cohort"))
+          .agg(counts.head, counts.tail: _*)
+          .select(col("cohort"),
+            map_from_arrays(
+              array(types.map(lit): _*),
+              array(types.map(t => col(s"c_$t")): _*)).as("m"))
+          .select(col("cohort"),
+            element_at(col("m"), "view").as("n_view"),
+            element_at(col("m"), "purchase").as("n_purchase"),
+            size(map_filter(col("m"), (_, v) => v > 100)).cast("long").as("n_hot"),
+            size(col("m")).cast("long").as("n_keys"))
+      },
+      """SELECT user_id % 10 AS cohort,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  (CASE WHEN COUNT(CASE WHEN event_type = 'view' THEN 1 END) > 100 THEN 1 ELSE 0 END
+        |   + CASE WHEN COUNT(CASE WHEN event_type = 'click' THEN 1 END) > 100 THEN 1 ELSE 0 END
+        |   + CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 100 THEN 1 ELSE 0 END
+        |   + CASE WHEN COUNT(CASE WHEN event_type = 'signup' THEN 1 END) > 100 THEN 1 ELSE 0 END
+        |   + CASE WHEN COUNT(CASE WHEN event_type = 'error' THEN 1 END) > 100 THEN 1 ELSE 0 END
+        |  )::BIGINT AS n_hot,
+        |  CAST(5 AS BIGINT) AS n_keys
+        |FROM events GROUP BY user_id % 10""".stripMargin),
+
     // Approximate sketches (HLL++ distinct count, quantile sketch):
     // engine-specific estimators — no cross-engine oracle; bounds are
     // asserted in AdvancedQueriesSpec against exact values.

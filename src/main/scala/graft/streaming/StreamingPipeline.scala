@@ -123,13 +123,15 @@ object StreamingPipeline {
   def intervalJoinStreams(
       left: DataFrame, leftKey: String, leftTs: String,
       right: DataFrame, rightKey: String, rightTs: String,
-      lookbackSeconds: Long, watermark: String = "10 minutes"): DataFrame = {
+      lookbackSeconds: Long, watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
       col(leftKey) === col(rightKey) &&
         col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
-        col(rightTs) <= col(leftTs))
+        col(rightTs) <= col(leftTs),
+      joinType)
   }
 
   /** Minimal KV-view sink contract (the Redis surface K1): upsert a

@@ -132,6 +132,34 @@ class StreamingSpec extends SparkSpec {
     rows.toSet shouldBe Set((1L, 100L))
   }
 
+  test("left-outer stream-stream join emits null matches once the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, String, Timestamp)]
+    val views = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingPipeline.intervalJoinStreams(
+      clicks.toDF().toDF("click_id", "user", "click_ts"), "user", "click_ts",
+      views.toDF().toDF("view_id", "v_user", "view_ts"), "v_user", "view_ts",
+      lookbackSeconds = 600L, watermark = "1 minute", joinType = "leftOuter")
+    val q = out.writeStream.format("memory").queryName("ssjo")
+      .outputMode("append").start()
+    views.addData((100L, "u1", ts("2025-08-08 10:00:00")))
+    clicks.addData(
+      (1L, "u1", ts("2025-08-08 10:05:00")), // matches view 100
+      (2L, "u9", ts("2025-08-08 10:05:00"))) // never matches
+    q.processAllAvailable()
+    // advance both watermarks far past click 2's horizon so the unmatched
+    // row can be finalized with a null match
+    views.addData((900L, "uX", ts("2025-08-08 12:00:00")))
+    clicks.addData((9L, "uX", ts("2025-08-08 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjo")
+      .select("click_id", "view_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    rows(1L) shouldBe Some(100L)
+    rows(2L) shouldBe None // emitted with nulls, not dropped
+  }
+
   test("streaming session windows merge within the gap and close past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
