@@ -171,6 +171,35 @@ object RelationalQueries {
         |SELECT 'no_orders' AS tag, c_custkey AS custkey FROM
         |  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) b""".stripMargin),
 
+    // Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+    // duplicate multiplicity (hash-based multiplicity counting, not
+    // distinct), the complement of rel_setops' set semantics.
+    "rel_setops_all" -> sqlBoth(
+      """SELECT 'both' AS tag, x FROM (
+        |  SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') a
+        |UNION ALL
+        |SELECT 'only_open' AS tag, x FROM (
+        |  SELECT o_custkey AS x FROM orders WHERE o_orderstatus = 'O'
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') b""".stripMargin),
+
+    // Null-handling semantics, pinned explicitly: aggregates skip nulls
+    // (count(col) vs count(*)), grouping keeps a NULL group, and
+    // ordered output declares NULLS FIRST (Spark and DuckDB have
+    // different defaults — portable SQL must say which it wants).
+    "rel_null_semantics" -> sqlBoth(
+      """SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |            ELSE o_orderstatus END AS status_or_null,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |             ELSE o_orderstatus END) AS n_nonnull,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prio
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY status_or_null NULLS FIRST""".stripMargin),
+
     // Semi / anti joins via EXISTS / NOT EXISTS (planned as
     // LeftSemi/LeftAnti broadcast or shuffled hash joins).
     "rel_semi_anti" -> sqlBoth(
