@@ -178,6 +178,29 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
   }
 
+  /** One distributed Lloyd (k-means) iteration — the training seam that
+    * produces [[ivfAssign]]'s centroids. Assignment reuses the IVF
+    * argmin (broadcast centroids, map-only distance); the update step
+    * emits per-(cluster, dim) member counts, sums and means.
+    *
+    * At 100 TB: broadcast k centroids, one map-only pass, one shuffle
+    * of (cluster, dim) partial sums — map-side combine makes the
+    * shuffle k × dims rows per partition regardless of corpus size.
+    * With integer-quantized vectors the sums are exact (order-free) and
+    * the mean is a single IEEE division, so the whole step is
+    * bit-reproducible and oracle-checkable. `outDims` bounds the
+    * reported dims (the full update is the same plan over all dims). */
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+      centroidFilter: Column, outDims: Int): DataFrame = {
+    val (assigned, _) = ivfAssign(corpus, idCol, vecCol, centroidFilter, 1)
+    assigned
+      .select(col("cell_id").as("cluster_id"),
+        posexplode(slice(col("__v"), 1, outDims)))
+      .groupBy(col("cluster_id"), col("pos").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"), sum(col("col")).as("sum_q"))
+      .withColumn("mean_q", col("sum_q") / col("n_members"))
+  }
+
   /** Near-duplicate vector pairs: LSH candidates verified at an exact
     * cosine `threshold`. Returns (a, b) with a < b. */
   def nearDuplicateVectors(corpus: DataFrame, idCol: String, vecCol: String,

@@ -90,6 +90,33 @@ object SimilarityQueries {
            |WHERE rank <= $K""".stripMargin
       }),
 
+    // One distributed Lloyd (k-means) iteration — the training step for
+    // the IVF centroids: broadcast argmin-L2 assignment, then
+    // per-(cluster, dim) counts/sums/means over the first 4 dims.
+    // Integer-quantized vectors make the sums exact and the mean one
+    // IEEE division — bit-reproducible in the oracle.
+    "sim_kmeans_step" -> QueryDef(
+      (s, d) => Similarity.kmeansStep(quantized(s, d), "vec_id", "qv",
+        centroidFilter = pmod(col("vec_id"), lit(50)) === 0, outDims = 4), {
+        def d2(v: String, c: String) =
+          s"(${dot(v, v, Dims)} - 2.0 * ${dot(v, c, Dims)} + ${dot(c, c, Dims)})"
+        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cent_id, v AS cent_v FROM e WHERE vec_id % 50 = 0),
+           |scored AS (
+           |  SELECT e.vec_id AS id, e.v, c.cent_id, ${d2("e.v", "c.cent_v")} AS d2
+           |  FROM e, c),
+           |assigned AS (
+           |  SELECT id, v, cent_id AS cluster_id FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY id ORDER BY d2 ASC, cent_id ASC) AS cr
+           |    FROM scored) WHERE cr = 1)
+           |SELECT cluster_id, CAST(i - 1 AS BIGINT) AS dim,
+           |  COUNT(*) AS n_members, SUM(v[i]) AS sum_q,
+           |  SUM(v[i]) / COUNT(*) AS mean_q
+           |FROM assigned, (SELECT unnest(range(1, 5)) AS i) dims(i)
+           |GROUP BY cluster_id, i""".stripMargin
+      }),
+
     // LSH-bucketed ANN top-10 for the same query sample (recall < 1 by
     // construction; identical bucketing constants on both sides).
     "sim_knn_lsh" -> QueryDef(

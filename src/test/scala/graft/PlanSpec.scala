@@ -10,9 +10,11 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
 
   /** Queries allowed to contain a nested-loop/cartesian stage:
-    * the brute-force kNN baseline (deliberately quadratic) and the IVF
-    * centroid assignment (broadcast of a dimension-sized centroid set). */
-  private val quadraticByDesign = Set("sim_knn_brute", "sim_knn_ivf", "mm_knn")
+    * the brute-force kNN baseline (deliberately quadratic) and the
+    * IVF/k-means centroid assignment (broadcast of a k-sized centroid
+    * set against every vector — linear in the corpus, not quadratic). */
+  private val quadraticByDesign =
+    Set("sim_knn_brute", "sim_knn_ivf", "sim_kmeans_step", "mm_knn")
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
