@@ -122,6 +122,33 @@ object DedupQueries {
          |FROM capped x JOIN capped y ON x.b = y.b AND x.doc_id < y.doc_id
          |WHERE ${jaccard("x.sh2", "y.sh2")} >= 0.08""".stripMargin),
 
+    // Near-dup CLUSTERS from the MinHash pair graph: connected
+    // components (HashMin label propagation — one join + one hash agg
+    // per round, rounds = component diameter) turn pairs into groups
+    // so curation can elect one keeper (the minimum doc_id) per
+    // cluster. Oracle: recursive-CTE transitive closure of the same
+    // capped candidate graph.
+    "dedup_components" -> QueryDef(
+      (s, d) => graft.operators.ConnectedComponents.run(
+        Dedup.nearDuplicates(Tables.documents(s, d),
+          "doc_id", "text", n = 1, k = K, bands = Bands, threshold = 0.9,
+          bucketCap = 48)
+          .select(col("a"), col("b"))),
+      s"""WITH RECURSIVE ${minhashCtes(1, "doc_id >= 0", 48)},
+         |edges AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sh sa ON sa.__id = c.a
+         |  JOIN sh sb ON sb.__id = c.b
+         |  WHERE ${jaccard("sa.__sh", "sb.__sh")} >= 0.9),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT src AS node, least(src, min(dst)) AS label
+         |FROM reach GROUP BY src""".stripMargin),
+
     // Benchmark contamination: training docs sharing ≥3 distinct word
     // 3-grams with the benchmark slice (doc_id % 50 = 0). Both sides
     // explode to (hash, id) — the shuffle carries 16-byte pairs, the

@@ -100,6 +100,20 @@ class DedupSpec extends SparkSpec {
       band = 8, cap = 1, threshold = 0.0).count() shouldBe 0L
   }
 
+  test("connected components: transitive chains collapse, components stay apart") {
+    // chain 1-2-3-4 (no direct 1-4 edge), pair 10-11, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("a", "b")
+    val got = graft.operators.ConnectedComponents.run(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    // deterministic under different partitioning
+    val got2 = graft.operators.ConnectedComponents.run(edges.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got2 shouldBe got
+  }
+
   test("simhash16: identical texts agree; disjoint vocabularies differ") {
     val vals = Seq("alpha beta gamma", "alpha beta gamma", "xx yy zz qq")
       .toDF("t").select(Dedup.simhash16(col("t")).as("s")).as[Long].collect()
