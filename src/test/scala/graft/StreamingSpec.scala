@@ -89,6 +89,14 @@ class StreamingSpec extends SparkSpec {
     val parts = new java.io.File(out).list().filter(_.startsWith("event_hour="))
     parts.toSet shouldBe Set("event_hour=2025-08-08-10", "event_hour=2025-08-08-11")
     spark.read.parquet(out).count() shouldBe 2
+    // K3: an hour-filtered read-back prunes at the partition level — the
+    // predicate lands in PartitionFilters, not a post-scan Filter, so at
+    // 100 TB only the addressed hour's files are touched
+    val pruned = spark.read.parquet(out)
+      .filter(col("event_hour") === "2025-08-08-10")
+    pruned.count() shouldBe 1
+    val plan = pruned.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [isnotnull(event_hour")
   }
 
   test("streaming exact dedup keeps first arrival per digest across batches") {
