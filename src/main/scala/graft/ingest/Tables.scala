@@ -46,7 +46,13 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** Register every fixture table as a temp view (for spark.sql users). */
+  /** Register every fixture table as a temp view (for spark.sql users).
+    *
+    * Deliberately NO input-parallelism emulation here (contrast
+    * `CdcMapping.fact`, which stands in for a multi-partition Kafka
+    * source): for the SQL surface the scan→partial-aggregate fusion on
+    * the pruned, pushed-down parquet read beats paying a full-width
+    * round-robin exchange at fixture sizes — measured, not assumed. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     all.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 }
