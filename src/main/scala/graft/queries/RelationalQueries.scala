@@ -264,6 +264,31 @@ object RelationalQueries {
         |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 3, 1) AS DOUBLE) AS price_x3
         |FROM part""".stripMargin),
 
+    // Exact percentiles (correctness twin of adv_approx_sketches'
+    // estimators): continuous-interpolation quantiles over an INTEGER
+    // metric at quarter points — pos = p·(n−1) and the interpolation
+    // a + (b−a)·frac are exact in double for integer data and quarter
+    // fractions, so Spark's percentile and DuckDB's quantile_cont agree
+    // bit-for-bit. Exact percentile buffers whole groups (memory ∝ group
+    // size) — at 100 TB the scale path is the sketch; this is the
+    // baseline it is judged against.
+    "rel_percentiles" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .withColumn("m", floor(col("value") * 1000).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(m, 0.5)").as("p50"),
+          expr("percentile(m, 0.25)").as("p25"),
+          expr("percentile(m, 0.75)").as("p75"),
+          count(lit(1)).as("n")),
+      """SELECT event_type,
+        |  quantile_cont(m, 0.5) AS p50,
+        |  quantile_cont(m, 0.25) AS p25,
+        |  quantile_cont(m, 0.75) AS p75,
+        |  COUNT(*) AS n
+        |FROM (SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS m
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin),
+
     // Conditional expressions.
     "rel_case_funcs" -> sqlBoth(
       """SELECT l_orderkey, l_linenumber,
