@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Run-to-run determinism sweep: every registered query, executed
+  * twice, must produce identical content (order-independent hash over
+  * all columns). This is the invariant the whole oracle doctrine rests
+  * on — a query whose result depends on partition count, merge order or
+  * float summation order would be flaky at cluster scale even if one
+  * lucky run hash-matched DuckDB.
+  *
+  * Excluded: `adv_approx_sketches` — percentile_approx's quantile
+  * summaries are merge-order-sensitive by design (the spec bounds its
+  * error instead).
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+  private val excluded = Set("adv_approx_sketches")
+
+  test("every registered query is run-to-run deterministic") {
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => excluded(q._1))
+      .foreach { case (name, fn) =>
+        def contentHash(): (Any, Long) = {
+          val df = fn(spark, d)
+          val cols = df.columns.sorted
+            .map(c => coalesce(col(c).cast("string"), lit("␀")))
+          df.select(xxhash64(concat_ws("", cols: _*)).as("h"))
+            .agg(expr("bit_xor(h)").as("s"), count(lit(1)).as("n"))
+            .collect().map(r => (r.get(0), r.getLong(1))).head
+        }
+        withClue(s"$name: ") { contentHash() shouldBe contentHash() }
+      }
+  }
+}
