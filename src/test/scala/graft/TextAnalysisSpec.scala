@@ -64,4 +64,30 @@ class TextAnalysisSpec extends SparkSpec {
     r(0) shouldBe r(1)
     r(0) should not be r(2)
   }
+
+  test("PII masking replaces emails, URLs and long digit runs") {
+    // the fixture corpus contains no PII patterns (the oracle proves
+    // the no-op path), so the positive path is pinned here
+    val masked = Seq(
+      "contact Jane.Doe+spam@example.co.uk for details",
+      "see https://example.com/a?b=1 and http is fine",
+      "card 4111111122223333 expires 12/27",
+      "short 123 stays, 99999 goes").toDF("t")
+      .select(TextAnalysis.maskPii(col("t")).as("m")).as[String].collect()
+    masked(0) shouldBe "contact <EMAIL> for details"
+    masked(1) shouldBe "see <URL> and http is fine"
+    masked(2) shouldBe "card <NUM> expires 12/27"
+    masked(3) shouldBe "short 123 stays, <NUM> goes"
+  }
+
+  test("repetition score: repeated phrase near 1, unique prose near 0") {
+    val r = Seq(
+      "spam spam spam spam spam spam spam spam spam spam",
+      "each word here is completely unique in this sentence")
+      .toDF("t")
+      .select(TextAnalysis.repetitionScore(col("t"), 3).as("rep"))
+      .as[Double].collect()
+    r(0) should be > 0.8
+    r(1) shouldBe 0.0
+  }
 }
