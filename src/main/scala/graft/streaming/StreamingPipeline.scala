@@ -108,6 +108,21 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming twin of the batch corpus-curation capstone: language and
+    * quality gates are the SAME map-only column expressions (Catalyst
+    * does not care that the source is a stream), and exact dedup keeps
+    * the first arrival per content digest with state bounded by the
+    * watermark. This is the shape of a streaming training-data intake:
+    * gate early (cheap, map-only, before any state), dedup late. */
+  def curateStream(docs: DataFrame, textCol: String, tsCol: String,
+      minQuality: Double = 0.5, lang: String = "en",
+      watermark: String = "10 minutes"): DataFrame = {
+    val gated = docs.filter(
+      graft.operators.TextAnalysis.langId(col(textCol)) === lang &&
+        graft.operators.TextAnalysis.qualityScore(col(textCol)) >= minQuality)
+    exactDedupStream(gated, textCol, tsCol, watermark)
+  }
+
   /** Stream-stream interval join: each left event pairs with right
     * events of the same key whose timestamp falls in
     * `[leftTs − lookbackSeconds, leftTs]` — the attribution join

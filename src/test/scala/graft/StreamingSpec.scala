@@ -118,6 +118,24 @@ class StreamingSpec extends SparkSpec {
       Array(1L, 3L) // one survivor per digest, state crossed batches
   }
 
+  test("streaming curation: gates drop junk before dedup state, dups collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val english = "the cat and the dog sit on the mat with it, as good friends do."
+    val out = StreamingPipeline.curateStream(
+      in.toDF().toDF("doc_id", "text", "ts"), "text", "ts")
+    val q = out.writeStream.format("memory").queryName("curate")
+      .outputMode("append").start()
+    in.addData(
+      (1L, english, ts("2025-08-08 10:00:00")),
+      (2L, "zz qq ww ee rr tt yy uu ii oo pp", ts("2025-08-08 10:00:10")), // lang gate
+      (3L, english.toUpperCase, ts("2025-08-08 10:00:20"))) // dup of 1 after normalize
+    q.processAllAvailable()
+    q.stop()
+    spark.table("curate").select("doc_id").as[Long].collect().sorted shouldBe
+      Array(1L)
+  }
+
   test("stream-stream interval join pairs clicks with in-horizon views only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, String, Timestamp)]
