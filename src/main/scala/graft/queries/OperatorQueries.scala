@@ -13,6 +13,22 @@ import graft.operators.{AsOfJoin, RangeJoin}
   */
 object OperatorQueries {
 
+  private val funnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t_buy
+      |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+      |       (SELECT COUNT(*) FROM c) AS n_clicked_after,
+      |       (SELECT COUNT(*) FROM p) AS n_purchased_after""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Backward as-of join: each click is matched to the user's latest
@@ -132,6 +148,15 @@ object OperatorQueries {
          |WHERE ${graft.functions.PortableHash.hash60Sql("CAST(event_id AS VARCHAR)")} % 100 <
          |  CASE event_type WHEN 'view' THEN 10 WHEN 'click' THEN 50
          |       WHEN 'purchase' THEN 25 ELSE 100 END""".stripMargin),
+
+    // Ordered funnel: users who viewed, then clicked AFTER the first
+    // view, then purchased AFTER that first click — sequential-pattern
+    // analytics as three keyed min-aggregations chained by time
+    // predicates (each stage one shuffle on user_id; no window sort,
+    // no self-cartesian). Same SQL text on both engines.
+    "op_funnel" -> QueryDef(
+      (s, d) => { Tables.registerAll(s, d); s.sql(funnelSql) },
+      funnelSql),
 
     // DataFrame pivot (explicit value list ⇒ stable schema at any SF).
     "op_pivot" -> QueryDef(
