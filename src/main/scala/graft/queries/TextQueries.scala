@@ -112,6 +112,50 @@ object TextQueries {
         |    '[0-9]{4,}', '<NUM>', 'g') AS masked
         |FROM documents WHERE doc_id % 4 = 0""".stripMargin),
 
+    // TF-IDF top terms: tf per (doc, term) and df per term from one
+    // token explosion, scored tf·N/df — N/df replaces ln(N/df) because
+    // libm is not cross-engine portable, and the ranking it induces per
+    // document is monotone-equivalent for fixed tf. Shuffles on term
+    // (df + the df join) and doc (rank) — the real TF-IDF shape; the
+    // shuffle carries (term, counts), never documents.
+    "corpus_tfidf" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs
+          .select(col("doc_id"), explode(split(
+            graft.operators.Dedup.normalize(col("text")), " ")).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = toks.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term").asc)
+        tf.join(df_, "term")
+          .withColumn("score", col("tf") * lit(n) / col("df"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3 && pmod(col("doc_id"), lit(10)) === 0)
+          .select(col("doc_id"), col("term"),
+            col("tf"), col("df"), col("score"), col("rk").cast("long").as("rk"))
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokens("text")}) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+         |df AS (
+         |  SELECT term, COUNT(*) AS df FROM (
+         |    SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+         |SELECT doc_id, term, tf, df, score, rk FROM (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    tf.tf * n.n / df.df AS score,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY tf.doc_id
+         |      ORDER BY tf.tf * n.n / df.df DESC, tf.term ASC) AS BIGINT) AS rk
+         |  FROM tf JOIN df ON tf.term = df.term, n)
+         |WHERE rk <= 3 AND doc_id % 10 = 0""".stripMargin),
+
     // Corpus n-gram statistics: top-20 word 2-grams by document
     // frequency (shingles are distinct per doc, so count(*) IS the doc
     // frequency). Plans as hash-agg + TakeOrderedAndProject — the
