@@ -149,6 +149,48 @@ object OperatorQueries {
          |  CASE event_type WHEN 'view' THEN 10 WHEN 'click' THEN 50
          |       WHEN 'purchase' THEN 25 ELSE 100 END""".stripMargin),
 
+    // Column profiling (the ANALYZE TABLE surface): null count,
+    // distinct count, min/max per column in ONE scan (a single
+    // aggregate with per-column expressions, melted by stack) —
+    // profiling a 100 TB table must not scan it once per column.
+    // Doubles are excluded from min/max stringification (engines format
+    // them differently); ints/strings/timestamps render identically.
+    "op_profile" -> QueryDef(
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_orderdate", "o_orderpriority")
+        val aggs = cols.flatMap(c => Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max")))
+        val one = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        one.selectExpr(s"stack(${cols.size}, " + cols.map(c =>
+          s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max").mkString(", ") +
+          ") AS (column_name, n_nulls, n_distinct, min_s, max_s)")
+      },
+      """SELECT 'o_orderkey' AS column_name,
+        |  COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |  COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+        |  CAST(MAX(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+        |  COUNT(DISTINCT o_custkey),
+        |  CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+        |  COUNT(DISTINCT o_orderstatus),
+        |  CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END),
+        |  COUNT(DISTINCT o_orderdate),
+        |  CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+        |  COUNT(DISTINCT o_orderpriority),
+        |  CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR) FROM orders""".stripMargin),
+
     // Ordered funnel: users who viewed, then clicked AFTER the first
     // view, then purchased AFTER that first click — sequential-pattern
     // analytics as three keyed min-aggregations chained by time
