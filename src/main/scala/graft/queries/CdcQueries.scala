@@ -53,6 +53,43 @@ object CdcQueries {
           |  SELECT 1 FROM customer c
           |  WHERE c.c_custkey = f.content_id AND c.c_custkey % 7 <> 3)""".stripMargin)),
 
+    // Changelog APPLY — the CDC semantics the reference never exercises
+    // (its stream is insert-only): ops c/u/d per key materialize to the
+    // key's CURRENT state — the latest row by (event_ts, id) wins, and
+    // a final 'd' removes the key. One max_by pass per key (single
+    // shuffle, map-side partials), the same shape as the latest-value
+    // views. Ops are synthesized deterministically from the row id.
+    "cdc_apply_changelog" -> QueryDef(
+      (s, d) => {
+        val f = CdcMapping.fact(s, d).withColumn("op",
+          when(pmod(col("id"), lit(10)) === 9, "d")
+            .when(pmod(col("id"), lit(10)) >= 7, "u")
+            .otherwise("c"))
+        f.groupBy(col("content_id"))
+          .agg(max_by(
+            struct(col("op"), col("id"), col("user_id"), col("event_type"),
+              col("event_ts"), col("duration_ms")),
+            struct(col("event_ts"), col("id"))).as("last"))
+          .filter(col("last.op") =!= "d")
+          .select(col("content_id"), col("last.op").as("op"),
+            col("last.id").as("event_id"), col("last.user_id").as("user_id"),
+            col("last.event_type").as("event_type"),
+            col("last.event_ts").as("event_ts"),
+            col("last.duration_ms").as("duration_ms"))
+      },
+      with_(CdcMapping.factSql,
+        """SELECT content_id, op, event_id, user_id, event_type, event_ts,
+          |       duration_ms
+          |FROM (
+          |  SELECT content_id,
+          |    CASE WHEN id % 10 = 9 THEN 'd'
+          |         WHEN id % 10 >= 7 THEN 'u' ELSE 'c' END AS op,
+          |    id AS event_id, user_id, event_type, event_ts, duration_ms,
+          |    row_number() OVER (PARTITION BY content_id
+          |                       ORDER BY event_ts DESC, id DESC) AS rn
+          |  FROM fact)
+          |WHERE rn = 1 AND op <> 'd'""".stripMargin)),
+
     // A1 — top-100 leaderboard of latest engagement per member.
     "cdc_leaderboard" -> QueryDef(
       (s, d) => pctAsDouble(EngagementViews.leaderboard(CdcMapping.enriched(s, d), 100)),
