@@ -108,6 +108,22 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Streaming changelog APPLY: per-key current state maintained in
+    * update mode — the latest change by (tsCol, seqCol) wins, and a
+    * delete op surfaces as `is_deleted = true` (a KV/warehouse sink
+    * turns that into a removal; a retractionless sink keeps the
+    * tombstone). Same single-aggregation shape as the batch
+    * `cdc_apply_changelog`, just behind `readStream`. */
+  def applyChangelogStream(changes: DataFrame, keyCol: String,
+      tsCol: String, seqCol: String, opCol: String): DataFrame = {
+    val payload = struct(changes.columns.filterNot(_ == keyCol).map(col): _*)
+    changes
+      .groupBy(col(keyCol))
+      .agg(max_by(payload, struct(col(tsCol), col(seqCol))).as("last"))
+      .select(col(keyCol), col("last.*"))
+      .withColumn("is_deleted", col(opCol) === "d")
+  }
+
   /** Streaming twin of the batch corpus-curation capstone: language and
     * quality gates are the SAME map-only column expressions (Catalyst
     * does not care that the source is a stream), and exact dedup keeps

@@ -118,6 +118,31 @@ class StreamingSpec extends SparkSpec {
       Array(1L, 3L) // one survivor per digest, state crossed batches
   }
 
+  test("streaming changelog apply: latest op wins across batches, deletes tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Timestamp, String, Int)]
+    val out = StreamingPipeline.applyChangelogStream(
+      in.toDF().toDF("key", "seq", "ts", "op", "payload"),
+      "key", "ts", "seq", "op")
+    val q = out.writeStream.format("memory").queryName("chlog")
+      .outputMode("update").start()
+    in.addData(
+      ("a", 1L, ts("2025-08-08 10:00:00"), "c", 10),
+      ("a", 2L, ts("2025-08-08 10:01:00"), "u", 20),
+      ("b", 3L, ts("2025-08-08 10:00:30"), "c", 30))
+    q.processAllAvailable()
+    in.addData(("b", 4L, ts("2025-08-08 10:02:00"), "d", 0)) // delete in batch 2
+    q.processAllAvailable()
+    q.stop()
+    // update mode: take the LAST emitted row per key
+    val state = spark.table("chlog").collect()
+      .groupBy(_.getAs[String]("key"))
+      .map { case (k, rows) => k -> rows.maxBy(_.getAs[Long]("seq")) }
+    state("a").getAs[Int]("payload") shouldBe 20
+    state("a").getAs[Boolean]("is_deleted") shouldBe false
+    state("b").getAs[Boolean]("is_deleted") shouldBe true // state crossed batches
+  }
+
   test("streaming curation: gates drop junk before dedup state, dups collapse") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
