@@ -210,6 +210,23 @@ object RelationalQueries {
         |SELECT c_custkey, c_name, 0 AS has_urgent FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
 
+    // Full-outer join: customers without orders AND orphaned order keys
+    // both survive, with null-safe key coalescing.
+    "rel_full_outer" -> sqlBoth(
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+        |  c.c_name,
+        |  COUNT(o.o_orderkey) AS n_orders
+        |FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY 1, 2""".stripMargin),
+
+    // Cross join of two bounded dimensions (5 regions × 25 nations):
+    // the legitimate cartesian — both sides are dimension-sized, the
+    // product is the point. PlanSpec whitelists it as bounded-by-design.
+    "rel_cross_small" -> sqlBoth(
+      """SELECT r.r_name, n.n_name,
+        |  (CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END) AS is_home
+        |FROM region r CROSS JOIN nation n""".stripMargin),
+
     // Correlated scalar subquery (decorrelated to an aggregate + join).
     "rel_scalar_subquery" -> sqlBoth(
       """SELECT o_orderstatus, o_orderkey, o_totalprice

@@ -14,7 +14,8 @@ class PlanSpec extends SparkSpec {
     * IVF/k-means centroid assignment (broadcast of a k-sized centroid
     * set against every vector — linear in the corpus, not quadratic). */
   private val quadraticByDesign =
-    Set("sim_knn_brute", "sim_knn_ivf", "sim_kmeans_step", "mm_knn")
+    Set("sim_knn_brute", "sim_knn_ivf", "sim_kmeans_step", "mm_knn",
+      "rel_cross_small") // 5×25 dimension product — the cross IS the query
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
