@@ -37,4 +37,31 @@ class FormatsSpec extends SparkSpec {
     enriched.write.mode("overwrite").json(json)
     spark.read.schema(enriched.schema).json(json).count() shouldBe n
   }
+
+  test("binaryFile source ingests opaque media files with metadata columns") {
+    // the multimodal ingest seam: raw media arrives as files, Spark
+    // reads them as (path, modificationTime, length, content) — the
+    // binary column then flows into Multimodal.extractFeatures
+    val dir = Files.createTempDirectory("fmt-bin")
+    val payloads = Map("a.png" -> Array[Byte](1, 2, 3, 4),
+      "b.wav" -> "RIFFdata".getBytes("UTF-8"))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(dir.resolve(name), bytes)
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    df.count() shouldBe 2
+    df.columns.toSet shouldBe Set("path", "modificationTime", "length", "content")
+    val byName = df.collect().map { r =>
+      val p = r.getAs[String]("path")
+      p.substring(p.lastIndexOf('/') + 1) ->
+        (r.getAs[Long]("length"), r.getAs[Array[Byte]]("content"))
+    }.toMap
+    byName("a.png")._1 shouldBe 4L
+    byName("a.png")._2 shouldBe payloads("a.png")
+    byName("b.wav")._2 shouldBe payloads("b.wav")
+    // pathGlobFilter prunes non-matching media at the source
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(dir.toString)
+      .count() shouldBe 1
+  }
 }
