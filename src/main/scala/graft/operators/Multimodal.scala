@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for a training-data pipeline: media as
@@ -58,6 +58,33 @@ object Multimodal {
       val div = (255L * math.max(1, content.length / dims)).toFloat
       Array.tabulate(dims)(d => sums(d).toFloat / div)
     }
+  }
+
+  /** Real-file ingest seam: read opaque media files through Spark's
+    * `binaryFile` source into the typed [[MediaRecord]] shape — kind and
+    * format derived from the file extension, dimensions/frame metadata
+    * left to the decode stage (a real codec fills them; the fixture
+    * decoder ignores them). `glob` prunes non-media files at the source
+    * (`pathGlobFilter` — no bytes are read for filtered files). */
+  def fromBinaryFiles(spark: SparkSession, path: String,
+      glob: String = "*"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        val ext = p.substring(p.lastIndexOf('.') + 1).toLowerCase
+        val kind = ext match {
+          case "png" | "jpg" | "jpeg" | "gif" => "image"
+          case "wav" | "mp3" | "flac" => "audio"
+          case "mp4" | "mkv" | "webm" => "video"
+          case _ => "binary"
+        }
+        // stable non-negative id from the path (no RNG, replay-safe)
+        val id = graft.functions.PortableHash.seedLong(p)
+        MediaRecord(id, kind, bytes, MediaMeta(ext, 0, 0, 1, 0))
+      }
   }
 
   /** Deterministic fake media over the `documents` fixture: UTF-8 bytes

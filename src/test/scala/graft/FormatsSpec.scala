@@ -63,5 +63,16 @@ class FormatsSpec extends SparkSpec {
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.png").load(dir.toString)
       .count() shouldBe 1
+    // and the typed library seam on top of it: extension-derived kind,
+    // path-hash id, payload flows into the decode stage unchanged
+    val media = graft.operators.Multimodal
+      .fromBinaryFiles(spark, dir.toString).collect()
+      .map(m => m.kind -> m).toMap
+    media("image").content shouldBe payloads("a.png")
+    media("audio").meta.format shouldBe "wav"
+    val feats = graft.operators.Multimodal.extractFeatures(
+      graft.operators.Multimodal.fromBinaryFiles(spark, dir.toString),
+      new graft.operators.Multimodal.FakeDecoder(8)).collect()
+    feats.map(_.features.length).toSet shouldBe Set(8)
   }
 }
