@@ -38,6 +38,41 @@ class FormatsSpec extends SparkSpec {
     spark.read.schema(enriched.schema).json(json).count() shouldBe n
   }
 
+  test("malformed CSV rows: PERMISSIVE captures, DROPMALFORMED discards") {
+    val dir = Files.createTempDirectory("fmt-badcsv")
+    Files.write(dir.resolve("part.csv"),
+      "id,n\n1,10\nnot_a_number,oops,extra\n3,30\n".getBytes("UTF-8"))
+    val schema = "id LONG, n LONG, _corrupt STRING"
+    val permissive = spark.read
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema).csv(dir.toString)
+    // corrupt row survives with the raw line in the corrupt column
+    val rows = permissive.collect()
+    rows.length shouldBe 3
+    rows.count(_.getAs[String]("_corrupt") != null) shouldBe 1
+    val dropped = spark.read
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .schema("id LONG, n LONG").csv(dir.toString)
+    // collect, not count: under count() Catalyst prunes every column, so
+    // the CSV parser never materializes the bad tokens and the malformed
+    // row silently survives — a real operational gotcha worth pinning
+    dropped.collect().length shouldBe 2
+  }
+
+  test("parquet schema evolution: mergeSchema unions batch schemas") {
+    val dir = Files.createTempDirectory("fmt-evolve").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v1").write.mode("append").parquet(dir)
+    Seq((2L, 3.5)).toDF("id", "v2").write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    merged.columns.sorted.toSeq shouldBe Seq("id", "v1", "v2")
+    merged.count() shouldBe 2
+    // old-batch rows read null for the new column, and vice versa
+    merged.filter(col("v1").isNotNull).count() shouldBe 1
+    merged.filter(col("v2").isNotNull).count() shouldBe 1
+  }
+
   test("binaryFile source ingests opaque media files with metadata columns") {
     // the multimodal ingest seam: raw media arrives as files, Spark
     // reads them as (path, modificationTime, length, content) — the
