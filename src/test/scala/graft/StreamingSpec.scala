@@ -76,6 +76,29 @@ class StreamingSpec extends SparkSpec {
     rows(1).getAs[Long]("n_events") shouldBe 1L
   }
 
+  test("late data beyond the watermark horizon is dropped (T4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val enriched = StreamingPipeline.enrichStream(in.toDF(), contentDim)
+    val out = StreamingPipeline.minuteWindowsStream(enriched)
+    val q = out.writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    in.addData(
+      eventMsg(1, "c1", 50000, "2025-08-08T10:00:10.000000"),
+      eventMsg(2, "c1", 10000, "2025-08-08T11:00:00.000000")) // watermark → 10:50
+    q.processAllAvailable()
+    // 09:30 is 80 minutes behind the 10-minute watermark — dropped, and
+    // the closed 10:00 window is NOT reopened or re-emitted
+    in.addData(eventMsg(3, "c1", 30000, "2025-08-08T09:30:00.000000"))
+    // advance the watermark further so everything closable closes
+    in.addData(eventMsg(4, "c1", 10000, "2025-08-08T12:00:00.000000"))
+    q.processAllAvailable()
+    q.stop()
+    val minutes = spark.table("late").collect()
+      .map(_.getAs[java.sql.Timestamp]("window_minute").toString).sorted
+    minutes shouldBe Array("2025-08-08 10:00:00.0", "2025-08-08 11:00:00.0")
+  }
+
   test("hour-partitioned warehouse sink writes partition directories") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
