@@ -49,12 +49,23 @@ object ConnectedComponents {
         .join(labels, col("dst") === col("node"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nb_label"))
-      // carry the previous label through the same pass so convergence
-      // is one filter-count over the checkpointed round, not a re-join
-      val step = labels.as("l")
+      val hop = labels.as("l")
         .join(fromNeighbors.as("n"), Seq("node"), "left")
         .select(col("node"), col("l.label").as("old"),
           least(col("l.label"), coalesce(col("n.nb_label"), col("l.label")))
+            .as("label"))
+      // pointer jumping (path compression): also adopt the label OF the
+      // current label — remaining distance to the component minimum
+      // halves each round, so rounds are O(log diameter) instead of
+      // O(diameter) on chain-shaped components. The fixpoint is
+      // unchanged: labels only ever decrease toward the same minimum.
+      // `old` rides along so convergence is one filter-count over the
+      // checkpointed round, not a re-join.
+      val step = hop.as("s")
+        .join(hop.select(col("node").as("jn"), col("label").as("jl")).as("j"),
+          col("s.label") === col("j.jn"), "left")
+        .select(col("s.node").as("node"), col("s.old").as("old"),
+          least(col("s.label"), coalesce(col("j.jl"), col("s.label")))
             .as("label"))
         .localCheckpoint(true)
       changed = step.filter(col("label") =!= col("old")).count()
