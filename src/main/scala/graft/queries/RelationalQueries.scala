@@ -281,6 +281,21 @@ object RelationalQueries {
         |  CAST(ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * 3, 1) AS DOUBLE) AS price_x3
         |FROM part""".stripMargin),
 
+    // String aggregation (the LISTAGG surface) — made deterministic by
+    // construction: collect_list order is partition-dependent, so the
+    // portable form is sorted-distinct-then-join. Same doctrine as every
+    // "latest": an aggregate must not depend on arrival order.
+    "rel_string_agg" -> QueryDef(
+      (s, d) => { Tables.registerAll(s, d); s.sql(
+        """SELECT o_orderstatus,
+          |  array_join(array_sort(collect_set(o_orderpriority)), '|') AS prios,
+          |  COUNT(DISTINCT o_orderpriority) AS n_prios
+          |FROM orders GROUP BY o_orderstatus""".stripMargin) },
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS prios,
+        |  COUNT(DISTINCT o_orderpriority) AS n_prios
+        |FROM orders GROUP BY o_orderstatus""".stripMargin),
+
     // Exact percentiles (correctness twin of adv_approx_sketches'
     // estimators): continuous-interpolation quantiles over an INTEGER
     // metric at quarter points — pos = p·(n−1) and the interpolation
