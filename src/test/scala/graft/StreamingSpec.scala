@@ -76,6 +76,31 @@ class StreamingSpec extends SparkSpec {
     rows(1).getAs[Long]("n_events") shouldBe 1L
   }
 
+  test("progress listener captures per-batch rows and watermark movement") {
+    implicit val sqlCtx = spark.sqlContext
+    val metrics = graft.streaming.StreamingMetrics.attach(spark)
+    try {
+      val in = MemoryStream[String]
+      val enriched = StreamingPipeline.enrichStream(in.toDF(), contentDim)
+      val q = StreamingPipeline.minuteWindowsStream(enriched)
+        .writeStream.format("memory").queryName("obs")
+        .outputMode("append").start()
+      in.addData(eventMsg(1, "c1", 30000, "2025-08-08T10:00:00.000000"))
+      q.processAllAvailable()
+      in.addData(eventMsg(2, "c1", 30000, "2025-08-08T11:00:00.000000"))
+      q.processAllAvailable()
+      q.stop()
+      // listener events are delivered asynchronously after the batch
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (metrics.totalInputRows("obs") < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      metrics.totalInputRows("obs") shouldBe 2L
+      val withWm = metrics.batches.filter(b =>
+        b.queryName == "obs" && b.eventTimeWatermark.exists(_ > "2025-08-08T09"))
+      withWm should not be empty // the watermark advanced and was observable
+    } finally spark.streams.removeListener(metrics)
+  }
+
   test("late data beyond the watermark horizon is dropped (T4)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[String]
