@@ -30,7 +30,11 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: the metric line is parsed from a bounded
+    // tail-capture of the process output, so keep it compact — full
+    // nanosecond digits once pushed the line past the capture window.
+    def sec3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // End-to-end pipeline throughput (BASELINE.md's rec/s SLO): CDC JSON
@@ -62,9 +66,9 @@ object Bench {
     // BASELINE.md gates, surfaced directly: leaderboard micro-batch
     // latency (≤10 s target) and pipeline rec/s (≥1,667 target).
     val lbSec = results.toMap.getOrElse("cdc_leaderboard", -1.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
       s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
-      s""""leaderboard_batch_sec":$lbSec,"sf":"$sfDir"}""")
+      s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

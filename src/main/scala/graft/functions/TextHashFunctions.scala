@@ -203,8 +203,20 @@ object TextHashFunctions {
     override def intArg: Int = k
     override def elementType: DataType = LongType
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override protected def nullSafeEval(a: Any): Any =
-      minhashSig(a.asInstanceOf[ArrayData], k)
+    // An empty shingle array has no minimum: yield null, exactly like the
+    // composable array_min(transform(...)) form this expression mirrors.
+    override def nullable: Boolean = true
+    override protected def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      if (arr.numElements() == 0) null else minhashSig(arr, k)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""if ($c.numElements() == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.TextHashFunctions.minhashSig($c, $k);
+           |}""".stripMargin)
     override protected def withNewChildInternal(c: Expression): MinHashSig =
       copy(child = c)
   }

@@ -73,6 +73,12 @@ object ConnectedComponents {
       i += 1
     }
     sym.unpersist()
+    // Unconverged labels are wrong clusters — never return them silently.
+    // Pointer jumping makes this O(log diameter), so hitting maxIter means
+    // the caller's bound is badly undersized for the graph, not bad luck.
+    if (changed > 0) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter")
     labels
   }
 }

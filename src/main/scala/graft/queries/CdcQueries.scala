@@ -96,10 +96,10 @@ object CdcQueries {
       s"""$validSql,
          |member_latest AS (
          |  SELECT member, engagement_pct AS score FROM (
-         |    SELECT concat_ws(':', content_id, coalesce(content_type, 'null'), coalesce(content_title, 'null')) AS member,
+         |    SELECT concat_ws(':', coalesce(content_id, 'null'), coalesce(content_type, 'null'), coalesce(content_title, 'null')) AS member,
          |           engagement_pct,
          |           ROW_NUMBER() OVER (
-         |             PARTITION BY concat_ws(':', content_id, coalesce(content_type, 'null'), coalesce(content_title, 'null'))
+         |             PARTITION BY concat_ws(':', coalesce(content_id, 'null'), coalesce(content_type, 'null'), coalesce(content_title, 'null'))
          |             ORDER BY event_ts DESC, event_id DESC) AS rn
          |    FROM valid) t WHERE rn = 1)
          |SELECT member, score FROM (
@@ -127,10 +127,10 @@ object CdcQueries {
       s"""$validSql,
          |member_latest AS (
          |  SELECT member, engagement_pct AS score FROM (
-         |    SELECT concat_ws(':', content_id, coalesce(content_type, 'null'), coalesce(content_title, 'null')) AS member,
+         |    SELECT concat_ws(':', coalesce(content_id, 'null'), coalesce(content_type, 'null'), coalesce(content_title, 'null')) AS member,
          |           engagement_pct,
          |           ROW_NUMBER() OVER (
-         |             PARTITION BY concat_ws(':', content_id, coalesce(content_type, 'null'), coalesce(content_title, 'null'))
+         |             PARTITION BY concat_ws(':', coalesce(content_id, 'null'), coalesce(content_type, 'null'), coalesce(content_title, 'null'))
          |             ORDER BY event_ts DESC, event_id DESC) AS rn
          |    FROM valid) t WHERE rn = 1)
          |SELECT member, score FROM (

@@ -15,12 +15,16 @@ import org.apache.spark.sql.streaming.StreamingQueryListener._
   * (rec/s throughput, micro-batch latency): the numbers the reference
   * reads off its Flink dashboard come from exactly this hook in Spark.
   */
-final class StreamingMetrics extends StreamingQueryListener {
+final class StreamingMetrics(maxBatches: Int = StreamingMetrics.DefaultRetention)
+    extends StreamingQueryListener {
 
   final case class BatchMetrics(queryName: String, batchId: Long,
       numInputRows: Long, processedRowsPerSecond: Double,
       batchDurationMs: Long, eventTimeWatermark: Option[String])
 
+  // Bounded retention: a monitoring hook on a long-running query must not
+  // grow per-batch forever — beyond `maxBatches` the oldest entries are
+  // dropped (a dashboard scrapes recent progress, not full history).
   private val events = new ConcurrentLinkedQueue[BatchMetrics]()
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -35,6 +39,7 @@ final class StreamingMetrics extends StreamingQueryListener {
       p.processedRowsPerSecond,
       p.batchDuration,
       Option(p.eventTime.get("watermark"))))
+    while (events.size() > maxBatches) events.poll()
   }
 
   /** Snapshot of everything captured so far (oldest first). */
@@ -45,6 +50,9 @@ final class StreamingMetrics extends StreamingQueryListener {
 }
 
 object StreamingMetrics {
+  /** Default per-listener batch-history retention. */
+  val DefaultRetention: Int = 1024
+
   /** Attach a fresh listener to the session; caller removes it with
     * `spark.streams.removeListener` when done. */
   def attach(spark: SparkSession): StreamingMetrics = {

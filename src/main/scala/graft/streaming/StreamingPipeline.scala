@@ -185,6 +185,10 @@ object StreamingPipeline {
       store.put(s"$view/$key", value)
     def get(view: String, key: String): Option[String] =
       Option(store.get(s"$view/$key"))
+    /** Release the backing store from the JVM-global registry. The
+      * registry is keyed per sink instance, so without this every sink
+      * ever created would pin its map for the JVM lifetime. */
+    def close(): Unit = InMemoryKvSink.stores.remove(id)
   }
 
   object InMemoryKvSink {

@@ -30,7 +30,7 @@ object EngagementViews {
     * (`RedisSink.updateTopEngagement`), where bare concat_ws would skip
     * it and silently merge distinct members. */
   def member: Column =
-    concat_ws(":", col("content_id"),
+    concat_ws(":", coalesce(col("content_id"), lit("null")),
       coalesce(col("content_type"), lit("null")),
       coalesce(col("content_title"), lit("null")))
 

@@ -51,6 +51,7 @@ class StreamingSpec extends SparkSpec {
     sink.get("user_engagement", "u2:c1") shouldBe Some("90.00")
     // the miss never reaches any view
     sink.store.keySet().forEach(k => assert(!k.contains("cMISS")))
+    sink.close()
   }
 
   test("watermarked minute windows emit closed windows in append mode") {
