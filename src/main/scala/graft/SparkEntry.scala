@@ -21,7 +21,8 @@ object SparkEntry {
   private[graft] val registry: Map[String, QueryDef] =
     CdcQueries.defs ++ RelationalQueries.defs ++ OperatorQueries.defs ++
       DedupQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
-      MultimodalQueries.defs ++ AdvancedQueries.defs ++ GenQueries.defs
+      MultimodalQueries.defs ++ AdvancedQueries.defs ++ GenQueries.defs ++
+      WarehouseQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, v) => k -> v.build }

@@ -174,6 +174,39 @@ object Dedup {
       .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"), col("jaccard"))
   }
 
+  /** Asymmetric set containment of the SMALLER shingle set in the larger:
+    * `|A∩B| / min(|A|,|B|)`. Jaccard punishes length mismatch (a document
+    * quoted whole inside a 10× longer one scores ≤ 0.1), so subset-style
+    * duplication needs this complementary measure. Exact on sorted hashed
+    * shingles via the same merge-scan intersect; int/int IEEE division —
+    * engine-portable bit-for-bit. */
+  def containmentSorted(sa: Column, sb: Column): Column =
+    graft.functions.SetFunctions.sortedIntersectCount(sa, sb) /
+      least(size(sa), size(sb))
+
+  /** Blocked containment near-dup pairs: same scale-safe candidate shape
+    * as [[blockedJaccardPairs]] (composite block key, deterministic cap,
+    * plain shuffled equi-join), but blocking only on the caller's block
+    * column — containment pairs have UNEQUAL sizes by nature, so the
+    * shingle-count band that sharpens Jaccard blocking would split
+    * exactly the pairs this measure exists to find. */
+  def blockedContainmentPairs(docs: DataFrame, idCol: String, blockCol: String,
+      shingleCol: String, cap: Int, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(blockCol)).orderBy(col(idCol))
+    val capped = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap).drop("__rn")
+    capped.as("x")
+      .join(capped.hint("shuffle_hash").as("y"),
+        col(s"x.$blockCol") === col(s"y.$blockCol") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .withColumn("containment",
+        containmentSorted(col(s"x.$shingleCol"), col(s"y.$shingleCol")))
+      .filter(col("containment") >= threshold)
+      .select(col(s"x.$idCol").as("a"), col(s"y.$idCol").as("b"),
+        col("containment"))
+  }
+
   /** Benchmark-contamination check — the train/test n-gram overlap scan
     * every training-data pipeline runs before a model ships. A training
     * document is contaminated when it shares at least `minShared`

@@ -59,4 +59,8 @@ class PlanSpec extends SparkSpec {
     // a BroadcastExchange here is the plan that dies at 100 TB
     plan("dedup_ngram_jaccard") should not include "BroadcastExchange"
   }
+
+  test("blocked containment keeps the same no-broadcast join shape") {
+    plan("dedup_containment") should not include "BroadcastExchange"
+  }
 }
