@@ -98,12 +98,48 @@ object VectorFunctions {
 }
 
 /** `SparkSessionExtensions` entry point — enable with
-  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. Injects the
+  * full custom-expression family so a SQL-only user of the engine can
+  * call it without touching the Scala API:
+  *
+  *   vec_dot(a, b)                  exact double dot product
+  *   sorted_intersect_count(a, b)   merge-scan |A∩B| on sorted longs
+  *   shingle_strings(tokens, n)     distinct word n-grams
+  *   hashed_shingles60(tokens, n)   sorted 60-bit hashed shingle set
+  *   minhash_sig(hashed, k)         k-slot MinHash signature
+  *   simhash16(tokens)              16-bit SimHash fingerprint
+  *
+  * Integer parameters (n, k) must be literals — they parameterize the
+  * generated code, exactly like the Scala API's Int arguments.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(
-        classOf[VectorFunctions.DotProduct].getCanonicalName, null, "vec_dot"),
-      (children: Seq[Expression]) => VectorFunctions.DotProduct(children(0), children(1))))
+  import graft.functions.{TextHashFunctions => T}
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer parameter, got $other")
+  }
+
+  private def fn(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression) = (
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getCanonicalName, null, name),
+    builder)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("vec_dot", classOf[VectorFunctions.DotProduct]) {
+      c => VectorFunctions.DotProduct(c(0), c(1)) })
+    ext.injectFunction(fn("sorted_intersect_count",
+        classOf[SetFunctions.SortedIntersectCount]) {
+      c => SetFunctions.SortedIntersectCount(c(0), c(1)) })
+    ext.injectFunction(fn("shingle_strings", classOf[T.ShingleStrings]) {
+      c => T.ShingleStrings(c(0), intLit(c(1), "shingle_strings")) })
+    ext.injectFunction(fn("hashed_shingles60", classOf[T.HashedShingles60]) {
+      c => T.HashedShingles60(c(0), intLit(c(1), "hashed_shingles60")) })
+    ext.injectFunction(fn("minhash_sig", classOf[T.MinHashSig]) {
+      c => T.MinHashSig(c(0), intLit(c(1), "minhash_sig")) })
+    ext.injectFunction(fn("simhash16", classOf[T.SimHash16]) {
+      c => T.SimHash16(c(0)) })
+  }
 }

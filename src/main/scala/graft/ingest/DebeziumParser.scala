@@ -55,8 +55,16 @@ object DebeziumParser {
       Schemas.envelope(rowSchema).fields ++
         Schemas.flattened(rowSchema).fields :+
         StructField("__corrupt", StringType, nullable = true))
-    val p = from_json(v, merged,
-      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt"))
+    // EvalOnce pins the JSON tokenization to its own projection: without
+    // it, CollapseProject/PushDownPredicates inline this from_json into
+    // every downstream field extraction and the error predicate — one
+    // parse per row becomes N+2 (measured 25 copies in the plan, ~4×
+    // wall-clock on the parse path).
+    val parsed = graft.functions.EvalOnce(from_json(v, merged,
+      Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt")))
+
+    val tagged0 = df.withColumn("__p", parsed)
+    val p = col("__p")
 
     // A flattened record is "present" when any declared row field is
     // non-null AND it is not an envelope (envelopes have a payload member).
@@ -70,7 +78,7 @@ object DebeziumParser {
     val after = when(envAfter.isNotNull, envAfter)
       .when(p.getField("payload").isNull && flatPresent, flatRow)
 
-    val tagged = df
+    val tagged = tagged0
       .withColumn("__after", after)
       .withColumn("__error",
         when(!isJson, lit("json_error"))

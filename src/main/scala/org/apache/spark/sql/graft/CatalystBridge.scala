@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a `SparkSessionExtensions` function set to a LIVE session's
+    * registry — what `spark.sql.extensions` does at session build, made
+    * testable without tearing down the shared test session. */
+  def installFunctions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

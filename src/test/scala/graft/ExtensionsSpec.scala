@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.graft.CatalystBridge
+
+import graft.functions.GraftExtensions
+
+/** The SQL-extension surface: `spark.sql.extensions=graft.functions.
+  * GraftExtensions` makes the custom-expression family callable from
+  * plain SQL. Installed here onto the shared session through the same
+  * registration path the session builder uses. */
+class ExtensionsSpec extends SparkSpec {
+
+  private lazy val installed: Unit = {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    CatalystBridge.installFunctions(ext, spark)
+  }
+
+  private def sql1(q: String) = { installed; spark.sql(q).head() }
+
+  test("vec_dot from SQL") {
+    sql1("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .getDouble(0) shouldBe 11.0
+  }
+
+  test("sorted_intersect_count from SQL") {
+    sql1("SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS c")
+      .getInt(0) shouldBe 2
+  }
+
+  test("shingle_strings / hashed_shingles60 / minhash_sig / simhash16 from SQL") {
+    sql1("SELECT size(shingle_strings(array('a','b','c'), 2)) AS n")
+      .getInt(0) shouldBe 2
+    // hashed shingles are sorted — pairwise ordered
+    val hs = sql1("SELECT hashed_shingles60(array('a','b','c'), 1) AS h")
+      .getSeq[Long](0)
+    hs shouldBe hs.sorted
+    sql1("SELECT size(minhash_sig(hashed_shingles60(array('a','b'), 1), 12)) AS k")
+      .getInt(0) shouldBe 12
+    // matches the Scala-API expression bit-for-bit
+    import org.apache.spark.sql.functions._
+    val fromApi = spark.range(1).select(
+      graft.functions.TextHashFunctions.simhash16(
+        split(lit("a b c"), " ")).as("s")).head().getLong(0)
+    sql1("SELECT simhash16(array('a','b','c')) AS s").getLong(0) shouldBe fromApi
+  }
+
+  test("literal-parameter contract is enforced with a clear error") {
+    installed
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), CAST(rand()*4 AS INT))").collect()
+    }
+    e.getMessage should include("literal integer")
+  }
+}
