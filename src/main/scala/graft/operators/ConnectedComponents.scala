@@ -30,9 +30,13 @@ object ConnectedComponents {
   def run(edges: DataFrame, aCol: String = "a", bCol: String = "b",
       maxIter: Int = 30): DataFrame = {
     // the edge list is re-joined every round — pin it so an expensive
-    // upstream (e.g. a MinHash candidate pipeline) runs once
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // upstream (e.g. a MinHash candidate pipeline) runs once. Both edge
+    // directions come from ONE pass via explode: a union of two selects
+    // would evaluate the (unpersisted) upstream twice inside the same job
+    val sym = edges.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .persist()
     // localCheckpoint (not bare persist) each round: iterative DataFrame
     // algorithms grow their logical plan multiplicatively per iteration

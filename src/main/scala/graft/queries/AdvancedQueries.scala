@@ -18,17 +18,30 @@ object AdvancedQueries {
   private def sqlBoth(q: String): QueryDef =
     QueryDef((s, d) => { Tables.registerAll(s, d); s.sql(q) }, q)
 
+  private def cubeSql(table: String) =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+       |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+       |  COUNT(*) AS n,
+       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+       |FROM $table
+       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // CUBE: all 4 grouping combinations in one pass (Expand + hash agg).
-    "adv_cube" -> sqlBoth(
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
-        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
-        |  COUNT(*) AS n,
-        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
-        |FROM lineitem
-        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+    // The Spark side reads through a round-robin exchange: CUBE's Expand
+    // multiplies per-row work 4x, which flips the fused-scan trade-off on
+    // the unsplittable 1-row-group fixture (measured 1.5x faster; a real
+    // multi-split table arrives pre-parallel and needs no exchange).
+    "adv_cube" -> QueryDef(
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .createOrReplaceTempView("lineitem_par")
+        s.sql(cubeSql("lineitem_par"))
+      },
+      cubeSql("lineitem")),
 
     // Explicit GROUPING SETS with mixed arities.
     "adv_grouping_sets" -> sqlBoth(

@@ -164,7 +164,13 @@ object OperatorQueries {
           countDistinct(col(c)).as(s"${c}__nd"),
           min(col(c)).cast("string").as(s"${c}__min"),
           max(col(c)).cast("string").as(s"${c}__max")))
-        val one = Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        // round-robin exchange before the aggregate: five distinct
+        // aggregates Expand the input 6x, so per-row work dwarfs the
+        // exchange on the unsplittable 1-row-group fixture (measured
+        // 1.8x; a multi-split table arrives pre-parallel)
+        val one = Tables.orders(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .agg(aggs.head, aggs.tail: _*)
         one.selectExpr(s"stack(${cols.size}, " + cols.map(c =>
           s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max").mkString(", ") +
           ") AS (column_name, n_nulls, n_distinct, min_s, max_s)")
