@@ -22,7 +22,7 @@ object SparkEntry {
     CdcQueries.defs ++ RelationalQueries.defs ++ OperatorQueries.defs ++
       DedupQueries.defs ++ TextQueries.defs ++ SimilarityQueries.defs ++
       MultimodalQueries.defs ++ AdvancedQueries.defs ++ GenQueries.defs ++
-      WarehouseQueries.defs
+      WarehouseQueries.defs ++ AnalyticsQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, v) => k -> v.build }

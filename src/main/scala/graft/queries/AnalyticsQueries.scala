@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Tables
+import graft.operators.{BloomJoin, Graph, TextAnalysis}
+
+/** Product-analytics and corpus-index operators layered on the engine
+  * (SURVEY.md §2 extensions, round 3): graph authority ranking, dense
+  * time-series resampling, cohort retention, exact z-score outliers,
+  * an inverted index over the document corpus, and bloom-filter
+  * semi-join reduction.
+  *
+  * Portability doctrine as everywhere: shared SQL where the dialect
+  * overlaps; otherwise exact integer arithmetic and single IEEE ops so
+  * both engines produce bit-identical values.
+  */
+object AnalyticsQueries {
+
+  /** Query whose SQL runs identically on Spark and DuckDB. */
+  private def sqlBoth(q: String): QueryDef =
+    QueryDef((s, d) => { Tables.registerAll(s, d); s.sql(q) }, q)
+
+  // Cohort retention: users bucketed by first-active week, counted in
+  // each later week. `ua` is already (user, week)-distinct, so the final
+  // COUNT(*) is a distinct-user count without a distinct aggregate.
+  // Week offset = day-difference / 7 of week-truncated dates — exact
+  // (both operands are Monday-truncated), no interval arithmetic.
+  private def retentionSql(weekDiffDays: String) =
+    s"""WITH ua AS (
+       |  SELECT user_id, DATE_TRUNC('week', ts) AS wk
+       |  FROM events GROUP BY user_id, DATE_TRUNC('week', ts)),
+       |cohort AS (
+       |  SELECT user_id, MIN(wk) AS cohort_wk FROM ua GROUP BY user_id)
+       |SELECT c.cohort_wk AS cohort_week,
+       |  CAST($weekDiffDays / 7 AS BIGINT) AS week_no,
+       |  COUNT(*) AS n_users
+       |FROM ua u JOIN cohort c ON u.user_id = c.user_id
+       |GROUP BY c.cohort_wk, 2""".stripMargin
+
+  // Dense minute grid per event type between its first and last event,
+  // zero-filled counts and exact integer measure sums. The grid comes
+  // from a per-group sequence explode — bounded by the time span, never
+  // by row count, so a 100 TB fact table still generates the same small
+  // grid. Only the generator function differs between dialects.
+  private def gapfillSql(genSeries: String) =
+    s"""WITH bounds AS (
+       |  SELECT event_type,
+       |    DATE_TRUNC('minute', MIN(ts)) AS t0,
+       |    DATE_TRUNC('minute', MAX(ts)) AS t1
+       |  FROM events GROUP BY event_type),
+       |grid AS (
+       |  SELECT event_type, $genSeries AS minute FROM bounds),
+       |c AS (
+       |  SELECT event_type, DATE_TRUNC('minute', ts) AS minute,
+       |    COUNT(*) AS n,
+       |    SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS sum_m
+       |  FROM events GROUP BY 1, 2)
+       |SELECT g.event_type, g.minute,
+       |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       |  CAST(COALESCE(c.sum_m, 0) AS BIGINT) AS sum_m
+       |FROM grid g LEFT JOIN c
+       |  ON g.event_type = c.event_type AND g.minute = c.minute""".stripMargin
+
+  // Exact z-score outlier detection: variance from integer sum/sum-sq
+  // (exact at any SF and partitioning), then a 5-row stats broadcast
+  // back onto the measures. Every double op is a fixed expression tree
+  // over exact operands — bit-identical across engines.
+  private val zscoreSql =
+    """WITH mm AS (
+      |  SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS m
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(m) AS DOUBLE) AS s, CAST(SUM(m * m) AS DOUBLE) AS ss
+      |  FROM mm GROUP BY event_type),
+      |stats AS (
+      |  SELECT event_type, n, s / n AS mean,
+      |    SQRT(ss / n - (s / n) * (s / n)) AS sd
+      |  FROM st)
+      |SELECT mm.event_type, MIN(stats.n) AS n,
+      |  MIN(stats.mean) AS mean, MIN(stats.sd) AS sd,
+      |  CAST(SUM(CASE WHEN ABS(CAST(mm.m AS DOUBLE) - stats.mean) > 3 * stats.sd
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM mm JOIN stats ON mm.event_type = stats.event_type
+      |GROUP BY mm.event_type""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // One damped PageRank power-iteration step over the user→content
+    // engagement graph the reference pipeline materializes — content
+    // authority from engagement edges. Integer fixed-point (1e6 = rank
+    // 1.0); see graft.operators.Graph for the arithmetic doctrine.
+    "graph_pagerank_step" -> QueryDef(
+      (s, d) => {
+        val edges = CdcMapping.fact(s, d)
+          .select(col("user_id").as("src"), col("content_id").as("dst"))
+          .distinct()
+        val nodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct()
+        Graph.pagerankStep(edges, nodes.withColumn("rank_fp", lit(Graph.RankOne)))
+      },
+      s"""WITH ${CdcMapping.factSql},
+         |edges AS (
+         |  SELECT DISTINCT user_id AS src, content_id AS dst FROM fact),
+         |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+         |share AS (
+         |  SELECT e.dst, CAST(FLOOR(${Graph.RankOne}.0 / g.d) AS BIGINT) AS c
+         |  FROM edges e JOIN deg g ON e.src = g.src),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |sums AS (SELECT dst AS node, SUM(c) AS in_mass FROM share GROUP BY dst)
+         |SELECT n.node,
+         |  CAST(${Graph.BaseFp} + FLOOR(${Graph.Damping} * COALESCE(s.in_mass, 0))
+         |       AS BIGINT) AS rank_fp
+         |FROM nodes n LEFT JOIN sums s ON n.node = s.node""".stripMargin),
+
+    // Time-series gap fill / resampling to a dense minute grid.
+    "ts_gapfill" -> QueryDef(
+      (s, d) => { Tables.registerAll(s, d)
+        s.sql(gapfillSql("EXPLODE(SEQUENCE(t0, t1, INTERVAL 1 MINUTE))")) },
+      gapfillSql("UNNEST(GENERATE_SERIES(t0, t1, INTERVAL 1 MINUTE))")),
+
+    // Weekly cohort retention matrix.
+    "analytics_retention" -> QueryDef(
+      (s, d) => { Tables.registerAll(s, d)
+        s.sql(retentionSql("DATEDIFF(CAST(u.wk AS DATE), CAST(c.cohort_wk AS DATE))")) },
+      retentionSql("DATE_DIFF('day', CAST(c.cohort_wk AS DATE), CAST(u.wk AS DATE))")),
+
+    // Exact z-score outliers per event type (shared SQL text).
+    "analytics_zscore" -> sqlBoth(zscoreSql),
+
+    // Inverted index over the corpus: token → document frequency +
+    // capped sorted posting list. Shape: one shuffle on the token key —
+    // the row_number window and the aggregation share partitioning, so
+    // Catalyst reuses the exchange. The deterministic 32-doc posting cap
+    // bounds per-token state against stopword-grade hot tokens (the
+    // full document frequency is still exact); posting rendered as a
+    // CSV string because raw array columns are not portable through the
+    // comparison harness.
+    "corpus_inverted_index" -> QueryDef(
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+          .filter(col("token") =!= "")
+        val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+        tok.withColumn("rn", row_number().over(w))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("df"),
+            array_join(
+              transform(sort_array(collect_list(when(col("rn") <= 32, col("doc_id")))),
+                _.cast("string")), ",").as("posting"))
+      },
+      s"""WITH tok AS (
+         |  SELECT DISTINCT doc_id, UNNEST(${OracleSql.tokens("text")}) AS token
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, token,
+         |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+         |  FROM tok WHERE token <> '')
+         |SELECT token, COUNT(*) AS df,
+         |  ARRAY_TO_STRING(LIST_SORT(LIST(doc_id) FILTER (rn <= 32)), ',') AS posting
+         |FROM ranked GROUP BY token""".stripMargin),
+
+    // Bloom-prefiltered fact→dim join: the sketch of the filtered
+    // orders keys drops non-matching lineitem rows before the shuffle;
+    // the exact join then removes false positives, so the result equals
+    // the plain join (which is the oracle). See graft.operators.BloomJoin.
+    "op_bloom_join" -> QueryDef(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val sketch = BloomJoin.keySketch(ord, col("o_orderkey"),
+          expectedItems = 1L << 17, numBits = 1L << 21)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .filter(BloomJoin.mightContain(sketch, col("l_orderkey")))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(year(col("o_orderdate")).as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast("decimal(12,2)"))
+              .cast("decimal(38,2)").cast("double").as("sum_price"))
+      },
+      """SELECT YEAR(o_orderdate) AS y, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin))
+}
