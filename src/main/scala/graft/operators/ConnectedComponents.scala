@@ -32,51 +32,87 @@ object ConnectedComponents {
     // the edge list is re-joined every round — pin it so an expensive
     // upstream (e.g. a MinHash candidate pipeline) runs once. Both edge
     // directions come from ONE pass via explode: a union of two selects
-    // would evaluate the (unpersisted) upstream twice inside the same job
+    // would evaluate the (unpersisted) upstream twice inside the same job.
+    // A self-loop per node is appended so each round's neighbor-minimum
+    // aggregation covers the node's OWN label too — that folds what would
+    // be a separate labels⋈neighbor-min join into the aggregation itself
+    // (one fewer exchange per round), and the self-loop row doubles as
+    // the carrier of the node's previous label for convergence checking.
     val sym = edges.select(explode(array(
         struct(col(aCol).as("src"), col(bCol).as("dst")),
         struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
+    val sym0 = sym.persist()
+    // State-proportional shuffle width for the iterative section. The
+    // edge/label state after candidate generation is orders of magnitude
+    // smaller than the corpus that produced it, so inheriting the
+    // corpus-wide spark.sql.shuffle.partitions burns a fixed per-round
+    // task-scheduling cost on mostly-empty partitions (measured 3-4x the
+    // actual work at small |V|). Size everything from the measured edge
+    // count instead — ~2M directed edges (≈32 MB) per partition, never
+    // wider than the session default: a billion-edge graph still fans
+    // out fully, a thousand-edge graph runs its rounds in one task.
+    // (The count also forces sym0, so the upstream candidate pipeline
+    // runs exactly once.)
+    val spark = edges.sparkSession
+    val confPartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val statePartitions = math.max(1L,
+      math.min(confPartitions.toLong, sym0.count() / 2000000L + 1)).toInt
+    // narrow the session's shuffle width for init + rounds, restored in
+    // the finally below. Session-scoped by nature: callers running
+    // unrelated queries on the same session CONCURRENTLY with run()
+    // would see the narrowed width — acceptable for a blocking batch
+    // operator.
+    val prevConf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    var changed = 1L
+    var i = 0
+    var labels: DataFrame = null
+    val symSelf = sym0
+      .union(sym0.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      // pin the static join side at the round width ONCE; every round's
+      // join then only re-shuffles the (small) label state
+      .repartition(statePartitions, col("dst"))
       .persist()
+    try {
     // localCheckpoint (not bare persist) each round: iterative DataFrame
     // algorithms grow their logical plan multiplicatively per iteration
     // — without truncating the lineage, Catalyst analysis itself blows
-    // the heap long before the data does
-    var labels = sym.select(col("src").as("node")).distinct()
+    // the heap long before the data does. Checkpointing also pins the
+    // groupBy's hash partitioning on `node`, which the next round's
+    // label join reuses instead of re-exchanging.
+    labels = symSelf.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
-    var changed = 1L
-    var i = 0
+    sym0.unpersist()
     while (changed > 0 && i < maxIter) {
-      // each node's candidate label: min over its neighbors' labels
-      val fromNeighbors = sym
+      // candidate label: min over neighbors' labels ∪ own label (via the
+      // self-loop); the self-loop row also carries the previous label out
+      val hop = symSelf
         .join(labels, col("dst") === col("node"))
-        .groupBy(col("src").as("node"))
-        .agg(min(col("label")).as("nb_label"))
-      val hop = labels.as("l")
-        .join(fromNeighbors.as("n"), Seq("node"), "left")
-        .select(col("node"), col("l.label").as("old"),
-          least(col("l.label"), coalesce(col("n.nb_label"), col("l.label")))
-            .as("label"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("l1"),
+          max(when(col("dst") === col("src"), col("label"))).as("old"))
+        .withColumnRenamed("src", "node")
       // pointer jumping (path compression): also adopt the label OF the
       // current label — remaining distance to the component minimum
       // halves each round, so rounds are O(log diameter) instead of
       // O(diameter) on chain-shaped components. The fixpoint is
       // unchanged: labels only ever decrease toward the same minimum.
-      // `old` rides along so convergence is one filter-count over the
-      // checkpointed round, not a re-join.
       val step = hop.as("s")
-        .join(hop.select(col("node").as("jn"), col("label").as("jl")).as("j"),
-          col("s.label") === col("j.jn"), "left")
+        .join(hop.select(col("node").as("jn"), col("l1").as("jl")).as("j"),
+          col("s.l1") === col("j.jn"), "left")
         .select(col("s.node").as("node"), col("s.old").as("old"),
-          least(col("s.label"), coalesce(col("j.jl"), col("s.label")))
+          least(col("s.l1"), coalesce(col("j.jl"), col("s.l1")))
             .as("label"))
         .localCheckpoint(true)
       changed = step.filter(col("label") =!= col("old")).count()
       labels = step.select(col("node"), col("label"))
       i += 1
     }
-    sym.unpersist()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevConf)
+    symSelf.unpersist()
     // Unconverged labels are wrong clusters — never return them silently.
     // Pointer jumping makes this O(log diameter), so hitting maxIter means
     // the caller's bound is badly undersized for the graph, not bad luck.
