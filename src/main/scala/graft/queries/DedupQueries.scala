@@ -221,6 +221,36 @@ object DedupQueries {
            |WHERE rn = 1""".stripMargin
       }),
 
+    // Deterministic weighted source mixing — the training-data recipe
+    // step: each source gets a sampling rate (here derived from a
+    // portable hash of the source name, 25-75%), each document an
+    // independent keep/drop decision from a portable hash of its id.
+    // Replay-safe on a cluster (no rand()), map-only before one tiny
+    // per-source aggregate, and the recipe is auditable: the output is
+    // the per-source (total, kept, rate) manifest.
+    "curate_source_mix" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        val rate = PortableHash.hash60(
+          concat(col("source"), lit("|rate"))) % 5000 + 2500
+        val kept = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|mix"))) % 10000 < rate
+        Tables.documents(s, d).groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(kept, 1)).as("n_kept"),
+            max(rate).cast("long").as("rate_bps"))
+      }, {
+        import graft.functions.PortableHash
+        val rateSql =
+          s"(${PortableHash.hash60Sql("source || '|rate'")} % 5000 + 2500)"
+        val keptSql =
+          s"${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|mix'")} % 10000 < $rateSql"
+        s"""SELECT source, COUNT(*) AS n_total,
+           |  COUNT(CASE WHEN $keptSql THEN 1 END) AS n_kept,
+           |  CAST(MAX($rateSql) AS BIGINT) AS rate_bps
+           |FROM documents GROUP BY source""".stripMargin
+      }),
+
     // Embedding-cosine near-dup: random-hyperplane LSH candidates, exact
     // cosine verification. Vectors quantized to integer-valued doubles so
     // all arithmetic is exact (order-independent, engine-portable).

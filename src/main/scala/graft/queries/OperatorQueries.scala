@@ -205,6 +205,34 @@ object OperatorQueries {
       (s, d) => { Tables.registerAll(s, d); s.sql(funnelSql) },
       funnelSql),
 
+    // Fuzzy (edit-distance) entity matching over the part-name
+    // dictionary. The 100 TB shape: dedupe to DISTINCT values first
+    // (a dictionary is bounded by vocabulary, not by row count), block
+    // candidates on a cheap key (shared last token) so the self-join is
+    // an equi-join, and run Levenshtein only on within-block candidate
+    // pairs — never all-pairs. Both engines share the identical
+    // block + distance semantics, so the SQL text is the oracle.
+    "op_fuzzy_join" -> QueryDef(
+      (s, d) => {
+        val names = Tables.part(s, d).select("p_name").distinct()
+          .withColumn("blk", regexp_extract(col("p_name"), "(\\S+)$", 1))
+        val a = names.select(col("p_name").as("name_a"), col("blk"))
+        val b = names.select(col("p_name").as("name_b"), col("blk"))
+        a.join(b, "blk")
+          .filter(col("name_a") < col("name_b"))
+          .withColumn("dist",
+            levenshtein(col("name_a"), col("name_b")).cast("long"))
+          .filter(col("dist") <= 4)
+          .select("name_a", "name_b", "dist")
+      },
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name,
+        |        regexp_extract(p_name, '(\S+)$', 1) AS blk FROM names)
+        |SELECT a.p_name AS name_a, b2.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+        |WHERE levenshtein(a.p_name, b2.p_name) <= 4""".stripMargin),
+
     // DataFrame pivot (explicit value list ⇒ stable schema at any SF).
     "op_pivot" -> QueryDef(
       (s, d) => {

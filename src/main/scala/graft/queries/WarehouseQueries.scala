@@ -124,6 +124,92 @@ object WarehouseQueries {
         |HAVING COUNT(DISTINCT o_orderpriority) =
         |  (SELECT COUNT(DISTINCT o_orderpriority) FROM orders)""".stripMargin),
 
+    // Data-quality constraint suite (the Deequ/expectations surface):
+    // completeness, key uniqueness, range, and referential checks as ONE
+    // metrics pass over the fact table plus one anti-join branch for the
+    // foreign key. The Spark side computes the scan metrics in a single
+    // aggregate row and unpivots it with stack — a 100 TB table is
+    // scanned once, not once per check (a WITH-CTE oracle re-inlines per
+    // reference, which DuckDB can afford at oracle SF). Referential
+    // integrity is a left-anti join: broadcast-able key side here; at
+    // dimension scale the bloom semi-join (BloomJoin) is the same shape.
+    "wh_dq_checks" -> QueryDef(
+      (s, d) => {
+        val m = Tables.orders(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("o_custkey").isNull, 1)).as("null_cust"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+          count(when(col("o_totalprice") <= 0, 1)).as("nonpos_price"),
+          count(when(col("o_orderdate") < lit("1992-01-01").cast("date") ||
+            col("o_orderdate") > lit("1998-12-31").cast("date"), 1))
+            .as("date_oob"))
+        val orph = Tables.orders(s, d).filter(col("o_custkey").isNotNull)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphans"))
+        m.crossJoin(orph).selectExpr(
+          """stack(6,
+            |  'completeness_custkey', null_cust,
+            |  'uniqueness_orderkey', dup_keys,
+            |  'range_totalprice_positive', nonpos_price,
+            |  'range_orderdate_1992_1998', date_oob,
+            |  'referential_custkey', orphans,
+            |  'row_count_nonzero', CAST(IF(n_rows > 0, 0, 1) AS BIGINT)
+            |) AS (check_name, violations)""".stripMargin)
+      },
+      """WITH m AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_cust,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_keys,
+        |    COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) AS nonpos_price,
+        |    COUNT(CASE WHEN o_orderdate < DATE '1992-01-01'
+        |                 OR o_orderdate > DATE '1998-12-31' THEN 1 END) AS date_oob
+        |  FROM orders),
+        |orph AS (
+        |  SELECT COUNT(*) AS orphans FROM orders o
+        |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS (
+        |    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |SELECT 'completeness_custkey' AS check_name,
+        |       CAST(null_cust AS BIGINT) AS violations FROM m
+        |UNION ALL SELECT 'uniqueness_orderkey', CAST(dup_keys AS BIGINT) FROM m
+        |UNION ALL SELECT 'range_totalprice_positive', CAST(nonpos_price AS BIGINT) FROM m
+        |UNION ALL SELECT 'range_orderdate_1992_1998', CAST(date_oob AS BIGINT) FROM m
+        |UNION ALL SELECT 'referential_custkey', CAST(orphans AS BIGINT) FROM orph
+        |UNION ALL SELECT 'row_count_nonzero',
+        |  CAST(CASE WHEN n_rows > 0 THEN 0 ELSE 1 END AS BIGINT) FROM m""".stripMargin),
+
+    // Incremental aggregate maintenance: a materialized per-type rollup
+    // is refreshed by MERGING algebraic partial states (count/sum/min/
+    // max — and avg as final sum/count), never by rescanning history.
+    // The Spark side computes per-(type, before/after-split) partials
+    // and merges them — exactly what a warehouse does with yesterday's
+    // stored partials plus today's delta; the oracle aggregates the
+    // whole table directly, proving merge == recompute. Measure is the
+    // exact integer millis-quantized value; avg is one IEEE division.
+    "wh_incremental_merge" -> QueryDef(
+      (s, d) => {
+        val split = lit("2024-01-16 00:00:00").cast("timestamp")
+        val partials = Tables.events(s, d)
+          .withColumn("m", floor(col("value") * 1000).cast("long"))
+          .withColumn("part", when(col("ts") < split, 0).otherwise(1))
+          .groupBy("event_type", "part")
+          .agg(count(lit(1)).as("n"), sum(col("m")).as("s"),
+            min(col("m")).as("mn"), max(col("m")).as("mx"))
+        partials.groupBy("event_type")
+          .agg(sum(col("n")).cast("long").as("n_events"),
+            sum(col("s")).cast("long").as("sum_m"),
+            min(col("mn")).as("min_m"), max(col("mx")).as("max_m"))
+          .withColumn("avg_m",
+            col("sum_m").cast("double") / col("n_events").cast("double"))
+      },
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_m,
+        |  MIN(CAST(FLOOR(value * 1000) AS BIGINT)) AS min_m,
+        |  MAX(CAST(FLOOR(value * 1000) AS BIGINT)) AS max_m,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE) /
+        |    CAST(COUNT(*) AS DOUBLE) AS avg_m
+        |FROM events GROUP BY event_type""".stripMargin),
+
     // Containment near-dup pairs: |A∩B| / min(|A|,|B|) over hashed
     // 2-gram shingles — catches subset-style duplication (a short doc
     // embedded in a longer one) that Jaccard's union denominator hides.
