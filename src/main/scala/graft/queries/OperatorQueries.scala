@@ -205,6 +205,33 @@ object OperatorQueries {
       (s, d) => { Tables.registerAll(s, d); s.sql(funnelSql) },
       funnelSql),
 
+    // Co-located join over bucketed layout: both tables are written ONCE
+    // bucketed+sorted by the join key, so the join itself plans with NO
+    // exchange on either side (PlanSpec pins this) — at 100 TB this is
+    // the difference between shuffling the fact table on every join and
+    // shuffling it once at layout time. The only remaining exchange is
+    // the tiny post-join rollup. Money in exact cents (FLOOR(x*100) is a
+    // single IEEE multiply, bit-identical across engines).
+    "op_bucket_join" -> QueryDef(
+      (s, d) => {
+        val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+        val base = s"${sys.props("java.io.tmpdir")}/graft_buckets/$tag"
+        graft.operators.Bucketing.writeBucketed(s, Tables.orders(s, d),
+          s"g_orders$tag", s"$base/orders", 8, "o_custkey")
+        graft.operators.Bucketing.writeBucketed(s, Tables.customer(s, d),
+          s"g_cust$tag", s"$base/customer", 8, "c_custkey")
+        s.table(s"g_orders$tag")
+          .join(s.table(s"g_cust$tag").hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      },
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c_mktsegment""".stripMargin),
+
     // Fuzzy (edit-distance) entity matching over the part-name
     // dictionary. The 100 TB shape: dedupe to DISTINCT values first
     // (a dictionary is bounded by vocabulary, not by row count), block

@@ -15,7 +15,8 @@ class PlanSpec extends SparkSpec {
     * set against every vector — linear in the corpus, not quadratic). */
   private val quadraticByDesign =
     Set("sim_knn_brute", "sim_knn_ivf", "sim_kmeans_step", "mm_knn",
-      "rel_cross_small") // 5×25 dimension product — the cross IS the query
+      "rel_cross_small", // 5×25 dimension product — the cross IS the query
+      "wh_dq_checks") // 1-row × 1-row scalar cross (metrics × orphan count)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -62,5 +63,18 @@ class PlanSpec extends SparkSpec {
 
   test("blocked containment keeps the same no-broadcast join shape") {
     plan("dedup_containment") should not include "BroadcastExchange"
+  }
+
+  test("bucketed join is exchange-free on the join key (co-located layout)") {
+    val p = plan("op_bucket_join")
+    p should include("SortMergeJoin")
+    p should include("Bucketed: true")
+    // the only exchange allowed is the post-join rollup on c_mktsegment;
+    // an exchange on the custkey join key means the bucket layout was
+    // not used — the plan that re-shuffles 100 TB on every join
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    exchanges.foreach { l =>
+      assert(l.contains("c_mktsegment"), s"join-key exchange in bucketed join: $l")
+    }
   }
 }
