@@ -141,5 +141,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => T.MinHashSig(c(0), intLit(c(1), "minhash_sig")) })
     ext.injectFunction(fn("simhash16", classOf[T.SimHash16]) {
       c => T.SimHash16(c(0)) })
+    // bound-prune levenshtein(a,b) <= k behind an O(1) length guard
+    ext.injectOptimizerRule(_ => graft.plans.EditDistancePruning)
   }
 }
