@@ -29,6 +29,31 @@ object OperatorQueries {
       |       (SELECT COUNT(*) FROM c) AS n_clicked_after,
       |       (SELECT COUNT(*) FROM p) AS n_purchased_after""".stripMargin
 
+  /** 16-bit-per-dimension Morton (z-order) key as portable arithmetic:
+    * bit i of v is `CASE WHEN v % 2^(i+1) >= 2^i THEN 1 END`, placed at
+    * even positions for x and odd for y. `dayDiff` is the dialect's
+    * day-difference expression (the one non-shared fragment). */
+  private def zorderSql(dayDiff: String): String = {
+    def bits(v: String, offset: Int) = (0 until 16).map { i =>
+      val p1 = 1L << i; val p2 = 1L << (i + 1)
+      val w = 1L << (2 * i + offset)
+      // CAST (not a dialect literal suffix): every term BIGINT in both
+      // engines, so no intermediate-width edge cases in the 32-term sum
+      s"(CASE WHEN $v % $p2 >= $p1 THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    val z = s"${bits("x", 0)} + ${bits("y", 1)}"
+    s"""WITH dims AS (
+       |  SELECT CAST(o_custkey % 65536 AS BIGINT) AS x,
+       |         CAST(($dayDiff) % 65536 AS BIGINT) AS y
+       |  FROM orders),
+       |keyed AS (SELECT x, y, $z AS z FROM dims)
+       |SELECT CAST((z - z % 4096) / 4096 AS BIGINT) AS zbucket,
+       |  COUNT(*) AS n,
+       |  MIN(x) AS min_x, MAX(x) AS max_x,
+       |  MIN(y) AS min_y, MAX(y) AS max_y
+       |FROM keyed GROUP BY 1""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Backward as-of join: each click is matched to the user's latest
@@ -204,6 +229,24 @@ object OperatorQueries {
     "op_funnel" -> QueryDef(
       (s, d) => { Tables.registerAll(s, d); s.sql(funnelSql) },
       funnelSql),
+
+    // Z-order layout: interleave the bits of two clustering dimensions
+    // (customer key, order date) into one Morton key, range-bucket on
+    // it, and report each bucket's bounding box. The point of the curve:
+    // buckets are tight in BOTH dimensions at once, so a scan filtered
+    // on either column can skip most buckets (min/max pruning) — the
+    // multi-dimensional generalization of sort-by-one-column, and the
+    // standard layout trick for 100 TB fact tables queried on several
+    // keys. Bit extraction is pure +/%/>= arithmetic (identical in both
+    // engines; no dialect bit operators), dates via a day-difference
+    // term that is the only dialect-specific fragment. ZOrderSpec pins
+    // the locality claim itself (bucket boxes ≪ global box).
+    "op_zorder_layout" -> QueryDef(
+      (s, d) => {
+        Tables.registerAll(s, d)
+        s.sql(zorderSql("DATEDIFF(o_orderdate, DATE '1992-01-01')"))
+      },
+      zorderSql("DATEDIFF('day', DATE '1992-01-01', o_orderdate)")),
 
     // Co-located join over bucketed layout: both tables are written ONCE
     // bucketed+sorted by the join key, so the join itself plans with NO
