@@ -230,6 +230,36 @@ object OperatorQueries {
       (s, d) => { Tables.registerAll(s, d); s.sql(funnelSql) },
       funnelSql),
 
+    // Fixed-size-per-group sample (the reservoir shape, made replay-safe):
+    // rank rows within each group by a portable hash of the row id and
+    // keep the first K — a deterministic uniform-without-replacement
+    // sample that any retried task reproduces. Spark plans the rank
+    // filter as WindowGroupLimit (PlanSpec pins it): each map task keeps
+    // only its local top-K per group BEFORE the shuffle, so the
+    // exchange carries O(groups × K) rows, not the table.
+    "op_reservoir_sample" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(graft.functions.PortableHash.hash60(
+            concat(col("event_id").cast("string"), lit("|rsv"))),
+            col("event_id"))
+        Tables.events(s, d)
+          .select(col("event_type"), col("event_id"), col("user_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 100)
+          .select(col("event_type"), col("event_id"), col("user_id"),
+            col("rn").cast("long").as("rn"))
+      },
+      s"""SELECT event_type, event_id, user_id, CAST(rn AS BIGINT) AS rn
+         |FROM (
+         |  SELECT event_type, event_id, user_id,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ${graft.functions.PortableHash.hash60Sql(
+                  "CAST(event_id AS VARCHAR) || '|rsv'")}, event_id) AS rn
+         |  FROM events)
+         |WHERE rn <= 100""".stripMargin),
+
     // Z-order layout: interleave the bits of two clustering dimensions
     // (customer key, order date) into one Morton key, range-bucket on
     // it, and report each bucket's bounding box. The point of the curve:

@@ -139,6 +139,27 @@ object StreamingPipeline {
     exactDedupStream(gated, textCol, tsCol, watermark)
   }
 
+  /** Streaming data-quality gate: row-level constraint checks as
+    * map-only column expressions, so a 100 TB/day stream is gated with
+    * ZERO state — rows route to the clean stream or, with the failed
+    * check names attached, to a quarantine channel (the streaming twin
+    * of the batch `wh_dq_checks` table-level suite; per-batch metric
+    * totals belong in a foreachBatch aggregation over these flags).
+    * Checks: non-null key, value within [lo, hi], parseable timestamp.
+    * Returns (clean, quarantined). */
+  def dqGateStream(rows: DataFrame, keyCol: String, valueCol: String,
+      lo: Double, hi: Double, tsCol: String): (DataFrame, DataFrame) = {
+    val failed = array_compact(array(
+      when(col(keyCol).isNull, lit(s"null_$keyCol")),
+      when(col(valueCol).isNull ||
+        col(valueCol) < lo || col(valueCol) > hi, lit(s"range_$valueCol")),
+      when(col(tsCol).isNull, lit(s"null_$tsCol"))))
+    val flagged = rows.withColumn("__failed", failed)
+    (flagged.filter(size(col("__failed")) === 0).drop("__failed"),
+      flagged.filter(size(col("__failed")) > 0)
+        .withColumn("failed_checks", col("__failed")).drop("__failed"))
+  }
+
   /** Stream-stream interval join: each left event pairs with right
     * events of the same key whose timestamp falls in
     * `[leftTs − lookbackSeconds, leftTs]` — the attribution join

@@ -65,6 +65,12 @@ class PlanSpec extends SparkSpec {
     plan("dedup_containment") should not include "BroadcastExchange"
   }
 
+  test("per-group sample pushes the rank limit below the shuffle") {
+    // WindowGroupLimit keeps each task's local top-K per group before
+    // the exchange — without it the sample shuffles the whole table
+    plan("op_reservoir_sample") should include("WindowGroupLimit")
+  }
+
   test("bucketed join is exchange-free on the join key (co-located layout)") {
     val p = plan("op_bucket_join")
     p should include("SortMergeJoin")

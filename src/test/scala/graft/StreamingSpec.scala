@@ -210,6 +210,31 @@ class StreamingSpec extends SparkSpec {
       Array(1L)
   }
 
+  test("streaming DQ gate routes rows to clean vs quarantine with check names") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.lang.Long, java.lang.Double, Timestamp)]
+    val (clean, bad) = StreamingPipeline.dqGateStream(
+      in.toDF().toDF("key", "value", "ts"), "key", "value", 0.0, 100.0, "ts")
+    val q1 = clean.writeStream.format("memory").queryName("dq_clean")
+      .outputMode("append").start()
+    val q2 = bad.writeStream.format("memory").queryName("dq_bad")
+      .outputMode("append").start()
+    in.addData(
+      (1L: java.lang.Long, 50.0: java.lang.Double, ts("2025-08-08 10:00:00")),
+      (null.asInstanceOf[java.lang.Long], 60.0: java.lang.Double, ts("2025-08-08 10:00:01")),
+      (3L: java.lang.Long, 150.0: java.lang.Double, ts("2025-08-08 10:00:02")),
+      (4L: java.lang.Long, null.asInstanceOf[java.lang.Double], ts("2025-08-08 10:00:03")))
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    spark.table("dq_clean").select("key").as[Long].collect() shouldBe Array(1L)
+    val quarantined = spark.table("dq_bad").collect()
+      .map(r => Option(r.getAs[java.lang.Long]("key")).map(_.toLong) ->
+        r.getAs[scala.collection.Seq[String]]("failed_checks").toSeq).toMap
+    quarantined(None) shouldBe Seq("null_key")
+    quarantined(Some(3L)) shouldBe Seq("range_value")
+    quarantined(Some(4L)) shouldBe Seq("range_value")
+  }
+
   test("stream-stream interval join pairs clicks with in-horizon views only") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, String, Timestamp)]
