@@ -143,5 +143,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => T.SimHash16(c(0)) })
     // bound-prune levenshtein(a,b) <= k behind an O(1) length guard
     ext.injectOptimizerRule(_ => graft.plans.EditDistancePruning)
+    // plan FunnelMatch logical nodes as the sorted-sweep FunnelExec
+    ext.injectPlannerStrategy(_ => graft.plans.FunnelStrategy)
   }
 }

@@ -333,6 +333,24 @@ object OperatorQueries {
         |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
         |WHERE levenshtein(a.p_name, b2.p_name) <= 4""".stripMargin),
 
+    // The same funnel through the custom FunnelMatch operator (logical
+    // node + strategy + sorted-sweep exec): ONE shuffle + sort of the
+    // fact table for any step count, vs one aggregation+join per step
+    // in op_funnel's composed form. Same oracle — the operators must
+    // agree row-for-row.
+    "op_funnel_native" -> QueryDef(
+      (s, d) => {
+        val f = graft.plans.Funnel.funnel(
+          Tables.events(s, d), "user_id", "ts", Seq(
+            col("event_type") === "view",
+            col("event_type") === "click",
+            col("event_type") === "purchase"))
+        f.agg(count(col("step0_ts")).as("n_viewed"),
+          count(col("step1_ts")).as("n_clicked_after"),
+          count(col("step2_ts")).as("n_purchased_after"))
+      },
+      funnelSql),
+
     // DataFrame pivot (explicit value list ⇒ stable schema at any SF).
     "op_pivot" -> QueryDef(
       (s, d) => {

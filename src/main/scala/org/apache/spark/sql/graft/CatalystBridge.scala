@@ -13,6 +13,14 @@ object CatalystBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame over a custom LogicalPlan — `Dataset.ofRows` is
+    * `private[sql]` in Spark 4 classic. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Apply a `SparkSessionExtensions` function set to a LIVE session's
     * registry — what `spark.sql.extensions` does at session build, made
     * testable without tearing down the shared test session. */
