@@ -131,6 +131,33 @@ object AnalyticsQueries {
     // Exact z-score outliers per event type (shared SQL text).
     "analytics_zscore" -> sqlBoth(zscoreSql),
 
+    // Pearson correlation (value vs hour-of-day, per event type) from
+    // exact integer moments: one aggregation collects BIGINT
+    // sums/cross-sums (x ≤ 500, y ≤ 23 keep every product far inside
+    // int64 at any SF), then the r formula runs at the single-row edge
+    // — 2 sqrt + 1 mul + 1 div, each a correctly-rounded IEEE op, so
+    // both engines emit the identical double. The same map-side-partial
+    // one-shuffle shape as every moments aggregate here; built-in
+    // corr() would stream doubles and be merge-order-dependent.
+    "analytics_corr" -> sqlBoth(
+      """WITH m AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(value) AS BIGINT) AS x,
+        |    CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS y
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM m GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy
+        |FROM st""".stripMargin),
+
     // Inverted index over the corpus: token → document frequency +
     // capped sorted posting list. Shape: one shuffle on the token key —
     // the row_number window and the aggregation share partitioning, so

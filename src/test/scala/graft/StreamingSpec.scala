@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.streaming.{StatefulEnricher, StreamingPipeline}
+import graft.streaming.{StatefulEnricher, StreamingFunnel, StreamingPipeline}
 
 /** End-to-end Structured Streaming semantics over MemoryStream feeds:
   * CDC parse → enrich → views, watermarked windows, KV upserts, and the
@@ -233,6 +233,30 @@ class StreamingSpec extends SparkSpec {
     quarantined(None) shouldBe Seq("null_key")
     quarantined(Some(3L)) shouldBe Seq("range_value")
     quarantined(Some(4L)) shouldBe Seq("range_value")
+  }
+
+  test("streaming funnel advances per-key state across batches, ignores regressions") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int, Timestamp)]
+    val out = StreamingFunnel.funnelStream(
+      in.toDF().toDF("key", "step", "ts"), nSteps = 3)
+    val q = out.toDF().writeStream.format("memory").queryName("sfunnel")
+      .outputMode("update").start()
+    in.addData(
+      ("u1", 0, ts("2025-08-08 10:00:00")),
+      ("u1", 1, ts("2025-08-08 10:01:00")),
+      ("u2", 1, ts("2025-08-08 10:00:00")), // click before any view: no entry
+      ("u3", 0, ts("2025-08-08 10:00:30")))
+    q.processAllAvailable()
+    in.addData(
+      ("u1", 2, ts("2025-08-08 10:05:00")), // completes across batches
+      ("u3", 1, ts("2025-08-08 10:00:00"))) // earlier than u3's view: ignored
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.table("sfunnel").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getInt(1)).max }
+    latest shouldBe Map("u1" -> 3, "u3" -> 1)
   }
 
   test("stream-stream interval join pairs clicks with in-horizon views only") {
