@@ -221,6 +221,40 @@ object DedupQueries {
            |WHERE rn = 1""".stripMargin
       }),
 
+    // EXACT near-dup pairs by prefix filtering (AllPairs/PPJoin): sets
+    // with Jaccard >= 0.8 must share a token in the first ~20% of their
+    // sorted shingle arrays, so only that prefix explodes into the
+    // candidate join — no blocking attribute, no bands, no recall loss.
+    // The complement of dedup_minhash_pairs (probabilistic recall) and
+    // dedup_ngram_jaccard (attribute-blocked): this one is exhaustive
+    // at high thresholds, with candidates still bounded by prefix
+    // sharing + size-ratio pruning.
+    "dedup_prefix_jaccard" -> QueryDef(
+      (s, d) => Dedup.prefixJaccardPairs(
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(2)) === 0)
+          .select(col("doc_id"), Dedup.hashedShingles(col("text"), 2).as("sh2")),
+        "doc_id", "sh2", threshold = 0.8),
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_sort(list_distinct(
+         |    list_transform(${shingles(tokens("text"), 2)},
+         |      s -> ${graft.functions.PortableHash.hash60Sql("s")}))) AS sh2
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |sized AS (SELECT doc_id, sh2, len(sh2) AS sz FROM sh),
+         |pref AS (
+         |  SELECT doc_id, sz,
+         |    UNNEST(sh2[1 : sz - CAST(FLOOR(sz * 0.8) AS INT) + 1]) AS tok
+         |  FROM sized),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM pref x JOIN pref y ON x.tok = y.tok AND x.doc_id < y.doc_id
+         |    AND y.sz >= x.sz * 0.8 AND x.sz >= y.sz * 0.8)
+         |SELECT c.a, c.b, ${jaccard("xa.sh2", "yb.sh2")} AS jaccard
+         |FROM cand c
+         |JOIN sized xa ON xa.doc_id = c.a
+         |JOIN sized yb ON yb.doc_id = c.b
+         |WHERE ${jaccard("xa.sh2", "yb.sh2")} >= 0.8""".stripMargin),
+
     // Deterministic weighted source mixing — the training-data recipe
     // step: each source gets a sampling rate (here derived from a
     // portable hash of the source name, 25-75%), each document an

@@ -55,6 +55,34 @@ class DedupSpec extends SparkSpec {
     pairs.head.getAs[Double]("jaccard") shouldBe (10.0 / 11.0)
   }
 
+  test("prefixJaccardPairs is exhaustive: identical pairs to brute force") {
+    // seeded corpus with planted near-dups at several overlap levels —
+    // the prefix filter must lose NOTHING relative to all-pairs
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val bases = Seq.tabulate(12)(_ =>
+      Seq.fill(14)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = (bases.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      bases.take(5).zipWithIndex.map { case (t, i) =>
+        ((100 + i).toLong, t + " extraword") // high-overlap variants
+      }).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.hashedShingles(col("text"), 1).as("sh"))
+
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+
+    val brute = docs.as("x").join(docs.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        Dedup.jaccardSorted(col("x.sh"), col("y.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+    val prefix = Dedup.prefixJaccardPairs(docs, "doc_id", "sh", 0.6)
+
+    pairSet(prefix) shouldBe pairSet(brute)
+    pairSet(prefix) should not be empty
+  }
+
   test("LSH candidate generation never pairs identical-signature docs apart") {
     // identical docs must share every band → always candidates
     val docs = Seq((1L, "same words here"), (2L, "same words here"))
