@@ -230,6 +230,37 @@ object OperatorQueries {
       (s, d) => { Tables.registerAll(s, d); s.sql(funnelSql) },
       funnelSql),
 
+    // GROUPED top-K via the incremental UDAF: top-3 users by exact
+    // integer-quantized engagement per event type, each group maintained
+    // in a k-bounded associative buffer (map-side partials carry ≤ k
+    // entries per group — the shuffle never sees the full table; a
+    // window-rank would sort every group's rows). Scores made unique by
+    // a (value, user) composite so the (score DESC, member ASC) order is
+    // total on both engines.
+    "op_topk_grouped" -> QueryDef(
+      (s, d) => {
+        val scored = Tables.events(s, d)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("score_i"))
+          .select(col("event_type"), col("user_id").cast("string").as("member"),
+            col("score_i").cast("double").as("score"))
+        scored.groupBy(col("event_type"))
+          .agg(graft.functions.TopKAggregator.topK(3)(
+            col("member"), col("score")).as("tk"))
+          .select(col("event_type"), explode(col("tk")).as("e"))
+          .select(col("event_type"), col("e._1").as("member"),
+            col("e._2").as("score"))
+      },
+      """WITH scored AS (
+        |  SELECT event_type, CAST(user_id AS VARCHAR) AS member,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS DOUBLE) AS score
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, member, score FROM (
+        |  SELECT event_type, member, score,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY score DESC, member ASC) AS rk
+        |  FROM scored) t WHERE rk <= 3""".stripMargin),
+
     // Fixed-size-per-group sample (the reservoir shape, made replay-safe):
     // rank rows within each group by a portable hash of the row id and
     // keep the first K — a deterministic uniform-without-replacement
