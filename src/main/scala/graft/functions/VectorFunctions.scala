@@ -141,6 +141,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => T.MinHashSig(c(0), intLit(c(1), "minhash_sig")) })
     ext.injectFunction(fn("simhash16", classOf[T.SimHash16]) {
       c => T.SimHash16(c(0)) })
+    ext.injectFunction(fn("morton_interleave16",
+        classOf[MortonFunctions.MortonInterleave16]) {
+      c => MortonFunctions.MortonInterleave16(c(0), c(1)) })
     // bound-prune levenshtein(a,b) <= k behind an O(1) length guard
     ext.injectOptimizerRule(_ => graft.plans.EditDistancePruning)
     // plan FunnelMatch logical nodes as the sorted-sweep FunnelExec

@@ -304,8 +304,21 @@ object OperatorQueries {
     // the locality claim itself (bucket boxes ≪ global box).
     "op_zorder_layout" -> QueryDef(
       (s, d) => {
-        Tables.registerAll(s, d)
-        s.sql(zorderSql("DATEDIFF(o_orderdate, DATE '1992-01-01')"))
+        // Spark side: the native bit-twiddling Morton expression (whole-
+        // stage codegen) — bit-identical to the oracle's 32-term CASE
+        // arithmetic, pinned by MortonSpec
+        val dims = Tables.orders(s, d).select(
+          (col("o_custkey") % 65536).cast("long").as("x"),
+          (datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            % 65536).cast("long").as("y"))
+        dims
+          .withColumn("z", graft.functions.MortonFunctions
+            .mortonInterleave16(col("x"), col("y")))
+          .groupBy(((col("z") - col("z") % 4096) / 4096).cast("long")
+            .as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            min("x").as("min_x"), max("x").as("max_x"),
+            min("y").as("min_y"), max("y").as("max_y"))
       },
       zorderSql("DATEDIFF('day', DATE '1992-01-01', o_orderdate)")),
 

@@ -46,6 +46,10 @@ class ExtensionsSpec extends SparkSpec {
     sql1("SELECT simhash16(array('a','b','c')) AS s").getLong(0) shouldBe fromApi
   }
 
+  test("morton_interleave16 from SQL") {
+    sql1("SELECT morton_interleave16(3L, 1L) AS z").getLong(0) shouldBe 7L
+  }
+
   test("literal-parameter contract is enforced with a clear error") {
     installed
     val e = intercept[Exception] {
