@@ -139,6 +139,31 @@ object AnalyticsQueries {
     // both engines emit the identical double. The same map-side-partial
     // one-shuffle shape as every moments aggregate here; built-in
     // corr() would stream doubles and be merge-order-dependent.
+    // Market-basket co-occurrence with lift: item pairs sharing an
+    // order, support-thresholded, lift from exact integer counts with
+    // ONE IEEE division at the edge. Scale shape: the self-join keys on
+    // l_orderkey (baskets are small, so the per-key pair fan-out is
+    // bounded by basket size squared — no global quadratic), and the
+    // per-item frequency side is dimension-sized (broadcast-able).
+    "analytics_basket_pairs" -> sqlBoth(
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+        |freq AS (
+        |  SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p.p1, p.p2, CAST(p.support AS BIGINT) AS support,
+        |  CAST(p.support * n.n_orders AS DOUBLE) /
+        |    CAST(f1.cnt * f2.cnt AS DOUBLE) AS lift
+        |FROM pairs p CROSS JOIN n
+        |JOIN freq f1 ON f1.l_partkey = p.p1
+        |JOIN freq f2 ON f2.l_partkey = p.p2
+        |WHERE p.support >= 3""".stripMargin),
+
     "analytics_corr" -> sqlBoth(
       """WITH m AS (
         |  SELECT event_type,
