@@ -148,7 +148,6 @@ object AnalyticsQueries {
     "analytics_basket_pairs" -> sqlBoth(
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
         |freq AS (
         |  SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY l_partkey),
         |pairs AS (
@@ -157,9 +156,10 @@ object AnalyticsQueries {
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2)
         |SELECT p.p1, p.p2, CAST(p.support AS BIGINT) AS support,
-        |  CAST(p.support * n.n_orders AS DOUBLE) /
+        |  CAST(p.support *
+        |    (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS DOUBLE) /
         |    CAST(f1.cnt * f2.cnt AS DOUBLE) AS lift
-        |FROM pairs p CROSS JOIN n
+        |FROM pairs p
         |JOIN freq f1 ON f1.l_partkey = p.p1
         |JOIN freq f2 ON f2.l_partkey = p.p2
         |WHERE p.support >= 3""".stripMargin),
