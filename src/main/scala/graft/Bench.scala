@@ -1,11 +1,32 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
   /** Force FULL evaluation of every output column via the no-op sink.
     * `.count()` would let Catalyst prune unused projections, so map-only
     * queries would time the scan instead of their expression work. */
   private def force(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Headline queries reported per-query on the metric line. The driver
+    * captures only the LAST 2000 bytes of output, so the line must stay
+    * compact — every other registered query still runs (and counts into
+    * `value`), with its timing written to bench_detail.json instead.
+    * The set spans each family: the CDC pipeline stages the reference's
+    * SLOs are defined over, the TPC-H-shaped heavy hitters, the dedup /
+    * similarity / text LLM-pipeline operators, and the custom-plan ops. */
+  private val Headline: Seq[String] = Seq(
+    "cdc_parse_roundtrip", "cdc_enrich", "cdc_leaderboard",
+    "cdc_content_stats", "cdc_minute_windows", "cdc_warehouse_hour",
+    "rel_pricing_summary", "rel_order_revenue", "rel_nation_revenue",
+    "rel_window_funcs", "adv_grouping_sets",
+    "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_cosine",
+    "dedup_components", "curate_corpus",
+    "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf",
+    "text_quality", "text_langid", "op_asof_join", "op_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,12 +51,7 @@ object Bench {
       }
       name -> times.min
     }
-    // millisecond precision: the metric line is parsed from a bounded
-    // tail-capture of the process output, so keep it compact — full
-    // nanosecond digits once pushed the line past the capture window.
     def sec3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // End-to-end pipeline throughput (BASELINE.md's rec/s SLO): CDC JSON
     // → parse → enrich → all four views, one shared enriched pass.
@@ -63,11 +79,23 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       (n, n / dt)
     } catch { case _: Throwable => (0L, 0.0) }
+    // Full per-query detail goes to a file — the stdout metric line is
+    // tail-captured by the caller with a 2000-byte window, and 100+
+    // query entries overflowed it (rounds 1-3 parsed as null).
+    val all = results.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
+      .mkString("{", ",", "}")
+    try Files.write(Paths.get("bench_detail.json"),
+      s"""{"total":${sec3(total)},"queries":$all,"sf":"$sfDir"}"""
+        .getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    val byName = results.toMap
+    val qs = Headline.flatMap(n => byName.get(n).map(v => s"\"$n\":" + sec3(v)))
+      .mkString("{", ",", "}")
     // BASELINE.md gates, surfaced directly: leaderboard micro-batch
     // latency (≤10 s target) and pipeline rec/s (≥1,667 target).
-    val lbSec = results.toMap.getOrElse("cdc_leaderboard", -1.0)
+    val lbSec = byName.getOrElse("cdc_leaderboard", -1.0)
     println(s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
-      s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
+      s""""queries_run":${results.size},"pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
       s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
