@@ -131,6 +131,29 @@ object AnalyticsQueries {
     // Exact z-score outliers per event type (shared SQL text).
     "analytics_zscore" -> sqlBoth(zscoreSql),
 
+    // Event-transition matrix (first-order Markov step): per-user
+    // consecutive event-type bigrams via LEAD over ONE shuffle on
+    // user_id, counts + row-normalized transition probability. The
+    // probability is one IEEE division of two exact BIGINTs at the
+    // query edge — engine-portable. At 100 TB the window shuffles the
+    // fact table once on user_id (the same partitioning sessionization
+    // and funnel use), and the transition matrix itself is |types|² —
+    // driver-tiny regardless of SF.
+    "analytics_transitions" -> sqlBoth(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    LEAD(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS src_type, next_type AS dst_type,
+        |    COUNT(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL
+        |  GROUP BY event_type, next_type)
+        |SELECT src_type, dst_type, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE) AS p
+        |FROM t""".stripMargin),
+
     // Pearson correlation (value vs hour-of-day, per event type) from
     // exact integer moments: one aggregation collects BIGINT
     // sums/cross-sums (x ≤ 500, y ≤ 23 keep every product far inside

@@ -16,27 +16,54 @@ object MultimodalQueries {
 
   /** f0..f7 recomputed from the payload bytes in SQL: exact integer
     * byte sums per residue class, then one float32 division — the same
-    * bits [[graft.operators.Multimodal.FakeDecoder]] produces. */
-  private val featuresOracle: String = {
+    * bits [[graft.operators.Multimodal.FakeDecoder]] produces. Split as
+    * (CTE list, final SELECT) so mm_knn can reuse the feature derivation
+    * as a sub-CTE of its own oracle. */
+  private val featuresCtes: String =
+    """b AS (
+      |  SELECT doc_id, text, strlen(text) AS n,
+      |         unnest(range(strlen(text))) AS pos
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, CAST(pos AS INT) % 8 AS d,
+      |         ord(substr(text, CAST(pos AS INT) + 1, 1)) AS byte
+      |  FROM b)""".stripMargin
+
+  private val featuresSelect: String = {
     val fcols = (0 until 8).map { d =>
       s"""  CAST(CAST(SUM(CASE WHEN d = $d THEN byte ELSE 0 END) AS REAL)
          |       / CAST(255 * GREATEST(1, n // 8) AS REAL) AS DOUBLE) AS f$d""".stripMargin
     }.mkString(",\n")
-    s"""WITH b AS (
-       |  SELECT doc_id, text, strlen(text) AS n,
-       |         unnest(range(strlen(text))) AS pos
-       |  FROM documents),
-       |s AS (
-       |  SELECT doc_id, n, CAST(pos AS INT) % 8 AS d,
-       |         ord(substr(text, CAST(pos AS INT) + 1, 1)) AS byte
-       |  FROM b)
-       |SELECT doc_id AS media_id,
+    s"""SELECT doc_id AS media_id,
        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
        |       WHEN doc_id % 3 = 1 THEN 'audio'
        |       ELSE 'video' END AS kind,
        |  CAST(n AS BIGINT) AS n_bytes,
        |$fcols
        |FROM s GROUP BY doc_id, n""".stripMargin
+  }
+
+  private val featuresOracle: String = s"WITH $featuresCtes\n$featuresSelect"
+
+  /** mm_knn oracle: the feature derivation above, quantized like the
+    * Spark side (`round(f * 1000)` — exact integer-valued doubles), then
+    * brute-force cosine top-5 with the engine-stable (round-9, id)
+    * tie-break of [[graft.operators.Similarity.knnBruteForce]]. */
+  private val knnOracle: String = {
+    val v = (0 until 8).map(d => s"round(f$d * 1000)").mkString("[", ", ", "]")
+    s"""WITH $featuresCtes,
+       |feats AS ($featuresSelect),
+       |e AS (SELECT media_id, $v AS v FROM feats),
+       |sc AS (
+       |  SELECT q.media_id AS query_id, c.media_id AS neighbor_id,
+       |    round(${OracleSql.cosine("q.v", "c.v", 8)}, 9) AS cos9
+       |  FROM e q, e c
+       |  WHERE q.media_id % 25 = 0 AND c.media_id <> q.media_id)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cos9 FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= 5""".stripMargin
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -97,8 +124,9 @@ object MultimodalQueries {
 
     // Composition: decoded media features → similarity search (the
     // image-dedup/retrieval pipeline shape: decode partition-locally,
-    // then the candidate-pruned ANN machinery takes over). Rows-only
-    // (the decoder is not SQL-expressible); shape pinned in spec.
+    // then the candidate-pruned ANN machinery takes over). Oracled: the
+    // fake decoder's byte arithmetic is SQL-expressible (same CTEs as
+    // mm_features), so the whole composition is hash-checked end to end.
     "mm_knn" -> QueryDef(
       (s, d) => {
         val feats = Multimodal.extractFeatures(
@@ -111,5 +139,5 @@ object MultimodalQueries {
           "media_id", "qv", 5)
           .withColumn("rank", col("rank").cast("long"))
       },
-      None))
+      knnOracle))
 }

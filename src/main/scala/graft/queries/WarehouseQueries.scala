@@ -58,6 +58,67 @@ object WarehouseQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // Snapshot diff — classify every key as added / removed / changed
+    // between two table versions (the audit primitive behind CDC
+    // reconciliation and time-travel diffs). One full-outer join
+    // shuffling both snapshots on the key; unchanged keys are dropped
+    // post-join. At 100 TB the join keys on the table's natural key, so
+    // AQE handles skew and partition-pruned snapshots (diff only touched
+    // partitions) keep the shuffle proportional to the delta, not the
+    // table. Snapshots are derived deterministically from `orders` so
+    // the oracle rebuilds the identical pair.
+    "wh_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val old = o.filter(pmod(col("o_orderkey"), lit(19)) =!= 3)
+          .select(col("o_orderkey"), col("o_orderstatus").as("old_status"))
+        val neu = o.filter(pmod(col("o_orderkey"), lit(23)) =!= 5)
+          .select(col("o_orderkey"),
+            when(pmod(col("o_orderkey"), lit(7)) === 0, lit("X"))
+              .otherwise(col("o_orderstatus")).as("new_status"))
+        old.join(neu, Seq("o_orderkey"), "full_outer")
+          .withColumn("change_type",
+            when(col("old_status").isNull, "added")
+              .when(col("new_status").isNull, "removed")
+              .when(col("old_status") =!= col("new_status"), "changed"))
+          .filter(col("change_type").isNotNull)
+          .select("o_orderkey", "change_type", "old_status", "new_status")
+      },
+      """WITH olds AS (
+        |  SELECT o_orderkey, o_orderstatus AS old_status FROM orders
+        |  WHERE o_orderkey % 19 <> 3),
+        |news AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS new_status
+        |  FROM orders WHERE o_orderkey % 23 <> 5),
+        |j AS (
+        |  SELECT COALESCE(olds.o_orderkey, news.o_orderkey) AS o_orderkey,
+        |    old_status, new_status,
+        |    CASE WHEN olds.o_orderkey IS NULL THEN 'added'
+        |         WHEN news.o_orderkey IS NULL THEN 'removed'
+        |         WHEN old_status <> new_status THEN 'changed' END AS change_type
+        |  FROM olds FULL OUTER JOIN news ON olds.o_orderkey = news.o_orderkey)
+        |SELECT o_orderkey, change_type, old_status, new_status
+        |FROM j WHERE change_type IS NOT NULL""".stripMargin),
+
+    // Compaction planning — the small-files problem at 100 TB: pack
+    // files (here: documents as (id, size) stand-ins) into target-sized
+    // output bins by running size, per source partition. One window
+    // cumsum over a shuffle on `source` (bounded partitions), then a
+    // hash aggregation; the plan rows are per-bin, so the output is
+    // tiny at any SF. Shared SQL text — the running sum, FLOOR division
+    // and aggregates are dialect-portable.
+    "wh_compaction_plan" -> sqlBoth(
+      """WITH f AS (
+        |  SELECT source, doc_id, n_chars,
+        |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents)
+        |SELECT source, CAST(FLOOR(cum_before / 4000) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+        |  MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+        |FROM f GROUP BY 1, 2""".stripMargin),
+
     // SCD Type-2 history from the CDC changelog: each change row of a key
     // becomes a version with [valid_from, valid_to) bounds; the open
     // version is current. One shuffle on the key, one in-partition sort —
