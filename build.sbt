@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench driver captures `sbt "runMain graft.Bench" 2>&1 |
+// tail -c 2000` and JSON-parses the LAST line. Two sbt default behaviors
+// defeated that in rounds 1-4: the forked process's stdout was re-logged
+// with an `[info] ` prefix, and a `[success] Total time ...` banner trailed
+// the metric line. Pass forked output through verbatim and drop the banner
+// so Bench's metric JSON is the literal last line of combined output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,7 +15,15 @@ object ProfileOne {
     val names = args.lift(1).map(_.split(",").toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq.sorted)
     val doExplain = args.lift(2).contains("explain")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Fail on typo'd names BEFORE paying session startup + warm-up.
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(",")} " +
+        s"(valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(",")})")
+      sys.exit(2)
+    }
+    // Same default as Bench so timings are comparable out of the box.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -219,14 +219,29 @@ object AdvancedQueries {
         |  CAST(5 AS BIGINT) AS n_keys
         |FROM events GROUP BY user_id % 10""".stripMargin),
 
-    // Approximate sketches (HLL++ distinct count, quantile sketch):
-    // engine-specific estimators — no cross-engine oracle; bounds are
-    // asserted in AdvancedQueriesSpec against exact values.
+    // Approximate sketches (HLL++ distinct count, quantile sketch): the
+    // ESTIMATES are engine-specific and can't cross-engine hash-match, but
+    // the error BOUND can — the query emits, per event type, the exact
+    // distinct count plus booleans asserting the sketch landed within 5%
+    // relative error of the exact value (both computed Spark-side); the
+    // DuckDB oracle emits the same exact counts with literal TRUE. The row
+    // goes red if either estimator drifts out of bounds. HLL++ rsd=0.01
+    // against a 0.05 gate (5 sigma) and a 10k-entry quantile summary keep
+    // the booleans stable across merge orders.
     "adv_approx_sketches" -> QueryDef(
       (s, d) => Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("approx_users"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median")),
-      None))
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          expr("percentile(value, 0.5)").as("exact_median"),
+          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("approx_users") - col("n_exact"))
+            <= col("n_exact") * lit(0.05)).as("users_within_bounds"),
+          (abs(col("approx_median") - col("exact_median"))
+            <= abs(col("exact_median")) * lit(0.05)).as("median_within_bounds")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS users_within_bounds, TRUE AS median_within_bounds
+        |FROM events GROUP BY event_type""".stripMargin)))
 }

@@ -9,18 +9,17 @@ import org.apache.spark.sql.functions._
   * float summation order would be flaky at cluster scale even if one
   * lucky run hash-matched DuckDB.
   *
-  * Excluded: `adv_approx_sketches` — percentile_approx's quantile
-  * summaries are merge-order-sensitive by design (the spec bounds its
-  * error instead).
+  * `adv_approx_sketches` is included since round 5: its output is the
+  * error-bound BOOLEANS, not the raw estimates — percentile_approx's
+  * merge-order sensitivity is orders of magnitude below the 5% gate, so
+  * the visible result is stable.
   */
 class DeterminismSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
-  private val excluded = Set("adv_approx_sketches")
 
   test("every registered query is run-to-run deterministic") {
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot(q => excluded(q._1))
       .foreach { case (name, fn) =>
         def contentHash(): (Any, Long) = {
           val df = fn(spark, d)
