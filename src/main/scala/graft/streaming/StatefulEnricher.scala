@@ -84,6 +84,20 @@ object StatefulEnricher {
     }
   }
 
+  /** TTL twin of [[processGroup]]: a key whose timeout fired has its
+    * dimension row evicted (drop-on-miss resumes for later events); any
+    * live access re-arms the clock, so the TTL is idle time, not age. */
+  private def processGroupTtl(ttlMs: Long)(key: String,
+      records: Iterator[CdcRecord], state: GroupState[ContentRec])
+      : Iterator[EnrichedRec] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val out = processGroup(key, records, state)
+      if (state.exists) state.setTimeoutDuration(ttlMs)
+      out
+    }
+  }
+
   /** Build the keyed union from typed event/content streams. */
   def union(events: Dataset[EventRec], content: Dataset[ContentRec])
       : Dataset[CdcRecord] = {
@@ -94,13 +108,27 @@ object StatefulEnricher {
   }
 
   /** The stateful enrichment stream: Append-mode `flatMapGroupsWithState`
-    * with processing-time semantics and no timeout (the reference's state
-    * never expires — S3; bound it with `stateTimeout` in production). */
-  def enrich(records: Dataset[CdcRecord]): Dataset[EnrichedRec] = {
+    * keyed by content id.
+    *
+    * `stateTtlMs = None` (default) matches the reference exactly — its
+    * MapState never expires (SURVEY.md §2.7 T3), so unbounded dimension
+    * growth is faithful parity behavior. `Some(ttl)` is the production
+    * bound: a key idle for `ttl` of processing time has its dimension row
+    * evicted (`ProcessingTimeTimeout`), after which events on that key
+    * fall back to the drop-on-miss channel until the dimension is
+    * re-upserted — state size becomes O(active dimension keys within the
+    * TTL horizon) instead of O(all keys ever seen). */
+  def enrich(records: Dataset[CdcRecord],
+      stateTtlMs: Option[Long] = None): Dataset[EnrichedRec] = {
     val spark = records.sparkSession
     import spark.implicits._
-    records.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(processGroup)
+    val grouped = records.groupByKey(_.key)
+    stateTtlMs match {
+      case None => grouped.flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(processGroup)
+      case Some(ttl) => grouped.flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(processGroupTtl(ttl))
+    }
   }
 
   /** Typed view over a parsed events DataFrame (post-timestamp-parse). */

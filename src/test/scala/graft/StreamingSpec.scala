@@ -380,4 +380,51 @@ class StreamingSpec extends SparkSpec {
     rows(1).getAs[java.math.BigDecimal]("engagement_pct")
       .compareTo(new java.math.BigDecimal("30.00")) shouldBe 0
   }
+
+  test("stateful enricher TTL: idle dimension state evicts, drop-on-miss resumes") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[EventRec]
+    val content = MemoryStream[ContentRec]
+
+    def ev(id: Long, cid: String) = EventRec(id, cid, s"u$id", "play",
+      Timestamp.valueOf("2025-08-08 10:00:00"), Some(30000), "ios", "{}")
+
+    // Both records added BEFORE start: batch 0 deterministically contains
+    // the dimension row and its event (processGroup applies dimension
+    // upserts first within a group), so the enrich happens inside one
+    // batch — immune to the TTL clock between batches.
+    content.addData(ContentRec("c9", "s", "T", "video", Some(100),
+      Timestamp.valueOf("2025-08-01 00:00:00")))
+    events.addData(ev(1, "c9"))
+
+    val enriched = StatefulEnricher.enrich(
+      StatefulEnricher.union(events.toDS(), content.toDS()),
+      stateTtlMs = Some(1000L))
+    val q = enriched.writeStream.format("memory").queryName("sett")
+      .outputMode("append").start()
+
+    // ProcessingTimeTimeout makes shouldRunAnotherBatch always true — the
+    // engine keeps running (empty) batches to evaluate timeouts, so
+    // `processAllAvailable` would never observe a no-new-data state and
+    // block forever. Poll the sink for the expected row count instead.
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("sett").count() < n
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      spark.table("sett").count() shouldBe n
+    }
+
+    awaitRows(1)
+    // idle past the TTL: the continuously-running timeout batches evict
+    // c9's dimension row (any state access would have re-armed the clock)
+    Thread.sleep(3000)
+    // same-key event now misses — drop-on-miss channel resumed
+    events.addData(ev(2, "c9"))
+    awaitRows(2)
+    q.stop()
+
+    val rows = spark.table("sett").orderBy("event_id").collect()
+    rows.map(r => (r.getAs[Long]("event_id"), r.getAs[Boolean]("matched"))) shouldBe
+      Array((1L, true), (2L, false))
+  }
 }
