@@ -222,25 +222,38 @@ object AdvancedQueries {
     // Approximate sketches (HLL++ distinct count, quantile sketch): the
     // ESTIMATES are engine-specific and can't cross-engine hash-match, but
     // the error BOUND can — the query emits, per event type, the exact
-    // distinct count plus booleans asserting the sketch landed within 5%
-    // relative error of the exact value (both computed Spark-side); the
-    // DuckDB oracle emits the same exact counts with literal TRUE. The row
-    // goes red if either estimator drifts out of bounds. HLL++ rsd=0.01
-    // against a 0.05 gate (5 sigma) and a 10k-entry quantile summary keep
-    // the booleans stable across merge orders.
+    // distinct count plus booleans asserting each sketch landed within
+    // bounds (computed Spark-side); the DuckDB oracle emits the same exact
+    // counts with literal TRUE, so the row goes red if an estimator
+    // drifts. Bounds are verified WITHOUT materializing exact order
+    // statistics (an exact per-group median buffers every value — O(n)
+    // state, the very cost sketches exist to avoid, and 8s of this
+    // query's 9s at sf0.1): the HLL++ estimate (rsd 0.01, 5-sigma margin
+    // on a 5% gate) checks against an exact distinct count (O(distinct)
+    // hash agg), and the quantile estimate checks by RANK — the count of
+    // values ≤ the estimate must land within 45–55% of the group, a
+    // one-pass conditional count after broadcasting the 5-row sketch
+    // table back onto events. Both passes are pure hash aggregation.
     "adv_approx_sketches" -> QueryDef(
-      (s, d) => Tables.events(s, d)
-        .groupBy(col("event_type"))
-        .agg(
-          countDistinct(col("user_id")).as("n_exact"),
-          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          expr("percentile(value, 0.5)").as("exact_median"),
-          percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
-        .select(col("event_type"), col("n_exact"),
-          (abs(col("approx_users") - col("n_exact"))
-            <= col("n_exact") * lit(0.05)).as("users_within_bounds"),
-          (abs(col("approx_median") - col("exact_median"))
-            <= abs(col("exact_median")) * lit(0.05)).as("median_within_bounds")),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val sketches = ev.groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+            percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
+        ev.join(broadcast(sketches), "event_type")
+          .groupBy(col("event_type"))
+          .agg(
+            countDistinct(col("user_id")).as("n_exact"),
+            first(col("approx_users")).as("approx_users"),
+            count(when(col("value") <= col("approx_median"), 1)).as("n_le"),
+            count(col("value")).as("n_val"))
+          .select(col("event_type"), col("n_exact"),
+            (abs(col("approx_users") - col("n_exact"))
+              <= col("n_exact") * lit(0.05)).as("users_within_bounds"),
+            (col("n_le") >= col("n_val") * lit(0.45)
+              && col("n_le") <= col("n_val") * lit(0.55)).as("median_within_bounds"))
+      },
       Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
         |  TRUE AS users_within_bounds, TRUE AS median_within_bounds
         |FROM events GROUP BY event_type""".stripMargin)))
