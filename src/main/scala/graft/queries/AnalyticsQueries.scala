@@ -131,6 +131,35 @@ object AnalyticsQueries {
     // Exact z-score outliers per event type (shared SQL text).
     "analytics_zscore" -> sqlBoth(zscoreSql),
 
+    // Rolling (windowed) z-score anomaly detection: each event scored
+    // against the moments of its own trailing 24-row frame per type —
+    // the streaming-shaped counterpart of the global z-score above.
+    // The 2-sigma test runs on exact BIGINT moments, cross-multiplied
+    // to avoid any division: |x − S/n| > 2σ with σ² = (nQ − S²)/n²
+    // ⟺ (nx − S)² > 4(nQ − S²). Frame-bounded integers (x ≤ ~500,
+    // n ≤ 24) keep every product far inside int64 at ANY scale factor —
+    // the values depend on the frame, not the table. One shuffle on
+    // event_type; ROWS frames evaluate incrementally (no per-row
+    // re-scan); deterministic (ts, event_id) total order.
+    "analytics_rolling_zscore" -> sqlBoth(
+      """WITH m AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(FLOOR(value) AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (
+        |  SELECT event_id, event_type, x,
+        |    COUNT(*) OVER win AS n,
+        |    CAST(SUM(x) OVER win AS BIGINT) AS s,
+        |    CAST(SUM(x * x) OVER win AS BIGINT) AS q
+        |  FROM m
+        |  WINDOW win AS (
+        |    PARTITION BY event_type ORDER BY ts, event_id
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, x, n, s, q
+        |FROM w
+        |WHERE n >= 12
+        |  AND (n * x - s) * (n * x - s) > 4 * (n * q - s * s)""".stripMargin),
+
     // Event-transition matrix (first-order Markov step): per-user
     // consecutive event-type bigrams via LEAD over ONE shuffle on
     // user_id, counts + row-normalized transition probability. The

@@ -255,6 +255,36 @@ object DedupQueries {
          |JOIN sized yb ON yb.doc_id = c.b
          |WHERE ${jaccard("xa.sh2", "yb.sh2")} >= 0.8""".stripMargin),
 
+    // Deterministic train/val/test split — the other half of the
+    // training-data recipe: every document gets a STABLE split
+    // assignment from a portable hash of its id (80/10/10 by hash
+    // bucket), so the holdout never leaks into training across reruns,
+    // re-partitions, or engine versions — no rand(), no sampleBy.
+    // Map-only assignment + one tiny (source × split) manifest
+    // aggregate; the audit artifact a 100 TB curation run ships with.
+    "curate_split" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        val bucket = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|split"))) % 100
+        val split = when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test")
+        Tables.documents(s, d)
+          .groupBy(col("source"), split.as("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("min_doc_id"))
+      }, {
+        import graft.functions.PortableHash
+        val bucketSql =
+          s"(${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|split'")} % 100)"
+        s"""SELECT source,
+           |  CASE WHEN $bucketSql < 80 THEN 'train'
+           |       WHEN $bucketSql < 90 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+           |FROM documents GROUP BY 1, 2""".stripMargin
+      }),
+
     // Deterministic weighted source mixing — the training-data recipe
     // step: each source gets a sampling rate (here derived from a
     // portable hash of the source name, 25-75%), each document an

@@ -27,27 +27,59 @@ object SimilarityQueries {
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
 
+  private def bruteSpark(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val e = quantized(s, d)
+    val q = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+    Similarity.knnBruteForce(q, e, "vec_id", "qv", K)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private val bruteSql =
+    s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${cosine("q.v", "c.v", Dims)}, 9) AS cos9
+       |  FROM e q, e c
+       |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, neighbor_id, rank, cos9 FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+       |  FROM s)
+       |WHERE rank <= $K""".stripMargin
+
+  private def lshSpark(s: org.apache.spark.sql.SparkSession, d: String) =
+    Similarity.knnLsh(quantized(s, d), "vec_id", "qv", K,
+        tables = Tbls, planes = Planes, dims = Dims,
+        queryFilter = pmod(col("__id"), lit(10)) === 0)
+      .withColumn("rank", col("rank").cast("long"))
+
+  private val lshSql = {
+    val buckets = (0 until Tbls).map(t =>
+      s"SELECT vec_id, v, concat_ws(':', $t, ${lshBucket("v", t, Planes, Dims)}) AS bkt FROM e")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |b AS ($buckets),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM b q JOIN b c ON q.bkt = c.bkt
+       |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(${cosine("eq.v", "ec.v", Dims)}, 9) AS cos9
+       |  FROM cand
+       |  JOIN e eq ON eq.vec_id = cand.query_id
+       |  JOIN e ec ON ec.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, rank, cos9 FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact top-10 cosine neighbors for each sampled query vector.
-    "sim_knn_brute" -> QueryDef(
-      (s, d) => {
-        val e = quantized(s, d)
-        val q = e.filter(pmod(col("vec_id"), lit(10)) === 0)
-        Similarity.knnBruteForce(q, e, "vec_id", "qv", K)
-          .withColumn("rank", col("rank").cast("long"))
-      },
-      s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
-         |s AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    round(${cosine("q.v", "c.v", Dims)}, 9) AS cos9
-         |  FROM e q, e c
-         |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)
-         |SELECT query_id, neighbor_id, rank, cos9 FROM (
-         |  SELECT *, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
-         |  FROM s)
-         |WHERE rank <= $K""".stripMargin),
+    "sim_knn_brute" -> QueryDef((s, d) => bruteSpark(s, d), bruteSql),
 
     // IVF ANN top-10: deterministic id-sampled centroids (1-in-50),
     // broadcast argmin-L2 cell assignment, 3-cell probe, exact re-rank.
@@ -119,33 +151,33 @@ object SimilarityQueries {
 
     // LSH-bucketed ANN top-10 for the same query sample (recall < 1 by
     // construction; identical bucketing constants on both sides).
-    "sim_knn_lsh" -> QueryDef(
+    "sim_knn_lsh" -> QueryDef((s, d) => lshSpark(s, d), lshSql),
+
+    // ANN quality gate: recall@10 of the LSH path against the exact
+    // brute-force baseline, per query vector. THE metric an ANN index is
+    // judged by — a bucketing/constants regression that silently tanks
+    // recall turns this row red even though sim_knn_lsh itself would
+    // still hash-match its own oracle. The join keys on
+    // (query_id, neighbor_id) pairs (k×|queries| rows — tiny), and the
+    // recall is one IEEE division of two exact counts at the edge.
+    "sim_ann_recall" -> QueryDef(
       (s, d) => {
-        val e = quantized(s, d)
-        Similarity.knnLsh(e, "vec_id", "qv", K,
-            tables = Tbls, planes = Planes, dims = Dims,
-            queryFilter = pmod(col("__id"), lit(10)) === 0)
-          .withColumn("rank", col("rank").cast("long"))
-      }, {
-        val buckets = (0 until Tbls).map(t =>
-          s"SELECT vec_id, v, concat_ws(':', $t, ${lshBucket("v", t, Planes, Dims)}) AS bkt FROM e")
-          .mkString("\nUNION ALL\n")
-        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
-           |b AS ($buckets),
-           |cand AS (
-           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-           |  FROM b q JOIN b c ON q.bkt = c.bkt
-           |  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id),
-           |scored AS (
-           |  SELECT cand.query_id, cand.neighbor_id,
-           |    round(${cosine("eq.v", "ec.v", Dims)}, 9) AS cos9
-           |  FROM cand
-           |  JOIN e eq ON eq.vec_id = cand.query_id
-           |  JOIN e ec ON ec.vec_id = cand.neighbor_id)
-           |SELECT query_id, neighbor_id, rank, cos9 FROM (
-           |  SELECT *, row_number() OVER (
-           |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
-           |  FROM scored)
-           |WHERE rank <= $K""".stripMargin
-      }))
+        val exact = bruteSpark(s, d).select(col("query_id"), col("neighbor_id"))
+        val approx = lshSpark(s, d)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_exact").cast("double"))
+              .as("recall_at_k"))
+      },
+      s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($bruteSql)),
+         |approx AS (SELECT query_id, neighbor_id, 1 AS hit FROM ($lshSql))
+         |SELECT b.query_id, COUNT(*) AS n_exact, COUNT(a.hit) AS n_hit,
+         |  CAST(COUNT(a.hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+         |FROM brute b
+         |LEFT JOIN approx a
+         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id""".stripMargin))
 }

@@ -85,4 +85,18 @@ class SimilaritySpec extends SparkSpec {
     Similarity.hyperplane(0, 0, 8) shouldBe Similarity.hyperplane(0, 0, 8)
     Similarity.hyperplane(0, 0, 8) should not be Similarity.hyperplane(1, 0, 8)
   }
+
+  test("ANN recall gate: one row per query, recall in (0,1], LSH finds signal") {
+    val rows = graft.SparkEntry.queries("sim_ann_recall")(
+      spark, "/root/testdata/sf0.001").collect()
+    rows should not be empty
+    rows.foreach { r =>
+      r.getAs[Long]("n_exact") should be > 0L
+      r.getAs[Long]("n_hit") should be <= r.getAs[Long]("n_exact")
+      val recall = r.getAs[Double]("recall_at_k")
+      recall should (be >= 0.0 and be <= 1.0)
+    }
+    // the index must beat "found nothing": mean recall strictly positive
+    rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length should be > 0.0
+  }
 }
