@@ -15,6 +15,7 @@ class PlanSpec extends SparkSpec {
     * set against every vector — linear in the corpus, not quadratic). */
   private val quadraticByDesign =
     Set("sim_knn_brute", "sim_knn_ivf", "sim_kmeans_step", "mm_knn",
+      "sim_ann_recall", // embeds the brute-force baseline it grades against
       "rel_cross_small", // 5×25 dimension product — the cross IS the query
       "wh_dq_checks") // 1-row × 1-row scalar cross (metrics × orphan count)
 
@@ -82,5 +83,21 @@ class PlanSpec extends SparkSpec {
     exchanges.foreach { l =>
       assert(l.contains("c_mktsegment"), s"join-key exchange in bucketed join: $l")
     }
+  }
+
+  test("split manifest is map-only assignment + one manifest shuffle, no join") {
+    val p = plan("curate_split")
+    p should not include "Join"
+    // hash assignment happens in the scan projection; the only exchange
+    // is the tiny (source × split) aggregate
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+  }
+
+  test("rolling z-score shuffles once on the window partition key") {
+    val p = plan("analytics_rolling_zscore")
+    p should include("Window")
+    // one hashpartitioning(event_type) for the window; a second exchange
+    // would mean the frame evaluation re-partitioned the fact twice
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
   }
 }
