@@ -255,6 +255,63 @@ object DedupQueries {
          |JOIN sized yb ON yb.doc_id = c.b
          |WHERE ${jaccard("xa.sh2", "yb.sh2")} >= 0.8""".stripMargin),
 
+    // Token-budgeted source admission — the quota step of a mixing
+    // recipe: take documents per source in a deterministic pseudo-random
+    // order (portable hash) until the source's token budget fills. The
+    // cumulative sum is computed as a DISTRIBUTED TWO-LEVEL PREFIX SUM —
+    // per-(source, bucket) local cumsums in parallel, per-source bucket
+    // offsets on a 64-row-per-source table, broadcast back — so no
+    // single task ever scans a whole source; the oracle recomputes the
+    // same semantics as one flat window, and the hash-match proves the
+    // distributed scan equal to the sequential one.
+    "curate_token_budget" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.PortableHash
+        import graft.operators.TextAnalysis
+        val budget = 20000L
+        val buckets = 64
+        val h = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|budget")))
+        val base = Tables.documents(s, d).select(
+          col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          (h % buckets).as("bkt"), h.as("ord"))
+        val inBucket = Window.partitionBy(col("source"), col("bkt"))
+          .orderBy(col("ord"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withLocal = base
+          .withColumn("local_cum", sum(col("n_tokens")).over(inBucket))
+        val offsets = base.groupBy(col("source"), col("bkt"))
+          .agg(sum(col("n_tokens")).as("bkt_tokens"))
+          .withColumn("offset", coalesce(
+            sum(col("bkt_tokens")).over(
+              Window.partitionBy(col("source")).orderBy(col("bkt"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("bkt"), col("offset"))
+        withLocal.join(broadcast(offsets), Seq("source", "bkt"))
+          .withColumn("cum_tokens",
+            (col("local_cum") + col("offset")).cast("long"))
+          .filter(col("cum_tokens") - col("n_tokens") < budget)
+          .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+      }, {
+        import graft.functions.PortableHash
+        val hSql = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|budget'")
+        s"""WITH t AS (
+           |  SELECT source, doc_id,
+           |    CAST(len(${OracleSql.tokens("text")}) AS BIGINT) AS n_tokens,
+           |    $hSql % 64 AS bkt, $hSql AS ord
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, doc_id, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (
+           |      PARTITION BY source ORDER BY bkt, ord, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM t)
+           |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+           |WHERE cum_tokens - n_tokens < 20000""".stripMargin
+      }),
+
     // Deterministic train/val/test split — the other half of the
     // training-data recipe: every document gets a STABLE split
     // assignment from a portable hash of its id (80/10/10 by hash
