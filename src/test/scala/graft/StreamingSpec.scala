@@ -427,4 +427,29 @@ class StreamingSpec extends SparkSpec {
     rows.map(r => (r.getAs[Long]("event_id"), r.getAs[Boolean]("matched"))) shouldBe
       Array((1L, true), (2L, false))
   }
+
+  test("streaming token budget admits per source until the quota fills") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamingBudget.admitStream(
+        in.toDF().toDF("source", "doc_id", "n_tokens"), budget = 100L)
+      .writeStream.format("memory").queryName("budget")
+      .outputMode("append").start()
+
+    // batch 1: 60 + 50 admits both (second doc crosses the boundary and
+    // is taken — fill-until-full); third is rejected, quota is spent
+    in.addData(("web", 1L, 60L), ("web", 2L, 50L), ("web", 3L, 10L))
+    q.processAllAvailable()
+    // batch 2: web stays closed ACROSS batches (state persisted);
+    // a fresh source starts its own quota
+    in.addData(("web", 4L, 5L), ("books", 10L, 70L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("budget").orderBy("source", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    rows shouldBe Seq(
+      ("books", 10L, 70L, 70L),
+      ("web", 1L, 60L, 60L), ("web", 2L, 50L, 110L))
+  }
 }
