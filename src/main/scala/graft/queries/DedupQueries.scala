@@ -149,6 +149,75 @@ object DedupQueries {
          |SELECT src AS node, least(src, min(dst)) AS label
          |FROM reach GROUP BY src""".stripMargin),
 
+    // Keeper election over near-dup clusters — the step after
+    // connected components: each cluster keeps its highest-quality
+    // member (ties to the lowest doc_id). Composition proof: MinHash
+    // candidates → exact Jaccard → components → quality argmax, all
+    // oracle-replayed end-to-end. The max-then-filter shape (per-label
+    // max quality, then min id among the achievers) avoids struct-
+    // comparison dialect differences; quality equality is safe because
+    // the score is the round-6 portable formula (text_quality green).
+    // Shuffles key on the label — pairs-scale, tiny next to the corpus.
+    "dedup_keeper_election" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val labels = graft.operators.ConnectedComponents.run(
+          Dedup.nearDuplicates(docs, "doc_id", "text",
+            n = 1, k = K, bands = Bands, threshold = 0.9, bucketCap = 48)
+            .select(col("a"), col("b")))
+        val quality = docs.select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityScore(col("text")).as("quality"))
+        val members = labels
+          .join(quality, labels("node") === quality("doc_id"))
+          .select(col("label"), col("node"), col("quality"))
+        val best = members.groupBy(col("label"))
+          .agg(max(col("quality")).as("keeper_quality"),
+            count(lit(1)).as("n_members"))
+        members.join(best, Seq("label"))
+          .filter(col("quality") === col("keeper_quality"))
+          .groupBy(col("label"), col("n_members"), col("keeper_quality"))
+          .agg(min(col("node")).as("keeper_id"))
+          .select(col("label"), col("n_members"),
+            col("keeper_id"), col("keeper_quality"))
+      },
+      s"""WITH RECURSIVE ${minhashCtes(1, "doc_id >= 0", 48)},
+         |edges AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sh sa ON sa.__id = c.a
+         |  JOIN sh sb ON sb.__id = c.b
+         |  WHERE ${jaccard("sa.__sh", "sb.__sh")} >= 0.9),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |labels AS (
+         |  SELECT src AS node, least(src, min(dst)) AS label
+         |  FROM reach GROUP BY src),
+         |q AS (
+         |  SELECT doc_id,
+         |    round((
+         |      least(len(w) / 20.0, 1.0)
+         |      + greatest(1.0 - ((length(text) - length(translate(text, '.,!?;:', '')))
+         |          / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 0.0)
+         |      + least((len(list_filter(w, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], t)))
+         |          / greatest(len(w)::DOUBLE, 1.0)) * 4.0, 1.0)
+         |    ) / 3.0, 6) AS quality
+         |  FROM (SELECT doc_id, text, ${tokens("text")} AS w FROM documents)),
+         |m AS (
+         |  SELECT l.label, l.node, q.quality
+         |  FROM labels l JOIN q ON q.doc_id = l.node),
+         |best AS (
+         |  SELECT label, MAX(quality) AS keeper_quality,
+         |    COUNT(*) AS n_members
+         |  FROM m GROUP BY label)
+         |SELECT b.label, b.n_members, MIN(m.node) AS keeper_id,
+         |  b.keeper_quality
+         |FROM best b
+         |JOIN m ON m.label = b.label AND m.quality = b.keeper_quality
+         |GROUP BY b.label, b.n_members, b.keeper_quality""".stripMargin),
+
     // Benchmark contamination: training docs sharing ≥3 distinct word
     // 3-grams with the benchmark slice (doc_id % 50 = 0). Both sides
     // explode to (hash, id) — the shuffle carries 16-byte pairs, the

@@ -116,7 +116,8 @@ object StreamingPipeline {
     * `cdc_apply_changelog`, just behind `readStream`. */
   def applyChangelogStream(changes: DataFrame, keyCol: String,
       tsCol: String, seqCol: String, opCol: String): DataFrame = {
-    val payload = struct(changes.columns.filterNot(_ == keyCol).map(col): _*)
+    val payload = struct(
+      changes.columns.filterNot(_ == keyCol).toIndexedSeq.map(col): _*)
     changes
       .groupBy(col(keyCol))
       .agg(max_by(payload, struct(col(tsCol), col(seqCol))).as("last"))
