@@ -26,7 +26,8 @@ object Bench {
     "rel_window_funcs", "adv_grouping_sets",
     "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_cosine",
     "dedup_components", "curate_corpus",
-    "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf",
+    "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_ann_recall",
+    "curate_token_budget", "dedup_keeper_election",
     "text_quality", "text_langid", "op_asof_join", "op_funnel")
 
   /** How many of the slowest queries get their formatted plan dumped to
