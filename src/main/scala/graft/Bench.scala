@@ -68,9 +68,17 @@ object Bench {
     // for a 1.6s query). With passes minutes apart, a spike inflates one
     // pass's sample, not both — and both samples land in bench_detail.json
     // so a reviewer can see the variance.
+    // A query that throws must not masquerade as a fast query: its
+    // timing is recorded, but so is the failure — on stderr and in the
+    // metric line's errors count.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     def pass(): Map[String, Double] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
+      try { force(fn(spark, sfDir)) } catch {
+        case e: Throwable =>
+          if (failed.add(name))
+            System.err.println(s"WARN bench: $name failed: ${e.getClass.getName}: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val run1 = pass()
@@ -146,7 +154,8 @@ object Bench {
     val lbSec = byName.getOrElse("cdc_leaderboard", -1.0)
     val metricLine =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
-        s""""queries_run":${results.size},"pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
+        s""""queries_run":${results.size},"errors":${failed.size},""" +
+        s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
         s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}"""
     // The metric line must be the LAST line of stdout (the driver tail-
     // captures and parses the final {...} line): silence Spark first, stop
