@@ -86,6 +86,32 @@ class SimilaritySpec extends SparkSpec {
     Similarity.hyperplane(0, 0, 8) should not be Similarity.hyperplane(1, 0, 8)
   }
 
+  test("LSH recall is monotone in the number of tables (the tuning knob)") {
+    // more tables = union of more candidate buckets = candidate SUPERSET;
+    // exact re-rank over a superset can only move the top-k closer to
+    // the true top-k, so recall must not drop — the direction a user
+    // turning the knob at 100 TB relies on
+    val e = graft.ingest.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
+    val exact = Similarity.knnBruteForce(
+        e.filter(pmod(col("vec_id"), lit(10)) === 0), e, "vec_id", "qv", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(tables: Int): Double = {
+      val got = Similarity.knnLsh(e, "vec_id", "qv", 10,
+          tables = tables, planes = 8, dims = 64,
+          queryFilter = pmod(col("__id"), lit(10)) === 0)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    withClue(s"recall(1 table)=$r1 recall(2 tables)=$r2: ") {
+      r2 should be >= r1
+    }
+    r2 should be > 0.0
+  }
+
   test("ANN recall gate: one row per query, recall in (0,1], LSH finds signal") {
     val rows = graft.SparkEntry.queries("sim_ann_recall")(
       spark, "/root/testdata/sf0.001").collect()
