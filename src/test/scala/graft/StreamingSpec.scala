@@ -428,6 +428,55 @@ class StreamingSpec extends SparkSpec {
       Array((1L, true), (2L, false))
   }
 
+  test("streaming rolling z-score flags the same rows as the batch window") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+
+    // stable series with one spike; spans two micro-batches so the ring
+    // buffer must survive the batch boundary to score the later rows.
+    // Frame size matters: in an n-row frame the largest possible z-score
+    // is (n−1)/√n, so 2-sigma detection of a lone spike needs n ≥ 7 —
+    // frame = 8 here (the registered batch query uses 24).
+    val data = Seq[(String, Long, String, Long)](
+      ("a", 1L, "2025-08-08 10:00:00", 10), ("a", 2L, "2025-08-08 10:01:00", 11),
+      ("a", 3L, "2025-08-08 10:02:00", 10), ("a", 4L, "2025-08-08 10:03:00", 9),
+      ("a", 5L, "2025-08-08 10:04:00", 10), ("a", 6L, "2025-08-08 10:05:00", 11),
+      ("a", 7L, "2025-08-08 10:06:00", 10), ("a", 8L, "2025-08-08 10:07:00", 100),
+      ("a", 9L, "2025-08-08 10:08:00", 10), ("a", 10L, "2025-08-08 10:09:00", 11),
+      ("a", 11L, "2025-08-08 10:10:00", 10))
+    def toDf(rows: Seq[(String, Long, String, Long)]) = rows
+      .map { case (k, id, t, x) => (k, id, Timestamp.valueOf(t), x) }
+      .toDF("key", "event_id", "ts", "x")
+
+    // batch oracle: same frame/minN over the full series via one window
+    val w = Window.partitionBy("key").orderBy("ts", "event_id")
+      .rowsBetween(-7, Window.currentRow)
+    val expected = toDf(data)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("q", sum(col("x") * col("x")).over(w))
+      .filter(col("n") >= 4 &&
+        (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s"))
+          > lit(4) * (col("n") * col("q") - col("s") * col("s")))
+      .select("event_id").as[Long].collect().toSet
+
+    val in = MemoryStream[(String, Long, Timestamp, Long)]
+    val q = graft.streaming.StreamingAnomaly.rollingZScoreStream(
+        in.toDF().toDF("key", "event_id", "ts", "x"), frame = 8, minN = 4)
+      .writeStream.format("memory").queryName("anomaly")
+      .outputMode("append").start()
+    val (b1, b2) = data.splitAt(6)
+    in.addData(b1.map { case (k, id, t, x) => (k, id, Timestamp.valueOf(t), x) })
+    q.processAllAvailable()
+    in.addData(b2.map { case (k, id, t, x) => (k, id, Timestamp.valueOf(t), x) })
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("anomaly").select("event_id").as[Long].collect().toSet
+    got shouldBe expected
+    expected should contain(8L) // the spike really is in the flagged set
+  }
+
   test("streaming token budget admits per source until the quota fills") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)]
