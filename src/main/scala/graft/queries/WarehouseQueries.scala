@@ -174,6 +174,25 @@ object WarehouseQueries {
         |FROM events
         |GROUP BY 1, 2""".stripMargin),
 
+    // Equi-depth (quantile) binning — op_histogram's fixed-width twin
+    // and the standard feature-bucketization step: NTILE(4) per event
+    // type over a deterministic (value, event_id) total order, emitting
+    // each bin's population and value range. Standard-SQL NTILE
+    // semantics (first n mod k bins take the extra row) match across
+    // engines; min/max pass the raw doubles through untouched. One
+    // shuffle on the partition key; at 100 TB you'd bin against sampled
+    // quantile cut points instead of a global sort — op_histogram and
+    // adv_approx_sketches' percentile path cover that shape.
+    "op_quantile_bin" -> sqlBoth(
+      """SELECT event_type, bin, COUNT(*) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM (
+        |  SELECT event_type, value,
+        |    CAST(NTILE(4) OVER (
+        |      PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL)
+        |GROUP BY event_type, bin""".stripMargin),
+
     // Relational division: customers whose orders cover ALL priority
     // classes — the classic "for all" query, as a distinct-count
     // comparison against an uncorrelated scalar subquery (no
