@@ -68,23 +68,38 @@ object Bench {
     // for a 1.6s query). With passes minutes apart, a spike inflates one
     // pass's sample, not both — and both samples land in bench_detail.json
     // so a reviewer can see the variance.
-    // A query that throws must not masquerade as a fast query: its
-    // timing is recorded, but so is the failure — on stderr and in the
-    // metric line's errors count.
+    // A query that throws must not masquerade as a fast query: a
+    // failed sample's time-to-throw is recorded in the detail file for
+    // diagnosis, but it is EXCLUDED from the per-query min, the
+    // headline total, and the metric-line queries map — a regression
+    // that makes a query fail fast must read as an error, never as a
+    // perf win. (The raw run1/run2 times plus the `failed` list in
+    // bench_detail.json keep the evidence.)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def pass(): Map[String, Double] = queries.map { case (name, fn) =>
+    case class Sample(sec: Double, ok: Boolean)
+    def pass(): Map[String, Sample] = {
+      // shared-frame caches (near-dup labels) start cold each pass:
+      // each pass pays the compute once, its reusers read the cache —
+      // the curation-run cost model, kept honest under min-of-passes.
+      graft.queries.DedupQueries.clearLabelCache()
+      queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch {
+      val ok = try { force(fn(spark, sfDir)); true } catch {
         case e: Throwable =>
           if (failed.add(name))
             System.err.println(s"WARN bench: $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          false
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      name -> Sample((System.nanoTime() - t0) / 1e9, ok)
+      }.toMap
+    }
     val run1 = pass()
     val run2 = pass()
-    val results = queries.map { case (name, _) =>
-      name -> math.min(run1(name), run2(name))
+    // min over the SUCCESSFUL samples only; a query with no successful
+    // sample has no timing at all (it is counted by `errors`).
+    val results: Seq[(String, Double)] = queries.flatMap { case (name, _) =>
+      val oks = Seq(run1(name), run2(name)).filter(_.ok).map(_.sec)
+      oks.reduceOption((a, b) => math.min(a, b)).map(name -> _)
     }
     def sec3(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -118,12 +133,16 @@ object Bench {
     // stdout metric line is tail-captured by the caller with a 2000-byte
     // window, and 100+ query entries overflowed it (rounds 1-3 parsed as
     // null).
-    def jsonMap(m: Map[String, Double]): String = queries
-      .map { case (k, _) => s"\"" + k + "\":" + sec3(m(k)) }
+    def jsonMap(pairs: Seq[(String, Double)]): String = pairs
+      .map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
+    def rawMap(m: Map[String, Sample]): String =
+      jsonMap(queries.map { case (k, _) => k -> m(k).sec })
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     try Files.write(Paths.get("bench_detail.json"),
-      (s"""{"total":${sec3(total)},"queries":${jsonMap(results.toMap)},""" +
-        s""""run1":${jsonMap(run1)},"run2":${jsonMap(run2)},"sf":"$sfDir"}""")
+      (s"""{"total":${sec3(total)},"queries":${jsonMap(results)},""" +
+        s""""run1":${rawMap(run1)},"run2":${rawMap(run2)},""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}""")
         .getBytes(StandardCharsets.UTF_8))
     catch {
       case e: Throwable =>
@@ -135,7 +154,7 @@ object Bench {
       val buf = new ByteArrayOutputStream()
       val ps = new PrintStream(buf, true, "UTF-8")
       slowest.foreach { case (name, t) =>
-        ps.println(s"== $name (min ${sec3(t)}s; runs ${sec3(run1(name))}s / ${sec3(run2(name))}s) ==")
+        ps.println(s"== $name (min ${sec3(t)}s; runs ${sec3(run1(name).sec)}s / ${sec3(run2(name).sec)}s) ==")
         try Console.withOut(ps) {
           SparkEntry.queries(name)(spark, sfDir).explain("formatted")
         } catch { case e: Throwable => ps.println(s"(explain failed: $e)") }
@@ -154,7 +173,7 @@ object Bench {
     val lbSec = byName.getOrElse("cdc_leaderboard", -1.0)
     val metricLine =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
-        s""""queries_run":${results.size},"errors":${failed.size},""" +
+        s""""queries_run":${queries.size},"errors":${failed.size},""" +
         s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
         s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}"""
     // The metric line must be the LAST line of stdout (the driver tail-

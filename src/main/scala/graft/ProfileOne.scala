@@ -36,6 +36,9 @@ object ProfileOne {
       val fn = SparkEntry.queries(name)
       if (doExplain) fn(spark, sfDir).explain("formatted")
       val times = (1 to 2).map { _ =>
+        // per-iteration cold shared caches — a profiled query must pay
+        // its own compute every run, same fairness rule as Bench passes
+        graft.queries.DedupQueries.clearLabelCache()
         val t0 = System.nanoTime()
         force(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9

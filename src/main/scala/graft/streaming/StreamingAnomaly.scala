@@ -11,12 +11,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `flatMapGroupsWithState`.
   *
   * State per key is the ring buffer of the last `frame − 1` observed
-  * values (≤ 24 longs) — bounded regardless of stream volume. The test
-  * is the batch operator's division-free integer cross-multiplication:
-  * with S = Σx, Q = Σx² over the frame ending at the current row,
+  * values (≤ 23 longs for the default frame of 24) — the next row's
+  * frame is those plus the row itself, so nothing more is needed and
+  * state stays bounded regardless of stream volume. The test is the
+  * batch operator's division-free integer cross-multiplication: with
+  * S = Σx, Q = Σx² over the frame ending at the current row,
   * |x − S/n| > 2σ  ⟺  (nx − S)² > 4(nQ − S²) — exact int64 arithmetic
-  * (values are frame-bounded), so streaming and batch flag identical
-  * rows on in-order data (pinned by spec). Out-of-order arrivals within
+  * while every |x| in the frame stays under the magnitude bound
+  * (≈ `sqrt(Long.Max / 8) / frame`; values above it promote the whole
+  * test to BigInt, still exact, just off the primitive fast path), so
+  * streaming and batch flag identical rows on in-order data (pinned by
+  * spec). Out-of-order arrivals within
   * a micro-batch are re-sorted by event time; later-batch stragglers
   * see the frame as of arrival — the same horizon trade
   * [[StreamingFunnel]] makes.
@@ -43,6 +48,12 @@ object StreamingAnomaly {
       ttlMs: Long = 2L * 3600 * 1000): Dataset[Outlier] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // Largest |x| for which every intermediate of the int64 test is
+    // overflow-safe: |nx − S| ≤ 2·frame·maxAbs and |4(nQ − S²)| ≤
+    // 8·frame²·maxAbs², so maxAbs² < Long.Max / (8·frame²) keeps both
+    // sides (and their squares) inside int64. Frames above the bound
+    // fall back to BigInt — identical answer, no silent wrap.
+    val safeAbs = math.sqrt(Long.MaxValue.toDouble / (8.0 * frame * frame)).toLong / 2
     events.select(col("key"), col("event_id").cast("long"),
         col("ts"), col("x").cast("long"))
       .withWatermark("ts", watermarkDelay)
@@ -62,14 +73,35 @@ object StreamingAnomaly {
                 xs = (xs :+ o.x).takeRight(frame)
                 lastTs = math.max(lastTs, o.ts.getTime)
                 val n = xs.length
-                val s = xs.sum
-                val q = xs.map(v => v * v).sum
-                val d = n * o.x - s
-                if (n >= minN && d * d > 4 * (n * q - s * s))
-                  Some(Outlier(key, o.event_id, o.x, n, s, q))
-                else None
+                if (n < minN) None
+                else if (xs.forall(v => v > -safeAbs && v < safeAbs)) {
+                  val s = xs.sum
+                  val q = xs.map(v => v * v).sum
+                  val d = n * o.x - s
+                  if (d * d > 4 * (n * q - s * s))
+                    Some(Outlier(key, o.event_id, o.x, n, s, q))
+                  else None
+                } else {
+                  // magnitude past the int64-safe bound: same test in
+                  // BigInt — the flag stays exact; the reported S/Q
+                  // moments saturate rather than wrap (they no longer
+                  // fit the schema's long, and a clamped extreme reads
+                  // as what it is, unlike a wrapped sign flip)
+                  def sat(b: BigInt): Long =
+                    if (b > Long.MaxValue) Long.MaxValue
+                    else if (b < Long.MinValue) Long.MinValue else b.toLong
+                  val s = xs.foldLeft(BigInt(0))(_ + _)
+                  val q = xs.foldLeft(BigInt(0))((acc, v) => acc + BigInt(v) * v)
+                  val d = BigInt(n) * o.x - s
+                  if (d * d > 4 * (BigInt(n) * q - s * s))
+                    Some(Outlier(key, o.event_id, o.x, n, sat(s), sat(q)))
+                  else None
+                }
               }
-            state.update(RingState(xs, lastTs))
+            // the next row needs only the previous frame−1 values (it
+            // contributes the frame'th itself) — store exactly that, so
+            // the documented per-key state bound holds
+            state.update(RingState(xs.takeRight(frame - 1), lastTs))
             state.setTimeoutTimestamp(math.max(lastTs + ttlMs,
               state.getCurrentWatermarkMs() + 1))
             out.iterator

@@ -416,8 +416,19 @@ class StreamingSpec extends SparkSpec {
 
     awaitRows(1)
     // idle past the TTL: the continuously-running timeout batches evict
-    // c9's dimension row (any state access would have re-armed the clock)
-    Thread.sleep(3000)
+    // c9's dimension row (any state access would have re-armed the
+    // clock). A fixed sleep flakes under load — the eviction batch may
+    // not have run yet — so poll the state-operator metrics until the
+    // store actually reports zero live keys (eviction observed), with
+    // the same bounded deadline the row polls use.
+    locally {
+      val deadline = System.currentTimeMillis() + 60000
+      def stateRows: Option[Long] = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+      while (!stateRows.contains(0L)
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      stateRows shouldBe Some(0L)
+    }
     // same-key event now misses — drop-on-miss channel resumed
     events.addData(ev(2, "c9"))
     awaitRows(2)
