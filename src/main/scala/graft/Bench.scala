@@ -129,6 +129,20 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       (n, n / dt)
     } catch { case _: Throwable => (0L, 0.0) }
+    // Streaming half: measured MemoryStream-driven throughput for the
+    // 4-view pipeline and the stateful twins — the surface that
+    // previously had correctness pins but no perf signal, so a
+    // regression there was invisible. Runs AFTER the batch passes so
+    // its state-store work can't contend with the batch timings.
+    val streamSections: Seq[StreamBench.Section] =
+      try StreamBench.run(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(
+          s"WARN bench: stream bench failed: ${e.getClass.getName}: ${e.getMessage}")
+        Seq.empty
+      }
+    val streamRps = streamSections.find(_.name == "pipeline")
+      .map(_.rps).getOrElse(0.0)
     // Full per-query detail (min + both raw passes) goes to a file — the
     // stdout metric line is tail-captured by the caller with a 2000-byte
     // window, and 100+ query entries overflowed it (rounds 1-3 parsed as
@@ -139,10 +153,15 @@ object Bench {
     def rawMap(m: Map[String, Sample]): String =
       jsonMap(queries.map { case (k, _) => k -> m(k).sec })
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val streamsDetail = streamSections.map { s =>
+      s"""{"name":"${s.name}","rows":${s.rows},"sec":${sec3(s.sec)},""" +
+        s""""batches":${s.batches},"rps":${s.rps.round},""" +
+        s""""batch_sec":${sec3(if (s.batches > 0) s.sec / s.batches else 0.0)}}"""
+    }.mkString("[", ",", "]")
     try Files.write(Paths.get("bench_detail.json"),
       (s"""{"total":${sec3(total)},"queries":${jsonMap(results)},""" +
         s""""run1":${rawMap(run1)},"run2":${rawMap(run2)},""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}""")
+        s""""failed":$failedJson,"streams":$streamsDetail,"sf":"$sfDir"}""")
         .getBytes(StandardCharsets.UTF_8))
     catch {
       case e: Throwable =>
@@ -171,10 +190,16 @@ object Bench {
     // BASELINE.md gates, surfaced directly: leaderboard micro-batch
     // latency (≤10 s target) and pipeline rec/s (≥1,667 target).
     val lbSec = byName.getOrElse("cdc_leaderboard", -1.0)
+    // Streaming section timings on the metric line stay name→sec only
+    // (2000-byte tail window); rows/batches/rps per section live in
+    // bench_detail.json.
+    val streamsJson = streamSections
+      .map(s => s"\"${s.name}\":" + sec3(s.sec)).mkString("{", ",", "}")
     val metricLine =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_run":${queries.size},"errors":${failed.size},""" +
         s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
+        s""""stream_rps":${streamRps.round},"streams":$streamsJson,""" +
         s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}"""
     // The metric line must be the LAST line of stdout (the driver tail-
     // captures and parses the final {...} line): silence Spark first, stop
