@@ -100,4 +100,39 @@ class PlanSpec extends SparkSpec {
     // would mean the frame evaluation re-partitioned the fact twice
     p.linesIterator.count(_.contains("Exchange")) shouldBe 1
   }
+
+  test("bench top-5 slow queries stay inside their exchange budgets") {
+    // The queries the bench's plan dump audits (the most expensive ones)
+    // each have a measured exchange count; drifting past the ceiling
+    // means a shuffle crept into a hot plan — fail the build, don't wait
+    // for a reviewer to eyeball bench_plans.txt. Ceilings carry +1 slack
+    // over the measured count where AQE has latitude; the single-shuffle
+    // plans are pinned exact.
+    // Counts are tree-string node occurrences (broadcast exchanges and
+    // repeated shared subtrees included), so they sit above the
+    // formatted-plan's deduped counts — measured here, +1 slack.
+    val ceilings = Map(
+      "analytics_basket_pairs" -> 7, // measured 6: pairs agg + freq joins + lift agg
+      "dedup_components" -> 0, // checkpointed label frame: a pure scan
+      "dedup_keeper_election" -> 7, // measured 6: quality join + argmax two-phase
+      "graph_pagerank_step" -> 20, // measured 19: fixed rounds × (join + agg)
+      "rel_pricing_summary" -> 1, // TPC-H Q1: single two-phase aggregation
+      "mm_knn" -> 2) // measured 1 + slack: quadratic-by-design baseline
+    val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
+      val n = plan(name).linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
+      if (n > cap) Some(s"$name: $n exchanges > ceiling $cap") else None
+    }
+    over shouldBe empty
+  }
+
+  test("keeper election consumes the shared label frame, not a recompute") {
+    // dedup_keeper_election must build on the checkpointed connected-
+    // components labels (Scan ExistingRDD) — a MinHash/LSH stage in its
+    // plan means the label sharing regressed to recomputing the whole
+    // near-dup pipeline per query
+    val p = plan("dedup_keeper_election")
+    p should include("ExistingRDD")
+    p should not include "Generate" // the shingle/band explode stage
+  }
 }
