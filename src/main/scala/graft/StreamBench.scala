@@ -183,14 +183,66 @@ object StreamBench {
     Section("anomaly", evs.length.toLong, sec, batches)
   }
 
+  /** The TTL variant of the stateful enricher (`ProcessingTimeTimeout`)
+    * schedules continuous housekeeping batches, so `processAllAvailable`
+    * never settles — completion is observed by polling the memory sink
+    * for the expected row count (every event emits exactly one enriched
+    * or miss row), the same harness pattern StreamingSpec pins. The TTL
+    * is set far above the section's wall time so no state evicts
+    * mid-measurement — this times the timeout-managed state path's
+    * throughput, not eviction races. */
+  private def enrichTtlSection(spark: SparkSession, sfDir: String): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = graft.queries.CdcMapping.fact(spark, sfDir).select(
+        col("id").cast("long"), col("content_id").cast("string"),
+        col("user_id").cast("string"), col("event_type").cast("string"),
+        col("event_ts").cast("timestamp"), col("duration_ms").cast("int"),
+        col("device").cast("string"), col("raw_payload").cast("string"))
+      .as[StatefulEnricher.EventRec].collect().toIndexedSeq
+    val dims = graft.queries.CdcMapping.dim(spark, sfDir).select(
+        col("id").cast("string"), col("slug").cast("string"),
+        col("title").cast("string"), col("content_type").cast("string"),
+        col("length_seconds").cast("int"), col("publish_ts").cast("timestamp"))
+      .as[StatefulEnricher.ContentRec].collect()
+    val in = MemoryStream[StatefulEnricher.CdcRecord]
+    val sinkName = "sb_ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = StatefulEnricher.enrich(in.toDS(), stateTtlMs = Some(3600L * 1000))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .option("checkpointLocation", tmp("sb_ttl")).start()
+    val chunks: Seq[IndexedSeq[StatefulEnricher.CdcRecord]] =
+      dims.map(c => StatefulEnricher.CdcRecord(c.id, None, Some(c))).toIndexedSeq +:
+        chunked(evs.map(e => StatefulEnricher.CdcRecord(e.content_id, Some(e), None)))
+    val expected = evs.length.toLong
+    val deadline = System.currentTimeMillis() + 300000
+    val t0 = System.nanoTime()
+    var expectedSoFar = 0L
+    chunks.foreach { c =>
+      in.addData(c)
+      expectedSoFar += c.count(_.event.isDefined)
+      while (spark.table(sinkName).count() < expectedSoFar
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = spark.table(sinkName).count()
+    val batches = Option(q.lastProgress).map(_.batchId.toInt + 1).getOrElse(0)
+    q.stop()
+    spark.catalog.dropTempView(sinkName)
+    if (n < expected)
+      System.err.println(s"WARN stream bench: enrich_ttl drained $n/$expected rows")
+    Section("enrich_ttl", n, sec, batches)
+  }
+
   /** Run all sections; order puts the one-time streaming-engine warm-up
-    * on a tiny untimed query, not on any section's clock. */
+    * on a tiny untimed query, not on any section's clock. A section that
+    * throws is dropped with a warning — one broken twin must not zero
+    * the perf signal of the others. */
   def run(spark: SparkSession, sfDir: String): Seq[Section] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // untimed warm-up: first streaming query pays micro-batch engine +
     // state-store + codegen init once
-    locally {
+    try {
       val in = MemoryStream[BudgetIn]
       val q = StreamingBudget.admitStream(in.toDF(), budget = 100L)
         .writeStream.outputMode("append").format("noop")
@@ -198,12 +250,21 @@ object StreamBench {
       in.addData((1 to 10).map(i => BudgetIn("w", i.toLong, 1L)))
       q.processAllAvailable()
       q.stop()
+    } catch { case _: Throwable => () }
+    val sections = Seq[(String, (SparkSession, String) => Section)](
+      "pipeline" -> pipelineSection,
+      "enrich_state" -> enrichSection,
+      "enrich_ttl" -> enrichTtlSection,
+      "funnel" -> funnelSection,
+      "budget" -> budgetSection,
+      "anomaly" -> anomalySection)
+    sections.flatMap { case (name, fn) =>
+      try Some(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(
+            s"WARN stream bench: section $name failed: ${e.getClass.getName}: ${e.getMessage}")
+          None
+      }
     }
-    Seq(
-      pipelineSection(spark, sfDir),
-      enrichSection(spark, sfDir),
-      funnelSection(spark, sfDir),
-      budgetSection(spark, sfDir),
-      anomalySection(spark, sfDir))
   }
 }
