@@ -44,19 +44,24 @@ object StreamBench {
   }
 
   /** Feed `chunks` through `add`, draining every query after each chunk;
-    * returns (elapsedSec, batches of the first query). */
+    * returns (elapsedSec, batches of the first query). Queries are
+    * stopped in a finally — a feed failure must not leave a live
+    * streaming query contending with the next timed section. */
   private def drive[T](chunks: Seq[IndexedSeq[T]],
       add: Seq[T] => Unit, queries: Seq[StreamingQuery]): (Double, Int) = {
-    val t0 = System.nanoTime()
-    chunks.foreach { c =>
-      add(c)
-      queries.foreach(_.processAllAvailable())
+    try {
+      val t0 = System.nanoTime()
+      chunks.foreach { c =>
+        add(c)
+        queries.foreach(_.processAllAvailable())
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val batches = queries.headOption.flatMap(q => Option(q.lastProgress))
+        .map(_.batchId.toInt + 1).getOrElse(chunks.size)
+      (sec, batches)
+    } finally queries.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
     }
-    val sec = (System.nanoTime() - t0) / 1e9
-    val batches = queries.headOption.flatMap(q => Option(q.lastProgress))
-      .map(_.batchId.toInt + 1).getOrElse(chunks.size)
-    queries.foreach(_.stop())
-    (sec, batches)
   }
 
   private def tmp(prefix: String): String =
@@ -77,20 +82,23 @@ object StreamBench {
     val in = MemoryStream[String]
     val enriched = StreamingPipeline.enrichStream(in.toDF(), dim)
     val sink = new StreamingPipeline.InMemoryKvSink
-    val qKv = StreamingPipeline.kvViewsWriter(enriched, sink)(tmp("sb_kv")).start()
-    val qWin = StreamingPipeline.minuteWindowsStream(enriched)
-      .writeStream.outputMode("update").format("noop")
-      .option("checkpointLocation", tmp("sb_win")).start()
-    val (sec, batches) = drive[String](chunked(msgs), in.addData(_), Seq(qKv, qWin))
-    sink.close()
-    Section("pipeline", msgs.length.toLong, sec, batches)
+    try {
+      val qKv = StreamingPipeline.kvViewsWriter(enriched, sink)(tmp("sb_kv")).start()
+      val qWin = StreamingPipeline.minuteWindowsStream(enriched)
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", tmp("sb_win")).start()
+      val (sec, batches) = drive[String](chunked(msgs), in.addData(_), Seq(qKv, qWin))
+      Section("pipeline", msgs.length.toLong, sec, batches)
+    } finally sink.close()
   }
 
-  /** Reference-exact stateful enrichment (J1 option (c)): dimension rows
-    * land first, then the event stream point-looks-up per-key state. */
-  private def enrichSection(spark: SparkSession, sfDir: String): Section = {
+  /** Shared prep for both enricher sections: the CdcRecord chunk
+    * schedule (dimension snapshot first — the reference's initial-load
+    * phase — then the event chunks) plus the event count. Both sections
+    * must measure the SAME input or their numbers aren't comparable. */
+  private def enrichChunks(spark: SparkSession, sfDir: String)
+      : (Seq[IndexedSeq[StatefulEnricher.CdcRecord]], Long) = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val evs = graft.queries.CdcMapping.fact(spark, sfDir).select(
         col("id").cast("long"), col("content_id").cast("string"),
         col("user_id").cast("string"), col("event_type").cast("string"),
@@ -102,19 +110,25 @@ object StreamBench {
         col("title").cast("string"), col("content_type").cast("string"),
         col("length_seconds").cast("int"), col("publish_ts").cast("timestamp"))
       .as[StatefulEnricher.ContentRec].collect()
+    val chunks =
+      dims.map(c => StatefulEnricher.CdcRecord(c.id, None, Some(c))).toIndexedSeq +:
+        chunked(evs.map(e => StatefulEnricher.CdcRecord(e.content_id, Some(e), None)))
+    (chunks, evs.length.toLong)
+  }
+
+  /** Reference-exact stateful enrichment (J1 option (c)): dimension rows
+    * land first, then the event stream point-looks-up per-key state. */
+  private def enrichSection(spark: SparkSession, sfDir: String): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (chunks, nEvents) = enrichChunks(spark, sfDir)
     val in = MemoryStream[StatefulEnricher.CdcRecord]
     val q = StatefulEnricher.enrich(in.toDS())
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_enr")).start()
-    // dimension snapshot first (the reference's initial-load phase),
-    // then the event chunks — both on the clock: the dimension upserts
-    // are pipeline work, not prep.
-    val chunks: Seq[IndexedSeq[StatefulEnricher.CdcRecord]] =
-      dims.map(c => StatefulEnricher.CdcRecord(c.id, None, Some(c))).toIndexedSeq +:
-        chunked(evs.map(e => StatefulEnricher.CdcRecord(e.content_id, Some(e), None)))
     val (sec, batches) = drive[StatefulEnricher.CdcRecord](
       chunks, in.addData(_), Seq(q))
-    Section("enrich_state", evs.length.toLong, sec, batches)
+    Section("enrich_state", nEvents, sec, batches)
   }
 
   case class FunnelIn(key: String, step: Int, ts: Timestamp)
@@ -185,52 +199,64 @@ object StreamBench {
 
   /** The TTL variant of the stateful enricher (`ProcessingTimeTimeout`)
     * schedules continuous housekeeping batches, so `processAllAvailable`
-    * never settles — completion is observed by polling the memory sink
-    * for the expected row count (every event emits exactly one enriched
-    * or miss row), the same harness pattern StreamingSpec pins. The TTL
-    * is set far above the section's wall time so no state evicts
+    * never settles — completion is observed by polling the query's OWN
+    * progress metrics (driver-side, no Spark job: a sink-count poll
+    * would steal cores from the query being measured and its cost grows
+    * with drained rows). Every event emits exactly one enriched or miss
+    * or miss row; completion is tracked by the memory source's
+    * `endOffset` in the query progress — MemoryStream's offset is the
+    * 0-based index of the last addData chunk consumed, and a batch only
+    * appears in progress once it committed, so offset ≥ k−1 means the
+    * k'th fed chunk drained. (Progress entries are NOT keyed uniquely
+    * by batchId here: timeout housekeeping emits duplicate-batchId
+    * entries, so per-batch row summation double-counts or misses —
+    * the offset high-water mark is the race-free signal.) `batches`
+    * counts distinct batchIds with numInputRows > 0, not the empty
+    * housekeeping batches. The TTL is
+    * set far above the section's wall time so no state evicts
     * mid-measurement — this times the timeout-managed state path's
     * throughput, not eviction races. */
   private def enrichTtlSection(spark: SparkSession, sfDir: String): Section = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val evs = graft.queries.CdcMapping.fact(spark, sfDir).select(
-        col("id").cast("long"), col("content_id").cast("string"),
-        col("user_id").cast("string"), col("event_type").cast("string"),
-        col("event_ts").cast("timestamp"), col("duration_ms").cast("int"),
-        col("device").cast("string"), col("raw_payload").cast("string"))
-      .as[StatefulEnricher.EventRec].collect().toIndexedSeq
-    val dims = graft.queries.CdcMapping.dim(spark, sfDir).select(
-        col("id").cast("string"), col("slug").cast("string"),
-        col("title").cast("string"), col("content_type").cast("string"),
-        col("length_seconds").cast("int"), col("publish_ts").cast("timestamp"))
-      .as[StatefulEnricher.ContentRec].collect()
+    val (chunks, expected) = enrichChunks(spark, sfDir)
     val in = MemoryStream[StatefulEnricher.CdcRecord]
-    val sinkName = "sb_ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = StatefulEnricher.enrich(in.toDS(), stateTtlMs = Some(3600L * 1000))
-      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_ttl")).start()
-    val chunks: Seq[IndexedSeq[StatefulEnricher.CdcRecord]] =
-      dims.map(c => StatefulEnricher.CdcRecord(c.id, None, Some(c))).toIndexedSeq +:
-        chunked(evs.map(e => StatefulEnricher.CdcRecord(e.content_id, Some(e), None)))
-    val expected = evs.length.toLong
-    val deadline = System.currentTimeMillis() + 300000
-    val t0 = System.nanoTime()
-    var expectedSoFar = 0L
-    chunks.foreach { c =>
-      in.addData(c)
-      expectedSoFar += c.count(_.event.isDefined)
-      while (spark.table(sinkName).count() < expectedSoFar
-        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    try {
+      val deadline = System.currentTimeMillis() + 300000
+      var chunksDone = 0L
+      var dataBatches = 0
+      val countedBatches = scala.collection.mutable.Set[Long]()
+      def pump(): Unit = q.recentProgress.foreach { p =>
+        p.sources.headOption
+          .flatMap(s => Option(s.endOffset))
+          .flatMap(_.trim.toLongOption)
+          .foreach(o => chunksDone = math.max(chunksDone, o + 1))
+        if (p.numInputRows > 0 && countedBatches.add(p.batchId))
+          dataBatches += 1
+      }
+      val t0 = System.nanoTime()
+      var fedChunks = 0L
+      chunks.foreach { c =>
+        in.addData(c)
+        fedChunks += 1
+        while ({ pump(); chunksDone < fedChunks }
+          && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val drained = chunks.take(chunksDone.toInt).map(_.length.toLong).sum
+      val fed = chunks.map(_.length.toLong).sum
+      if (drained < fed)
+        System.err.println(
+          s"WARN stream bench: enrich_ttl drained $drained/$fed records")
+      // rows = EVENTS processed (the throughput unit every section uses);
+      // the dim snapshot records are pipeline work but not the unit.
+      Section("enrich_ttl", math.min(expected, drained), sec, dataBatches)
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
     }
-    val sec = (System.nanoTime() - t0) / 1e9
-    val n = spark.table(sinkName).count()
-    val batches = Option(q.lastProgress).map(_.batchId.toInt + 1).getOrElse(0)
-    q.stop()
-    spark.catalog.dropTempView(sinkName)
-    if (n < expected)
-      System.err.println(s"WARN stream bench: enrich_ttl drained $n/$expected rows")
-    Section("enrich_ttl", n, sec, batches)
   }
 
   /** Run all sections; order puts the one-time streaming-engine warm-up

@@ -58,8 +58,19 @@ object DedupQueries {
     * at pass start makes the first label-consuming query in the pass
     * compute and the second reuse, so min-over-passes can never discard
     * the compute cost entirely (a warm cross-pass cache would report
-    * the cached-read time as the query's cost, which is a lie). */
-  def clearLabelCache(): Unit = labelCache.clear()
+    * the cached-read time as the query's cost, which is a lie).
+    * Checkpoint blocks are unpersisted best-effort (they are pairs-scale
+    * — kilobytes — but repeated passes shouldn't wait on the
+    * ContextCleaner to reclaim them). */
+  def clearLabelCache(): Unit = {
+    labelCache.values.forEach { df =>
+      try df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
+    labelCache.clear()
+  }
 
   /** DuckDB CTEs for the shared MinHash pipeline (hashed shingle → sign →
     * band → capped bucket). `cap` mirrors the Spark side's deterministic

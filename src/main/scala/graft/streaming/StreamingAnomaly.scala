@@ -18,10 +18,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * S = Σx, Q = Σx² over the frame ending at the current row,
   * |x − S/n| > 2σ  ⟺  (nx − S)² > 4(nQ − S²) — exact int64 arithmetic
   * while every |x| in the frame stays under the magnitude bound
-  * (≈ `sqrt(Long.Max / 8) / frame`; values above it promote the whole
-  * test to BigInt, still exact, just off the primitive fast path), so
-  * streaming and batch flag identical rows on in-order data (pinned by
-  * spec). Out-of-order arrivals within
+  * (≈ `sqrt(Long.Max / 8) / frame`), the regime where streaming and
+  * batch flag identical rows on in-order data (pinned by spec). Values
+  * above the bound promote THIS operator's test to BigInt — still the
+  * exact answer; note the batch twin (`analytics_rolling_zscore`) is a
+  * raw-SQL window whose contract is the in-bound regime (its int64
+  * would wrap there, and DuckDB would raise), so past the bound the
+  * streaming side is the reliable one, not a bit-twin of the batch
+  * query. Out-of-order arrivals within
   * a micro-batch are re-sorted by event time; later-batch stragglers
   * see the frame as of arrival — the same horizon trade
   * [[StreamingFunnel]] makes.
