@@ -1,0 +1,31 @@
+package graft
+
+/** The streaming bench's fault isolation (a section that throws is
+  * dropped with a warning so it can't zero the others' signal) has a
+  * flip side: a silently-broken section would just vanish from the
+  * artifact. This spec pins that every section actually runs to
+  * completion at the smallest fixture — a missing name or a zero row
+  * count is a harness regression, caught by `sbt test` instead of a
+  * reviewer diffing bench_detail.json across rounds. */
+class StreamBenchSpec extends SparkSpec {
+
+  test("every stream bench section runs and fully drains at sf0.001") {
+    val sections = StreamBench.run(spark, "/root/testdata/sf0.001")
+    val byName = sections.map(s => s.name -> s).toMap
+    byName.keySet shouldBe Set(
+      "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "anomaly")
+    sections.foreach { s =>
+      withClue(s"section ${s.name}: ") {
+        s.rows should be > 0L
+        s.sec should be > 0.0
+        s.batches should be > 0
+      }
+    }
+    // the enricher twins measure the SAME input, and the TTL variant
+    // must have drained every event (its completion signal is the
+    // offset high-water mark — a tracking bug shows up as a short count)
+    byName("enrich_ttl").rows shouldBe byName("enrich_state").rows
+    // the pipeline's throughput unit is the full event volume
+    byName("pipeline").rows shouldBe byName("enrich_state").rows
+  }
+}
