@@ -171,5 +171,44 @@ object TextQueries {
          |  SELECT s AS gram, count(*) AS df FROM (
          |    SELECT doc_id, unnest(${shingles(tokens("text"), 2)}) AS s
          |    FROM documents) GROUP BY s)
-         |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin))
+         |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin),
+
+    // Corpus-frequency document scoring — the log-free core of a
+    // CCNet-style LM quality filter: a document whose tokens are rare
+    // in the corpus (low average corpus frequency) is likely noise /
+    // OCR junk / another language; one whose tokens are all
+    // ultra-common is boilerplate. Integer-exact by construction: the
+    // per-doc score is sum(corpus_freq)/n_tokens — an int64 sum over
+    // int64 counts, divided once at the edge (two exact int64s → one
+    // IEEE division, bit-identical cross-engine — the repo's decimal
+    // doctrine). Shape at 100 TB: token counts are one explode +
+    // hash-agg shuffle carrying (token, partial count); the rescore
+    // join broadcasts the vocabulary (bounded by |vocab|, ~1M words for
+    // natural language — megabytes), so documents never shuffle.
+    "text_corpus_freq" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(
+          col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).as("corpus_freq"))
+        toks.join(broadcast(vocab), Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(col("corpus_freq")).as("sum_freq"))
+          .select(col("doc_id"), col("n_tokens"), col("sum_freq"),
+            (col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+              .as("avg_freq"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${tokens("text")}) AS tok FROM documents),
+         |v AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS corpus_freq
+         |  FROM t GROUP BY tok)
+         |SELECT t.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(v.corpus_freq) AS BIGINT) AS sum_freq,
+         |  CAST(CAST(sum(v.corpus_freq) AS BIGINT) AS DOUBLE)
+         |    / CAST(count(*) AS BIGINT) AS avg_freq
+         |FROM t JOIN v ON t.tok = v.tok
+         |GROUP BY t.doc_id""".stripMargin))
 }
