@@ -140,6 +140,33 @@ object StreamingPipeline {
     exactDedupStream(gated, textCol, tsCol, watermark)
   }
 
+  /** Streaming corpus-frequency scoring — the rescore half of the batch
+    * `text_corpus_freq` as a streaming intake stage. The vocabulary is
+    * a STATIC frame (columns `tok`, `corpus_freq`): corpus token counts
+    * are a batch artifact refreshed per corpus snapshot — a stream
+    * cannot hold an ever-growing corpus aggregation, and scoring
+    * against a pinned vocabulary is also what makes replays
+    * deterministic. Shape: explode the token array, broadcast-join the
+    * vocabulary (documents never shuffle wide — the exchange carries
+    * (id, ts, token)), re-aggregate per document behind the watermark;
+    * state is one partial-sum row per in-flight document, expired by
+    * the horizon. Tokens absent from the vocabulary count frequency 0
+    * (left join) — exactly how out-of-corpus junk should score low. */
+  def corpusFreqStream(docs: DataFrame, vocab: DataFrame, textCol: String,
+      idCol: String, tsCol: String, watermark: String = "10 minutes"): DataFrame = {
+    val toks = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol), col(tsCol),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("tok"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col(tsCol), col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(coalesce(col("corpus_freq"), lit(0L))).as("sum_freq"))
+      .select(col(idCol), col("n_tokens"), col("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+          .as("avg_freq"))
+  }
+
   /** Streaming data-quality gate: row-level constraint checks as
     * map-only column expressions, so a 100 TB/day stream is gated with
     * ZERO state — rows route to the clean stream or, with the failed

@@ -210,6 +210,33 @@ class StreamingSpec extends SparkSpec {
       Array(1L)
   }
 
+  test("streaming corpus-frequency scoring matches the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the cat sat", ts("2025-08-08 10:00:00")),
+      (2L, "the the the", ts("2025-08-08 10:00:10")),
+      (3L, "zz cat", ts("2025-08-08 10:00:20"))) // zz is out-of-vocab
+    // vocabulary pinned from a corpus snapshot: the/4, cat/2, sat/1
+    val vocab = Seq(("the", 4L), ("cat", 2L), ("sat", 1L))
+      .toDF("tok", "corpus_freq")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingPipeline.corpusFreqStream(
+      in.toDF().toDF("doc_id", "text", "ts"), vocab, "text", "doc_id", "ts")
+    val q = out.writeStream.format("memory").queryName("cfreq")
+      .outputMode("update").start()
+    val (b1, b2) = docs.splitAt(2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cfreq").orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: (4+2+1)/3; doc 2: 12/3; doc 3: (0+2)/2 — OOV counts 0
+    got shouldBe Seq(
+      (1L, 3L, 7L, 7.0 / 3),
+      (2L, 3L, 12L, 4.0),
+      (3L, 2L, 2L, 1.0))
+  }
+
   test("streaming DQ gate routes rows to clean vs quarantine with check names") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.lang.Long, java.lang.Double, Timestamp)]
