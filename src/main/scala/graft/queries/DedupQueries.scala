@@ -452,6 +452,129 @@ object DedupQueries {
            |FROM documents GROUP BY 1, 2""".stripMargin
       }),
 
+    // Split decontamination — the step BETWEEN curate_split and
+    // training: a train-split document that is a near-duplicate of any
+    // holdout (val/test) document leaks the holdout into training and
+    // must be dropped. Composes the capped MinHash candidate graph
+    // (dedup_minhash_pairs' exact shapes) with the hash-derived split
+    // assignment (curate_split's exact buckets): because the split is a
+    // pure function of doc_id, tagging each pair endpoint is MAP-ONLY
+    // arithmetic on the pairs frame — no join against a split table,
+    // no extra shuffle beyond the pairs-scale group-by that builds the
+    // drop manifest. At 100 TB the manifest is near-dup-pairs-scale
+    // (tiny vs the corpus) and anti-joins against train in one pass.
+    "curate_decontaminate" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        def bucket(idc: org.apache.spark.sql.Column) =
+          PortableHash.hash60(
+            concat(idc.cast("string"), lit("|split"))) % 100
+        val pairs = Dedup.nearDuplicates(Tables.documents(s, d),
+          "doc_id", "text", n = 1, k = K, bands = Bands, threshold = 0.9,
+          bucketCap = 48)
+        // classify each (a,b) pair in ONE pass (a union of both
+        // orientations would recompute the whole MinHash pipeline twice
+        // — PlanSpec pins the single-pipeline shape): a pair is
+        // train-side t / holdout-side h or irrelevant, decided by pure
+        // arithmetic on the endpoint ids
+        val ba = bucket(col("a"))
+        val bb = bucket(col("b"))
+        pairs
+          .filter((ba < 80 && bb >= 80) || (ba >= 80 && bb < 80))
+          .select(when(ba < 80, col("a")).otherwise(col("b")).as("t"),
+            when(ba < 80, col("b")).otherwise(col("a")).as("h"),
+            col("jaccard"))
+          .groupBy(col("t").as("train_doc_id"))
+          .agg(count(lit(1)).as("n_holdout_matches"),
+            max(col("jaccard")).as("max_jaccard"),
+            min(col("h")).as("first_holdout_id"))
+      }, {
+        import graft.functions.PortableHash
+        def bucketSql(e: String) =
+          s"(${PortableHash.hash60Sql(s"CAST($e AS VARCHAR) || '|split'")} % 100)"
+        s"""WITH ${minhashCtes(1, "doc_id >= 0", 48)},
+           |edges AS (
+           |  SELECT c.a, c.b, ${jaccard("sa.__sh", "sb.__sh")} AS jaccard
+           |  FROM cand c
+           |  JOIN sh sa ON sa.__id = c.a
+           |  JOIN sh sb ON sb.__id = c.b
+           |  WHERE ${jaccard("sa.__sh", "sb.__sh")} >= 0.9),
+           |sym AS (SELECT a AS t, b AS h, jaccard FROM edges
+           |        UNION ALL SELECT b, a, jaccard FROM edges)
+           |SELECT t AS train_doc_id, COUNT(*) AS n_holdout_matches,
+           |  MAX(jaccard) AS max_jaccard, MIN(h) AS first_holdout_id
+           |FROM sym
+           |WHERE ${bucketSql("t")} < 80 AND ${bucketSql("h")} >= 80
+           |GROUP BY t""".stripMargin
+      }),
+
+    // Context-window chunk packing — how pretraining data is actually
+    // laid out: concatenate documents in a deterministic pseudo-random
+    // order per source and split the token stream into fixed-size
+    // context windows. Each document's span is pure arithmetic on the
+    // running token count ((cum-n) div ctx .. (cum-1) div ctx), and the
+    // running count reuses curate_token_budget's DISTRIBUTED TWO-LEVEL
+    // PREFIX SUM (64 hash buckets cumsum in parallel, bucket offsets
+    // from a 64-row-per-source aggregate broadcast back) — no task ever
+    // scans a whole source, and the oracle's flat sequential window
+    // hash-proves the decomposition. `straddles` marks docs split
+    // across a window boundary (the packing loss a recipe reports).
+    "curate_pack_chunks" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.PortableHash
+        import graft.operators.TextAnalysis
+        val ctx = 512L
+        val buckets = 64
+        val h = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|pack")))
+        val base = Tables.documents(s, d).select(
+          col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          (h % buckets).as("bkt"), h.as("ord"))
+        val inBucket = Window.partitionBy(col("source"), col("bkt"))
+          .orderBy(col("ord"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withLocal = base
+          .withColumn("local_cum", sum(col("n_tokens")).over(inBucket))
+        val offsets = base.groupBy(col("source"), col("bkt"))
+          .agg(sum(col("n_tokens")).as("bkt_tokens"))
+          .withColumn("offset", coalesce(
+            sum(col("bkt_tokens")).over(
+              Window.partitionBy(col("source")).orderBy(col("bkt"))
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source"), col("bkt"), col("offset"))
+        withLocal.join(broadcast(offsets), Seq("source", "bkt"))
+          .withColumn("cum_tokens",
+            (col("local_cum") + col("offset")).cast("long"))
+          .withColumn("first_chunk",
+            expr(s"(cum_tokens - n_tokens) div $ctx"))
+          .withColumn("last_chunk", expr(s"(cum_tokens - 1) div $ctx"))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("first_chunk"), col("last_chunk"),
+            (col("first_chunk") =!= col("last_chunk")).as("straddles"))
+      }, {
+        import graft.functions.PortableHash
+        val hSql = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|pack'")
+        s"""WITH t AS (
+           |  SELECT source, doc_id,
+           |    CAST(len(${tokens("text")}) AS BIGINT) AS n_tokens,
+           |    $hSql % 64 AS bkt, $hSql AS ord
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, doc_id, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (
+           |      PARTITION BY source ORDER BY bkt, ord, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+           |  FROM t)
+           |SELECT source, doc_id, n_tokens,
+           |  (cum_tokens - n_tokens) // 512 AS first_chunk,
+           |  (cum_tokens - 1) // 512 AS last_chunk,
+           |  (cum_tokens - n_tokens) // 512 <> (cum_tokens - 1) // 512
+           |    AS straddles
+           |FROM c""".stripMargin
+      }),
+
     // Deterministic weighted source mixing — the training-data recipe
     // step: each source gets a sampling rate (here derived from a
     // portable hash of the source name, 25-75%), each document an

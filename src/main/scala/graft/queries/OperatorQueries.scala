@@ -291,6 +291,70 @@ object OperatorQueries {
          |  FROM events)
          |WHERE rn <= 100""".stripMargin),
 
+    // Systematic probability-proportional-to-size (PPS) sampling — the
+    // weighted complement of op_reservoir_sample: a row with weight w is
+    // selected iff the interval (cum-w, cum] of the global running
+    // weight contains a multiple of the step, so inclusion probability
+    // is w/step (for w < step) with a FIXED expected sample size of
+    // total/step — the estimator survey sampling and size-weighted data
+    // selection both build on. Everything is int64 arithmetic on a
+    // deterministic portable-hash order (replay/retry-safe, no rand()),
+    // and the GLOBAL running sum is a distributed two-level prefix sum:
+    // 64 hash-bucket cumsums in parallel, bucket offsets from a 64-row
+    // aggregate broadcast back — no single task scans the table, unlike
+    // the naive one-partition window. The oracle's flat sequential
+    // window hash-proves the decomposition.
+    "op_pps_sample" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.PortableHash
+        val step = 4096L
+        val buckets = 64
+        val h = PortableHash.hash60(concat(
+          col("l_orderkey").cast("string"), lit("|"),
+          col("l_linenumber").cast("string"), lit("|pps")))
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("w"),
+          (h % buckets).as("bkt"), h.as("ord"))
+        val inBucket = Window.partitionBy(col("bkt"))
+          .orderBy(col("ord"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val withLocal = base
+          .withColumn("local_cum", sum(col("w")).over(inBucket))
+        val offsets = base.groupBy(col("bkt"))
+          .agg(sum(col("w")).as("bkt_w"))
+          .withColumn("offset", coalesce(
+            sum(col("bkt_w")).over(Window.orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bkt"), col("offset"))
+        withLocal.join(broadcast(offsets), Seq("bkt"))
+          .withColumn("cum_weight",
+            (col("local_cum") + col("offset")).cast("long"))
+          .filter(expr(s"cum_weight div $step") >
+            expr(s"(cum_weight - w) div $step"))
+          .select(col("l_orderkey"), col("l_linenumber").cast("long")
+            .as("l_linenumber"), col("w").as("weight"), col("cum_weight"))
+      }, {
+        import graft.functions.PortableHash
+        val hSql = PortableHash.hash60Sql(
+          "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|pps'")
+        s"""WITH t AS (
+           |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           |    CAST(l_quantity AS BIGINT) AS w,
+           |    $hSql % 64 AS bkt, $hSql AS ord
+           |  FROM lineitem),
+           |c AS (
+           |  SELECT l_orderkey, l_linenumber, w,
+           |    CAST(SUM(w) OVER (
+           |      ORDER BY bkt, ord, l_orderkey, l_linenumber
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+           |  FROM t)
+           |SELECT l_orderkey, l_linenumber, w AS weight, cum_weight
+           |FROM c
+           |WHERE cum_weight // 4096 > (cum_weight - w) // 4096""".stripMargin
+      }),
+
     // Z-order layout: interleave the bits of two clustering dimensions
     // (customer key, order date) into one Morton key, range-bucket on
     // it, and report each bucket's bounding box. The point of the curve:

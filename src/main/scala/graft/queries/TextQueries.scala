@@ -20,6 +20,18 @@ object TextQueries {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as")
 
+  /** DuckDB twin of [[TextAnalysis.qualityScore]]; expects `text` and a
+    * tokenized `w` column in scope. Shared by `text_quality` and
+    * `curate_quality_gate` so the two can never drift apart. */
+  private def qualitySql: String =
+    s"""round((
+       |    least(len(w) / 20.0, 1.0)
+       |    + greatest(1.0 - ((length(text) - length(translate(text, '.,!?;:', '')))
+       |        / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 0.0)
+       |    + least((len(list_filter(w, t -> list_contains(${stopList(stopwords)}, t)))
+       |        / greatest(len(w)::DOUBLE, 1.0)) * 4.0, 1.0)
+       |  ) / 3.0, 6)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Token / punctuation / stopword counting (BPE-ish subword proxy
@@ -47,14 +59,42 @@ object TextQueries {
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality")),
       s"""SELECT doc_id,
-         |  round((
-         |    least(len(w) / 20.0, 1.0)
-         |    + greatest(1.0 - ((length(text) - length(translate(text, '.,!?;:', '')))
-         |        / greatest(length(text)::DOUBLE, 1.0)) * 10.0, 0.0)
-         |    + least((len(list_filter(w, t -> list_contains(${stopList(stopwords)}, t)))
-         |        / greatest(len(w)::DOUBLE, 1.0)) * 4.0, 1.0)
-         |  ) / 3.0, 6) AS quality
+         |  $qualitySql AS quality
          |FROM (SELECT doc_id, text, ${tokens("text")} AS w FROM documents)""".stripMargin),
+
+    // Per-source quality-threshold admission — adaptive curation: keep
+    // each source's top quality QUARTILE rather than one global cutoff
+    // (a global threshold empties low-quality sources and keeps
+    // boilerplate from high-quality ones). NTILE(4) over the
+    // deterministic (quality DESC, doc_id) order; ties broken by id so
+    // the admitted set is replay-identical. Honest 100 TB note (same as
+    // op_quantile_bin): the per-source NTILE implies a per-source sort,
+    // so at scale the cutoff comes from a sampled/sketched quantile
+    // (op_histogram's path) and admission becomes a map-only filter
+    // against the broadcast cutoffs; the NTILE form is the exactness
+    // baseline that gate would be verified against.
+    "curate_quality_gate" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .withColumn("qt", ntile(4).over(w))
+          .filter(col("qt") === 1)
+          .select(col("source"), col("doc_id"), col("quality"))
+      },
+      s"""WITH q AS (
+         |  SELECT source, doc_id, $qualitySql AS quality
+         |  FROM (SELECT source, doc_id, text, ${tokens("text")} AS w
+         |        FROM documents))
+         |SELECT source, doc_id, quality FROM (
+         |  SELECT source, doc_id, quality,
+         |    ntile(4) OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS qt
+         |  FROM q)
+         |WHERE qt = 1""".stripMargin),
 
     // n-gram-heuristic language ID: marker-stopword hit counts per
     // language, argmax with first-listed tie-break.

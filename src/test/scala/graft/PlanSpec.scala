@@ -126,6 +126,41 @@ class PlanSpec extends SparkSpec {
     over shouldBe empty
   }
 
+  test("prefix-sum operators broadcast the offsets, never shuffle the fact for the join") {
+    // pack chunks / PPS sampling: the bucket-offset frame is rows=buckets
+    // (64 per source) — it must arrive at the fact via BroadcastExchange;
+    // a shuffled join here re-partitions the full table a second time.
+    // The fact-side cumsum must run over the hash-bucket partitioning
+    // (parallel local windows), not a single global window.
+    for (name <- Seq("curate_pack_chunks", "op_pps_sample")) {
+      val p = plan(name)
+      p should include("BroadcastHashJoin")
+      assert(p.linesIterator.exists(l =>
+        l.contains("Exchange hashpartitioning") && l.contains("bkt")),
+        s"$name: fact-side cumsum window not partitioned by hash bucket")
+      // the only single-partition stage allowed is the offsets window
+      // (64 rows per source); the fact side must never collapse
+      p.linesIterator.count(_.contains("Exchange SinglePartition")) should be <= 1
+    }
+  }
+
+  test("decontamination runs the near-dup pipeline once, not per orientation") {
+    // each side of the LSH candidate self-join contributes one shingle
+    // explode; a symmetrizing union that recomputes the pipeline would
+    // double the Generate count (and the full candidate cost) at 100 TB
+    val p = plan("curate_decontaminate")
+    p.linesIterator.count(_.contains("Generate")) shouldBe 2
+    // split tagging is arithmetic on the pair endpoints — no join
+    // against a split table beyond the pairs machinery's three
+    p.linesIterator.count(_.contains("Join")) shouldBe 3
+  }
+
+  test("quality gate is one shuffle (per-source window), map-only scoring") {
+    val p = plan("curate_quality_gate")
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+    p should not include "Join"
+  }
+
   test("keeper election consumes the shared label frame, not a recompute") {
     // dedup_keeper_election must build on the checkpointed connected-
     // components labels (Scan ExistingRDD) — a MinHash/LSH stage in its
