@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ingest.Tables
 import graft.streaming.{StatefulEnricher, StreamingAnomaly, StreamingBudget,
-  StreamingFunnel, StreamingPipeline}
+  StreamingFunnel, StreamingPack, StreamingPipeline}
 
 /** Measured throughput for the streaming half of the engine — the batch
   * registry has a per-query bench, but the stateful streaming twins
@@ -174,6 +174,24 @@ object StreamBench {
     Section("budget", docs.length.toLong, sec, batches)
   }
 
+  /** Per-source context-window chunk packing over the documents fixture
+    * — the same ctx as the batch `curate_pack_chunks`. */
+  private def packSection(spark: SparkSession, sfDir: String): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(
+        col("source").cast("string"), col("doc_id").cast("long"),
+        graft.operators.TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+      .as[BudgetIn].collect().toIndexedSeq
+    val in = MemoryStream[BudgetIn]
+    val q = StreamingPack.packStream(in.toDF(), ctx = 512L)
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_pack")).start()
+    val (sec, batches) = drive[BudgetIn](chunked(docs), in.addData(_), Seq(q))
+    Section("pack", docs.length.toLong, sec, batches)
+  }
+
   case class AnomalyIn(key: String, event_id: Long, ts: Timestamp, x: Long)
 
   /** Per-event-type rolling 2-sigma anomaly state over the events
@@ -283,6 +301,7 @@ object StreamBench {
       "enrich_ttl" -> enrichTtlSection,
       "funnel" -> funnelSection,
       "budget" -> budgetSection,
+      "pack" -> packSection,
       "anomaly" -> anomalySection)
     sections.flatMap { case (name, fn) =>
       try Some(fn(spark, sfDir)) catch {

@@ -13,7 +13,8 @@ class StreamBenchSpec extends SparkSpec {
     val sections = StreamBench.run(spark, "/root/testdata/sf0.001")
     val byName = sections.map(s => s.name -> s).toMap
     byName.keySet shouldBe Set(
-      "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "anomaly")
+      "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
+      "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
         s.rows should be > 0L

@@ -515,6 +515,34 @@ class StreamingSpec extends SparkSpec {
     expected should contain(8L) // the spike really is in the flagged set
   }
 
+  test("streaming chunk packing carries the token position across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamingPack.packStream(
+        in.toDF().toDF("source", "doc_id", "n_tokens"), ctx = 100L)
+      .writeStream.format("memory").queryName("pack")
+      .outputMode("append").start()
+
+    // batch 1: 60 tokens fills [0,60) → chunk 0; 50 tokens spans
+    // [60,110) → straddles the chunk-0/1 boundary
+    in.addData(("web", 1L, 60L), ("web", 2L, 50L))
+    q.processAllAvailable()
+    // batch 2: the stream position (110) persists across batches —
+    // 120 tokens spans [110,230) → chunks 1..2; a fresh source starts
+    // its own stream at position 0
+    in.addData(("web", 3L, 120L), ("books", 10L, 30L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("pack").orderBy("source", "doc_id")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSeq
+    rows shouldBe Seq(
+      ("books", 10L, 30L, 0L, 0L, false),
+      ("web", 1L, 60L, 0L, 0L, false),
+      ("web", 2L, 50L, 0L, 1L, true),
+      ("web", 3L, 120L, 1L, 2L, true))
+  }
+
   test("streaming token budget admits per source until the quota fills") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)]
