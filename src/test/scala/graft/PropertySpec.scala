@@ -67,6 +67,74 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("two-level prefix sum: bucketed local cumsums + offsets equal the flat scan") {
+    // the decomposition curate_token_budget / curate_pack_chunks /
+    // op_pps_sample all rely on: rows hash into buckets, each bucket
+    // cumsums independently, prior-bucket totals are added back as
+    // offsets — and the result must equal one sequential scan in
+    // (bucket, ord) order, for ANY weights and ANY bucket count
+    val gen = for {
+      ws <- Gen.nonEmptyListOf(Gen.choose(1L, 50L))
+      nb <- Gen.choose(1, 8)
+    } yield (ws, nb)
+    check(Prop.forAll(gen) { case (ws, nb) =>
+      val rows = ws.zipWithIndex.map { case (w, i) =>
+        val h = PortableHash.seedLong(s"$i|prop")
+        (h % nb, h, i, w) // (bucket, ord, tiebreak, weight)
+      }
+      val sorted = rows.sortBy { case (b, o, i, _) => (b, o, i) }
+      val flat = sorted.scanLeft(0L)(_ + _._4).tail
+      val bucketTotal = sorted.groupBy(_._1).view.mapValues(_.map(_._4).sum)
+      val buckets = bucketTotal.keys.toSeq.sorted
+      val offset = buckets.zip(
+        buckets.scanLeft(0L)((acc, b) => acc + bucketTotal(b)).init).toMap
+      val twoLevel = sorted.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (b, rs) => rs.scanLeft(0L)(_ + _._4).tail.map(_ + offset(b))
+      }
+      twoLevel == flat
+    })
+  }
+
+  test("PPS rule: step-multiple crossings select exactly total div step rows") {
+    // the fixed-sample-size guarantee op_pps_sample is built on: each
+    // multiple of the step lands in exactly one (cum-w, cum] interval.
+    // Exact equality requires every w <= step (w > step means one row
+    // swallows several multiples — certainty units in PPS terms, and
+    // op_pps_sample's step 4096 is far above the max weight 50); with
+    // arbitrary weights the count can only shrink, never grow
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(1L, 50L)), Gen.choose(50L, 200L))
+    check(Prop.forAll(gen) { case (ws, step) =>
+      val cums = ws.scanLeft(0L)(_ + _).tail
+      val selected = ws.zip(cums).count { case (w, c) =>
+        c / step > (c - w) / step }
+      selected == cums.last / step
+    })
+    val genAny = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(1L, 50L)), Gen.choose(1L, 200L))
+    check(Prop.forAll(genAny) { case (ws, step) =>
+      val cums = ws.scanLeft(0L)(_ + _).tail
+      val selected = ws.zip(cums).count { case (w, c) =>
+        c / step > (c - w) / step }
+      selected <= cums.last / step
+    })
+  }
+
+  test("chunk packing: spans tile the token stream, chunk ids advance by at most one") {
+    val gen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(1L, 600L)), Gen.choose(1L, 512L))
+    check(Prop.forAll(gen) { case (ws, ctx) =>
+      val cums = ws.scanLeft(0L)(_ + _).tail
+      val spans = ws.zip(cums).map { case (n, cum) =>
+        (((cum - n) / ctx), ((cum - 1) / ctx)) }
+      val ordered = spans.forall { case (f, l) => f <= l }
+      val contiguous = spans.zip(spans.drop(1)).zip(cums).forall {
+        case (((_, l), (f2, _)), cum) =>
+          f2 == (if (cum % ctx == 0) l + 1 else l) }
+      ordered && contiguous && cums.last == ws.sum
+    })
+  }
+
   test("morton: interleave16 is a bijection on 16-bit pairs") {
     def despread(z: Long): Long = {
       var v = z & 0x5555555555555555L
