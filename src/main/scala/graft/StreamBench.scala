@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ingest.Tables
 import graft.streaming.{StatefulEnricher, StreamingAnomaly, StreamingBudget,
-  StreamingFunnel, StreamingPack, StreamingPipeline}
+  StreamingDedup, StreamingFunnel, StreamingPack, StreamingPipeline}
 
 /** Measured throughput for the streaming half of the engine — the batch
   * registry has a per-query bench, but the stateful streaming twins
@@ -192,6 +192,27 @@ object StreamBench {
     Section("pack", docs.length.toLong, sec, batches)
   }
 
+  case class DedupIn(doc_id: Long, text: String, ts: Timestamp)
+
+  /** Watermark-bounded streaming exact-dedup gate over the documents
+    * fixture (synthetic monotone timestamps — the fixture has no doc
+    * event time; state eviction is exercised by the horizon). */
+  private def dedupSection(spark: SparkSession, sfDir: String): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir).select(
+        col("doc_id").cast("long"), col("text"),
+        // one second of event time per doc id: deterministic, monotone
+        (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts"))
+      .as[DedupIn].collect().toIndexedSeq
+    val in = MemoryStream[DedupIn]
+    val q = StreamingDedup.dedupStream(in.toDF(), "ts", "60 seconds")
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_ded")).start()
+    val (sec, batches) = drive[DedupIn](chunked(docs), in.addData(_), Seq(q))
+    Section("dedup", docs.length.toLong, sec, batches)
+  }
+
   case class AnomalyIn(key: String, event_id: Long, ts: Timestamp, x: Long)
 
   /** Per-event-type rolling 2-sigma anomaly state over the events
@@ -302,6 +323,7 @@ object StreamBench {
       "funnel" -> funnelSection,
       "budget" -> budgetSection,
       "pack" -> packSection,
+      "dedup" -> dedupSection,
       "anomaly" -> anomalySection)
     sections.flatMap { case (name, fn) =>
       try Some(fn(spark, sfDir)) catch {

@@ -122,6 +122,55 @@ object SimilarityQueries {
            |WHERE rank <= $K""".stripMargin
       }),
 
+    // Coreset by cell quota — DIVERSITY sampling for training subsets:
+    // a uniform sample over-represents dense regions of embedding
+    // space; capping each IVF cell at a fixed quota keeps every region
+    // represented (the cheap, deterministic cousin of k-center greedy,
+    // which is inherently sequential). Broadcast centroids + map-only
+    // argmin assignment (ivfAssign), then one shuffle on cell_id with
+    // the quota pushed below the exchange as WindowGroupLimit
+    // (PlanSpec-pinned) — the op_reservoir_sample shape stratified by
+    // learned cluster instead of a categorical column. Selection order
+    // within a cell is portable-hash (replay-safe, engine-portable).
+    "sim_coreset" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.PortableHash
+        val (assigned, _) = Similarity.ivfAssign(quantized(s, d),
+          "vec_id", "qv",
+          centroidFilter = pmod(col("vec_id"), lit(50)) === 0, nprobe = 1)
+        val w = Window.partitionBy(col("cell_id"))
+          .orderBy(PortableHash.hash60(
+            concat(col("__id").cast("string"), lit("|coreset"))), col("__id"))
+        assigned
+          .withColumn("pick", row_number().over(w))
+          .filter(col("pick") <= 10)
+          .select(col("cell_id"), col("__id").as("vec_id"),
+            col("pick").cast("long").as("pick"))
+      }, {
+        def d2(v: String, c: String) =
+          s"(${dot(v, v, Dims)} - 2.0 * ${dot(v, c, Dims)} + ${dot(c, c, Dims)})"
+        val hSql = graft.functions.PortableHash.hash60Sql(
+          "CAST(id AS VARCHAR) || '|coreset'")
+        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+           |c AS (SELECT vec_id AS cent_id, v AS cent_v FROM e WHERE vec_id % 50 = 0),
+           |scored AS (
+           |  SELECT e.vec_id AS id, c.cent_id, ${d2("e.v", "c.cent_v")} AS d2
+           |  FROM e, c),
+           |assigned AS (
+           |  SELECT id, cent_id AS cell_id FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY id ORDER BY d2 ASC, cent_id ASC) AS cr
+           |    FROM scored)
+           |  WHERE cr = 1)
+           |SELECT cell_id, id AS vec_id, pick FROM (
+           |  SELECT cell_id, id,
+           |    CAST(row_number() OVER (PARTITION BY cell_id
+           |      ORDER BY $hSql, id) AS BIGINT) AS pick
+           |  FROM assigned)
+           |WHERE pick <= 10""".stripMargin
+      }),
+
     // One distributed Lloyd (k-means) iteration — the training step for
     // the IVF centroids: broadcast argmin-L2 assignment, then
     // per-(cluster, dim) counts/sums/means over the first 4 dims.

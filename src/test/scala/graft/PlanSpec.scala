@@ -15,6 +15,7 @@ class PlanSpec extends SparkSpec {
     * set against every vector — linear in the corpus, not quadratic). */
   private val quadraticByDesign =
     Set("sim_knn_brute", "sim_knn_ivf", "sim_kmeans_step", "mm_knn",
+      "sim_coreset", // broadcast of the k-sized centroid set (IVF assign)
       "sim_ann_recall", // embeds the brute-force baseline it grades against
       "rel_cross_small", // 5×25 dimension product — the cross IS the query
       "wh_dq_checks") // 1-row × 1-row scalar cross (metrics × orphan count)
@@ -153,6 +154,13 @@ class PlanSpec extends SparkSpec {
     // split tagging is arithmetic on the pair endpoints — no join
     // against a split table beyond the pairs machinery's three
     p.linesIterator.count(_.contains("Join")) shouldBe 3
+  }
+
+  test("coreset cell quota is pushed below the cell shuffle") {
+    // like op_reservoir_sample: each task keeps its local top-quota per
+    // cell before the exchange — without WindowGroupLimit the whole
+    // corpus shuffles on cell_id just to drop most of it
+    plan("sim_coreset") should include("WindowGroupLimit")
   }
 
   test("quality gate is one shuffle (per-source window), map-only scoring") {

@@ -14,7 +14,7 @@ class StreamBenchSpec extends SparkSpec {
     val byName = sections.map(s => s.name -> s).toMap
     byName.keySet shouldBe Set(
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
-      "anomaly")
+      "dedup", "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
         s.rows should be > 0L

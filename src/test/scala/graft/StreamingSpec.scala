@@ -515,6 +515,32 @@ class StreamingSpec extends SparkSpec {
     expected should contain(8L) // the spike really is in the flagged set
   }
 
+  test("streaming exact dedup admits only the first arrival of a digest") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.StreamingDedup.dedupStream(
+        in.toDF().toDF("doc_id", "text", "ts"), "ts", "10 seconds")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    // normalization parity with the batch digest: case, interior
+    // whitespace runs, and padding all collapse to one key
+    in.addData(
+      (1L, "Hello  World", Timestamp.valueOf("2024-01-01 00:00:01")),
+      (2L, "hello world", Timestamp.valueOf("2024-01-01 00:00:02")),
+      (3L, "another doc", Timestamp.valueOf("2024-01-01 00:00:03")))
+    q.processAllAvailable()
+    // a duplicate arriving in a LATER micro-batch inside the horizon is
+    // still dropped (digest state persists across batches)
+    in.addData(
+      (4L, " HELLO WORLD ", Timestamp.valueOf("2024-01-01 00:00:04")),
+      (5L, "fresh text", Timestamp.valueOf("2024-01-01 00:00:05")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+    got shouldBe Set(1L, 3L, 5L)
+  }
+
   test("streaming chunk packing carries the token position across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)]
