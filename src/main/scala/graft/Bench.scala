@@ -28,7 +28,10 @@ object Bench {
     "dedup_components", "curate_corpus",
     "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_ann_recall",
     "curate_token_budget", "dedup_keeper_election",
-    "text_quality", "text_langid", "op_asof_join", "op_funnel")
+    "text_quality", "text_langid", "op_asof_join", "op_funnel",
+    // round-6 flagships
+    "curate_decontaminate", "curate_pack_chunks", "op_pps_sample",
+    "curate_quality_gate", "sim_coreset", "text_corpus_freq")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the
