@@ -118,7 +118,8 @@ class PlanSpec extends SparkSpec {
       "dedup_keeper_election" -> 7, // measured 6: quality join + argmax two-phase
       "graph_pagerank_step" -> 20, // measured 19: fixed rounds × (join + agg)
       "rel_pricing_summary" -> 1, // TPC-H Q1: single two-phase aggregation
-      "mm_knn" -> 2) // measured 1 + slack: quadratic-by-design baseline
+      "mm_knn" -> 2, // measured 1 + slack: quadratic-by-design baseline
+      "op_pps_sample" -> 5) // measured 4: bucketed window + offsets agg/window + broadcast
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
