@@ -575,6 +575,91 @@ object DedupQueries {
            |FROM c""".stripMargin
       }),
 
+    // End-to-end curation recipe — the round-6 composition proof
+    // (round 5's keeper election, one level up): quality gate →
+    // decontamination → split, emitting the (source × split) audit
+    // manifest a training run ships with. Order is the production
+    // order: the gate runs FIRST (map-only score + one per-source
+    // window — cheap), the near-dup drop list is computed over the full
+    // corpus (a holdout doc contaminates train even if it failed the
+    // gate — eval sets are fixed externally) and applied to the gated
+    // survivors as a LEFT ANTI join on the pairs-scale manifest, and
+    // the split tag is hash arithmetic. Every stage is the SAME
+    // construction as its standalone query (curate_quality_gate /
+    // curate_decontaminate / curate_split), and the oracle replays the
+    // whole DAG in one CTE chain — the hash-match proves the stages
+    // compose, not just pass individually.
+    "curate_recipe" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.PortableHash
+        import graft.operators.TextAnalysis
+        def bucket(idc: org.apache.spark.sql.Column) =
+          PortableHash.hash60(
+            concat(idc.cast("string"), lit("|split"))) % 100
+        // stage 1: per-source top-quartile quality gate
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        val gated = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .withColumn("qt", ntile(4).over(w))
+          .filter(col("qt") === 1)
+        // stage 2: cross-split near-dup drop list (train side of any
+        // train↔holdout pair), applied as an anti-join
+        val pairs = Dedup.nearDuplicates(Tables.documents(s, d),
+          "doc_id", "text", n = 1, k = K, bands = Bands, threshold = 0.9,
+          bucketCap = 48)
+        val ba = bucket(col("a"))
+        val bb = bucket(col("b"))
+        val drops = pairs
+          .filter((ba < 80 && bb >= 80) || (ba >= 80 && bb < 80))
+          .select(when(ba < 80, col("a")).otherwise(col("b")).as("doc_id"))
+          .distinct()
+        val clean = gated.join(drops, Seq("doc_id"), "left_anti")
+        // stage 3: split tag + audit manifest
+        val b = bucket(col("doc_id"))
+        val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        clean.groupBy(col("source"), split.as("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      }, {
+        import graft.functions.PortableHash
+        def bucketSql(e: String) =
+          s"(${PortableHash.hash60Sql(s"CAST($e AS VARCHAR) || '|split'")} % 100)"
+        s"""WITH ${minhashCtes(1, "doc_id >= 0", 48)},
+           |edges AS (
+           |  SELECT c.a, c.b FROM cand c
+           |  JOIN sh sa ON sa.__id = c.a
+           |  JOIN sh sb ON sb.__id = c.b
+           |  WHERE ${jaccard("sa.__sh", "sb.__sh")} >= 0.9),
+           |drops AS (
+           |  SELECT DISTINCT CASE WHEN ${bucketSql("a")} < 80 THEN a ELSE b END AS doc_id
+           |  FROM edges
+           |  WHERE (${bucketSql("a")} < 80 AND ${bucketSql("b")} >= 80)
+           |     OR (${bucketSql("a")} >= 80 AND ${bucketSql("b")} < 80)),
+           |q AS (
+           |  SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |    ${TextQueries.qualitySql} AS quality
+           |  FROM (SELECT source, doc_id, text, ${tokens("text")} AS w
+           |        FROM documents)),
+           |gated AS (
+           |  SELECT source, doc_id, n_tokens FROM (
+           |    SELECT *, ntile(4) OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id) AS qt
+           |    FROM q)
+           |  WHERE qt = 1),
+           |clean AS (
+           |  SELECT g.* FROM gated g
+           |  WHERE g.doc_id NOT IN (SELECT doc_id FROM drops))
+           |SELECT source,
+           |  CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+           |       WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+           |FROM clean GROUP BY 1, 2""".stripMargin
+      }),
+
     // Deterministic weighted source mixing — the training-data recipe
     // step: each source gets a sampling rate (here derived from a
     // portable hash of the source name, 25-75%), each document an

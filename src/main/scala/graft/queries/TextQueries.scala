@@ -21,9 +21,10 @@ object TextQueries {
     "that", "for", "on", "with", "as")
 
   /** DuckDB twin of [[TextAnalysis.qualityScore]]; expects `text` and a
-    * tokenized `w` column in scope. Shared by `text_quality` and
-    * `curate_quality_gate` so the two can never drift apart. */
-  private def qualitySql: String =
+    * tokenized `w` column in scope. Shared by `text_quality`,
+    * `curate_quality_gate`, and the `curate_recipe` capstone so the
+    * oracles can never drift apart. */
+  private[queries] def qualitySql: String =
     s"""round((
        |    least(len(w) / 20.0, 1.0)
        |    + greatest(1.0 - ((length(text) - length(translate(text, '.,!?;:', '')))

@@ -170,6 +170,16 @@ class PlanSpec extends SparkSpec {
     p should not include "Join"
   }
 
+  test("recipe capstone applies drops as an anti-join over one near-dup pipeline") {
+    val p = plan("curate_recipe")
+    // the drop manifest prunes the gated survivors via LeftAnti — a
+    // positive-join + dedup shape would materialize matches instead
+    p should include("LeftAnti")
+    // one MinHash pipeline (2 Generate = the candidate self-join's two
+    // sides), same no-recompute invariant as curate_decontaminate
+    p.linesIterator.count(_.contains("Generate")) shouldBe 2
+  }
+
   test("keeper election consumes the shared label frame, not a recompute") {
     // dedup_keeper_election must build on the checkpointed connected-
     // components labels (Scan ExistingRDD) — a MinHash/LSH stage in its
