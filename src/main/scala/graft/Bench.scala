@@ -31,7 +31,8 @@ object Bench {
     "text_quality", "text_langid", "op_asof_join", "op_funnel",
     // round-6 flagships
     "curate_decontaminate", "curate_pack_chunks", "op_pps_sample",
-    "curate_quality_gate", "sim_coreset", "text_corpus_freq")
+    "curate_quality_gate", "sim_coreset", "text_corpus_freq",
+    "curate_recipe")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the
