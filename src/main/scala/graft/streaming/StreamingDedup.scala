@@ -26,12 +26,15 @@ import graft.operators.Dedup
   */
 object StreamingDedup {
 
-  /** `docs` must have (doc_id: long, text: string, `tsCol`: timestamp).
-    * Emits the admitted (first-seen) documents with their digest. */
+  /** `docs` must have (text: string, `tsCol`: timestamp) plus any other
+    * columns. Emits the admitted (first-seen) documents with ALL input
+    * columns plus their `text_hash` digest — columns pass through the
+    * gate so downstream stateful stages ([[StreamingIntake]]) need no
+    * stream-stream self-join (which would hold unbounded join state) to
+    * recover them. */
   def dedupStream(docs: DataFrame, tsCol: String, delay: String): DataFrame =
     docs
       .withColumn("text_hash", md5(Dedup.normalize(col("text"))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
-      .select(col("doc_id"), col("text_hash"), col(tsCol))
 }

@@ -541,6 +541,38 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Set(1L, 3L, 5L)
   }
 
+  test("composed intake: dedup gate and packer chain in one query, duplicates don't consume chunk space") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, String, Timestamp)]
+    // ctx = 5 tokens; every doc below has 3 tokens
+    val q = graft.streaming.StreamingIntake.intakeStream(
+        in.toDF().toDF("source", "doc_id", "text", "ts"),
+        "ts", "10 seconds", ctx = 5L)
+      .writeStream.format("memory").queryName("intake")
+      .outputMode("append").start()
+
+    in.addData(
+      ("web", 1L, "alpha beta gamma", Timestamp.valueOf("2024-01-01 00:00:01")),
+      ("web", 2L, "delta epsilon zeta", Timestamp.valueOf("2024-01-01 00:00:02")))
+    q.processAllAvailable()
+    // doc 3 duplicates doc 1 (case/whitespace variant): the gate drops
+    // it BEFORE the packer, so the source's token position stays at 6
+    // and doc 4 starts there — pack-then-dedup would have put doc 4 at 9
+    in.addData(
+      ("web", 3L, "  ALPHA  beta GAMMA ", Timestamp.valueOf("2024-01-01 00:00:03")),
+      ("web", 4L, "eta theta iota", Timestamp.valueOf("2024-01-01 00:00:04")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("intake")
+      .select("doc_id", "first_chunk", "last_chunk", "straddles")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    rows shouldBe Seq(
+      (1L, 0L, 0L, false), // tokens [0,3)
+      (2L, 0L, 1L, true), // tokens [3,6) — straddles the 5-token boundary
+      (4L, 1L, 1L, false)) // tokens [6,9): duplicate 3 consumed nothing
+  }
+
   test("streaming chunk packing carries the token position across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, Long)]
