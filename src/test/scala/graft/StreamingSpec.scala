@@ -541,6 +541,31 @@ class StreamingSpec extends SparkSpec {
     got shouldBe Set(1L, 3L, 5L)
   }
 
+  test("streaming dedup state is evicted past the watermark horizon (bounded-state trade)") {
+    // the scale story ("state is horizon x arrival rate, not corpus
+    // size") implies its trade: a duplicate arriving AFTER its digest's
+    // entry aged out of the horizon is re-admitted. Pin the trade so a
+    // future 'fix' can't silently make the state unbounded.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = graft.streaming.StreamingDedup.dedupStream(
+        in.toDF().toDF("doc_id", "text", "ts"), "ts", "5 seconds")
+      .writeStream.format("memory").queryName("sdedup_ttl")
+      .outputMode("append").start()
+    in.addData((1L, "expiring doc", Timestamp.valueOf("2024-01-01 00:00:01")))
+    q.processAllAvailable()
+    // advance the watermark far past 00:00:01 + 5s with an unrelated doc
+    in.addData((2L, "clock advancer", Timestamp.valueOf("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    // same digest as doc 1, but its state entry is beyond the horizon
+    in.addData((3L, "EXPIRING  DOC", Timestamp.valueOf("2024-01-01 00:10:01")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("sdedup_ttl").select("doc_id").as[Long].collect().toSet
+    got shouldBe Set(1L, 2L, 3L)
+  }
+
   test("composed intake: dedup gate and packer chain in one query, duplicates don't consume chunk space") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Long, String, Timestamp)]
