@@ -82,10 +82,11 @@ object Bench {
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     case class Sample(sec: Double, ok: Boolean)
     def pass(): Map[String, Sample] = {
-      // shared-frame caches (near-dup labels) start cold each pass:
-      // each pass pays the compute once, its reusers read the cache —
-      // the curation-run cost model, kept honest under min-of-passes.
-      graft.queries.DedupQueries.clearLabelCache()
+      // shared-frame caches (near-dup pairs + labels) start cold each
+      // pass: each pass pays the compute once, its reusers read the
+      // cache — the curation-run cost model, kept honest under
+      // min-of-passes.
+      graft.queries.DedupQueries.clearSharedCaches()
       queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true } catch {

@@ -38,7 +38,7 @@ object ProfileOne {
       val times = (1 to 2).map { _ =>
         // per-iteration cold shared caches — a profiled query must pay
         // its own compute every run, same fairness rule as Bench passes
-        graft.queries.DedupQueries.clearLabelCache()
+        graft.queries.DedupQueries.clearSharedCaches()
         val t0 = System.nanoTime()
         force(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9

@@ -22,6 +22,10 @@ class DeterminismSpec extends SparkSpec {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>
         def contentHash(): (Any, Long) = {
+          // cold shared frames per run — otherwise the second run of the
+          // near-dup queries reads the first run's localCheckpoint and
+          // the pin compares the cache to itself (vacuous)
+          graft.queries.DedupQueries.clearSharedCaches()
           val df = fn(spark, d)
           val cols = df.columns.sorted
             .map(c => coalesce(col(c).cast("string"), lit("␀")))

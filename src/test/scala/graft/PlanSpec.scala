@@ -146,15 +146,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("decontamination runs the near-dup pipeline once, not per orientation") {
-    // each side of the LSH candidate self-join contributes one shingle
-    // explode; a symmetrizing union that recomputes the pipeline would
-    // double the Generate count (and the full candidate cost) at 100 TB
+  test("decontamination consumes the shared pair frame, not a recompute") {
+    // the pairs subtree is the checkpointed shared frame (Scan
+    // ExistingRDD); a Generate (shingle/band explode) in this plan means
+    // the sharing regressed to rebuilding the MinHash pipeline, and any
+    // Join means split tagging stopped being endpoint arithmetic
     val p = plan("curate_decontaminate")
+    p should include("ExistingRDD")
+    p should not include "Generate"
+    p should not include "Join"
+  }
+
+  test("minhash pair pipeline keeps its scale shape (pinned un-memoized)") {
+    // the shared frame hides the pipeline from the registry's plans, so
+    // pin the operator itself: exactly one shingle explode per side of
+    // the band-key candidate self-join — a symmetrizing union (or a
+    // per-orientation recompute) would double the Generate count and
+    // the full candidate cost at 100 TB
+    val p = graft.operators.Dedup.nearDuplicates(
+      graft.ingest.Tables.documents(spark, d),
+      "doc_id", "text", n = 1, k = 12, bands = 4, threshold = 0.9,
+      bucketCap = 48).queryExecution.executedPlan.toString
     p.linesIterator.count(_.contains("Generate")) shouldBe 2
-    // split tagging is arithmetic on the pair endpoints — no join
-    // against a split table beyond the pairs machinery's three
-    p.linesIterator.count(_.contains("Join")) shouldBe 3
   }
 
   test("coreset cell quota is pushed below the cell shuffle") {
@@ -170,14 +183,21 @@ class PlanSpec extends SparkSpec {
     p should not include "Join"
   }
 
-  test("recipe capstone applies drops as an anti-join over one near-dup pipeline") {
+  test("recipe capstone applies drops as an anti-join over the shared pair frame") {
     val p = plan("curate_recipe")
     // the drop manifest prunes the gated survivors via LeftAnti — a
     // positive-join + dedup shape would materialize matches instead
     p should include("LeftAnti")
-    // one MinHash pipeline (2 Generate = the candidate self-join's two
-    // sides), same no-recompute invariant as curate_decontaminate
-    p.linesIterator.count(_.contains("Generate")) shouldBe 2
+    // the pairs subtree is the checkpointed shared frame, same
+    // no-recompute invariant as curate_decontaminate
+    p should include("ExistingRDD")
+    p.linesIterator.count(_.contains("Generate")) shouldBe 0
+  }
+
+  test("pair listing is served from the shared frame (pure checkpoint scan)") {
+    val p = plan("dedup_minhash_pairs")
+    p should include("ExistingRDD")
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 0
   }
 
   test("keeper election consumes the shared label frame, not a recompute") {
