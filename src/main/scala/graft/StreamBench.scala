@@ -10,7 +10,8 @@ import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.ingest.Tables
 import graft.streaming.{StatefulEnricher, StreamingAnomaly, StreamingBudget,
-  StreamingDedup, StreamingFunnel, StreamingPack, StreamingPipeline}
+  StreamingDedup, StreamingFunnel, StreamingIntake, StreamingPack,
+  StreamingPipeline}
 
 /** Measured throughput for the streaming half of the engine — the batch
   * registry has a per-query bench, but the stateful streaming twins
@@ -29,6 +30,14 @@ import graft.streaming.{StatefulEnricher, StreamingAnomaly, StreamingBudget,
   * terminates — the `ProcessingTimeTimeout` enricher variant needs
   * sink-polling (see StreamingSpec) and is a semantics spec, not a
   * throughput path.
+  *
+  * Volume floor: the documents fixture is small (5k rows at sf0.1), and
+  * ~5k rows over 8 micro-batches times the ~0.6 s/batch scheduling
+  * floor, not the operator — the resulting rps moves with batch count,
+  * not per-row cost. Document-driven sections therefore REPLICATE their
+  * input (fresh ids, per-replica text variation where digest state
+  * matters, monotone event time) up to `volumeFloor` rows so every
+  * section's rps is a per-row signal comparable across sections.
   */
 object StreamBench {
 
@@ -38,9 +47,27 @@ object StreamBench {
 
   private val Chunks = 8
 
+  /** Rows each section should process — see "Volume floor" above. */
+  val DefaultVolumeFloor = 100000
+
   private def chunked[T](xs: IndexedSeq[T]): Seq[IndexedSeq[T]] = {
     val size = math.max(1, (xs.length + Chunks - 1) / Chunks)
     xs.grouped(size).toSeq
+  }
+
+  /** Replicate `xs` until it reaches `floor` rows. `make(row, replica)`
+    * must mint globally fresh ids (and fresh digests where the operator
+    * keys state on content) so replicas are new work, not replays;
+    * replica 0 is the unmodified fixture. */
+  private def replicate[T](xs: IndexedSeq[T], floor: Int)(
+      make: (T, Int) => T): IndexedSeq[T] = {
+    if (xs.isEmpty) xs
+    else {
+      val copies = math.max(1, (floor + xs.length - 1) / xs.length)
+      (0 until copies).flatMap { i =>
+        if (i == 0) xs else xs.map(make(_, i))
+      }
+    }
   }
 
   /** Feed `chunks` through `add`, draining every query after each chunk;
@@ -64,8 +91,27 @@ object StreamBench {
     }
   }
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Checkpoint dirs are tracked and deleted at the end of [[run]] —
+    * eight-plus state-store/checkpoint trees per bench invocation must
+    * not accumulate in /tmp across runs. */
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private def tmp(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    tmpDirs.add(p)
+    p.toString
+  }
+
+  private def deleteTmpDirs(): Unit = {
+    var p = tmpDirs.poll()
+    while (p != null) {
+      try Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { Files.deleteIfExists(f); () })
+      catch { case _: Throwable => () }
+      p = tmpDirs.poll()
+    }
+  }
 
   /** The reference pipeline's SLO surface: raw CDC JSON → Debezium parse
     * → broadcast enrich → the four views (leaderboard / content stats /
@@ -156,34 +202,46 @@ object StreamBench {
 
   case class BudgetIn(source: String, doc_id: Long, n_tokens: Long)
 
-  /** Per-source token-budget admission over the documents fixture — the
-    * same quota as the batch `curate_token_budget`. */
-  private def budgetSection(spark: SparkSession, sfDir: String): Section = {
+  /** The (source, doc_id, n_tokens) slice both token-stream sections
+    * consume, replicated to the volume floor with fresh doc ids (the
+    * id span offsets each replica past the fixture's range). Per-source
+    * state stays one long regardless of replication. */
+  private def budgetDocs(spark: SparkSession, sfDir: String,
+      floor: Int): IndexedSeq[BudgetIn] = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sfDir).select(
         col("source").cast("string"), col("doc_id").cast("long"),
         graft.operators.TextAnalysis.tokenCount(col("text"))
           .cast("long").as("n_tokens"))
       .as[BudgetIn].collect().toIndexedSeq
+    val span = if (docs.isEmpty) 1L else docs.map(_.doc_id).max + 1L
+    replicate(docs, floor)((b, i) => b.copy(doc_id = b.doc_id + i * span))
+  }
+
+  /** Per-source token-budget admission — the same quota as the batch
+    * `curate_token_budget` (scaled to the replicated volume so admission
+    * stays live past the first replica, not a pure drop path). */
+  private def budgetSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = budgetDocs(spark, sfDir, floor)
     val in = MemoryStream[BudgetIn]
-    val q = StreamingBudget.admitStream(in.toDF(), budget = 20000L)
+    val q = StreamingBudget.admitStream(in.toDF(),
+        budget = math.max(20000L, docs.map(_.n_tokens).sum / 2))
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_bud")).start()
     val (sec, batches) = drive[BudgetIn](chunked(docs), in.addData(_), Seq(q))
     Section("budget", docs.length.toLong, sec, batches)
   }
 
-  /** Per-source context-window chunk packing over the documents fixture
-    * — the same ctx as the batch `curate_pack_chunks`. */
-  private def packSection(spark: SparkSession, sfDir: String): Section = {
+  /** Per-source context-window chunk packing — the same ctx as the
+    * batch `curate_pack_chunks`. */
+  private def packSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val docs = Tables.documents(spark, sfDir).select(
-        col("source").cast("string"), col("doc_id").cast("long"),
-        graft.operators.TextAnalysis.tokenCount(col("text"))
-          .cast("long").as("n_tokens"))
-      .as[BudgetIn].collect().toIndexedSeq
+    val docs = budgetDocs(spark, sfDir, floor)
     val in = MemoryStream[BudgetIn]
     val q = StreamingPack.packStream(in.toDF(), ctx = 512L)
       .writeStream.outputMode("append").format("noop")
@@ -194,23 +252,72 @@ object StreamBench {
 
   case class DedupIn(doc_id: Long, text: String, ts: Timestamp)
 
-  /** Watermark-bounded streaming exact-dedup gate over the documents
-    * fixture (synthetic monotone timestamps — the fixture has no doc
-    * event time; state eviction is exercised by the horizon). */
-  private def dedupSection(spark: SparkSession, sfDir: String): Section = {
+  private val DedupEpoch = 1704067200L
+
+  /** Documents with fresh ids, per-replica text variation (each replica
+    * mints NEW digests, so the gate's state table takes one insert per
+    * distinct text — replicated rows are new work, not free drops) and
+    * monotone synthetic event time (one second per id, so the watermark
+    * advances and evicts: the bench exercises bounded state, not an
+    * ever-growing digest table). */
+  private def dedupDocs(spark: SparkSession, sfDir: String,
+      floor: Int): IndexedSeq[DedupIn] = {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
     val docs = Tables.documents(spark, sfDir).select(
         col("doc_id").cast("long"), col("text"),
-        // one second of event time per doc id: deterministic, monotone
-        (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts"))
+        (lit(DedupEpoch) + col("doc_id")).cast("timestamp").as("ts"))
       .as[DedupIn].collect().toIndexedSeq
+    val span = if (docs.isEmpty) 1L else docs.map(_.doc_id).max + 1L
+    replicate(docs, floor) { (r, i) =>
+      val id = r.doc_id + i * span
+      DedupIn(id, r.text + " ~r" + i,
+        new Timestamp((DedupEpoch + id) * 1000L))
+    }
+  }
+
+  /** Watermark-bounded streaming exact-dedup gate. */
+  private def dedupSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = dedupDocs(spark, sfDir, floor)
     val in = MemoryStream[DedupIn]
     val q = StreamingDedup.dedupStream(in.toDF(), "ts", "60 seconds")
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_ded")).start()
     val (sec, batches) = drive[DedupIn](chunked(docs), in.addData(_), Seq(q))
     Section("dedup", docs.length.toLong, sec, batches)
+  }
+
+  case class IntakeIn(source: String, doc_id: Long, text: String,
+      ts: Timestamp)
+
+  /** The composed two-stateful-operator intake (dedup gate → chunk
+    * packer in ONE query — [[StreamingIntake]]): the surface where a
+    * planner regression in multi-stateful-operator scheduling or
+    * state-store interaction would land; previously spec-only. */
+  private def intakeSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir).select(
+        col("source").cast("string"), col("doc_id").cast("long"),
+        col("text"),
+        (lit(DedupEpoch) + col("doc_id")).cast("timestamp").as("ts"))
+      .as[IntakeIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val docs = replicate(base, floor) { (r, i) =>
+      val id = r.doc_id + i * span
+      IntakeIn(r.source, id, r.text + " ~r" + i,
+        new Timestamp((DedupEpoch + id) * 1000L))
+    }
+    val in = MemoryStream[IntakeIn]
+    val q = StreamingIntake.intakeStream(in.toDF(), "ts", "60 seconds",
+        ctx = 512L)
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_int")).start()
+    val (sec, batches) = drive[IntakeIn](chunked(docs), in.addData(_), Seq(q))
+    Section("intake", docs.length.toLong, sec, batches)
   }
 
   case class AnomalyIn(key: String, event_id: Long, ts: Timestamp, x: Long)
@@ -268,13 +375,21 @@ object StreamBench {
       var chunksDone = 0L
       var dataBatches = 0
       val countedBatches = scala.collection.mutable.Set[Long]()
-      def pump(): Unit = q.recentProgress.foreach { p =>
+      def fold(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
         p.sources.headOption
           .flatMap(s => Option(s.endOffset))
           .flatMap(_.trim.toLongOption)
           .foreach(o => chunksDone = math.max(chunksDone, o + 1))
         if (p.numInputRows > 0 && countedBatches.add(p.batchId))
           dataBatches += 1
+      }
+      // recentProgress is a bounded ring (default 100 entries); under
+      // continuous timeout-housekeeping batches an entry can rotate out
+      // between polls, so lastProgress is folded in as well — the
+      // high-water mark only needs SOME surviving observation.
+      def pump(): Unit = {
+        q.recentProgress.foreach(fold)
+        Option(q.lastProgress).foreach(fold)
       }
       val t0 = System.nanoTime()
       var fedChunks = 0L
@@ -285,13 +400,15 @@ object StreamBench {
           && System.currentTimeMillis() < deadline) Thread.sleep(20)
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      val drained = chunks.take(chunksDone.toInt).map(_.length.toLong).sum
-      val fed = chunks.map(_.length.toLong).sum
-      if (drained < fed)
+      // event units on BOTH sides of the accounting: chunk 0 is the
+      // dimension snapshot — pipeline work, but not the throughput unit,
+      // and counting it in `drained` would overstate events on a partial
+      // drain (records vs events unit mix).
+      val drained = chunks.take(chunksDone.toInt).drop(1)
+        .map(_.length.toLong).sum
+      if (drained < expected)
         System.err.println(
-          s"WARN stream bench: enrich_ttl drained $drained/$fed records")
-      // rows = EVENTS processed (the throughput unit every section uses);
-      // the dim snapshot records are pipeline work but not the unit.
+          s"WARN stream bench: enrich_ttl drained $drained/$expected events")
       Section("enrich_ttl", math.min(expected, drained), sec, dataBatches)
     } finally {
       try q.stop() catch { case _: Throwable => () }
@@ -301,8 +418,11 @@ object StreamBench {
   /** Run all sections; order puts the one-time streaming-engine warm-up
     * on a tiny untimed query, not on any section's clock. A section that
     * throws is dropped with a warning — one broken twin must not zero
-    * the perf signal of the others. */
-  def run(spark: SparkSession, sfDir: String): Seq[Section] = {
+    * the perf signal of the others. `volumeFloor` is the per-section row
+    * target the document-driven sections replicate up to (tests pass a
+    * small floor; the bench uses [[DefaultVolumeFloor]]). */
+  def run(spark: SparkSession, sfDir: String,
+      volumeFloor: Int = DefaultVolumeFloor): Seq[Section] = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // untimed warm-up: first streaming query pays micro-batch engine +
@@ -321,17 +441,18 @@ object StreamBench {
       "enrich_state" -> enrichSection,
       "enrich_ttl" -> enrichTtlSection,
       "funnel" -> funnelSection,
-      "budget" -> budgetSection,
-      "pack" -> packSection,
-      "dedup" -> dedupSection,
+      "budget" -> (budgetSection(_, _, volumeFloor)),
+      "pack" -> (packSection(_, _, volumeFloor)),
+      "dedup" -> (dedupSection(_, _, volumeFloor)),
+      "intake" -> (intakeSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
-    sections.flatMap { case (name, fn) =>
+    try sections.flatMap { case (name, fn) =>
       try Some(fn(spark, sfDir)) catch {
         case e: Throwable =>
           System.err.println(
             s"WARN stream bench: section $name failed: ${e.getClass.getName}: ${e.getMessage}")
           None
       }
-    }
+    } finally deleteTmpDirs()
   }
 }

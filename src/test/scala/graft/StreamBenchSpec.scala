@@ -10,11 +10,15 @@ package graft
 class StreamBenchSpec extends SparkSpec {
 
   test("every stream bench section runs and fully drains at sf0.001") {
-    val sections = StreamBench.run(spark, "/root/testdata/sf0.001")
+    // small volume floor: exercises the replication path (sf0.001 has
+    // ~50 docs, so the doc sections must replicate to reach it) without
+    // the bench's 100k-row default dominating `sbt test` wall time
+    val floor = 500
+    val sections = StreamBench.run(spark, "/root/testdata/sf0.001", floor)
     val byName = sections.map(s => s.name -> s).toMap
     byName.keySet shouldBe Set(
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
-      "dedup", "anomaly")
+      "dedup", "intake", "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
         s.rows should be > 0L
@@ -28,5 +32,12 @@ class StreamBenchSpec extends SparkSpec {
     byName("enrich_ttl").rows shouldBe byName("enrich_state").rows
     // the pipeline's throughput unit is the full event volume
     byName("pipeline").rows shouldBe byName("enrich_state").rows
+    // the document sections replicate to the volume floor — a section
+    // quietly falling back to the raw fixture would reintroduce the
+    // scheduling-overhead-dominated rps this floor exists to fix
+    for (n <- Seq("budget", "pack", "dedup", "intake"))
+      withClue(s"section $n: ") {
+        byName(n).rows should be >= floor.toLong
+      }
   }
 }
