@@ -4,10 +4,11 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.streaming.{StatefulEnricher, StreamingBudget}
+import graft.streaming.{StatefulEnricher, StreamingBudget, StreamingDedup,
+  StreamingPipeline}
 import graft.streaming.StatefulEnricher.{CdcRecord, ContentRec, EventRec}
 
-/** The `flatMapGroupsWithState` twins must produce IDENTICAL output on
+/** The stateful streaming operators must produce IDENTICAL output on
   * the default HDFS-backed state store and on RocksDB
   * (`RocksDBStateStoreProvider`, the provider a 100 TB stream runs on —
   * heap-backed state is the remaining scale risk once key cardinality
@@ -15,7 +16,10 @@ import graft.streaming.StatefulEnricher.{CdcRecord, ContentRec, EventRec}
   * so each runner executes the same multi-batch feed under both
   * providers and the results are pinned equal. `transformWithState`
   * (StatefulViews) already runs on RocksDB in its own spec; this covers
-  * the `GroupState` operators.
+  * the `GroupState` operators AND the watermark-eviction operators
+  * (`dropDuplicatesWithinWatermark`, watermarked window aggregation) —
+  * different state-store codepaths (range-scan eviction vs keyed
+  * get/put), so the GroupState pins don't transfer.
   */
 class StateStoreProviderSpec extends SparkSpec {
   import spark.implicits._
@@ -75,6 +79,75 @@ class StateStoreProviderSpec extends SparkSpec {
     rows
   }
 
+  /** Three-batch dedup-gate feed exercising BOTH state transitions:
+    * a within-horizon duplicate (batch 2 replays a batch-1 digest →
+    * dropped via persisted state) and a post-eviction replay (batch 2's
+    * far-ahead row advances the watermark past the first digests, so
+    * batch 3's replay of "alpha" is admitted again — the documented
+    * bounded-state trade). */
+  private def runDedupGate(): Seq[Long] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val name = uniq("ssp_ded_")
+    val q = StreamingDedup.dedupStream(
+        in.toDF().toDF("doc_id", "text", "ts"), "ts", "30 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    in.addData((1L, "alpha", t("2025-08-08 10:00:00")),
+      (2L, "beta", t("2025-08-08 10:00:05")))
+    q.processAllAvailable()
+    // doc 3: duplicate inside the horizon → dropped by cross-batch state;
+    // doc 4: advances max event time to 10:02:00 → watermark 10:01:30
+    in.addData((3L, "alpha", t("2025-08-08 10:00:10")),
+      (4L, "gamma", t("2025-08-08 10:02:00")))
+    q.processAllAvailable()
+    // alpha's state (event time 10:00:00) is now evicted → readmitted;
+    // gamma (10:02:00, above the watermark) is still held → dropped
+    in.addData((5L, "alpha", t("2025-08-08 10:02:30")),
+      (6L, "gamma", t("2025-08-08 10:02:10")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).orderBy("doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  /** Watermarked minute-window aggregation (the pipeline's A4 view) in
+    * append mode: batch 2 merges rows into batch-1 window state, the
+    * far-ahead row closes the first windows, and the extra empty-ish
+    * batch lets the advanced watermark flush them to the sink. */
+  private def runWindowAgg(): Seq[(Timestamp, String, Double, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val name = uniq("ssp_win_")
+    val q = StreamingPipeline.minuteWindowsStream(
+        in.toDF().toDF("event_ts", "content_id", "engagement_pct"),
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    in.addData((t("2025-08-08 10:00:10"), "c1", 50.0),
+      (t("2025-08-08 10:01:10"), "c2", 80.0))
+    q.processAllAvailable()
+    // same (window, content, pct) group as batch 1's first row — merges
+    // into existing window state; the 10:05 row advances the watermark
+    in.addData((t("2025-08-08 10:00:20"), "c1", 50.0),
+      (t("2025-08-08 10:05:00"), "c3", 10.0))
+    q.processAllAvailable()
+    // watermark computed from batch 2 (10:04:00) takes effect now and
+    // emits the closed 10:00 / 10:01 windows
+    in.addData((t("2025-08-08 10:09:00"), "c3", 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .orderBy("window_minute", "content_id")
+      .as[(Timestamp, String, Double, Long)].collect().toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
   private def onRocksDb[T](body: => T): T = {
     spark.conf.set(ProviderConf, RocksDb)
     try body finally spark.conf.unset(ProviderConf)
@@ -91,6 +164,30 @@ class StateStoreProviderSpec extends SparkSpec {
     val default = runEnricher()
     val rocks = onRocksDb(runEnricher())
     default shouldBe Seq((1L, true, "T"), (2L, false, null), (3L, true, "T"))
+    rocks shouldBe default
+  }
+
+  test("dedup gate eviction is provider-invariant (default vs RocksDB)") {
+    val default = runDedupGate()
+    val rocks = onRocksDb(runDedupGate())
+    // 3 dropped (within-horizon dup), 5 readmitted (state evicted),
+    // 6 dropped (gamma still inside the horizon)
+    default shouldBe Seq(1L, 2L, 4L, 5L)
+    rocks shouldBe default
+  }
+
+  test("windowed aggregation is provider-invariant (default vs RocksDB)") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val default = runWindowAgg()
+    val rocks = onRocksDb(runWindowAgg())
+    // only the watermark-closed windows surface in append mode; c1's two
+    // arrivals merged across batches into one count-2 row, and batch 3's
+    // 10:09 row pushes the watermark to 10:08 which closes c3's 10:05
+    // window too
+    default shouldBe Seq(
+      (t("2025-08-08 10:00:00"), "c1", 50.0, 2L),
+      (t("2025-08-08 10:01:00"), "c2", 80.0, 1L),
+      (t("2025-08-08 10:05:00"), "c3", 10.0, 1L))
     rocks shouldBe default
   }
 }
