@@ -650,4 +650,63 @@ class StreamingSpec extends SparkSpec {
       ("books", 10L, 70L, 70L),
       ("web", 1L, 60L, 60L), ("web", 2L, 50L, 110L))
   }
+
+  test("streaming recipe (gate → dedup → split) equals its batch replay on the fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source").cast("string"), col("doc_id").cast("long"),
+        col("text"))
+
+    // batch replay of the streaming DAG over the fixture slice: NTILE
+    // quality gate → keep-first-per-digest (the stream is fed in doc_id
+    // order, so first arrival = min id) → hash split tag
+    val gw = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val dw = Window.partitionBy(md5(Dedup.normalize(col("text"))))
+      .orderBy(col("doc_id"))
+    val bucket = graft.functions.PortableHash.hash60(
+      concat(col("doc_id").cast("string"), lit("|split"))) % 100
+    val expected = docs
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("qt", ntile(4).over(gw)).filter(col("qt") === 1)
+      .withColumn("rn", row_number().over(dw)).filter(col("rn") === 1)
+      .select(col("source"), col("doc_id"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .as[(String, Long, String)].collect().toSet
+
+    val cutoffs = graft.streaming.StreamingIntake.qualityCutoffs(docs)
+    val corpus = docs.as[(String, Long, String)].collect().sortBy(_._2)
+    // the fixture has no duplicate digests (precondition of the exact
+    // min-id pin: intra-batch keep-first order is not doc_id-ordered),
+    // so the dedup stage is exercised by a SECOND full replay with
+    // shifted ids — every replica either fails the gate (same quality,
+    // id past the boundary) or reaches the gate's digest state and is
+    // dropped; either way pass 2 must add nothing.
+    val span = corpus.map(_._2).max + 1L
+    val replay = corpus.map { case (s, id, t) => (s, id + span, t) }
+    val in = MemoryStream[(String, Long, String, Timestamp)]
+    val q = graft.streaming.StreamingIntake.recipeStream(
+        in.toDF().toDF("source", "doc_id", "text", "ts"),
+        cutoffs, "ts", "1 hour")
+      .writeStream.format("memory").queryName("srecipe")
+      .outputMode("append").start()
+    (corpus ++ replay).grouped(250).foreach { chunk =>
+      in.addData(chunk.map { case (s, id, t) =>
+        (s, id, t, new Timestamp(1704067200000L + (id % span) * 1000L)) })
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val got = spark.table("srecipe").select("source", "doc_id", "split")
+      .as[(String, Long, String)].collect().toSet
+    got should not be empty
+    got shouldBe expected
+    // the gate really gates (top quartile, not everything) and every
+    // split shows up in the admitted set
+    got.size should be < 500
+    got.map(_._3) shouldBe Set("train", "val", "test")
+  }
 }
