@@ -388,17 +388,17 @@ object DedupQueries {
     // Token-budgeted source admission — the quota step of a mixing
     // recipe: take documents per source in a deterministic pseudo-random
     // order (portable hash) until the source's token budget fills. The
-    // cumulative sum is computed as a DISTRIBUTED TWO-LEVEL PREFIX SUM —
-    // per-(source, bucket) local cumsums in parallel, per-source bucket
-    // offsets on a 64-row-per-source table, broadcast back — so no
-    // single task ever scans a whole source; the oracle recomputes the
-    // same semantics as one flat window, and the hash-match proves the
-    // distributed scan equal to the sequential one.
+    // cumulative sum is the DISTRIBUTED TWO-LEVEL PREFIX SUM kernel
+    // ([[graft.operators.PrefixSum]]) — per-(source, bucket) local
+    // cumsums in parallel, per-source bucket offsets on a 64-row-per-
+    // source table, broadcast back — so no single task ever scans a
+    // whole source; the oracle recomputes the same semantics as one
+    // flat window, and the hash-match proves the distributed scan equal
+    // to the sequential one.
     "curate_token_budget" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         import graft.functions.PortableHash
-        import graft.operators.TextAnalysis
+        import graft.operators.{PrefixSum, TextAnalysis}
         val budget = 20000L
         val buckets = 64
         val h = PortableHash.hash60(
@@ -407,21 +407,8 @@ object DedupQueries {
           col("source"), col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
           (h % buckets).as("bkt"), h.as("ord"))
-        val inBucket = Window.partitionBy(col("source"), col("bkt"))
-          .orderBy(col("ord"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val withLocal = base
-          .withColumn("local_cum", sum(col("n_tokens")).over(inBucket))
-        val offsets = base.groupBy(col("source"), col("bkt"))
-          .agg(sum(col("n_tokens")).as("bkt_tokens"))
-          .withColumn("offset", coalesce(
-            sum(col("bkt_tokens")).over(
-              Window.partitionBy(col("source")).orderBy(col("bkt"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("source"), col("bkt"), col("offset"))
-        withLocal.join(broadcast(offsets), Seq("source", "bkt"))
-          .withColumn("cum_tokens",
-            (col("local_cum") + col("offset")).cast("long"))
+        PrefixSum.bucketedRunningSum(base, Seq("source"), "bkt",
+            Seq(col("ord"), col("doc_id")), "n_tokens", "cum_tokens")
           .filter(col("cum_tokens") - col("n_tokens") < budget)
           .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
       }, {
@@ -532,17 +519,17 @@ object DedupQueries {
     // order per source and split the token stream into fixed-size
     // context windows. Each document's span is pure arithmetic on the
     // running token count ((cum-n) div ctx .. (cum-1) div ctx), and the
-    // running count reuses curate_token_budget's DISTRIBUTED TWO-LEVEL
-    // PREFIX SUM (64 hash buckets cumsum in parallel, bucket offsets
-    // from a 64-row-per-source aggregate broadcast back) — no task ever
-    // scans a whole source, and the oracle's flat sequential window
-    // hash-proves the decomposition. `straddles` marks docs split
-    // across a window boundary (the packing loss a recipe reports).
+    // running count is the shared two-level prefix-sum kernel
+    // ([[graft.operators.PrefixSum]]: 64 hash buckets cumsum in
+    // parallel, bucket offsets from a 64-row-per-source aggregate
+    // broadcast back) — no task ever scans a whole source, and the
+    // oracle's flat sequential window hash-proves the decomposition.
+    // `straddles` marks docs split across a window boundary (the
+    // packing loss a recipe reports).
     "curate_pack_chunks" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         import graft.functions.PortableHash
-        import graft.operators.TextAnalysis
+        import graft.operators.{PrefixSum, TextAnalysis}
         val ctx = 512L
         val buckets = 64
         val h = PortableHash.hash60(
@@ -551,21 +538,8 @@ object DedupQueries {
           col("source"), col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
           (h % buckets).as("bkt"), h.as("ord"))
-        val inBucket = Window.partitionBy(col("source"), col("bkt"))
-          .orderBy(col("ord"), col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val withLocal = base
-          .withColumn("local_cum", sum(col("n_tokens")).over(inBucket))
-        val offsets = base.groupBy(col("source"), col("bkt"))
-          .agg(sum(col("n_tokens")).as("bkt_tokens"))
-          .withColumn("offset", coalesce(
-            sum(col("bkt_tokens")).over(
-              Window.partitionBy(col("source")).orderBy(col("bkt"))
-                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("source"), col("bkt"), col("offset"))
-        withLocal.join(broadcast(offsets), Seq("source", "bkt"))
-          .withColumn("cum_tokens",
-            (col("local_cum") + col("offset")).cast("long"))
+        PrefixSum.bucketedRunningSum(base, Seq("source"), "bkt",
+            Seq(col("ord"), col("doc_id")), "n_tokens", "cum_tokens")
           .withColumn("first_chunk",
             expr(s"(cum_tokens - n_tokens) div $ctx"))
           .withColumn("last_chunk", expr(s"(cum_tokens - 1) div $ctx"))

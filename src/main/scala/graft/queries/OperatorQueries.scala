@@ -299,15 +299,16 @@ object OperatorQueries {
     // total/step — the estimator survey sampling and size-weighted data
     // selection both build on. Everything is int64 arithmetic on a
     // deterministic portable-hash order (replay/retry-safe, no rand()),
-    // and the GLOBAL running sum is a distributed two-level prefix sum:
-    // 64 hash-bucket cumsums in parallel, bucket offsets from a 64-row
-    // aggregate broadcast back — no single task scans the table, unlike
-    // the naive one-partition window. The oracle's flat sequential
-    // window hash-proves the decomposition.
+    // and the GLOBAL running sum is the shared distributed two-level
+    // prefix-sum kernel ([[graft.operators.PrefixSum]]): 64 hash-bucket
+    // cumsums in parallel, bucket offsets from a 64-row aggregate
+    // broadcast back — no single task scans the table, unlike the naive
+    // one-partition window. The oracle's flat sequential window
+    // hash-proves the decomposition.
     "op_pps_sample" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         import graft.functions.PortableHash
+        import graft.operators.PrefixSum
         val step = 4096L
         val buckets = 64
         val h = PortableHash.hash60(concat(
@@ -317,20 +318,9 @@ object OperatorQueries {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("w"),
           (h % buckets).as("bkt"), h.as("ord"))
-        val inBucket = Window.partitionBy(col("bkt"))
-          .orderBy(col("ord"), col("l_orderkey"), col("l_linenumber"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val withLocal = base
-          .withColumn("local_cum", sum(col("w")).over(inBucket))
-        val offsets = base.groupBy(col("bkt"))
-          .agg(sum(col("w")).as("bkt_w"))
-          .withColumn("offset", coalesce(
-            sum(col("bkt_w")).over(Window.orderBy(col("bkt"))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("bkt"), col("offset"))
-        withLocal.join(broadcast(offsets), Seq("bkt"))
-          .withColumn("cum_weight",
-            (col("local_cum") + col("offset")).cast("long"))
+        PrefixSum.bucketedRunningSum(base, Seq.empty, "bkt",
+            Seq(col("ord"), col("l_orderkey"), col("l_linenumber")),
+            "w", "cum_weight")
           .filter(expr(s"cum_weight div $step") >
             expr(s"(cum_weight - w) div $step"))
           .select(col("l_orderkey"), col("l_linenumber").cast("long")
