@@ -148,6 +148,32 @@ object Bench {
       }
     val streamRps = streamSections.find(_.name == "pipeline")
       .map(_.rps).getOrElse(0.0)
+    // Formatted plans of the slowest queries, captured BEFORE the detail
+    // write so they land in both bench_plans.txt (human review) and
+    // bench_detail.json (machine-readable artifact — a reviewer can
+    // audit the expensive plans from the one file without re-running).
+    val slowest = results.sortBy(-_._2).take(PlanDumpTop)
+    val planDump: Seq[(String, String)] = slowest.map { case (name, _) =>
+      val buf = new ByteArrayOutputStream()
+      val ps = new PrintStream(buf, true, "UTF-8")
+      try Console.withOut(ps) {
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      } catch { case e: Throwable => ps.println(s"(explain failed: $e)") }
+      name -> buf.toString("UTF-8")
+    }
+    try {
+      val buf = new ByteArrayOutputStream()
+      val ps = new PrintStream(buf, true, "UTF-8")
+      planDump.foreach { case (name, plan) =>
+        val t = results.toMap.apply(name)
+        ps.println(s"== $name (min ${sec3(t)}s; runs ${sec3(run1(name).sec)}s / ${sec3(run2(name).sec)}s) ==")
+        ps.println(plan)
+      }
+      Files.write(Paths.get("bench_plans.txt"), buf.toByteArray)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"WARN bench: bench_plans.txt write failed: $e")
+    }
     // Full per-query detail (min + both raw passes) goes to a file — the
     // stdout metric line is tail-captured by the caller with a 2000-byte
     // window, and 100+ query entries overflowed it (rounds 1-3 parsed as
@@ -157,37 +183,33 @@ object Bench {
       .mkString("{", ",", "}")
     def rawMap(m: Map[String, Sample]): String =
       jsonMap(queries.map { case (k, _) => k -> m(k).sec })
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val streamsDetail = streamSections.map { s =>
       s"""{"name":"${s.name}","rows":${s.rows},"sec":${sec3(s.sec)},""" +
         s""""batches":${s.batches},"rps":${s.rps.round},""" +
         s""""batch_sec":${sec3(if (s.batches > 0) s.sec / s.batches else 0.0)}}"""
     }.mkString("[", ",", "]")
+    val plansJson = planDump
+      .map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
+      .mkString("{", ",", "}")
     try Files.write(Paths.get("bench_detail.json"),
       (s"""{"total":${sec3(total)},"queries":${jsonMap(results)},""" +
         s""""run1":${rawMap(run1)},"run2":${rawMap(run2)},""" +
-        s""""failed":$failedJson,"streams":$streamsDetail,"sf":"$sfDir"}""")
+        s""""failed":$failedJson,"streams":$streamsDetail,""" +
+        s""""plans":$plansJson,"sf":"$sfDir"}""")
         .getBytes(StandardCharsets.UTF_8))
     catch {
       case e: Throwable =>
         System.err.println(s"WARN bench: bench_detail.json write failed: $e")
-    }
-    // Formatted plans of the slowest queries, for offline plan review.
-    try {
-      val slowest = results.sortBy(-_._2).take(PlanDumpTop)
-      val buf = new ByteArrayOutputStream()
-      val ps = new PrintStream(buf, true, "UTF-8")
-      slowest.foreach { case (name, t) =>
-        ps.println(s"== $name (min ${sec3(t)}s; runs ${sec3(run1(name).sec)}s / ${sec3(run2(name).sec)}s) ==")
-        try Console.withOut(ps) {
-          SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-        } catch { case e: Throwable => ps.println(s"(explain failed: $e)") }
-        ps.println()
-      }
-      Files.write(Paths.get("bench_plans.txt"), buf.toByteArray)
-    } catch {
-      case e: Throwable =>
-        System.err.println(s"WARN bench: bench_plans.txt write failed: $e")
     }
     val byName = results.toMap
     val qs = Headline.flatMap(n => byName.get(n).map(v => s"\"$n\":" + sec3(v)))
