@@ -32,7 +32,9 @@ object Bench {
     // round-6 flagships
     "curate_decontaminate", "curate_pack_chunks", "op_pps_sample",
     "curate_quality_gate", "sim_coreset", "text_corpus_freq",
-    "curate_recipe")
+    "curate_recipe",
+    // round-7 flagships
+    "graph_triangles", "text_novelty", "dedup_cluster_sizes")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

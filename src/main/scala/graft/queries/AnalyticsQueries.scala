@@ -294,6 +294,73 @@ object AnalyticsQueries {
          |  ARRAY_TO_STRING(LIST_SORT(LIST(doc_id) FILTER (rn <= 32)), ',') AS posting
          |FROM ranked GROUP BY token""".stripMargin),
 
+    // Distributed triangle counting over the co-purchase graph (parts
+    // appearing together in ≥2 orders): the clustering-coefficient /
+    // community-density primitive. The Spark side uses the standard
+    // scale algorithm — orient every edge from its lower-(degree, id)
+    // endpoint to the higher one, so each node's OUT-degree is O(√m)
+    // even for hubs; wedges are then a self-join of the oriented list
+    // on the source node (bounded per-node work), closed against the
+    // canonical edge set. Every triangle has exactly one vertex that
+    // precedes the other two in the (degree, id) total order, so each
+    // is found once — no ÷3/÷6 correction, and the per-node membership
+    // counts come from exploding the three corners. The oracle counts
+    // the same triangles by direct a<b<c three-way join — equality
+    // proves the orientation trick loses/duplicates nothing. At 100 TB
+    // the edge list shuffles on node keys only (ids + counts, no
+    // payload), and orientation bounds the wedge blow-up that makes the
+    // naive self-join quadratic on hubs.
+    "graph_triangles" -> QueryDef(
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = items.as("a")
+          .join(items.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= 2)
+          .select(col("u"), col("v"))
+          .localCheckpoint(true) // consumed 3× (degree, wedges, closure)
+        val deg = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        val du = deg.select(col("node").as("u"), col("deg").as("du"))
+        val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+        val uFirst = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val oriented = edges.join(du, "u").join(dv, "v")
+          .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
+            when(uFirst, col("v")).otherwise(col("u")).as("t"))
+        val wedges = oriented.as("x")
+          .join(oriented.as("y"),
+            col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+          .select(col("x.s").as("apex"), col("x.t").as("t1"),
+            col("y.t").as("t2"))
+        val tri = wedges.join(edges,
+          wedges("t1") === edges("u") && wedges("t2") === edges("v"))
+        tri.select(explode(array(col("apex"), col("t1"), col("t2"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      },
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS support
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |edges AS (SELECT u, v FROM pairs WHERE support >= 2),
+        |tris AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.u = e1.v
+        |  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        |  SELECT x AS node FROM tris
+        |  UNION ALL SELECT y FROM tris
+        |  UNION ALL SELECT z FROM tris)
+        |GROUP BY node""".stripMargin),
+
     // Bloom-prefiltered fact→dim join: the sketch of the filtered
     // orders keys drops non-matching lineitem rows before the shuffle;
     // the exact join then removes false positives, so the result equals

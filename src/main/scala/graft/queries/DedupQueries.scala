@@ -213,6 +213,60 @@ object DedupQueries {
          |SELECT src AS node, least(src, min(dst)) AS label
          |FROM reach GROUP BY src""".stripMargin),
 
+    // Near-dup cluster-size histogram — the headline number of every
+    // dedup report ("N docs in M clusters of size k"; the size
+    // distribution decides whether near-dup removal is worth running
+    // at all). Consumes the SHARED label frame (third consumer beside
+    // components/keeper — pure pairs-scale aggregation on top), plus
+    // one corpus anti-join to count the singletons the pair graph never
+    // sees; clusters from pairs always have ≥2 members, so size 1 is
+    // exactly the anti-join count. Shuffles carry (label) then
+    // (cluster_size) — both pairs-scale; the anti-join streams the
+    // corpus against the tiny clustered-node set.
+    "dedup_cluster_sizes" -> QueryDef(
+      (s, d) => {
+        val labels = nearDupLabels(s, d)
+        val multi = labels.groupBy(col("label"))
+          .agg(count(lit(1)).as("cluster_size"))
+          .groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"))
+        val single = Tables.documents(s, d).select(col("doc_id"))
+          .join(labels, col("doc_id") === col("node"), "left_anti")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(lit(1L).as("cluster_size"), col("n_clusters"))
+        multi.unionByName(single)
+          .select(col("cluster_size").cast("long").as("cluster_size"),
+            col("n_clusters").cast("long").as("n_clusters"),
+            (col("cluster_size") * col("n_clusters")).cast("long").as("n_docs"))
+      },
+      s"""WITH RECURSIVE ${minhashCtes(1, "doc_id >= 0", 48)},
+         |edges AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sh sa ON sa.__id = c.a
+         |  JOIN sh sb ON sb.__id = c.b
+         |  WHERE ${jaccard("sa.__sh", "sb.__sh")} >= 0.9),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |labels AS (
+         |  SELECT src AS node, least(src, min(dst)) AS label
+         |  FROM reach GROUP BY src),
+         |cl AS (
+         |  SELECT label, COUNT(*) AS cluster_size FROM labels GROUP BY label),
+         |multi AS (
+         |  SELECT cluster_size, COUNT(*) AS n_clusters FROM cl
+         |  GROUP BY cluster_size),
+         |single AS (
+         |  SELECT 1 AS cluster_size, COUNT(*) AS n_clusters FROM documents
+         |  WHERE doc_id NOT IN (SELECT node FROM labels))
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+         |FROM (SELECT * FROM multi UNION ALL SELECT * FROM single)""".stripMargin),
+
     // Keeper election over near-dup clusters — the step after
     // connected components: each cluster keeps its highest-quality
     // member (ties to the lowest doc_id). Composition proof: MinHash

@@ -251,5 +251,51 @@ object TextQueries {
          |  CAST(CAST(sum(v.corpus_freq) AS BIGINT) AS DOUBLE)
          |    / CAST(count(*) AS BIGINT) AS avg_freq
          |FROM t JOIN v ON t.tok = v.tok
-         |GROUP BY t.doc_id""".stripMargin))
+         |GROUP BY t.doc_id""".stripMargin),
+
+    // N-gram novelty score: the fraction of a document's distinct
+    // 3-gram shingles that appear NOWHERE else in the corpus — the
+    // self-contained-content signal a curation recipe uses alongside
+    // corpus frequency (high novelty ≈ original text, low ≈ boilerplate
+    // assembled from corpus-common phrases). Unlike text_corpus_freq's
+    // word vocabulary (broadcastable ~MB), the 3-gram vocabulary grows
+    // with the corpus — so NO frequency table is joined back: the novel
+    // count per doc falls out of the df aggregation itself (a df=1
+    // shingle names its unique owner via min(doc_id)), leaving two
+    // key-hashed shuffles (shingle, then doc) and a doc-scale join.
+    // Int64-exact counts, one IEEE division at the edge.
+    "text_novelty" -> QueryDef(
+      (s, d) => {
+        val sh = Tables.documents(s, d).select(
+          col("doc_id"),
+          explode(graft.operators.Dedup.shingles(col("text"), 3)).as("sh"))
+        val perDoc = sh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_shingles"))
+        val novel = sh.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df"), min(col("doc_id")).as("owner"))
+          .filter(col("df") === 1)
+          .groupBy(col("owner").as("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_novel"))
+        perDoc.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            (coalesce(col("n_novel"), lit(0L)).cast("double") /
+              col("n_shingles").cast("double")).as("novelty"))
+      },
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${shingles(tokens("text"), 3)}) AS s
+         |  FROM documents),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM sh GROUP BY doc_id),
+         |nv AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM sh GROUP BY s HAVING count(*) = 1),
+         |nvc AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+         |  FROM nv GROUP BY doc_id)
+         |SELECT pd.doc_id, pd.n_shingles,
+         |  CAST(COALESCE(nvc.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST(COALESCE(nvc.n_novel, 0) AS DOUBLE) / pd.n_shingles AS novelty
+         |FROM pd LEFT JOIN nvc ON pd.doc_id = nvc.doc_id""".stripMargin))
 }

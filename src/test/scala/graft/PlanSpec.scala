@@ -213,4 +213,30 @@ class PlanSpec extends SparkSpec {
     p should include("ExistingRDD")
     p should not include "Generate" // the shingle/band explode stage
   }
+
+  test("cluster-size histogram reuses the shared label frame and anti-joins singletons") {
+    val p = plan("dedup_cluster_sizes")
+    p should include("ExistingRDD") // the checkpointed labels, no recompute
+    p should not include "Generate" // no shingle/band explode stage
+    p should include("LeftAnti") // singleton count = corpus minus clustered
+  }
+
+  test("triangle counting stays on equi-joins over oriented id pairs") {
+    val p = plan("graph_triangles")
+    // degree orientation exists to keep the wedge step an equi-join —
+    // a cartesian/BNL stage here means the orientation regressed
+    p should not include "Cartesian"
+    p should not include "BroadcastNestedLoop"
+  }
+
+  test("novelty score never joins the n-gram frequency table back onto shingles") {
+    // the 3-gram vocabulary grows with the corpus: the novel count must
+    // come out of the df aggregation itself (owner = min(doc_id)),
+    // leaving ONE doc-scale join — a second join would mean the
+    // unbroadcastable vocab is being shipped back through the shingles
+    val p = plan("text_novelty")
+    p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+        l.contains("ShuffledHashJoin")) shouldBe 1
+  }
 }

@@ -651,6 +651,68 @@ class StreamingSpec extends SparkSpec {
       ("web", 1L, 60L, 60L), ("web", 2L, 50L, 110L))
   }
 
+  test("streaming PPS sampler picks at step crossings with state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamingSample.sampleStream(
+        in.toDF().toDF("source", "doc_id", "w"), step = 100L)
+      .writeStream.format("memory").queryName("pps")
+      .outputMode("append").start()
+
+    // batch 1: cum 60 (no crossing), 110 (crosses 100 → pick), 130
+    in.addData(("web", 1L, 60L), ("web", 2L, 50L), ("web", 3L, 20L))
+    q.processAllAvailable()
+    // batch 2: web resumes at 130 — 130+80=210 crosses 200; a doc
+    // heavier than the step always gets picked (spans ≥1 boundary)
+    in.addData(("web", 4L, 80L), ("books", 10L, 250L))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("pps").orderBy("source", "doc_id")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    rows shouldBe Seq(
+      ("books", 10L, 250L, 250L),
+      ("web", 2L, 50L, 110L), ("web", 4L, 80L, 210L))
+  }
+
+  test("streaming PPS sampler equals its batch replay on the fixture") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextAnalysis
+    // fixture sources hold ~1.2-1.7k tokens each → step 500 gives 2-3
+    // crossings per source (step above a source's total would vacuously
+    // pick nothing)
+    val step = 500L
+    val docs = graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("source").cast("string"), col("doc_id").cast("long"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("w"))
+
+    // batch replay: per-source running weight in doc_id order (= the
+    // stream's arrival order below), same crossing rule
+    val win = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = docs
+      .withColumn("cum_weight", sum(col("w")).over(win))
+      .filter(expr(s"cum_weight div $step") >
+        expr(s"(cum_weight - w) div $step"))
+      .select(col("source"), col("doc_id"), col("w"), col("cum_weight"))
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    val in = MemoryStream[(String, Long, Long)]
+    val q = graft.streaming.StreamingSample.sampleStream(
+        in.toDF().toDF("source", "doc_id", "w"), step)
+      .writeStream.format("memory").queryName("pps_fixture")
+      .outputMode("append").start()
+    docs.as[(String, Long, Long)].collect().sortBy(_._2)
+      .grouped(100).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("pps_fixture")
+      .as[(String, Long, Long, Long)].collect().toSet
+    got should not be empty
+    got shouldBe expected
+  }
+
   test("streaming recipe (gate → dedup → split) equals its batch replay on the fixture") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.expressions.Window
