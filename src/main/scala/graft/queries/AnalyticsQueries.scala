@@ -86,6 +86,36 @@ object AnalyticsQueries {
       |FROM mm JOIN stats ON mm.event_type = stats.event_type
       |GROUP BY mm.event_type""".stripMargin
 
+  /** Distinct (order, part) incidence list — shared by the basket-pair
+    * and triangle queries ([[FrameCache]] memo; also feeds the
+    * frequency/denominator sides of the lift computation). */
+  private def basketItems(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.memo(s, d, "basket_items") {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+    }
+
+  /** The co-purchase pair frame (p1 < p2, support) — the expensive
+    * basket self-join, computed once and read by `analytics_basket_pairs`
+    * (support ≥ 3 + lift) and `graph_triangles` (support ≥ 2 edges).
+    * Same share-the-subtree doctrine as the near-dup pair frame in
+    * [[DedupQueries]]. */
+  private def coPurchasePairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // resolve the items frame BEFORE entering the memo (FrameCache
+    // nesting note)
+    val items = basketItems(s, d)
+    FrameCache.memo(s, d, "copurchase_pairs") {
+      items.as("a")
+        .join(items.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("support"))
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // One damped PageRank power-iteration step over the user→content
@@ -204,19 +234,11 @@ object AnalyticsQueries {
     // one distinct shuffle and three.
     "analytics_basket_pairs" -> QueryDef(
       (s, d) => {
-        val items = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey"))
-          .distinct().localCheckpoint(true)
+        val items = basketItems(s, d)
         val nOrders = items.select(countDistinct(col("l_orderkey")))
           .head().getLong(0)
         val freq = items.groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
-        val pairs = items.as("a")
-          .join(items.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= 3)
+        val pairs = coPurchasePairs(s, d).filter(col("support") >= 3)
         pairs
           .join(freq.select(col("l_partkey").as("p1"), col("cnt").as("c1")), "p1")
           .join(freq.select(col("l_partkey").as("p2"), col("cnt").as("c2")), "p2")
@@ -312,17 +334,11 @@ object AnalyticsQueries {
     // naive self-join quadratic on hubs.
     "graph_triangles" -> QueryDef(
       (s, d) => {
-        val items = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = items.as("a")
-          .join(items.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .agg(count(lit(1)).as("support"))
+        // consumed 3× (degree, wedges, closure) off the shared
+        // checkpointed co-purchase frame
+        val edges = coPurchasePairs(s, d)
           .filter(col("support") >= 2)
-          .select(col("u"), col("v"))
-          .localCheckpoint(true) // consumed 3× (degree, wedges, closure)
+          .select(col("p1").as("u"), col("p2").as("v"))
         val deg = edges.select(col("u").as("node"))
           .unionAll(edges.select(col("v").as("node")))
           .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -330,9 +346,13 @@ object AnalyticsQueries {
         val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
         val uFirst = col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v"))
+        // checkpointed too: the wedge self-join consumes it twice, and
+        // without the cut each side would re-run the degree aggregation
+        // and both orientation joins (4× deg, 2× join in the plan)
         val oriented = edges.join(du, "u").join(dv, "v")
           .select(when(uFirst, col("u")).otherwise(col("v")).as("s"),
             when(uFirst, col("v")).otherwise(col("u")).as("t"))
+          .localCheckpoint(true)
         val wedges = oriented.as("x")
           .join(oriented.as("y"),
             col("x.s") === col("y.s") && col("x.t") < col("y.t"))

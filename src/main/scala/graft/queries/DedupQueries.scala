@@ -34,29 +34,12 @@ object DedupQueries {
     * force each of those five queries to recompute the whole
     * shingle → signature → band → capped-bucket → exact-Jaccard
     * pipeline — the most expensive subtree in the corpus family, run
-    * five times for one answer. Both frames are `localCheckpoint`ed
-    * (eager, lineage severed — pairs-scale: one row per candidate pair
-    * / one (node, label) row per clustered doc), memoized per
-    * (session, sfDir); entries of stopped sessions are dropped so test
-    * suites that cycle sessions don't pin dead plans. The cache assumes
-    * fixture data under `sfDir` is immutable for the session lifetime —
-    * regenerating parquet in place requires [[clearSharedCaches]]. */
-  private val frameCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String, String),
-      org.apache.spark.sql.DataFrame]
-
-  private def memoFrame(s: org.apache.spark.sql.SparkSession, d: String,
-      kind: String)(build: => org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    frameCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    frameCache.computeIfAbsent((s, d, kind), _ => build.localCheckpoint())
-  }
-
-  /** The verified MinHash near-dup pair frame (a, b, jaccard). */
+    * five times for one answer. Both frames live in the shared
+    * [[FrameCache]] memo (`localCheckpoint`ed, pairs-scale: one row per
+    * candidate pair / one (node, label) row per clustered doc). */
   private def nearDupPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    memoFrame(s, d, "pairs") {
+    FrameCache.memo(s, d, "pairs") {
       Dedup.nearDuplicates(Tables.documents(s, d),
         "doc_id", "text", n = 1, k = K, bands = Bands, threshold = 0.9,
         bucketCap = 48)
@@ -65,33 +48,20 @@ object DedupQueries {
   /** Connected-component labels over [[nearDupPairs]]. */
   private def nearDupLabels(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    // resolve the pairs frame BEFORE entering the labels memo — a nested
-    // computeIfAbsent on the same map is a recursive update (throws)
+    // resolve the pairs frame BEFORE entering the labels memo (see the
+    // FrameCache nesting note)
     val pairs = nearDupPairs(s, d)
-    memoFrame(s, d, "labels") {
+    FrameCache.memo(s, d, "labels") {
       graft.operators.ConnectedComponents.run(
         pairs.select(col("a"), col("b")))
     }
   }
 
-  /** Timing-fairness hook for [[graft.Bench]]/[[graft.ProfileOne]]: a
-    * bench pass must PAY the pair/label computation exactly once —
-    * clearing at pass start makes the first consuming query in the pass
-    * compute and the others reuse, so min-over-passes can never discard
-    * the compute cost entirely (a warm cross-pass cache would report
-    * the cached-read time as the query's cost, which is a lie).
-    * Checkpoint blocks are unpersisted best-effort (they are pairs-scale
-    * — kilobytes — but repeated passes shouldn't wait on the
-    * ContextCleaner to reclaim them). */
-  def clearSharedCaches(): Unit = {
-    frameCache.values.forEach { df =>
-      try df.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
-      catch { case _: Throwable => () }
-    }
-    frameCache.clear()
-  }
+  /** Timing-fairness hook for [[graft.Bench]]/[[graft.ProfileOne]] —
+    * clears EVERY registry-shared frame (near-dup pairs/labels here,
+    * the co-purchase frame in [[AnalyticsQueries]]); see [[FrameCache]]
+    * for the pay-once-per-pass rationale. */
+  def clearSharedCaches(): Unit = FrameCache.clearAll()
 
   /** DuckDB CTEs for the shared MinHash pipeline (hashed shingle → sign →
     * band → capped bucket). `cap` mirrors the Spark side's deterministic

@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared intermediate-frame memo for the query registry.
+  *
+  * A real pipeline run computes an expensive intermediate (the MinHash
+  * pair graph, the co-purchase pair frame) ONCE and every downstream
+  * report reads it; the registry's one-query-one-DataFrame contract
+  * would otherwise force each consumer to recompute the subtree. Frames
+  * are `localCheckpoint`ed (eager, lineage severed) and memoized per
+  * (session, sfDir, kind); entries of stopped sessions are dropped so
+  * test suites that cycle sessions don't pin dead plans. The cache
+  * assumes fixture data under `sfDir` is immutable for the session
+  * lifetime — regenerating parquet in place requires [[clearAll]].
+  *
+  * Timing fairness: [[graft.Bench]]/[[graft.ProfileOne]] call
+  * [[clearAll]] at pass start so each bench pass PAYS every shared
+  * computation exactly once — min-over-passes can never discard the
+  * compute cost entirely.
+  *
+  * NOTE: do not nest [[memo]] calls directly — resolve inner frames
+  * BEFORE entering the outer memo (a nested computeIfAbsent on the same
+  * map is a recursive update and throws).
+  */
+private[graft] object FrameCache {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]
+
+  def memo(s: SparkSession, d: String, kind: String)(
+      build: => DataFrame): DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    cache.computeIfAbsent((s, d, kind), _ => build.localCheckpoint())
+  }
+
+  /** Drop all memoized frames and best-effort unpersist their RDD
+    * blocks (they are pairs-scale — kilobytes-to-megabytes — but
+    * repeated bench passes shouldn't wait on the ContextCleaner). */
+  def clearAll(): Unit = {
+    cache.values.forEach { df =>
+      try df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+    }
+    cache.clear()
+  }
+}
