@@ -34,7 +34,8 @@ object Bench {
     "curate_quality_gate", "sim_coreset", "text_corpus_freq",
     "curate_recipe",
     // round-7 flagships
-    "graph_triangles", "text_novelty", "dedup_cluster_sizes")
+    "graph_triangles", "text_novelty", "dedup_cluster_sizes",
+    "curate_scorecard")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

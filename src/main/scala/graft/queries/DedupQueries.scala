@@ -237,6 +237,115 @@ object DedupQueries {
          |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
          |FROM (SELECT * FROM multi UNION ALL SELECT * FROM single)""".stripMargin),
 
+    // Per-source corpus scorecard — the one-page health report a
+    // curation run opens with: volume (docs/tokens), exact-duplicate
+    // and near-duplicate exposure, and the dominant language. Composes
+    // FOUR operator families in one result (token stats, exact-dedup
+    // digests, the shared near-dup label frame, language ID) and the
+    // oracle replays all of them in a single CTE chain — like
+    // curate_recipe, the hash-match proves composition, not just the
+    // parts. Shapes: one map-only scan derives every per-doc signal
+    // (token count, digest, lang) at once; the digest df check is a
+    // digest-keyed shuffle (16-byte keys, never broadcast — the digest
+    // table is corpus-sized); near-dup membership reads the
+    // checkpointed label frame; everything downstream is source-keyed
+    // (dimension-scale). Counts int64-exact; the two rates are single
+    // IEEE divisions at the edge.
+    "curate_scorecard" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.TextAnalysis
+        val base = Tables.documents(s, d).select(
+          col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+          md5(Dedup.normalize(col("text"))).as("digest"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        val perSource = base.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        // shuffle_hash: the digest-df table is corpus-sized at scale —
+        // the small-SF stats would otherwise tempt AQE into a broadcast
+        // that cannot survive 100 TB (PlanSpec pins the shuffled shape)
+        val dupDigests = base.groupBy(col("digest"))
+          .agg(count(lit(1)).as("dfc")).filter(col("dfc") > 1)
+        val exact = base.join(dupDigests.hint("shuffle_hash"), "digest")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+        val near = nearDupLabels(s, d)
+          .join(base.select(col("doc_id"), col("source")),
+            col("node") === col("doc_id"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_near"))
+        val lw = Window.partitionBy(col("source"))
+          .orderBy(col("n").desc, col("lang_pred"))
+        val dominant = base.groupBy(col("source"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(lw)).filter(col("rn") === 1)
+          .select(col("source"), col("lang_pred").as("dominant_lang"))
+        perSource
+          .join(exact, Seq("source"), "left")
+          .join(near, Seq("source"), "left")
+          .join(dominant, Seq("source"))
+          .select(col("source"), col("n_docs"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+              .as("avg_tokens"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact_dup_docs"),
+            coalesce(col("n_near"), lit(0L)).as("n_neardup_docs"),
+            (coalesce(col("n_near"), lit(0L)).cast("double") /
+              col("n_docs").cast("double")).as("neardup_rate"),
+            col("dominant_lang"))
+      },
+      s"""WITH RECURSIVE ${minhashCtes(1, "doc_id >= 0", 48)},
+         |edges AS (
+         |  SELECT c.a, c.b FROM cand c
+         |  JOIN sh sa ON sa.__id = c.a
+         |  JOIN sh sb ON sb.__id = c.b
+         |  WHERE ${jaccard("sa.__sh", "sb.__sh")} >= 0.9),
+         |sym AS (SELECT a AS src, b AS dst FROM edges
+         |        UNION SELECT b, a FROM edges),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+         |labels AS (
+         |  SELECT src AS node, least(src, min(dst)) AS label
+         |  FROM reach GROUP BY src),
+         |base AS (
+         |  SELECT source, doc_id,
+         |    CAST(len(${tokens("text")}) AS BIGINT) AS n_tok,
+         |    md5(${normalize("text")}) AS digest,
+         |    ${langPred(tokens("text"))} AS lang_pred
+         |  FROM documents),
+         |ps AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |  FROM base GROUP BY source),
+         |dd AS (SELECT digest FROM base GROUP BY digest HAVING COUNT(*) > 1),
+         |ex AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM base
+         |  WHERE digest IN (SELECT digest FROM dd) GROUP BY source),
+         |nd AS (
+         |  SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_near
+         |  FROM labels l JOIN base b ON l.node = b.doc_id
+         |  GROUP BY b.source),
+         |lc AS (
+         |  SELECT source, lang_pred, COUNT(*) AS n
+         |  FROM base GROUP BY source, lang_pred),
+         |dom AS (
+         |  SELECT source, lang_pred AS dominant_lang FROM (
+         |    SELECT source, lang_pred,
+         |      ROW_NUMBER() OVER (PARTITION BY source
+         |        ORDER BY n DESC, lang_pred) AS rn
+         |    FROM lc) WHERE rn = 1)
+         |SELECT ps.source, ps.n_docs, ps.n_tokens,
+         |  CAST(ps.n_tokens AS DOUBLE) / ps.n_docs AS avg_tokens,
+         |  CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact_dup_docs,
+         |  CAST(COALESCE(nd.n_near, 0) AS BIGINT) AS n_neardup_docs,
+         |  CAST(COALESCE(nd.n_near, 0) AS DOUBLE) / ps.n_docs AS neardup_rate,
+         |  dom.dominant_lang
+         |FROM ps
+         |JOIN dom ON ps.source = dom.source
+         |LEFT JOIN ex ON ps.source = ex.source
+         |LEFT JOIN nd ON ps.source = nd.source""".stripMargin),
+
     // Keeper election over near-dup clusters — the step after
     // connected components: each cluster keeps its highest-quality
     // member (ties to the lowest doc_id). Composition proof: MinHash

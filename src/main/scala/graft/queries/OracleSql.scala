@@ -61,6 +61,21 @@ object OracleSql {
   def cosine(a: String, b: String, dims: Int): String =
     s"(${dot(a, b, dims)} / (sqrt(${dot(a, a, dims)}) * sqrt(${dot(b, b, dims)})))"
 
+  /** `TextAnalysis.langId` over a token-list expression `w`: argmax of
+    * per-language marker-token counts, first-listed language wins ties,
+    * `und` when nothing hits. Score expressions are inlined per use —
+    * oracle-side clarity over shared subexpressions. */
+  def langPred(w: String): String = {
+    val scores = graft.operators.TextAnalysis.langMarkers.map {
+      case (l, ms) =>
+        l -> s"len(list_filter($w, t -> list_contains(${ms.map(m => s"'$m'").mkString("[", ", ", "]")}, t)))"
+    }
+    val best = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val pick = scores.map { case (l, e) => s"WHEN $e = $best THEN '$l'" }
+      .mkString(" ")
+    s"(CASE WHEN $best > 0 THEN (CASE $pick ELSE 'und' END) ELSE 'und' END)"
+  }
+
   /** SQL literal for one LSH hyperplane of `Similarity.hyperplane`. */
   def hyperplaneLit(t: Int, p: Int, dims: Int): String =
     graft.operators.Similarity.hyperplane(t, p, dims)

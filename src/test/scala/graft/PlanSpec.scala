@@ -221,6 +221,20 @@ class PlanSpec extends SparkSpec {
     p should include("LeftAnti") // singleton count = corpus minus clustered
   }
 
+  test("scorecard reuses the shared label frame and never broadcasts the digest table") {
+    val p = plan("curate_scorecard")
+    p should include("ExistingRDD") // near-dup membership off the checkpoint
+    p should not include "Generate" // no shingle/band explode stage
+    // the digest-df join keys on 16-byte digests, corpus-sized on both
+    // sides — a broadcast here would ship the digest table to every
+    // executor and die at 100 TB (join lines carry the key names in the
+    // simple tree string, so pin on the join node itself)
+    val digestJoins = p.linesIterator
+      .filter(l => l.contains("Join") && l.contains("digest")).toSeq
+    digestJoins should not be empty // the join exists...
+    digestJoins.filter(_.contains("Broadcast")) shouldBe empty // ...shuffled
+  }
+
   test("triangle counting stays on equi-joins over oriented id pairs") {
     val p = plan("graph_triangles")
     // degree orientation exists to keep the wedge step an equi-join —
