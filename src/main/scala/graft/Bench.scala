@@ -35,7 +35,7 @@ object Bench {
     "curate_recipe",
     // round-7 flagships
     "graph_triangles", "text_novelty", "dedup_cluster_sizes",
-    "curate_scorecard")
+    "curate_scorecard", "dedup_spans", "text_bpe_step", "mm_phash_pairs")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

@@ -104,6 +104,48 @@ object Multimodal {
     }
   }
 
+  case class MediaSig(media_id: Long, kind: String, sig: Long)
+
+  /** Perceptual blockhash over the opaque payload — the pHash-family
+    * stand-in, computed at the codec seam (a real pHash needs decoded
+    * pixels; this deterministic form needs the raw bytes — either way
+    * the signature is a partition-local map). 32 contiguous byte
+    * blocks; bit b is set iff block b's byte sum is above the per-item
+    * average. The comparison is an integer cross-multiply
+    * (bsum * 32 > total), so there is no division and no float — the
+    * signature is exact and the DuckDB oracle recomputes identical
+    * bits from the payload. */
+  def blockHash32(content: Array[Byte]): Long = {
+    val n = content.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      sums(((i.toLong * 32) / n).toInt) += (content(i) & 0xff)
+      i += 1
+    }
+    var tot = 0L
+    var b = 0
+    while (b < 32) { tot += sums(b); b += 1 }
+    var sig = 0L
+    b = 0
+    while (b < 32) {
+      if (sums(b) * 32 > tot) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** Signature stage: one 8-byte signature per media item, computed
+    * partition-local at the codec seam (no shuffle). */
+  def blockHashes(media: Dataset[MediaRecord]): Dataset[MediaSig] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map(r => MediaSig(r.media_id, r.kind, blockHash32(r.content)))
+    }
+  }
+
   /** Decode/feature-extract stage: partition-local batch iteration — the
     * decoder is instantiated once per partition (the expensive-init
     * pattern for codecs/models), rows stream through it. */

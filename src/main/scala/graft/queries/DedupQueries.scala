@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** Deduplication query surface over the `documents` / `embeddings`
   * fixtures — the operator family a 100 TB training-data pipeline needs.
@@ -104,6 +104,63 @@ object DedupQueries {
       s"""SELECT md5(${normalize("text")}) AS text_hash,
          |  MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
          |FROM documents GROUP BY 1""".stripMargin),
+
+    // Sub-document span dedup (C4/RefinedWeb-style): carve every document
+    // into consecutive 8-token spans, drop every occurrence of a span
+    // except the corpus-wide first (ordered by doc_id, then position),
+    // and reassemble each document from its surviving spans. This is the
+    // granularity web-corpus pipelines actually dedup at — boilerplate
+    // repeats across documents that are not near-dups as wholes. Shapes:
+    // span carving is map-only (transform + posexplode, no UDF); the
+    // first-occurrence election is ONE shuffle keyed on the 16-byte span
+    // digest (the span text rides as payload — the corpus must move once,
+    // as in any production span dedup); reassembly is a second shuffle
+    // back on doc_id. Nothing is broadcast, nothing is quadratic, and
+    // per-key window state is bounded by span frequency, not corpus size.
+    "dedup_spans" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val spanK = 8
+        val base = Tables.documents(s, d).select(
+          col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("w"))
+        val spans = base
+          .select(col("doc_id"), col("source"),
+            posexplode(transform(
+              sequence(lit(0),
+                ((size(col("w")) + lit(spanK - 1)) / lit(spanK))
+                  .cast("int") - 1),
+              i => array_join(slice(col("w"), i * spanK + 1, lit(spanK)), " "))))
+          .withColumnRenamed("pos", "idx")
+          .withColumnRenamed("col", "span")
+        val firstWin = Window.partitionBy(md5(col("span")))
+          .orderBy(col("doc_id"), col("idx"))
+        spans
+          .withColumn("keep", row_number().over(firstWin) === 1)
+          .groupBy(col("doc_id"), col("source"))
+          .agg(
+            count(lit(1)).as("n_spans"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            concat_ws(" ", transform(
+              array_sort(collect_list(
+                when(col("keep"), struct(col("idx"), col("span"))))),
+              x => x.getField("span"))).as("text_dedup"))
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id, source, ${tokens("text")} AS w FROM documents),
+         |spans AS (
+         |  SELECT doc_id, source, i - 1 AS idx,
+         |    array_to_string(w[(i-1)*8+1 : i*8], ' ') AS span
+         |  FROM base, UNNEST(generate_series(1, (len(w) + 7) // 8)) AS t(i)),
+         |flagged AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY span ORDER BY doc_id, idx) AS rn
+         |  FROM spans)
+         |SELECT doc_id, source, COUNT(*) AS n_spans,
+         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(span, ' ' ORDER BY idx)
+         |    FILTER (WHERE rn = 1), '') AS text_dedup
+         |FROM flagged GROUP BY doc_id, source""".stripMargin),
 
     // MinHash + LSH banding near-dup: map-only signatures, equi-join on
     // band keys, exact Jaccard verification on candidates only — over

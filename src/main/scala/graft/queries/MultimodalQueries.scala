@@ -139,5 +139,72 @@ object MultimodalQueries {
           "media_id", "qv", 5)
           .withColumn("rank", col("rank").cast("long"))
       },
-      knnOracle))
+      knnOracle),
+
+    // Image/media near-dup via perceptual blockhash — the pHash-family
+    // dedup a multimodal training pipeline runs before any embedding
+    // model exists. Pipeline shape mirrors MinHash LSH: an 8-byte
+    // signature per item computed partition-local at the codec seam
+    // (Multimodal.blockHash32 — a real deployment swaps in DCT-pHash on
+    // decoded pixels, same seam, same downstream), banded into 4 × 8-bit
+    // Hamming bands; candidates share a band value (equi-join on the
+    // band key, bucket capped at 64 lowest ids — deterministic, mirrored
+    // in the oracle); exact verify `popcount(xor) <= 3` on candidates
+    // only. Recall is structural below the cap: 3 flipped bits can
+    // spoil at most 3 of the 4 bands. The shuffles carry (band, bval,
+    // id, sig) — 8-byte signatures, never payload bytes.
+    "mm_phash_pairs" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sigs = Multimodal.blockHashes(
+          Multimodal.fakeMediaFromDocuments(Tables.documents(s, d))).toDF()
+        val bands = sigs.select(col("media_id"), col("sig"),
+          explode(array((0 until 4).map(b => struct(
+            lit(b).as("band"),
+            shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)).as("bval")
+          )): _*)).as("bb"))
+          .select(col("media_id"), col("sig"),
+            col("bb.band").as("band"), col("bb.bval").as("bval"))
+        val capWin = Window.partitionBy(col("band"), col("bval"))
+          .orderBy(col("media_id"))
+        val capped = bands
+          .withColumn("rn", row_number().over(capWin))
+          .filter(col("rn") <= 64).drop("rn")
+        val a = capped.select(col("media_id").as("media_a"),
+          col("sig").as("sig_a"), col("band"), col("bval"))
+        val b = capped.select(col("media_id").as("media_b"),
+          col("sig").as("sig_b"), col("band"), col("bval"))
+        a.join(b.hint("shuffle_hash"), Seq("band", "bval"))
+          .filter(col("media_a") < col("media_b"))
+          .select(col("media_a"), col("media_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+      },
+      """WITH b AS (
+        |  SELECT doc_id, strlen(text) AS n,
+        |         unnest(range(strlen(text))) AS pos, text
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, CAST(pos * 32 // n AS INT) AS blk,
+        |         ord(substr(text, CAST(pos AS INT) + 1, 1)) AS byte
+        |  FROM b),
+        |bs AS (SELECT doc_id, blk, SUM(byte) AS bsum FROM s GROUP BY doc_id, blk),
+        |tot AS (SELECT doc_id, SUM(bsum) AS t FROM bs GROUP BY doc_id),
+        |sig AS (
+        |  SELECT bs.doc_id, CAST(SUM(CASE WHEN bsum * 32 > t
+        |    THEN CAST(1 AS BIGINT) << blk ELSE 0 END) AS BIGINT) AS sig
+        |  FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY bs.doc_id),
+        |bands AS (
+        |  SELECT doc_id, sig, band, (sig >> (band * 8)) & 255 AS bval
+        |  FROM sig, UNNEST(generate_series(0, 3)) AS t(band)),
+        |capped AS (
+        |  SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY band, bval ORDER BY doc_id) AS rn FROM bands)
+        |  WHERE rn <= 64)
+        |SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM capped a JOIN capped b
+        |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin))
 }

@@ -253,6 +253,45 @@ object TextQueries {
          |FROM t JOIN v ON t.tok = v.tok
          |GROUP BY t.doc_id""".stripMargin),
 
+    // One distributed BPE merge step — tokenizer induction at corpus
+    // scale. Weighted vocabulary (word → corpus count, ONE map-side-
+    // combined shuffle whose key space is the vocab, not the corpus),
+    // then adjacent character-pair counts weighted by word frequency
+    // (second vocab-scale shuffle), then the top-20 merge candidates by
+    // (count DESC, pair ASC) — a deterministic total order, planned as
+    // TakeOrderedAndProject (no global sort). Training a full BPE
+    // vocabulary is K iterations of exactly this aggregation with the
+    // winning pair folded into the symbol sequences; the per-step shape
+    // here is the whole scale story. Single-char words carry no pair and
+    // are filtered on BOTH sides (Spark's sequence(1,0) counts DOWN,
+    // DuckDB's generate_series(1,0) is empty — the filter keeps the
+    // engines honest rather than leaning on that asymmetry).
+    "text_bpe_step" -> QueryDef(
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .filter(length(col("word")) >= 2)
+        wc.select(col("c"),
+            explode(transform(
+              sequence(lit(1), length(col("word")) - 1),
+              i => col("word").substr(i, lit(2)))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      s"""WITH words AS (
+         |  SELECT unnest(${tokens("text")}) AS word FROM documents),
+         |wc AS (
+         |  SELECT word, COUNT(*) AS c FROM words
+         |  GROUP BY word HAVING len(word) >= 2),
+         |pairs AS (
+         |  SELECT word[i:i+1] AS pair, c
+         |  FROM wc, UNNEST(generate_series(1, len(word) - 1)) AS t(i))
+         |SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+         |FROM pairs GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+
     // N-gram novelty score: the fraction of a document's distinct
     // 3-gram shingles that appear NOWHERE else in the corpus — the
     // self-contained-content signal a curation recipe uses alongside

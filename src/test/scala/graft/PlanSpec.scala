@@ -235,6 +235,40 @@ class PlanSpec extends SparkSpec {
     digestJoins.filter(_.contains("Broadcast")) shouldBe empty // ...shuffled
   }
 
+  test("span dedup is two shuffles: span-digest election, doc reassembly") {
+    val p = plan("dedup_spans")
+    p should include("Generate") // map-only span carving (posexplode)
+    p should not include "BroadcastExchange" // nothing to broadcast
+    p should not include "SortMergeJoin" // no join at all — window + agg
+    // exactly two hash exchanges: the first-occurrence window keyed on
+    // the 16-byte span digest, then the per-doc reassembly on doc_id —
+    // the corpus moves twice and only twice at any scale
+    p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) shouldBe 2
+  }
+
+  test("BPE merge step: two vocab-scale exchanges, top-K without global sort") {
+    val p = plan("text_bpe_step")
+    p should include("TakeOrderedAndProject") // top-20, not a global sort
+    p should not include "SortMergeJoin" // no join anywhere
+    p should not include "BroadcastExchange"
+    // word-count and pair-count aggregations, both map-side combined —
+    // the only data that ever shuffles is vocab-scale, never the corpus
+    p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) shouldBe 2
+  }
+
+  test("phash near-dup joins signatures shuffled, never broadcast") {
+    val p = plan("mm_phash_pairs")
+    p should include("MapElements") // signature map at the codec seam
+    p should include("ShuffledHashJoin") // band equi-join, hint respected
+    // both join sides are the corpus-scale signature table — a
+    // broadcast here dies at 100 TB exactly like the digest table in
+    // the scorecard pin
+    p should not include "BroadcastHashJoin"
+    p should not include "CartesianProduct"
+  }
+
   test("triangle counting stays on equi-joins over oriented id pairs") {
     val p = plan("graph_triangles")
     // degree orientation exists to keep the wedge step an equi-join —
