@@ -758,6 +758,41 @@ object DedupQueries {
            |FROM c""".stripMargin
       }),
 
+    // Sliding-window chunking with overlap — the long-context prep
+    // step: windows of 32 tokens at stride 16, so every token pair
+    // within 16 positions co-occurs in at least one chunk (what a
+    // context-window encoder needs), with the tail chunk allowed short.
+    // Entirely map-only — transform + posexplode, no shuffle at all
+    // (the ONLY registry query with a zero-exchange plan shape besides
+    // the pure scans; PlanSpec pins it): at 100 TB this runs at scan
+    // speed. Complements curate_pack_chunks (bin packing of whole docs)
+    // and dedup_spans (disjoint-span dedup) as the third chunking form.
+    "curate_chunk_overlap" -> QueryDef(
+      (s, d) => {
+        val win = 32
+        val stride = 16
+        val base = Tables.documents(s, d).select(
+          col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        val nChunks = ((greatest(size(col("toks")) - win, lit(0))
+          + lit(stride - 1)) / lit(stride)).cast("int") + 1
+        base.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nChunks - 1),
+              k => slice(col("toks"), k * stride + 1, lit(win)))))
+          .select(col("doc_id"), col("pos").as("idx"),
+            size(col("col")).cast("long").as("n_tok"),
+            array_join(col("col"), " ").as("chunk"))
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id, ${tokens("text")} AS w FROM documents),
+         |c AS (
+         |  SELECT doc_id, i - 1 AS idx,
+         |    w[(i-1)*16+1 : (i-1)*16+32] AS chunk
+         |  FROM base, UNNEST(generate_series(1,
+         |    (GREATEST(len(w) - 32, 0) + 15) // 16 + 1)) AS t(i))
+         |SELECT doc_id, idx, CAST(len(chunk) AS BIGINT) AS n_tok,
+         |  array_to_string(chunk, ' ') AS chunk
+         |FROM c""".stripMargin),
+
     // End-to-end curation recipe — the round-6 composition proof
     // (round 5's keeper election, one level up): quality gate →
     // decontamination → split, emitting the (source × split) audit

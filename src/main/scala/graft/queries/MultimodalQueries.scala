@@ -154,57 +154,96 @@ object MultimodalQueries {
     // spoil at most 3 of the 4 bands. The shuffles carry (band, bval,
     // id, sig) — 8-byte signatures, never payload bytes.
     "mm_phash_pairs" -> QueryDef(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val sigs = Multimodal.blockHashes(
-          Multimodal.fakeMediaFromDocuments(Tables.documents(s, d))).toDF()
-        val bands = sigs.select(col("media_id"), col("sig"),
-          explode(array((0 until 4).map(b => struct(
-            lit(b).as("band"),
-            shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)).as("bval")
-          )): _*)).as("bb"))
-          .select(col("media_id"), col("sig"),
-            col("bb.band").as("band"), col("bb.bval").as("bval"))
-        val capWin = Window.partitionBy(col("band"), col("bval"))
-          .orderBy(col("media_id"))
-        val capped = bands
-          .withColumn("rn", row_number().over(capWin))
-          .filter(col("rn") <= 64).drop("rn")
-        val a = capped.select(col("media_id").as("media_a"),
-          col("sig").as("sig_a"), col("band"), col("bval"))
-        val b = capped.select(col("media_id").as("media_b"),
-          col("sig").as("sig_b"), col("band"), col("bval"))
-        a.join(b.hint("shuffle_hash"), Seq("band", "bval"))
-          .filter(col("media_a") < col("media_b"))
-          .select(col("media_a"), col("media_b"),
-            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-      },
-      """WITH b AS (
-        |  SELECT doc_id, strlen(text) AS n,
-        |         unnest(range(strlen(text))) AS pos, text
-        |  FROM documents),
-        |s AS (
-        |  SELECT doc_id, CAST(pos * 32 // n AS INT) AS blk,
-        |         ord(substr(text, CAST(pos AS INT) + 1, 1)) AS byte
-        |  FROM b),
-        |bs AS (SELECT doc_id, blk, SUM(byte) AS bsum FROM s GROUP BY doc_id, blk),
-        |tot AS (SELECT doc_id, SUM(bsum) AS t FROM bs GROUP BY doc_id),
-        |sig AS (
-        |  SELECT bs.doc_id, CAST(SUM(CASE WHEN bsum * 32 > t
-        |    THEN CAST(1 AS BIGINT) << blk ELSE 0 END) AS BIGINT) AS sig
-        |  FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY bs.doc_id),
-        |bands AS (
-        |  SELECT doc_id, sig, band, (sig >> (band * 8)) & 255 AS bval
-        |  FROM sig, UNNEST(generate_series(0, 3)) AS t(band)),
-        |capped AS (
-        |  SELECT * FROM (SELECT *, row_number() OVER (
-        |    PARTITION BY band, bval ORDER BY doc_id) AS rn FROM bands)
-        |  WHERE rn <= 64)
+      (s, d) => phashPairs(s, d),
+      s"""WITH $phashCtes
         |SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         |FROM capped a JOIN capped b
         |  ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin))
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin),
+
+    // Media near-dup CLUSTERS: the SAME HashMin connected-components
+    // operator the text near-dup stack uses (ConnectedComponents.run),
+    // consuming the phash pair graph instead of the MinHash one — the
+    // label-propagation machinery is modality-agnostic, and the
+    // recursive-CTE oracle proves it end to end over the banded
+    // candidate graph. Keeper election / cluster stats then compose
+    // exactly as they do for text.
+    "mm_phash_clusters" -> QueryDef(
+      (s, d) => graft.operators.ConnectedComponents.run(
+        phashPairs(s, d).select(col("media_a").as("a"),
+          col("media_b").as("b"))),
+      s"""WITH RECURSIVE $phashCtes,
+        |edges AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+        |sym AS (SELECT a AS src, b AS dst FROM edges
+        |        UNION SELECT b, a FROM edges),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM sym
+        |  UNION
+        |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+        |SELECT src AS node, least(src, min(dst)) AS label
+        |FROM reach GROUP BY src""".stripMargin))
+
+  /** The banded-candidate pipeline shared by `mm_phash_pairs` /
+    * `mm_phash_clusters`: codec-seam signatures → 4 × 8-bit Hamming
+    * bands → deterministic 64-id bucket cap → band equi-join (shuffle
+    * hint: both sides are the corpus-scale signature table). */
+  private def phashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = Multimodal.blockHashes(
+      Multimodal.fakeMediaFromDocuments(Tables.documents(s, d))).toDF()
+    val bands = sigs.select(col("media_id"), col("sig"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("band"),
+        shiftright(col("sig"), b * 8).bitwiseAND(lit(255L)).as("bval")
+      )): _*)).as("bb"))
+      .select(col("media_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val capWin = Window.partitionBy(col("band"), col("bval"))
+      .orderBy(col("media_id"))
+    val capped = bands
+      .withColumn("rn", row_number().over(capWin))
+      .filter(col("rn") <= 64).drop("rn")
+    val a = capped.select(col("media_id").as("media_a"),
+      col("sig").as("sig_a"), col("band"), col("bval"))
+    val b = capped.select(col("media_id").as("media_b"),
+      col("sig").as("sig_b"), col("band"), col("bval"))
+    a.join(b.hint("shuffle_hash"), Seq("band", "bval"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** DuckDB CTE block recomputing the banded-candidate pipeline from
+    * payload bytes (through `capped`) — shared by the pair and cluster
+    * oracles. */
+  private def phashCtes: String =
+    """b AS (
+      |  SELECT doc_id, strlen(text) AS n,
+      |         unnest(range(strlen(text))) AS pos, text
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(pos * 32 // n AS INT) AS blk,
+      |         ord(substr(text, CAST(pos AS INT) + 1, 1)) AS byte
+      |  FROM b),
+      |bs AS (SELECT doc_id, blk, SUM(byte) AS bsum FROM s GROUP BY doc_id, blk),
+      |tot AS (SELECT doc_id, SUM(bsum) AS t FROM bs GROUP BY doc_id),
+      |sig AS (
+      |  SELECT bs.doc_id, CAST(SUM(CASE WHEN bsum * 32 > t
+      |    THEN CAST(1 AS BIGINT) << blk ELSE 0 END) AS BIGINT) AS sig
+      |  FROM bs JOIN tot ON bs.doc_id = tot.doc_id GROUP BY bs.doc_id),
+      |bands AS (
+      |  SELECT doc_id, sig, band, (sig >> (band * 8)) & 255 AS bval
+      |  FROM sig, UNNEST(generate_series(0, 3)) AS t(band)),
+      |capped AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (
+      |    PARTITION BY band, bval ORDER BY doc_id) AS rn FROM bands)
+      |  WHERE rn <= 64)""".stripMargin
 }

@@ -258,6 +258,12 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning")) shouldBe 2
   }
 
+  test("overlap chunking is map-only — a zero-exchange plan") {
+    val p = plan("curate_chunk_overlap")
+    p should include("Generate") // the posexplode fan-out
+    p should not include "Exchange" // no agg, no join, no window: scan speed
+  }
+
   test("phash near-dup joins signatures shuffled, never broadcast") {
     val p = plan("mm_phash_pairs")
     p should include("MapElements") // signature map at the codec seam
