@@ -292,6 +292,108 @@ object TextQueries {
          |FROM pairs GROUP BY pair
          |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
 
+    // More-like-this retrieval — the RAG-shaped query the corpus
+    // serves once it is indexed: for each query document, its top-3
+    // TF-IDF terms (the same log-free tf·N/df ranking corpus_tfidf
+    // proved hash-exact) become the query bag, and candidates are
+    // scored by the sum over shared terms of tf·⌊1000·N/df⌋ — all-int64
+    // arithmetic (exact operands, one IEEE division + floor per term,
+    // portable bit-for-bit), so the candidate sum is order-independent.
+    // Shape at 100 TB: the postings list (tf) is term-keyed — the
+    // inverted index — and the query-term frame is tiny (queries ≪
+    // corpus) and BROADCAST, so retrieval never shuffles the corpus;
+    // the candidate aggregation carries only (query, candidate, score)
+    // ids, and per-query top-5 plans as a WindowGroupLimit pushed below
+    // the exchange, not a global sort.
+    "corpus_search" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfT = toks.distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+        val qw = Window.partitionBy(col("doc_id"))
+          .orderBy((col("tf") * lit(n) / col("df")).desc, col("term").asc)
+        val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .join(dfT, "term")
+          .withColumn("qrk", row_number().over(qw))
+          .filter(col("qrk") <= 3)
+          .select(col("doc_id").as("query_doc"), col("term"), col("df"))
+        val cw = Window.partitionBy(col("query_doc"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        tf.join(broadcast(qterms), Seq("term"))
+          .filter(col("doc_id") =!= col("query_doc"))
+          .groupBy(col("query_doc"), col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_shared"),
+            sum(col("tf") *
+              floor(lit(1000L * n) / col("df")).cast("long")).as("score"))
+          .withColumn("rk", row_number().over(cw))
+          .filter(col("rk") <= 5)
+          .select(col("query_doc"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("n_shared"), col("score"))
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokens("text")}) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY doc_id, term),
+         |df AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+         |    SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+         |      FROM documents),
+         |q AS (
+         |  SELECT doc_id AS query_doc, term, df FROM (
+         |    SELECT tf.doc_id, tf.term, df.df,
+         |      row_number() OVER (PARTITION BY tf.doc_id
+         |        ORDER BY tf.tf * n.n / df.df DESC, tf.term ASC) AS qrk
+         |    FROM tf JOIN df USING (term), n
+         |    WHERE tf.doc_id % 100 = 0)
+         |  WHERE qrk <= 3),
+         |cand AS (
+         |  SELECT q.query_doc, tf.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_shared,
+         |    CAST(sum(tf.tf *
+         |      CAST(floor((n.n * 1000) / q.df) AS BIGINT)) AS BIGINT) AS score
+         |  FROM q JOIN tf USING (term), n
+         |  WHERE tf.doc_id <> q.query_doc
+         |  GROUP BY q.query_doc, tf.doc_id)
+         |SELECT query_doc, CAST(rk AS BIGINT) AS rk, doc_id, n_shared, score
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_doc
+         |    ORDER BY score DESC, doc_id ASC) AS rk FROM cand)
+         |WHERE rk <= 5""".stripMargin),
+
+    // Feature-hashing-trick document embedding (hash kernel): each
+    // token lands in one of 16 buckets via the engine-portable MD5
+    // hash, and the per-bucket counts ARE the document's sparse
+    // integer feature vector — the classic O(1)-vocabulary
+    // featurization a fasttext-style quality classifier trains on,
+    // and the text→embedding bridge into the ANN stack (the hashed
+    // vector is dot-product-ready with all-int64 arithmetic). Shape
+    // at 100 TB: one map-only explode + hash expression, then ONE
+    // (doc_id, dim) map-side-combined shuffle whose output is ≤16
+    // small ints per document — no vocabulary table exists at all,
+    // which is the entire point of the hashing trick.
+    "text_hash_embed" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (graft.functions.PortableHash.hash60(col("tok")) % 16).as("dim"))
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(count(lit(1)).cast("long").as("weight")),
+      s"""SELECT doc_id,
+         |  ${graft.functions.PortableHash.hash60Sql("tok")} % 16 AS dim,
+         |  CAST(count(*) AS BIGINT) AS weight
+         |FROM (SELECT doc_id, unnest(${tokens("text")}) AS tok
+         |      FROM documents)
+         |GROUP BY doc_id, dim""".stripMargin),
+
     // N-gram novelty score: the fraction of a document's distinct
     // 3-gram shingles that appear NOWHERE else in the corpus — the
     // self-contained-content signal a curation recipe uses alongside

@@ -258,6 +258,19 @@ class PlanSpec extends SparkSpec {
       l.contains("Exchange hashpartitioning")) shouldBe 2
   }
 
+  test("retrieval broadcasts the query terms and group-limits top-5") {
+    val p = plan("corpus_search")
+    p should include("BroadcastHashJoin") // query bag ⋈ postings
+    p should not include "SortMergeJoin" // corpus never re-sorts for retrieval
+    p should include("WindowGroupLimit") // per-query top-5, no global sort
+  }
+
+  test("hash-embed is one map-side-combined shuffle, no vocabulary join") {
+    val p = plan("text_hash_embed")
+    p should not include "Join"
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 1
+  }
+
   test("overlap chunking is map-only — a zero-exchange plan") {
     val p = plan("curate_chunk_overlap")
     p should include("Generate") // the posexplode fan-out
