@@ -188,11 +188,21 @@ object MultimodalQueries {
         |SELECT src AS node, least(src, min(dst)) AS label
         |FROM reach GROUP BY src""".stripMargin))
 
-  /** The banded-candidate pipeline shared by `mm_phash_pairs` /
-    * `mm_phash_clusters`: codec-seam signatures → 4 × 8-bit Hamming
-    * bands → deterministic 64-id bucket cap → band equi-join (shuffle
-    * hint: both sides are the corpus-scale signature table). */
+  /** The banded-candidate pair frame shared by `mm_phash_pairs` /
+    * `mm_phash_clusters`, memoized in [[FrameCache]] exactly like the
+    * text stack's `nearDupPairs` — one signature→band→cap→equi-join
+    * pipeline per curation pass, checkpointed pairs-scale, read by both
+    * consumers (and cleared per bench pass for timing fairness). */
   private def phashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.memo(s, d, "phash_pairs")(phashPairsPipeline(s, d))
+
+  /** The un-memoized pipeline: codec-seam signatures → 4 × 8-bit
+    * Hamming bands → deterministic 64-id bucket cap → band equi-join
+    * (shuffle hint: both sides are the corpus-scale signature table).
+    * Package-visible so PlanSpec can pin its scale shape directly —
+    * the shared frame hides it from the registry's plans. */
+  private[graft] def phashPairsPipeline(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = Multimodal.blockHashes(

@@ -277,8 +277,17 @@ class PlanSpec extends SparkSpec {
     p should not include "Exchange" // no agg, no join, no window: scan speed
   }
 
-  test("phash near-dup joins signatures shuffled, never broadcast") {
+  test("phash pair listing is served from the shared frame (checkpoint scan)") {
     val p = plan("mm_phash_pairs")
+    p should include("ExistingRDD")
+    p.linesIterator.count(_.contains("Exchange")) shouldBe 0
+  }
+
+  test("phash near-dup pipeline joins signatures shuffled, never broadcast (pinned un-memoized)") {
+    // the shared frame hides the pipeline from the registry's plans —
+    // pin the operator itself, like the MinHash pipeline pin above
+    val p = graft.queries.MultimodalQueries.phashPairsPipeline(spark, d)
+      .queryExecution.executedPlan.toString
     p should include("MapElements") // signature map at the codec seam
     p should include("ShuffledHashJoin") // band equi-join, hint respected
     // both join sides are the corpus-scale signature table — a
@@ -286,6 +295,12 @@ class PlanSpec extends SparkSpec {
     // the scorecard pin
     p should not include "BroadcastHashJoin"
     p should not include "CartesianProduct"
+  }
+
+  test("phash clusters consume the shared pair frame, not a recompute") {
+    val p = plan("mm_phash_clusters")
+    p should include("ExistingRDD") // CC rounds read the checkpointed pairs
+    p should not include "MapElements" // no signature recompute
   }
 
   test("triangle counting stays on equi-joins over oriented id pairs") {
