@@ -202,6 +202,86 @@ object SimilarityQueries {
     // construction; identical bucketing constants on both sides).
     "sim_knn_lsh" -> QueryDef((s, d) => lshSpark(s, d), lshSql),
 
+    // Product-quantization code assignment — the compression half of an
+    // IVF-PQ index (the structure serving billion-vector ANN in
+    // production): the 64-dim vector splits into 4 subspaces of 16
+    // dims, each subvector snaps to its nearest of 8 codewords, and the
+    // vector is thereafter 4 small codes (16 bytes of float becomes 3
+    // bits per subspace). Codewords are a deterministic id-pick of the
+    // corpus (vec_id < 8 — same no-RNG doctrine as the IVF centroids; a
+    // production build trains them offline and broadcasts identically).
+    // All arithmetic is exact: quantized integer coords, squared-L2 by
+    // dot identity, and the argmin is a MIN over the collision-free key
+    // d2·16+code — so assignment is ONE map-side-combined hash
+    // aggregation, no per-vector window, no shuffle of the vectors
+    // themselves. At 100 TB: the codebook (32 subvectors) broadcasts to
+    // every executor, the subspace fan-out is map-only, and the only
+    // exchange carries (vec_id, sub, partial-min key) — the same rows
+    // the PQ index stores.
+    "sim_pq_code" -> QueryDef(
+      (s, d) => pqCodes(s, d),
+      s"""WITH $pqCtes
+         |SELECT vec_id, sub, k & 15 AS code, k >> 4 AS d2 FROM k""".stripMargin),
+
+    // PQ search by asymmetric distance computation (ADC) — how a PQ
+    // index is actually queried: each query precomputes its distance
+    // TABLE to the 32 codewords (|queries| × 32 rows — tiny, BROADCAST),
+    // and every coded corpus vector's approximate distance is then four
+    // table lookups summed — a broadcast equi-join on (sub, code) plus
+    // one (query, vec) aggregation; the corpus vectors themselves never
+    // move and no float op touches the scan. All-int64 (codes, table
+    // entries, sums), so the ranking is deterministic and
+    // engine-portable. At 100 TB this composes with IVF: probe cells
+    // first, ADC-scan only their members — the ADC shape here IS that
+    // inner loop.
+    "sim_pq_adc" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = quantized(s, d)
+        val cb = pqCodebook(e)
+        val qx = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("query_id"),
+            explode(sequence(lit(0), lit(3))).as("sub"), col("qv"))
+          .withColumn("sv", slice(col("qv"), col("sub") * 16 + 1, lit(16)))
+        val dt = qx.crossJoin(broadcast(cb))
+          .withColumn("cv", slice(col("cbv"), col("sub") * 16 + 1, lit(16)))
+          .select(col("query_id"), col("sub").cast("long").as("sub"),
+            col("code"), pqD2.as("dt"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("adist").asc, col("vec_id").asc)
+        pqCodes(s, d).drop("d2")
+          .join(broadcast(dt), Seq("sub", "code"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id"), col("vec_id"))
+          .agg(sum(col("dt")).as("adist"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= K)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("vec_id"), col("adist"))
+      },
+      s"""WITH $pqCtes,
+         |codes AS (SELECT vec_id, sub, k & 15 AS code FROM k),
+         |qx AS (
+         |  SELECT e.vec_id AS query_id, t.m AS sub, cb.code,
+         |    e.v[t.m*16+1 : t.m*16+16] AS sv,
+         |    cb.cv[t.m*16+1 : t.m*16+16] AS cv
+         |  FROM e, UNNEST(generate_series(0, 3)) AS t(m), cb
+         |  WHERE e.vec_id % 50 = 0),
+         |dt AS (
+         |  SELECT query_id, CAST(sub AS BIGINT) AS sub, code,
+         |    ${pqD2Sql} AS dt
+         |  FROM qx),
+         |ad AS (
+         |  SELECT dt.query_id, codes.vec_id,
+         |    CAST(SUM(dt.dt) AS BIGINT) AS adist
+         |  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+         |  WHERE codes.vec_id <> dt.query_id
+         |  GROUP BY dt.query_id, codes.vec_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+         |WHERE rank <= $K""".stripMargin),
+
     // ANN quality gate: recall@10 of the LSH path against the exact
     // brute-force baseline, per query vector. THE metric an ANN index is
     // judged by — a bucketing/constants regression that silently tanks
@@ -229,4 +309,63 @@ object SimilarityQueries {
          |LEFT JOIN approx a
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          |GROUP BY b.query_id""".stripMargin))
+
+  /** PQ codebook: 8 codewords per subspace as a deterministic id-pick
+    * (vec_id < 8) — the same no-RNG doctrine as the IVF centroids. */
+  private def pqCodebook(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("code"), col("qv").as("cbv"))
+
+  /** Exact squared L2 between the sliced subvectors `sv`/`cv` via the
+    * dot identity — integer-valued quantized coords, so the result is
+    * an exact int64. */
+  private def pqD2 =
+    (Similarity.dot(col("sv"), col("sv"))
+      - lit(2.0) * Similarity.dot(col("sv"), col("cv"))
+      + Similarity.dot(col("cv"), col("cv"))).cast("long")
+
+  private def pqD2Sql: String =
+    s"""CAST(${dot("sv", "sv", 16)} - 2 * ${dot("sv", "cv", 16)}
+       |      + ${dot("cv", "cv", 16)} AS BIGINT)""".stripMargin
+
+  /** PQ code assignment (vec_id, sub, code, d2): each 16-dim subvector
+    * snaps to its nearest codeword; the argmin rides a MIN over the
+    * collision-free key d2·16+code, so assignment is one map-side-
+    * combined aggregation — no per-vector window. */
+  private def pqCodes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = quantized(s, d)
+    val cb = pqCodebook(e)
+    e.select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(3))).as("sub"))
+      .withColumn("sv", slice(col("qv"), col("sub") * 16 + 1, lit(16)))
+      .crossJoin(broadcast(cb))
+      .withColumn("cv", slice(col("cbv"), col("sub") * 16 + 1, lit(16)))
+      .withColumn("key", pqD2 * 16 + col("code"))
+      .groupBy(col("vec_id"), col("sub").cast("long").as("sub"))
+      .agg(min(col("key")).as("k"))
+      .select(col("vec_id"), col("sub"),
+        col("k").bitwiseAND(lit(15L)).as("code"),
+        shiftright(col("k"), 4).as("d2"))
+  }
+
+  /** DuckDB CTE block shared by the PQ pair: quantized corpus `e`,
+    * codebook `cb`, subspace fan-out `x`, per-(vector, sub, codeword)
+    * distances `dd`, and the min-key argmin `k`. */
+  private def pqCtes: String =
+    s"""e AS (
+       |  SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |cb AS (SELECT vec_id AS code, v AS cv FROM e WHERE vec_id < 8),
+       |x AS (
+       |  SELECT e.vec_id, t.m AS sub, cb.code,
+       |    e.v[t.m*16+1 : t.m*16+16] AS sv,
+       |    cb.cv[t.m*16+1 : t.m*16+16] AS cv
+       |  FROM e, UNNEST(generate_series(0, 3)) AS t(m), cb),
+       |dd AS (
+       |  SELECT vec_id, sub, code, ${pqD2Sql} AS d2
+       |  FROM x),
+       |k AS (
+       |  SELECT vec_id, CAST(sub AS BIGINT) AS sub,
+       |    MIN(d2 * 16 + code) AS k
+       |  FROM dd GROUP BY vec_id, sub)""".stripMargin
 }

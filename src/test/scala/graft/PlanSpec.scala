@@ -17,6 +17,8 @@ class PlanSpec extends SparkSpec {
     Set("sim_knn_brute", "sim_knn_ivf", "sim_kmeans_step", "mm_knn",
       "sim_coreset", // broadcast of the k-sized centroid set (IVF assign)
       "sim_ann_recall", // embeds the brute-force baseline it grades against
+      "sim_pq_code", // broadcast of the 32-subvector PQ codebook
+      "sim_pq_adc", // embeds the same broadcast-codebook assignment
       "rel_cross_small", // 5×25 dimension product — the cross IS the query
       "wh_dq_checks") // 1-row × 1-row scalar cross (metrics × orphan count)
 
@@ -256,6 +258,27 @@ class PlanSpec extends SparkSpec {
     // the only data that ever shuffles is vocab-scale, never the corpus
     p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning")) shouldBe 2
+  }
+
+  test("PQ assignment is one map-side-combined aggregation, no per-vector window") {
+    val p = plan("sim_pq_code")
+    // codebook broadcasts (fixed 32 subvectors — linear in the corpus,
+    // whitelisted in quadraticByDesign); the argmin rides the min-key
+    // aggregation, so there must be NO window and exactly one hash
+    // exchange carrying (vec_id, sub, partial min)
+    p should include("BroadcastNestedLoopJoin")
+    p should not include "Window"
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
+  test("ADC search broadcasts the distance table and group-limits top-k") {
+    val p = plan("sim_pq_adc")
+    // the |queries|×32 distance table broadcasts onto the coded corpus
+    // via an equi-join on (sub, code) — the corpus codes never shuffle
+    // for the lookup — and per-query top-k is a WindowGroupLimit
+    p should include("BroadcastHashJoin")
+    p should include("WindowGroupLimit")
+    p should not include "SortMergeJoin"
   }
 
   test("retrieval broadcasts the query terms and group-limits top-5") {
