@@ -234,53 +234,70 @@ object SimilarityQueries {
     // engine-portable. At 100 TB this composes with IVF: probe cells
     // first, ADC-scan only their members — the ADC shape here IS that
     // inner loop.
-    "sim_pq_adc" -> QueryDef(
+    "sim_pq_adc" -> QueryDef((s, d) => pqAdc(s, d), pqAdcSql),
+
+    // PQ quality gate: recall@$K of the ADC search against the EXACT
+    // squared-L2 brute force over the same query set — THE number a
+    // quantization regression (codebook drift, subspace split, key
+    // packing) silently tanks while sim_pq_adc itself still
+    // hash-matches its own oracle. Same doctrine as sim_ann_recall:
+    // the join keys on (query, neighbor) id pairs — k×|queries| rows —
+    // and the recall is one IEEE division of two exact counts. The
+    // absolute level is honestly low on this fixture (0.0-0.3): the
+    // synthetic embeddings are near-orthogonal and 4×3 bits is severe
+    // compression — the row pins the MEASURED value, so any codebook /
+    // packing / lookup regression moves it and turns the row red.
+    "sim_pq_recall" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val e = quantized(s, d)
-        val cb = pqCodebook(e)
-        val qx = e.filter(pmod(col("vec_id"), lit(50)) === 0)
-          .select(col("vec_id").as("query_id"),
-            explode(sequence(lit(0), lit(3))).as("sub"), col("qv"))
-          .withColumn("sv", slice(col("qv"), col("sub") * 16 + 1, lit(16)))
-        val dt = qx.crossJoin(broadcast(cb))
-          .withColumn("cv", slice(col("cbv"), col("sub") * 16 + 1, lit(16)))
-          .select(col("query_id"), col("sub").cast("long").as("sub"),
-            col("code"), pqD2.as("dt"))
+        val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("query_id"), col("qv").as("xv"))
+        val d2full = (Similarity.dot(col("xv"), col("xv"))
+          - lit(2.0) * Similarity.dot(col("xv"), col("cv2"))
+          + Similarity.dot(col("cv2"), col("cv2"))).cast("long")
         val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("adist").asc, col("vec_id").asc)
-        pqCodes(s, d).drop("d2")
-          .join(broadcast(dt), Seq("sub", "code"))
-          .filter(col("vec_id") =!= col("query_id"))
-          .groupBy(col("query_id"), col("vec_id"))
-          .agg(sum(col("dt")).as("adist"))
+          .orderBy(col("d2").asc, col("neighbor_id").asc)
+        val exact = q.crossJoin(
+            e.select(col("vec_id").as("neighbor_id"), col("qv").as("cv2")))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("d2", d2full)
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= K)
-          .select(col("query_id"), col("rank").cast("long").as("rank"),
-            col("vec_id"), col("adist"))
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = pqAdc(s, d)
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            lit(1).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_exact").cast("double"))
+              .as("recall_at_k"))
       },
-      s"""WITH $pqCtes,
-         |codes AS (SELECT vec_id, sub, k & 15 AS code FROM k),
-         |qx AS (
-         |  SELECT e.vec_id AS query_id, t.m AS sub, cb.code,
-         |    e.v[t.m*16+1 : t.m*16+16] AS sv,
-         |    cb.cv[t.m*16+1 : t.m*16+16] AS cv
-         |  FROM e, UNNEST(generate_series(0, 3)) AS t(m), cb
-         |  WHERE e.vec_id % 50 = 0),
-         |dt AS (
-         |  SELECT query_id, CAST(sub AS BIGINT) AS sub, code,
-         |    ${pqD2Sql} AS dt
-         |  FROM qx),
-         |ad AS (
-         |  SELECT dt.query_id, codes.vec_id,
-         |    CAST(SUM(dt.dt) AS BIGINT) AS adist
-         |  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
-         |  WHERE codes.vec_id <> dt.query_id
-         |  GROUP BY dt.query_id, codes.vec_id)
-         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adist FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
-         |WHERE rank <= $K""".stripMargin),
+      s"""WITH exact AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${dot("q.v", "q.v", Dims)} - 2 * ${dot("q.v", "c.v", Dims)}
+         |          + ${dot("c.v", "c.v", Dims)} ASC,
+         |        c.vec_id ASC) AS rank
+         |    FROM (SELECT vec_id, ${quantVec("embedding")} AS v
+         |          FROM embeddings WHERE vec_id % 50 = 0) q,
+         |         (SELECT vec_id, ${quantVec("embedding")} AS v
+         |          FROM embeddings) c
+         |    WHERE c.vec_id <> q.vec_id)
+         |  WHERE rank <= $K),
+         |approx AS (
+         |  SELECT query_id, vec_id AS neighbor_id, 1 AS hit
+         |  FROM ($pqAdcSql))
+         |SELECT e.query_id, COUNT(*) AS n_exact, COUNT(a.hit) AS n_hit,
+         |  CAST(COUNT(a.hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS recall_at_k
+         |FROM exact e
+         |LEFT JOIN approx a
+         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id""".stripMargin),
 
     // ANN quality gate: recall@10 of the LSH path against the exact
     // brute-force baseline, per query vector. THE metric an ANN index is
@@ -309,6 +326,59 @@ object SimilarityQueries {
          |LEFT JOIN approx a
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          |GROUP BY b.query_id""".stripMargin))
+
+  /** DuckDB text of the full ADC search — the `sim_pq_adc` oracle and
+    * the recall gate's `approx` side. */
+  private def pqAdcSql: String =
+    s"""WITH $pqCtes,
+       |codes AS (SELECT vec_id, sub, k & 15 AS code FROM k),
+       |qx AS (
+       |  SELECT e.vec_id AS query_id, t.m AS sub, cb.code,
+       |    e.v[t.m*16+1 : t.m*16+16] AS sv,
+       |    cb.cv[t.m*16+1 : t.m*16+16] AS cv
+       |  FROM e, UNNEST(generate_series(0, 3)) AS t(m), cb
+       |  WHERE e.vec_id % 50 = 0),
+       |dt AS (
+       |  SELECT query_id, CAST(sub AS BIGINT) AS sub, code,
+       |    ${pqD2Sql} AS dt
+       |  FROM qx),
+       |ad AS (
+       |  SELECT dt.query_id, codes.vec_id,
+       |    CAST(SUM(dt.dt) AS BIGINT) AS adist
+       |  FROM codes JOIN dt ON codes.sub = dt.sub AND codes.code = dt.code
+       |  WHERE codes.vec_id <> dt.query_id
+       |  GROUP BY dt.query_id, codes.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+       |WHERE rank <= $K""".stripMargin
+
+  /** ADC top-k (the sim_pq_adc body) — shared with the recall gate. */
+  private def pqAdc(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(s, d)
+    val cb = pqCodebook(e)
+    val qx = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(3))).as("sub"), col("qv"))
+      .withColumn("sv", slice(col("qv"), col("sub") * 16 + 1, lit(16)))
+    val dt = qx.crossJoin(broadcast(cb))
+      .withColumn("cv", slice(col("cbv"), col("sub") * 16 + 1, lit(16)))
+      .select(col("query_id"), col("sub").cast("long").as("sub"),
+        col("code"), pqD2.as("dt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    pqCodes(s, d).drop("d2")
+      .join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adist"))
+  }
 
   /** PQ codebook: 8 codewords per subspace as a deterministic id-pick
     * (vec_id < 8) — the same no-RNG doctrine as the IVF centroids. */
