@@ -126,7 +126,10 @@ class PlanSpec extends SparkSpec {
       // r6 bench time doubled with the code untouched (ambient drift,
       // re-profiled at 0.93 s in r7); ceiling pinned so only a PLAN
       // change can move it again, not session noise
-      "dedup_embedding_cosine" -> 5) // measured 4: LSH candidates + verify joins
+      "dedup_embedding_cosine" -> 5, // measured 4: LSH candidates + verify joins
+      "curate_scorecard" -> 11, // measured 10: four family subtrees + source rollup
+      "mm_phash_clusters" -> 0, // checkpointed CC labels: a pure scan
+      "corpus_search" -> 10) // measured 9: tf/df builds × query+corpus sides + top-5
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
