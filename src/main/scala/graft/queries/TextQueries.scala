@@ -167,8 +167,9 @@ object TextQueries {
             graft.operators.Dedup.normalize(col("text")), " ")).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val df_ = toks.select(col("doc_id"), col("term")).distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // df from tf (rows already distinct per (doc, term)) — no second
+        // corpus explode + distinct shuffle
+        val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id"))
@@ -185,8 +186,7 @@ object TextQueries {
          |tf AS (
          |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
          |df AS (
-         |  SELECT term, COUNT(*) AS df FROM (
-         |    SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
          |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
          |SELECT doc_id, term, tf, df, score, rk FROM (
          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
@@ -313,8 +313,9 @@ object TextQueries {
           explode(TextAnalysis.tokens(col("text"))).as("term"))
         val tf = toks.groupBy(col("doc_id"), col("term"))
           .agg(count(lit(1)).as("tf"))
-        val dfT = toks.distinct()
-          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        // df falls out of tf — its rows are already distinct (doc, term),
+        // so deriving it saves a second corpus explode + distinct shuffle
+        val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
         val qw = Window.partitionBy(col("doc_id"))
           .orderBy((col("tf") * lit(n) / col("df")).desc, col("term").asc)
@@ -342,8 +343,8 @@ object TextQueries {
          |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
          |  FROM toks GROUP BY doc_id, term),
          |df AS (
-         |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
-         |    SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
          |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
          |      FROM documents),
          |q AS (
