@@ -37,7 +37,8 @@ object Bench {
     "graph_triangles", "text_novelty", "dedup_cluster_sizes",
     "curate_scorecard", "dedup_spans", "text_bpe_step", "mm_phash_pairs",
     "mm_phash_clusters", "curate_chunk_overlap", "corpus_search",
-    "text_hash_embed", "sim_pq_code", "sim_pq_adc", "sim_pq_recall")
+    "text_hash_embed", "sim_pq_code", "sim_pq_adc", "sim_pq_recall",
+    "sim_index_build")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

@@ -299,6 +299,54 @@ object SimilarityQueries {
          |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          |GROUP BY e.query_id""".stripMargin),
 
+    // ANN index-build capstone — the composition proof for the
+    // similarity family (curate_recipe's role for curation): ONE DAG
+    // emits the complete IVF-PQ index row per vector — its IVF cell
+    // (broadcast-centroid argmin, the sim_knn_ivf assignment), its 4
+    // subspace codes PACKED into a single 12-bit int (code·8^sub — the
+    // byte layout a real index stores), and the total reconstruction
+    // error Σd2 (int64-exact — the quality audit column an index build
+    // reports). Two id-keyed frames join on vec_id; the oracle replays
+    // cell assignment, coding, packing, and the error sum in one CTE
+    // chain, so the hash match proves the stages compose. At 100 TB:
+    // one corpus pass per half + one id-keyed equi-join — no stage
+    // shuffles vectors more than once.
+    "sim_index_build" -> QueryDef(
+      (s, d) => {
+        val e = quantized(s, d)
+        val (assigned, _) = Similarity.ivfAssign(e, "vec_id", "qv",
+          centroidFilter = pmod(col("vec_id"), lit(50)) === 0, nprobe = 1)
+        val pow8 = array(lit(1L), lit(8L), lit(64L), lit(512L))
+        val packed = pqCodes(s, d)
+          .groupBy(col("vec_id"))
+          .agg(sum(col("code") *
+              element_at(pow8, (col("sub") + 1).cast("int"))).as("pq12"),
+            sum(col("d2")).as("recon_d2"))
+        assigned.select(col("__id").as("vec_id"), col("cell_id"))
+          .join(packed, Seq("vec_id"))
+          .select(col("vec_id"), col("cell_id"), col("pq12"),
+            col("recon_d2"))
+      },
+      s"""WITH $pqCtes,
+         |c AS (SELECT vec_id AS cent_id, cv AS cent_v
+         |      FROM (SELECT vec_id, v AS cv FROM e WHERE vec_id % 50 = 0)),
+         |cell AS (
+         |  SELECT vec_id, cent_id AS cell_id FROM (
+         |    SELECT e.vec_id, c.cent_id, row_number() OVER (
+         |      PARTITION BY e.vec_id ORDER BY
+         |        ${dot("e.v", "e.v", Dims)} - 2.0 * ${dot("e.v", "c.cent_v", Dims)}
+         |          + ${dot("c.cent_v", "c.cent_v", Dims)} ASC,
+         |      c.cent_id ASC) AS cr
+         |    FROM e, c)
+         |  WHERE cr = 1),
+         |packed AS (
+         |  SELECT vec_id,
+         |    CAST(SUM((k & 15) * ([1, 8, 64, 512])[sub + 1]) AS BIGINT) AS pq12,
+         |    CAST(SUM(k >> 4) AS BIGINT) AS recon_d2
+         |  FROM k GROUP BY vec_id)
+         |SELECT cell.vec_id, cell.cell_id, packed.pq12, packed.recon_d2
+         |FROM cell JOIN packed ON cell.vec_id = packed.vec_id""".stripMargin),
+
     // ANN quality gate: recall@10 of the LSH path against the exact
     // brute-force baseline, per query vector. THE metric an ANN index is
     // judged by — a bucketing/constants regression that silently tanks

@@ -20,6 +20,7 @@ class PlanSpec extends SparkSpec {
       "sim_pq_code", // broadcast of the 32-subvector PQ codebook
       "sim_pq_adc", // embeds the same broadcast-codebook assignment
       "sim_pq_recall", // embeds the exact-L2 brute force it grades against
+      "sim_index_build", // broadcast centroid + codebook assignments
       "rel_cross_small", // 5×25 dimension product — the cross IS the query
       "wh_dq_checks") // 1-row × 1-row scalar cross (metrics × orphan count)
 
