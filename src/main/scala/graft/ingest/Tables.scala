@@ -11,16 +11,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `select`/`filter` and the parquet scan receives `ReadSchema` /
   * `PushedFilters` automatically.
   *
-  * SESSION-WIDE SIDE EFFECT, by design: reading `events` flips
-  * `spark.sql.legacy.parquet.nanosAsLong=true` for the whole session and
+  * `events.ts` is normalized to the session TIMESTAMP type regardless of
+  * how the fixture was written. Drivers have shipped it as
+  * TIMESTAMP(NANOS) (needing the `nanosAsLong` legacy flag plus a ns→µs
+  * truncation) and as plain TIMESTAMP(MICROS) (which Spark 4 surfaces as
+  * TIMESTAMP_NTZ); both land here as a session-timezone TIMESTAMP so
+  * every downstream query sees one stable type. The nanos path flips
+  * `spark.sql.legacy.parquet.nanosAsLong=true` session-wide and
   * deliberately does NOT restore it — the flag has no per-read
-  * DataFrameReader option (it is SQLConf-only in Spark 4.1), and because
-  * DataFrames are lazy a restore-after-build could race the actual scan.
-  * Consequence: any later read of nanos-typed parquet in the same session
-  * also sees longs. All of this library's own reads go through this
-  * loader, so the flip is idempotent and invisible here; an embedding
-  * application that reads its own TIMESTAMP(NANOS) parquet must account
-  * for it.
+  * DataFrameReader option, and because DataFrames are lazy a
+  * restore-after-build could race the actual scan.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -29,12 +29,19 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default; read it as long nanos and truncate to microseconds
-      // (exactly what DuckDB/Arrow do when narrowing ns → µs).
+      import org.apache.spark.sql.functions.{col, expr}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      // Fixture generations differ: ts has been TIMESTAMP(NANOS) (Spark 4
+      // refuses it unless read as long nanos, then truncated to µs the way
+      // DuckDB/Arrow narrow ns → µs) and plain TIMESTAMP(MICROS) (read as
+      // TIMESTAMP_NTZ). Normalize both to session-tz TIMESTAMP (UTC here).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
