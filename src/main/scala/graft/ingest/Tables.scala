@@ -16,11 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * TIMESTAMP(NANOS) (needing the `nanosAsLong` legacy flag plus a ns→µs
   * truncation) and as plain TIMESTAMP(MICROS) (which Spark 4 surfaces as
   * TIMESTAMP_NTZ); both land here as a session-timezone TIMESTAMP so
-  * every downstream query sees one stable type. The nanos path flips
-  * `spark.sql.legacy.parquet.nanosAsLong=true` session-wide and
-  * deliberately does NOT restore it — the flag has no per-read
-  * DataFrameReader option, and because DataFrames are lazy a
-  * restore-after-build could race the actual scan.
+  * every downstream query sees one stable type. The
+  * `spark.sql.legacy.parquet.nanosAsLong=true` flag is set session-wide
+  * on EVERY events read regardless of which fixture generation is on
+  * disk — the ts type is only knowable after the read succeeds, the flag
+  * has no per-read DataFrameReader option, and because DataFrames are
+  * lazy a restore-after-build could race the actual scan. It is inert
+  * for micros fixtures (no nanos column exists to reinterpret).
+  *
+  * The NTZ branch casts wall-clock values in the session timezone, so
+  * every entry point that reads events (Verify, Bench, Prof, ProfileOne,
+  * PlanDump, the test harness) pins `spark.sql.session.timeZone=UTC` —
+  * the invariant stated in Schemas.scala.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -30,17 +37,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       import org.apache.spark.sql.functions.{col, expr}
-      import org.apache.spark.sql.types.{LongType, TimestampType}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       // Fixture generations differ: ts has been TIMESTAMP(NANOS) (Spark 4
       // refuses it unless read as long nanos, then truncated to µs the way
       // DuckDB/Arrow narrow ns → µs) and plain TIMESTAMP(MICROS) (read as
       // TIMESTAMP_NTZ). Normalize both to session-tz TIMESTAMP (UTC here).
+      // A THIRD drift (string ts, int64 micros, …) must fail loudly, not
+      // silently cast into nulls or misread instants.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       raw.schema("ts").dataType match {
         case LongType => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
         case TimestampType => raw
-        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported parquet type $other — extend Tables.table " +
+            "with an explicit, loud normalization for this fixture generation")
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
