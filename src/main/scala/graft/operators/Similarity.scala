@@ -132,9 +132,17 @@ object Similarity {
     * small (cell_id) key — never an all-pairs join.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      centroidFilter: Column, nprobe: Int): (DataFrame, DataFrame) = {
-    val cents = corpus.filter(centroidFilter)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v"))
+      centroidFilter: Column, nprobe: Int): (DataFrame, DataFrame) =
+    ivfAssignCentroids(corpus, idCol, vecCol,
+      corpus.filter(centroidFilter)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")),
+      nprobe)
+
+  /** [[ivfAssign]] against an EXPLICIT centroid frame (`cent_id`,
+    * `cent_v`) — the shape a trained index uses: centroids come out of
+    * [[kmeansTrain]] (or any offline build) and broadcast identically. */
+  def ivfAssignCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, nprobe: Int): (DataFrame, DataFrame) = {
     // squared L2 in exact integer-valued doubles: |a|² - 2a·b + |b|²
     val d2 = dot(col("__v"), col("__v")) -
       lit(2.0) * dot(col("__v"), col("cent_v")) +
@@ -156,8 +164,18 @@ object Similarity {
     * cell members only. Same output shape as [[knnBruteForce]]. */
   def knnIvf(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
       centroidFilter: Column, nprobe: Int = 3,
+      queryFilter: Column = lit(true)): DataFrame =
+    knnIvfCentroids(corpus, idCol, vecCol, k,
+      corpus.filter(centroidFilter)
+        .select(col(idCol).as("cent_id"), col(vecCol).as("cent_v")),
+      nprobe, queryFilter)
+
+  /** [[knnIvf]] against an explicit (typically trained) centroid frame. */
+  def knnIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: DataFrame, nprobe: Int = 3,
       queryFilter: Column = lit(true)): DataFrame = {
-    val (assigned, probes) = ivfAssign(corpus, idCol, vecCol, centroidFilter, nprobe)
+    val (assigned, probes) =
+      ivfAssignCentroids(corpus, idCol, vecCol, cents, nprobe)
     val queries = assigned.filter(queryFilter)
       .select(col("__id").as("query_id"), col("__v").as("__qv"),
         norm(col("__v")).as("__qn"))
@@ -199,6 +217,67 @@ object Similarity {
       .groupBy(col("cluster_id"), col("pos").cast("long").as("dim"))
       .agg(count(lit(1)).as("n_members"), sum(col("col")).as("sum_q"))
       .withColumn("mean_q", col("sum_q") / col("n_members"))
+  }
+
+  /** Iterated integer-Lloyd k-means — the training loop that turns the
+    * deterministic id-pick init into DATA-ADAPTED centroids for the IVF
+    * cells and the PQ codebook, with zero RNG anywhere.
+    *
+    * `points` carries (`groupCols`…, `__id`, `__v`); `init` carries
+    * (`groupCols`…, `cent_id`, `cent_v`) — with `groupCols = Seq("sub")`
+    * the same loop trains all four PQ subspace codebooks at once (each
+    * subspace is an independent k-means; the group key just rides the
+    * keys). Per iteration:
+    *
+    *   1. assignment — broadcast centroids, exact squared-L2 by the dot
+    *      identity, argmin as `min(struct(d2, cent_id))`: ONE
+    *      map-side-combined aggregation, no per-vector window, and the
+    *      broadcast cross is linear in the corpus;
+    *   2. update — `posexplode` the assigned vectors, per-(cluster, dim)
+    *      count/sum (map-side combine → k×dims rows per partition
+    *      regardless of corpus size), then the mean RE-QUANTIZED with
+    *      `round(sum/n)`. Integer-valued centroids in, integer-valued
+    *      centroids out — every distance in every iteration stays an
+    *      exact int64, sums are order-free, the one IEEE division and
+    *      the half-away-from-zero round are bit-identical in DuckDB, so
+    *      K iterations replay exactly as K unrolled CTE blocks;
+    *   3. clusters that lose all members keep their previous centroid
+    *      (left join + coalesce), so `cent_id`s are stable and K never
+    *      silently shrinks.
+    *
+    * At 100 TB: per iteration one broadcast of k·dims doubles, one
+    * map-only pass, two map-side-combined shuffles (corpus-width id
+    * rows; k×dims partials) — the canonical distributed Lloyd shape. */
+  def kmeansTrain(points: DataFrame, init: DataFrame, iters: Int,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val g = groupCols.map(col)
+    val d2 = dot(col("__v"), col("__v")) -
+      lit(2.0) * dot(col("__v"), col("cent_v")) +
+      dot(col("cent_v"), col("cent_v"))
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val joined =
+        if (groupCols.isEmpty) points.crossJoin(broadcast(cents))
+        else points.join(broadcast(cents), groupCols)
+      val assigned = joined
+        .groupBy((g :+ col("__id") :+ col("__v")): _*)
+        .agg(min(struct(d2.as("d2"), col("cent_id"))).as("__m"))
+        .select((g :+ col("__m.cent_id").as("cluster_id") :+ col("__v")): _*)
+      val sums = assigned
+        .select((g :+ col("cluster_id") :+ posexplode(col("__v"))): _*)
+        .groupBy((g :+ col("cluster_id") :+ col("pos")): _*)
+        .agg(count(lit(1)).as("__n"), sum(col("col")).as("__s"))
+        .withColumn("__mean", round(col("__s") / col("__n"), 0))
+      val next = sums
+        .groupBy((g :+ col("cluster_id")): _*)
+        .agg(array_sort(collect_list(struct(col("pos"), col("__mean"))))
+          .as("__ps"))
+        .select((g :+ col("cluster_id").as("cent_id") :+
+          transform(col("__ps"), p => p.getField("__mean")).as("cent_v")): _*)
+      val keys = groupCols :+ "cent_id"
+      cents.as("o").join(next.as("n"), keys, "left")
+        .select((keys.map(col) :+
+          coalesce(col("n.cent_v"), col("o.cent_v")).as("cent_v")): _*)
+    }
   }
 
   /** Near-duplicate vector pairs: LSH candidates verified at an exact

@@ -267,13 +267,33 @@ class PlanSpec extends SparkSpec {
 
   test("PQ assignment is one map-side-combined aggregation, no per-vector window") {
     val p = plan("sim_pq_code")
-    // codebook broadcasts (fixed 32 subvectors — linear in the corpus,
-    // whitelisted in quadraticByDesign); the argmin rides the min-key
-    // aggregation, so there must be NO window and exactly one hash
-    // exchange carrying (vec_id, sub, partial min)
-    p should include("BroadcastNestedLoopJoin")
+    // the TRAINED codebook (8 codewords × 4 subspaces, a FrameCache
+    // checkpoint) broadcasts onto the subvector fan-out via an equi-join
+    // on `sub`; the argmin rides the min-key aggregation, so there must
+    // be NO window and exactly one hash exchange carrying
+    // (vec_id, sub, partial min)
+    p should include("BroadcastHashJoin")
+    p should include("ExistingRDD") // codebook read from the trained checkpoint
     p should not include "Window"
     p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+  }
+
+  test("k-means training: broadcast centroids, no unbounded shuffle, argmin without window") {
+    // the trainer itself (the un-memoized pipelines): per iteration the
+    // k-sized centroid frame broadcasts (IVF: nested-loop over the
+    // corpus — linear, not quadratic; PQ: equi-join on the subspace
+    // key) and the argmin is min(struct(d2, cent_id)) — an aggregation,
+    // never a per-vector window sort
+    val ivf = graft.queries.SimilarityQueries.ivfTrainPipeline(spark, d)
+      .queryExecution.executedPlan.toString
+    ivf should include("BroadcastNestedLoopJoin")
+    ivf should not include "CartesianProduct"
+    ivf should not include "Window"
+    val pq = graft.queries.SimilarityQueries.pqTrainPipeline(spark, d)
+      .queryExecution.executedPlan.toString
+    pq should not include "BroadcastNestedLoopJoin" // grouped: keyed on sub
+    pq should not include "CartesianProduct"
+    pq should not include "Window"
   }
 
   test("ADC search broadcasts the distance table and group-limits top-k") {
