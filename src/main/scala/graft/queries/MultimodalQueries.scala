@@ -170,9 +170,7 @@ object MultimodalQueries {
     // candidate graph. Keeper election / cluster stats then compose
     // exactly as they do for text.
     "mm_phash_clusters" -> QueryDef(
-      (s, d) => graft.operators.ConnectedComponents.run(
-        phashPairs(s, d).select(col("media_a").as("a"),
-          col("media_b").as("b"))),
+      (s, d) => phashLabels(s, d),
       s"""WITH RECURSIVE $phashCtes,
         |edges AS (
         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
@@ -196,6 +194,30 @@ object MultimodalQueries {
   private def phashPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     FrameCache.memo(s, d, "phash_pairs")(phashPairsPipeline(s, d))
+
+  /** Connected-component labels over [[phashPairs]], memoized like the
+    * text stack's label frame ([[DedupQueries]]) so cluster consumers
+    * (`mm_phash_clusters` today, any media keeper-election tomorrow)
+    * never re-run the iterative CC convergence. */
+  private def phashLabels(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // resolve the pairs frame BEFORE entering the labels memo (see the
+    // FrameCache nesting note)
+    val pairs = phashPairs(s, d)
+    FrameCache.memo(s, d, "phash_labels") {
+      graft.operators.ConnectedComponents.run(
+        pairs.select(col("media_a").as("a"), col("media_b").as("b")))
+    }
+  }
+
+  /** Eager build of this family's shared frames (see
+    * [[DedupQueries.prewarmShared]] for the bench-attribution doctrine). */
+  private[graft] def prewarmShared(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    phashPairs(s, d)
+    phashLabels(s, d)
+    ()
+  }
 
   /** The un-memoized pipeline: codec-seam signatures → 4 × 8-bit
     * Hamming bands → deterministic 64-id bucket cap → band equi-join
