@@ -292,6 +292,84 @@ object TextQueries {
          |FROM pairs GROUP BY pair
          |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
 
+    // BPE TRAINING — text_bpe_step's merge iterated K=5 times with the
+    // vocabulary threaded through, the composition capstone for the
+    // tokenizer family (sim_index_build's role for ANN). Words live as
+    // symbol arrays; each round counts adjacent symbol pairs weighted
+    // by word frequency, elects the max (ties: lexicographic a, b — a
+    // total order, so the winner is engine-portable), and folds the
+    // winning pair into every word with a greedy left-to-right
+    // non-overlapping merge (an `aggregate` lambda here, the identical
+    // `list_reduce` fold in DuckDB — [x,x,x,x] merges to [xx,xx], never
+    // [xx,x,x]). Each round's vocabulary is localCheckpoint-ed (the
+    // ConnectedComponents doctrine), so round k reads round k-1's
+    // materialization instead of replaying the whole merge history.
+    // At 100 TB: the corpus explodes ONCE into the weighted word-symbol
+    // table (vocab-scale — Zipf makes |vocab| ≪ |corpus|); each round
+    // is one vocab-scale pair aggregation + a 1-row broadcast + a
+    // map-only merge. The oracle replays all 5 rounds as unrolled CTEs.
+    "text_bpe_train" -> QueryDef(
+      (s, d) => {
+        val steps = 5
+        // chars via split + emptiness guard: Java's split(-1 limit)
+        // keeps a trailing "" that DuckDB's split never produces
+        val chars = filter(split(col("word"), ""), c => length(c) > 0)
+        var words = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("c"))
+          .select(col("c"), chars.as("syms"))
+          .localCheckpoint()
+        val zero = array().cast("array<string>")
+        val wins = (1 to steps).map { k =>
+          val win = words.filter(size(col("syms")) >= 2)
+            .select(col("c"), explode(transform(
+              sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b")))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("c")).as("n"))
+            .orderBy(col("n").desc, col("a"), col("b"))
+            .limit(1)
+            .localCheckpoint()
+          val merged = aggregate(col("syms"), zero,
+            (acc, sym) => when(size(acc) > 0 &&
+                element_at(acc, lit(-1)) === col("a") && sym === col("b"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("a"), col("b")))))
+              .otherwise(concat(acc, array(sym))))
+          words = words.crossJoin(broadcast(win))
+            .select(col("c"), merged.as("syms"))
+            .localCheckpoint()
+          win.select(lit(k.toLong).as("step"), col("a"), col("b"), col("n"))
+        }
+        wins.reduce(_.union(_))
+      }, {
+        val rounds = (1 to 5).map { k =>
+          s"""p$k AS (
+             |  SELECT c, syms[i] AS a, syms[i+1] AS b
+             |  FROM w${k - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+             |  WHERE len(syms) >= 2),
+             |g$k AS (
+             |  SELECT a, b, CAST(SUM(c) AS BIGINT) AS n FROM p$k GROUP BY a, b
+             |  ORDER BY n DESC, a, b LIMIT 1),
+             |w$k AS (
+             |  SELECT c, list_reduce(list_transform(syms, s -> [s]),
+             |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = g.a AND x[1] = g.b
+             |                THEN acc[1:len(acc)-1] || [g.a || g.b]
+             |                ELSE acc || x END) AS syms
+             |  FROM w${k - 1}, g$k g)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 5).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS step, a, b, n FROM g$k")
+          .mkString("\nUNION ALL\n")
+        s"""WITH w0 AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS c, split(word, '') AS syms
+           |  FROM (SELECT unnest(${tokens("text")}) AS word FROM documents)
+           |  GROUP BY word),
+           |$rounds
+           |$out""".stripMargin
+      }),
+
     // More-like-this retrieval — the RAG-shaped query the corpus
     // serves once it is indexed: for each query document, its top-3
     // TF-IDF terms (the same log-free tf·N/df ranking corpus_tfidf
