@@ -320,6 +320,59 @@ object StreamBench {
     Section("intake", docs.length.toLong, sec, batches)
   }
 
+  /** Streaming systematic-PPS sampling ([[graft.streaming.StreamingSample]]):
+    * one long of running weight per source; the step matches the batch
+    * twin's shape scaled to the replicated token volume (so picks stay
+    * live across replicas — ~200 picks over the section). */
+  private def sampleSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = budgetDocs(spark, sfDir, floor)
+      .map(b => graft.streaming.StreamingSample.WeightedDoc(
+        b.source, b.doc_id, b.n_tokens))
+    val step = math.max(1L, docs.map(_.w).sum / 200)
+    val in = MemoryStream[graft.streaming.StreamingSample.WeightedDoc]
+    val q = graft.streaming.StreamingSample.sampleStream(in.toDF(), step)
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_pps")).start()
+    val (sec, batches) = drive[graft.streaming.StreamingSample.WeightedDoc](
+      chunked(docs), in.addData(_), Seq(q))
+    Section("pps_sample", docs.length.toLong, sec, batches)
+  }
+
+  case class IndexIn(vec_id: Long, qv: Seq[Double])
+
+  /** Streaming ANN index maintenance ([[graft.streaming.StreamingIndex]]):
+    * arriving vectors assigned IVF cell + packed PQ codes against the
+    * TRAINED centroids/codebook — stateless map-only, so this times the
+    * pure per-vector assignment cost (64-dim argmin + 4 subspace
+    * argmins) under the micro-batch schedule. */
+  private def indexSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+      .as[IndexIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.vec_id).max + 1L
+    // fresh ids only — the operator is stateless and content-agnostic,
+    // so replica vectors are full-cost new work as-is
+    val vecs = replicate(base, floor) { (r, i) =>
+      IndexIn(r.vec_id + i * span, r.qv)
+    }
+    val cents = graft.queries.SimilarityQueries.trainedCentroidRows(spark, sfDir)
+    val cb = graft.queries.SimilarityQueries.trainedCodebookRows(spark, sfDir)
+    val in = MemoryStream[IndexIn]
+    val q = graft.streaming.StreamingIndex.indexStream(in.toDF(), cents, cb)
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_idx")).start()
+    val (sec, batches) = drive[IndexIn](chunked(vecs), in.addData(_), Seq(q))
+    Section("index", vecs.length.toLong, sec, batches)
+  }
+
   case class AnomalyIn(key: String, event_id: Long, ts: Timestamp, x: Long)
 
   /** Per-event-type rolling 2-sigma anomaly state over the events
@@ -445,6 +498,8 @@ object StreamBench {
       "pack" -> (packSection(_, _, volumeFloor)),
       "dedup" -> (dedupSection(_, _, volumeFloor)),
       "intake" -> (intakeSection(_, _, volumeFloor)),
+      "index" -> (indexSection(_, _, volumeFloor)),
+      "pps_sample" -> (sampleSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
     try sections.flatMap { case (name, fn) =>
       try Some(fn(spark, sfDir)) catch {

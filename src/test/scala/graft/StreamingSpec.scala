@@ -771,4 +771,32 @@ class StreamingSpec extends SparkSpec {
     got.size should be < 500
     got.map(_._3) shouldBe Set("train", "val", "test")
   }
+
+  test("streaming ANN index maintenance equals the batch index build row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // the batch capstone over the fixture — trained centroids/codebook
+    val expected = SparkEntry.queries("sim_index_build")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    expected should not be empty
+
+    val vecs = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+      .as[(Long, Seq[Double])].collect().toIndexedSeq
+    val cents = graft.queries.SimilarityQueries.trainedCentroidRows(spark, d)
+    val cb = graft.queries.SimilarityQueries.trainedCodebookRows(spark, d)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingIndex.indexStream(
+        in.toDF().toDF("vec_id", "qv"), cents, cb)
+      .writeStream.format("memory").queryName("sindex")
+      .outputMode("append").start()
+    vecs.grouped(100).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("sindex")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    got shouldBe expected
+  }
 }
