@@ -38,12 +38,38 @@ object Bench {
     "curate_scorecard", "dedup_spans", "text_bpe_step", "mm_phash_pairs",
     "mm_phash_clusters", "curate_chunk_overlap", "corpus_search",
     "text_hash_embed", "sim_pq_code", "sim_pq_adc", "sim_pq_recall",
-    "sim_index_build")
+    "sim_index_build",
+    // round-8 flagships
+    "sim_kmeans_train", "sim_pq_train", "text_bpe_train")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the
     * bench artifact without re-running anything. */
   private val PlanDumpTop = 5
+
+  /** Pinned constant-work calibration probe, timed at the start of every
+    * pass: 64 Mi rows of pure in-memory hash+sum across all cores — no
+    * fixtures, no shared frames, no shuffle, identical plan every round.
+    * Its only variables are CPU availability and JIT state, so when a
+    * whole board drifts with zero plan changes (round 7: −31 % uniform),
+    * the probe classifies the drift as ambient (probe drifted too) vs
+    * code (probe steady). */
+  private def calibrate(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 64L << 20, 1, 32)
+      .selectExpr("sum(hash(id, id * 2654435761)) as h")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 1-minute /proc/loadavg at a sample point — the other half of the
+    * ambient-vs-code signal (records what ELSE the host was running). */
+  private def loadavg(): Double =
+    try {
+      val s = new String(Files.readAllBytes(Paths.get("/proc/loadavg")),
+        StandardCharsets.UTF_8)
+      s.trim.split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -57,6 +83,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same UTC pin as Verify: the events fixture is TIMESTAMP_NTZ, so
+      // without it the bench would bucket/filter in the host's JVM zone
+      // and time a DIFFERENT selectivity than the verified path.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -87,33 +117,66 @@ object Bench {
     // bench_detail.json keep the evidence.)
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     case class Sample(sec: Double, ok: Boolean)
-    def pass(): Map[String, Sample] = {
-      // shared-frame caches (near-dup pairs + labels) start cold each
-      // pass: each pass pays the compute once, its reusers read the
-      // cache — the curation-run cost model, kept honest under
-      // min-of-passes.
+    case class Pass(calibSec: Double, load: Double,
+        shared: Seq[(String, Double)], samples: Map[String, Sample])
+    def pass(): Pass = {
+      // shared-frame caches (near-dup pairs + labels, co-purchase,
+      // phash) start cold each pass: each pass pays the compute once,
+      // its reusers read the cache — the curation-run cost model, kept
+      // honest under min-of-passes.
       graft.queries.DedupQueries.clearSharedCaches()
-      queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { force(fn(spark, sfDir)); true } catch {
-        case e: Throwable =>
-          if (failed.add(name))
-            System.err.println(s"WARN bench: $name failed: ${e.getClass.getName}: ${e.getMessage}")
-          false
+      // Ambient-load fingerprint first: host loadavg, then the pinned
+      // constant-work probe — if the probe drifts with the board, the
+      // drift is ambient; if the probe is steady, it's code.
+      val load = loadavg()
+      val calib = calibrate(spark)
+      // Shared frames are built (and FrameCache-timed) as their own line
+      // item BEFORE the per-query loop, so no query absorbs the whole
+      // clique as a first-consumer payment (round-7 `curate_scorecard`
+      // read as 6.7 s of which ~half was the near-dup frames).
+      try {
+        graft.queries.DedupQueries.prewarmShared(spark, sfDir)
+        graft.queries.AnalyticsQueries.prewarmShared(spark, sfDir)
+        graft.queries.MultimodalQueries.prewarmShared(spark, sfDir)
+        graft.queries.SimilarityQueries.prewarmShared(spark, sfDir)
+      } catch { case e: Throwable =>
+        System.err.println(s"WARN bench: shared-frame prewarm failed: " +
+          s"${e.getClass.getName}: ${e.getMessage}")
       }
-      name -> Sample((System.nanoTime() - t0) / 1e9, ok)
+      val shared = graft.queries.FrameCache.buildSeconds
+      val samples = queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { force(fn(spark, sfDir)); true } catch {
+          case e: Throwable =>
+            if (failed.add(name))
+              System.err.println(s"WARN bench: $name failed: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+        name -> Sample((System.nanoTime() - t0) / 1e9, ok)
       }.toMap
+      Pass(calib, load, shared, samples)
     }
-    val run1 = pass()
-    val run2 = pass()
+    // Three interleaved passes by default (round-6 ran two): with the
+    // per-query min taken across passes that are minutes apart, a
+    // transient load spike inflates one pass's sample, not all of them.
+    val nPasses = math.max(2,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    val passes = (1 to nPasses).map(_ => pass())
+    val runs = passes.map(_.samples)
     // min over the SUCCESSFUL samples only; a query with no successful
     // sample has no timing at all (it is counted by `errors`).
     val results: Seq[(String, Double)] = queries.flatMap { case (name, _) =>
-      val oks = Seq(run1(name), run2(name)).filter(_.ok).map(_.sec)
+      val oks = runs.map(_(name)).filter(_.ok).map(_.sec)
       oks.reduceOption((a, b) => math.min(a, b)).map(name -> _)
     }
     def sec3(v: Double): String = f"$v%.3f"
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Shared-frame cost is its own line item (min of the per-pass
+    // builds), ADDED to the headline total so it stays comparable with
+    // rounds where first consumers absorbed it.
+    val sharedSec = passes.map(_.shared.map(_._2).sum)
+      .reduceOption((a, b) => math.min(a, b)).getOrElse(0.0)
+    val total =
+      (if (results.nonEmpty) results.map(_._2).sum else 0.0) + sharedSec
     // End-to-end pipeline throughput (BASELINE.md's rec/s SLO): CDC JSON
     // → parse → enrich → all four views, one shared enriched pass.
     val (rows, rps) = try {
@@ -172,7 +235,8 @@ object Bench {
       val ps = new PrintStream(buf, true, "UTF-8")
       planDump.foreach { case (name, plan) =>
         val t = results.toMap.apply(name)
-        ps.println(s"== $name (min ${sec3(t)}s; runs ${sec3(run1(name).sec)}s / ${sec3(run2(name).sec)}s) ==")
+        val rr = runs.map(r => sec3(r(name).sec) + "s").mkString(" / ")
+        ps.println(s"== $name (min ${sec3(t)}s; runs $rr) ==")
         ps.println(plan)
       }
       Files.write(Paths.get("bench_plans.txt"), buf.toByteArray)
@@ -207,9 +271,18 @@ object Bench {
     val plansJson = planDump
       .map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
       .mkString("{", ",", "}")
+    val runsJson = runs.map(rawMap).mkString("[", ",", "]")
+    // Per-pass ambient/attribution block: calibration probe, loadavg,
+    // and each shared-frame build with its seconds.
+    val passesJson = passes.map { p =>
+      s"""{"calib_sec":${sec3(p.calibSec)},"loadavg":${sec3(p.load)},""" +
+        s""""shared_frames":${jsonMap(p.shared)},""" +
+        s""""shared_frames_sec":${sec3(p.shared.map(_._2).sum)}}"""
+    }.mkString("[", ",", "]")
     try Files.write(Paths.get("bench_detail.json"),
       (s"""{"total":${sec3(total)},"queries":${jsonMap(results)},""" +
-        s""""run1":${rawMap(run1)},"run2":${rawMap(run2)},""" +
+        s""""runs":$runsJson,"passes":$passesJson,""" +
+        s""""shared_frames_sec":${sec3(sharedSec)},""" +
         s""""failed":$failedJson,"streams":$streamsDetail,""" +
         s""""plans":$plansJson,"sf":"$sfDir"}""")
         .getBytes(StandardCharsets.UTF_8))
@@ -228,9 +301,16 @@ object Bench {
     // bench_detail.json.
     val streamsJson = streamSections
       .map(s => s"\"${s.name}\":" + sec3(s.sec)).mkString("{", ",", "}")
+    // Ambient-drift attribution on the metric line itself: the pinned
+    // calibration probe per pass plus host loadavg per pass. A board
+    // drift WITH probe drift is environment; without, it's code.
+    val calibJson = passes.map(p => sec3(p.calibSec)).mkString("[", ",", "]")
+    val loadJson = passes.map(p => sec3(p.load)).mkString("[", ",", "]")
     val metricLine =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_run":${queries.size},"errors":${failed.size},""" +
+        s""""passes":$nPasses,"calib_sec":$calibJson,"loadavg":$loadJson,""" +
+        s""""shared_frames_sec":${sec3(sharedSec)},""" +
         s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
         s""""stream_rps":${streamRps.round},"streams":$streamsJson,""" +
         s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}"""

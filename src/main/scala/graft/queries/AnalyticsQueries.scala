@@ -116,6 +116,14 @@ object AnalyticsQueries {
     }
   }
 
+  /** Eager build of this family's shared frames (see
+    * [[DedupQueries.prewarmShared]] for the bench-attribution doctrine). */
+  private[graft] def prewarmShared(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    basketItems(s, d)
+    coPurchasePairs(s, d)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // One damped PageRank power-iteration step over the user→content

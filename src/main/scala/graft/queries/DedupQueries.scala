@@ -63,6 +63,16 @@ object DedupQueries {
     * for the pay-once-per-pass rationale. */
   def clearSharedCaches(): Unit = FrameCache.clearAll()
 
+  /** Build this family's shared frames eagerly (pairs, then the labels
+    * derived from them) so a bench pass can time them as their own line
+    * item instead of charging the whole clique to whichever query
+    * happens to consume them first. */
+  private[graft] def prewarmShared(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    nearDupPairs(s, d)
+    nearDupLabels(s, d)
+  }
+
   /** DuckDB CTEs for the shared MinHash pipeline (hashed shingle → sign →
     * band → capped bucket). `cap` mirrors the Spark side's deterministic
     * LSH bucket-size cap — the fixture vocabulary is 31 words, so 1-gram

@@ -29,10 +29,31 @@ private[graft] object FrameCache {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), DataFrame]
 
+  // Wall seconds each memo build cost since the last [[clearAll]] —
+  // `localCheckpoint` is eager, so the build's full compute lands inside
+  // the timed window. Bench reads this to itemize shared-frame cost as
+  // its own line item instead of letting the first consumer absorb it.
+  private val buildSec =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]
+
   def memo(s: SparkSession, d: String, kind: String)(
       build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((s, d, kind), _ => build.localCheckpoint())
+    cache.computeIfAbsent((s, d, kind), _ => {
+      val t0 = System.nanoTime()
+      val df = build.localCheckpoint()
+      buildSec.put(kind, (System.nanoTime() - t0) / 1e9)
+      df
+    })
+  }
+
+  /** kind → build seconds for every memo built since the last
+    * [[clearAll]], in stable (sorted) order. */
+  def buildSeconds: Seq[(String, Double)] = {
+    val it = buildSec.entrySet().iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    while (it.hasNext) { val e = it.next(); buf += e.getKey -> e.getValue }
+    buf.sortBy(_._1).toSeq
   }
 
   /** Drop all memoized frames and best-effort unpersist their RDD
@@ -46,5 +67,6 @@ private[graft] object FrameCache {
       catch { case _: Throwable => () }
     }
     cache.clear()
+    buildSec.clear()
   }
 }
