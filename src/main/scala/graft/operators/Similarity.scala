@@ -219,6 +219,45 @@ object Similarity {
       .withColumn("mean_q", col("sum_q") / col("n_members"))
   }
 
+  /** PQ asymmetric-distance (ADC) search kernel — how a PQ index is
+    * queried: each query precomputes its distance table to the 32
+    * codewords (|queries| × 32 rows — tiny, BROADCAST), every coded
+    * corpus vector's approximate distance is four table lookups summed
+    * (a broadcast equi-join on (sub, code) + one (query, vec)
+    * aggregation), and per-query top-k plans as a WindowGroupLimit.
+    * The coded corpus never reshuffles and no float op touches its
+    * scan. Shared verbatim by the batch `sim_pq_adc` query and the
+    * per-micro-batch streaming server
+    * ([[graft.streaming.StreamingSearch]]).
+    *
+    * `queries`: (query_id, qv) with 64-dim integer-quantized vectors;
+    * `codes`: (vec_id, sub: long, code) — the PQ-coded corpus;
+    * `cb`: (sub, code, cv) — the trained 16-dim per-subspace codebook. */
+  def pqAdcSearch(queries: DataFrame, codes: DataFrame, cb: DataFrame,
+      k: Int): DataFrame = {
+    val subD2 = (dot(col("sv"), col("sv")) -
+      lit(2.0) * dot(col("sv"), col("cv")) +
+      dot(col("cv"), col("cv"))).cast("long")
+    val qx = queries
+      .select(col("query_id"), explode(sequence(lit(0), lit(3))).as("sub"),
+        col("qv"))
+      .withColumn("sv", slice(col("qv"), col("sub") * 16 + 1, lit(16)))
+    val dt = qx.join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub").cast("long").as("sub"),
+        col("code"), subD2.as("dt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes
+      .join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adist"))
+  }
+
   /** Iterated integer-Lloyd k-means — the training loop that turns the
     * deterministic id-pick init into DATA-ADAPTED centroids for the IVF
     * cells and the PQ codebook, with zero RNG anywhere.

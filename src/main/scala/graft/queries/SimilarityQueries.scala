@@ -224,6 +224,43 @@ object SimilarityQueries {
          |SELECT cent_id, CAST(di.i AS BIGINT) AS dim, cent_v[di.i] AS q
          |FROM c, (SELECT unnest(range(1, ${Dims + 1})) AS i) di""".stripMargin),
 
+    // The k-means objective audited ACROSS the training run: total
+    // within-cluster squared L2 (inertia) against the centroids as of
+    // iteration 0 (the id-pick init), 1, and 2 — THE number that says
+    // training moved the index toward its data, and the row a broken
+    // update step (wrong means, dropped clusters, swapped dims) bends
+    // immediately. All arithmetic is the family's exact int64, so the
+    // three sums replay bit-for-bit; at 100 TB each iteration's audit
+    // is one broadcast + one map-side-combined min/sum pass.
+    "sim_kmeans_inertia" -> QueryDef(
+      (s, d) => {
+        val e = quantized(s, d)
+        val pts = e.select(col("vec_id").as("__id"), col("qv").as("__v"))
+        val init = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("cent_id"), col("qv").as("cent_v"))
+        val d2 = Similarity.dot(col("__v"), col("__v")) -
+          lit(2.0) * Similarity.dot(col("__v"), col("cent_v")) +
+          Similarity.dot(col("cent_v"), col("cent_v"))
+        (0 to TrainIters).map { t =>
+          val cents = Similarity.kmeansTrain(pts, init, iters = t)
+          pts.crossJoin(broadcast(cents))
+            .groupBy(col("__id")).agg(min(d2).as("md"))
+            .agg(count(lit(1)).as("n_vecs"),
+              sum(col("md")).cast("long").as("total_d2"))
+            .select(lit(t.toLong).as("iter"), col("n_vecs"), col("total_d2"))
+        }.reduce(_.union(_))
+      }, {
+        val per = (0 to TrainIters).map { t =>
+          s"""SELECT CAST($t AS BIGINT) AS iter, COUNT(*) AS n_vecs,
+             |  CAST(SUM(md) AS BIGINT) AS total_d2 FROM (
+             |  SELECT e.vec_id, MIN(${d2Sql("e.v", "c.cent_v", Dims)}) AS md
+             |  FROM e, ct$t c GROUP BY e.vec_id)""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+           |$ivfTrainCtes
+           |$per""".stripMargin
+      }),
+
     // The trained PQ codebook (sub, code, dim, coord): all four
     // subspaces train as ONE grouped k-means (the subspace id rides the
     // grouping keys — no per-subspace jobs), same 2-iteration
@@ -443,29 +480,23 @@ object SimilarityQueries {
 
   /** ADC top-k (the sim_pq_adc body) — shared with the recall gate. */
   private def pqAdc(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = quantized(s, d)
-    val cb = trainedCodebook(s, d)
-    val qx = e.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select(col("vec_id").as("query_id"),
-        explode(sequence(lit(0), lit(3))).as("sub"), col("qv"))
-      .withColumn("sv", slice(col("qv"), col("sub") * 16 + 1, lit(16)))
-    val dt = qx.join(broadcast(cb), Seq("sub"))
-      .select(col("query_id"), col("sub").cast("long").as("sub"),
-        col("code"), pqD2.as("dt"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("vec_id").asc)
+      d: String): org.apache.spark.sql.DataFrame =
+    Similarity.pqAdcSearch(
+      quantized(s, d).filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("qv")),
+      pqCodesFrame(s, d), trainedCodebook(s, d), K)
+
+  /** The PQ-coded corpus (vec_id, sub, code) — the batch ADC query's
+    * static side, also served to the streaming search twin. */
+  private[graft] def pqCodesFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
     pqCodes(s, d).drop("d2")
-      .join(broadcast(dt), Seq("sub", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("dt")).as("adist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("adist"))
-  }
+
+  /** The trained codebook frame, package-visible for the streaming
+    * search/index twins and their bench sections. */
+  private[graft] def trainedCodebookFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    trainedCodebook(s, d)
 
   /** TRAINED IVF centroids (cent_id, cent_v): the deterministic id-pick
     * (vec_id % 50) is only the INIT — [[Similarity.kmeansTrain]] runs

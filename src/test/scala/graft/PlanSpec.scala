@@ -16,6 +16,7 @@ class PlanSpec extends SparkSpec {
   private val quadraticByDesign =
     Set("sim_knn_brute", "sim_knn_ivf", "sim_kmeans_step", "mm_knn",
       "sim_coreset", // broadcast of the k-sized centroid set (IVF assign)
+      "sim_kmeans_inertia", // same k-sized centroid broadcast, per iteration audited
       "sim_ann_recall", // embeds the brute-force baseline it grades against
       "sim_pq_code", // broadcast of the 32-subvector PQ codebook
       "sim_pq_adc", // embeds the same broadcast-codebook assignment

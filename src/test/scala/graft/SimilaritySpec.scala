@@ -125,4 +125,24 @@ class SimilaritySpec extends SparkSpec {
     // the index must beat "found nothing": mean recall strictly positive
     rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length should be > 0.0
   }
+
+  test("k-means training monotonically improves the inertia objective") {
+    // Lloyd with exact argmin + exact means is non-increasing; the
+    // re-quantization of the means can only nudge each centroid by
+    // ≤ 0.5 per dim, so iteration-over-iteration the audited objective
+    // must still fall or hold — a rise means the update step broke
+    // (wrong means, dropped cluster, swapped dims)
+    val rows = graft.SparkEntry.queries("sim_kmeans_inertia")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[Long]("iter") -> r.getAs[Long]("total_d2"))
+      .sortBy(_._1)
+    rows.map(_._1) shouldBe Array(0L, 1L, 2L)
+    withClue(s"inertia per iteration ${rows.mkString(", ")}: ") {
+      rows.sliding(2).foreach { case Array((_, a), (_, b)) =>
+        b should be <= a
+      }
+      // and training genuinely moved off the init
+      rows.last._2 should be < rows.head._2
+    }
+  }
 }
