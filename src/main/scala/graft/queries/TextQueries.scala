@@ -33,6 +33,78 @@ object TextQueries {
        |        / greatest(len(w)::DOUBLE, 1.0)) * 4.0, 1.0)
        |  ) / 3.0, 6)""".stripMargin
 
+  /** Merge rounds for the BPE training/apply pair. Declared before
+    * `defs` — the oracle CTE generator reads it while `defs`
+    * initializes. */
+  private val BpeSteps = 5
+
+  /** The iterated BPE trainer shared by `text_bpe_train` (reports the
+    * elected merges) and `text_bpe_apply` (consumes the final
+    * vocabulary): K rounds of elect-max-pair → greedy left-to-right
+    * fold, each round's vocabulary localCheckpoint-ed. Returns (final
+    * weighted vocabulary (c, syms), per-round winner frames (a, b, n)). */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    // chars via split + emptiness guard: Java's split(-1 limit) keeps a
+    // trailing "" that DuckDB's split never produces
+    val chars = filter(split(col("word"), ""), c => length(c) > 0)
+    var words = Tables.documents(s, d)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .select(col("c"), chars.as("syms"))
+      .localCheckpoint()
+    val zero = array().cast("array<string>")
+    val wins = (1 to BpeSteps).map { _ =>
+      val win = words.filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .localCheckpoint()
+      val merged = aggregate(col("syms"), zero,
+        (acc, sym) => when(size(acc) > 0 &&
+            element_at(acc, lit(-1)) === col("a") && sym === col("b"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(col("a"), col("b")))))
+          .otherwise(concat(acc, array(sym))))
+      words = words.crossJoin(broadcast(win))
+        .select(col("c"), merged.as("syms"))
+        .localCheckpoint()
+      win
+    }
+    (words, wins)
+  }
+
+  /** DuckDB CTE chain replaying [[bpeTrain]]: `w0` (char-split weighted
+    * vocabulary), then per round `p$k` (adjacent pairs) → `g$k` (elected
+    * merge) → `w$k` (the `list_reduce` greedy fold). */
+  private def bpeCtes: String = {
+    val rounds = (1 to BpeSteps).map { k =>
+      s"""p$k AS (
+         |  SELECT c, syms[i] AS a, syms[i+1] AS b
+         |  FROM w${k - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+         |  WHERE len(syms) >= 2),
+         |g$k AS (
+         |  SELECT a, b, CAST(SUM(c) AS BIGINT) AS n FROM p$k GROUP BY a, b
+         |  ORDER BY n DESC, a, b LIMIT 1),
+         |w$k AS (
+         |  SELECT c, list_reduce(list_transform(syms, s -> [s]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = g.a AND x[1] = g.b
+         |                THEN acc[1:len(acc)-1] || [g.a || g.b]
+         |                ELSE acc || x END) AS syms
+         |  FROM w${k - 1}, g$k g)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS c, split(word, '') AS syms
+       |  FROM (SELECT unnest(${tokens("text")}) AS word FROM documents)
+       |  GROUP BY word),
+       |$rounds""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Token / punctuation / stopword counting (BPE-ish subword proxy
@@ -310,65 +382,39 @@ object TextQueries {
     // map-only merge. The oracle replays all 5 rounds as unrolled CTEs.
     "text_bpe_train" -> QueryDef(
       (s, d) => {
-        val steps = 5
-        // chars via split + emptiness guard: Java's split(-1 limit)
-        // keeps a trailing "" that DuckDB's split never produces
-        val chars = filter(split(col("word"), ""), c => length(c) > 0)
-        var words = Tables.documents(s, d)
-          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("c"))
-          .select(col("c"), chars.as("syms"))
-          .localCheckpoint()
-        val zero = array().cast("array<string>")
-        val wins = (1 to steps).map { k =>
-          val win = words.filter(size(col("syms")) >= 2)
-            .select(col("c"), explode(transform(
-              sequence(lit(1), size(col("syms")) - 1),
-              i => struct(element_at(col("syms"), i).as("a"),
-                element_at(col("syms"), i + 1).as("b")))).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("c")).as("n"))
-            .orderBy(col("n").desc, col("a"), col("b"))
-            .limit(1)
-            .localCheckpoint()
-          val merged = aggregate(col("syms"), zero,
-            (acc, sym) => when(size(acc) > 0 &&
-                element_at(acc, lit(-1)) === col("a") && sym === col("b"),
-              concat(slice(acc, lit(1), size(acc) - 1),
-                array(concat(col("a"), col("b")))))
-              .otherwise(concat(acc, array(sym))))
-          words = words.crossJoin(broadcast(win))
-            .select(col("c"), merged.as("syms"))
-            .localCheckpoint()
-          win.select(lit(k.toLong).as("step"), col("a"), col("b"), col("n"))
-        }
-        wins.reduce(_.union(_))
+        val (_, wins) = bpeTrain(s, d)
+        wins.zipWithIndex.map { case (win, i) =>
+          win.select(lit((i + 1).toLong).as("step"), col("a"), col("b"),
+            col("n"))
+        }.reduce(_.union(_))
       }, {
-        val rounds = (1 to 5).map { k =>
-          s"""p$k AS (
-             |  SELECT c, syms[i] AS a, syms[i+1] AS b
-             |  FROM w${k - 1}, UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
-             |  WHERE len(syms) >= 2),
-             |g$k AS (
-             |  SELECT a, b, CAST(SUM(c) AS BIGINT) AS n FROM p$k GROUP BY a, b
-             |  ORDER BY n DESC, a, b LIMIT 1),
-             |w$k AS (
-             |  SELECT c, list_reduce(list_transform(syms, s -> [s]),
-             |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = g.a AND x[1] = g.b
-             |                THEN acc[1:len(acc)-1] || [g.a || g.b]
-             |                ELSE acc || x END) AS syms
-             |  FROM w${k - 1}, g$k g)""".stripMargin
-        }.mkString(",\n")
-        val out = (1 to 5).map(k =>
+        val out = (1 to BpeSteps).map(k =>
           s"SELECT CAST($k AS BIGINT) AS step, a, b, n FROM g$k")
           .mkString("\nUNION ALL\n")
-        s"""WITH w0 AS (
-           |  SELECT CAST(COUNT(*) AS BIGINT) AS c, split(word, '') AS syms
-           |  FROM (SELECT unnest(${tokens("text")}) AS word FROM documents)
-           |  GROUP BY word),
-           |$rounds
+        s"""WITH $bpeCtes
            |$out""".stripMargin
       }),
+
+    // BPE APPLY — the serving half of the tokenizer: the corpus
+    // re-tokenized under the 5 learned merges, reported as the top-20
+    // token frequencies (multi-char learned tokens beat their
+    // constituent chars exactly where training elected them). The
+    // train query's final vocabulary IS this tokenization — the words
+    // frame after the K folds — so apply is one vocab-scale explode +
+    // aggregation over it; at 100 TB tokenizing fresh text is the same
+    // K-fold merge lambda applied map-only per document.
+    "text_bpe_apply" -> QueryDef(
+      (s, d) => {
+        val (words, _) = bpeTrain(s, d)
+        words.select(col("c"), explode(col("syms")).as("token"))
+          .groupBy(col("token")).agg(sum(col("c")).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(20)
+      },
+      s"""WITH $bpeCtes
+         |SELECT token, CAST(SUM(c) AS BIGINT) AS n
+         |FROM (SELECT c, unnest(syms) AS token FROM w$BpeSteps)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin),
 
     // More-like-this retrieval — the RAG-shaped query the corpus
     // serves once it is indexed: for each query document, its top-3
