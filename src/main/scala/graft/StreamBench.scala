@@ -373,6 +373,36 @@ object StreamBench {
     Section("index", vecs.length.toLong, sec, batches)
   }
 
+  /** Streaming ADC serving ([[graft.streaming.StreamingSearch]]): query
+    * vectors arrive on the stream, each micro-batch runs the batch ADC
+    * kernel against the static coded corpus. The static side (codes +
+    * codebook) is materialized BEFORE the clock — index build cost is
+    * the `index` section's job, this one times serving. */
+  private def searchSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+      .as[IndexIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.vec_id).max + 1L
+    val queries = replicate(base, floor) { (r, i) =>
+      IndexIn(r.vec_id + i * span, r.qv)
+    }
+    val codes = graft.queries.SimilarityQueries
+      .pqCodesFrame(spark, sfDir).localCheckpoint()
+    val cb = graft.queries.SimilarityQueries.trainedCodebookFrame(spark, sfDir)
+    val in = MemoryStream[IndexIn]
+    val q = graft.streaming.StreamingSearch.serveWriter(
+        in.toDF().toDF("query_id", "qv"), codes, cb, 10)(
+        out => out.write.format("noop").mode("overwrite").save())
+      .option("checkpointLocation", tmp("sb_srch")).start()
+    val (sec, batches) = drive[IndexIn](chunked(queries), in.addData(_), Seq(q))
+    Section("search", queries.length.toLong, sec, batches)
+  }
+
   case class AnomalyIn(key: String, event_id: Long, ts: Timestamp, x: Long)
 
   /** Per-event-type rolling 2-sigma anomaly state over the events
@@ -499,6 +529,7 @@ object StreamBench {
       "dedup" -> (dedupSection(_, _, volumeFloor)),
       "intake" -> (intakeSection(_, _, volumeFloor)),
       "index" -> (indexSection(_, _, volumeFloor)),
+      "search" -> (searchSection(_, _, volumeFloor)),
       "pps_sample" -> (sampleSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
     try sections.flatMap { case (name, fn) =>
