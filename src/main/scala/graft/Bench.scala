@@ -40,7 +40,8 @@ object Bench {
     "text_hash_embed", "sim_pq_code", "sim_pq_adc", "sim_pq_recall",
     "sim_index_build",
     // round-8 flagships
-    "sim_kmeans_train", "sim_pq_train", "text_bpe_train")
+    "sim_kmeans_train", "sim_pq_train", "sim_kmeans_inertia",
+    "text_bpe_train", "text_bpe_apply")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the
@@ -101,6 +102,11 @@ object Bench {
     // are one-time costs, not any query's cost.
     try { force(SparkEntry.queries("cdc_enrich")(spark, sfDir)) }
     catch { case _: Throwable => () }
+    // The calibration probe warms its own codegen untimed too —
+    // otherwise pass 1's probe reads high by its JIT cost (r8 observed
+    // 0.68 vs 0.31/0.42 on later passes) and the ambient signal starts
+    // with a systematic false positive.
+    try { calibrate(spark); () } catch { case _: Throwable => () }
     // Two INTERLEAVED passes over the full query list (pass 1 runs every
     // query, then pass 2 runs every query), per-query min. Back-to-back
     // repeats of one query share any transient machine-load spike, so min
