@@ -388,7 +388,14 @@ object StreamBench {
           .as("qv"))
       .as[IndexIn].collect().toIndexedSeq
     val span = if (base.isEmpty) 1L else base.map(_.vec_id).max + 1L
-    val queries = replicate(base, floor) { (r, i) =>
+    // ADC scores the FULL coded corpus per query, so the flat per-row
+    // floor that's right for O(1)-per-row operators would make this
+    // section ~50× the others' total work (100k queries × corpus —
+    // measured 418 s at sf0.1). The query volume is capped so total
+    // scored pairs stay comparable; rps is per-QUERY either way, and
+    // the section's rows field reports the capped count honestly.
+    val qFloor = math.min(floor, 5000)
+    val queries = replicate(base, qFloor) { (r, i) =>
       IndexIn(r.vec_id + i * span, r.qv)
     }
     val codes = graft.queries.SimilarityQueries
