@@ -242,7 +242,12 @@ object SimilarityQueries {
           lit(2.0) * Similarity.dot(col("__v"), col("cent_v")) +
           Similarity.dot(col("cent_v"), col("cent_v"))
         (0 to TrainIters).map { t =>
-          val cents = Similarity.kmeansTrain(pts, init, iters = t)
+          // the final iteration's centroids are exactly the shared
+          // trained frame — read the checkpoint instead of rebuilding
+          // the whole training DAG a third time
+          val cents =
+            if (t == TrainIters) trainedCentroids(s, d)
+            else Similarity.kmeansTrain(pts, init, iters = t)
           pts.crossJoin(broadcast(cents))
             .groupBy(col("__id")).agg(min(d2).as("md"))
             .agg(count(lit(1)).as("n_vecs"),
