@@ -41,7 +41,7 @@ object Bench {
     "sim_index_build",
     // round-8 flagships
     "sim_kmeans_train", "sim_pq_train", "sim_kmeans_inertia",
-    "text_bpe_train", "text_bpe_apply")
+    "sim_ivf_recall", "text_bpe_train", "text_bpe_apply")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

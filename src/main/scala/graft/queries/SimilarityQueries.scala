@@ -84,6 +84,46 @@ object SimilarityQueries {
        |WHERE rank <= $K""".stripMargin
   }
 
+  /** The IVF search (trained centroids, 3-probe, exact re-rank) —
+    * shared by `sim_knn_ivf` and its recall gate. */
+  private def ivfSpark(s: org.apache.spark.sql.SparkSession, d: String) =
+    Similarity.knnIvfCentroids(quantized(s, d), "vec_id", "qv", K,
+        cents = trainedCentroids(s, d), nprobe = 3,
+        queryFilter = pmod(col("__id"), lit(10)) === 0)
+      .withColumn("rank", col("rank").cast("long"))
+
+  private def ivfSql: String = {
+    def d2(v: String, c: String) =
+      s"(${dot(v, v, Dims)} - 2.0 * ${dot(v, c, Dims)} + ${dot(c, c, Dims)})"
+    s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |$ivfTrainCtes,
+       |scored AS (
+       |  SELECT e.vec_id AS id, e.v, c.cent_id,
+       |    ${d2("e.v", "c.cent_v")} AS d2
+       |  FROM e, c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY id ORDER BY d2 ASC, cent_id ASC) AS cr
+       |  FROM scored),
+       |assigned AS (SELECT id, v, cent_id AS cell_id FROM ranked WHERE cr = 1),
+       |probes AS (SELECT id AS query_id, cent_id AS cell_id FROM ranked WHERE cr <= 3),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS query_id, q.v AS qv, a.id AS neighbor_id, a.v AS cv
+       |  FROM assigned q
+       |  JOIN probes p ON p.query_id = q.id
+       |  JOIN assigned a ON a.cell_id = p.cell_id AND a.id <> q.id
+       |  WHERE q.id % 10 = 0),
+       |s2 AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(${cosine("qv", "cv", Dims)}, 9) AS cos9
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, rank, cos9 FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+       |  FROM s2)
+       |WHERE rank <= $K""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact top-10 cosine neighbors for each sampled query vector.
@@ -92,44 +132,34 @@ object SimilarityQueries {
     // IVF ANN top-10: TRAINED centroids (2 integer-Lloyd iterations off
     // the 1-in-50 id-pick init — see ivfTrainPipeline), broadcast
     // argmin-L2 cell assignment, 3-cell probe, exact re-rank.
-    "sim_knn_ivf" -> QueryDef(
+    "sim_knn_ivf" -> QueryDef((s, d) => ivfSpark(s, d), ivfSql),
+
+    // IVF quality gate: recall@10 of the probe-limited IVF path against
+    // the exact brute force — the third of the three ANN recall gates
+    // (LSH: sim_ann_recall; PQ: sim_pq_recall), so every approximate
+    // path the engine serves has its accuracy pinned. Same shape: the
+    // join keys on (query, neighbor) id pairs, one IEEE division of two
+    // exact counts at the edge.
+    "sim_ivf_recall" -> QueryDef(
       (s, d) => {
-        val e = quantized(s, d)
-        Similarity.knnIvfCentroids(e, "vec_id", "qv", K,
-            cents = trainedCentroids(s, d), nprobe = 3,
-            queryFilter = pmod(col("__id"), lit(10)) === 0)
-          .withColumn("rank", col("rank").cast("long"))
-      }, {
-        def d2(v: String, c: String) =
-          s"(${dot(v, v, Dims)} - 2.0 * ${dot(v, c, Dims)} + ${dot(c, c, Dims)})"
-        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
-           |$ivfTrainCtes,
-           |scored AS (
-           |  SELECT e.vec_id AS id, e.v, c.cent_id,
-           |    ${d2("e.v", "c.cent_v")} AS d2
-           |  FROM e, c),
-           |ranked AS (
-           |  SELECT *, row_number() OVER (
-           |    PARTITION BY id ORDER BY d2 ASC, cent_id ASC) AS cr
-           |  FROM scored),
-           |assigned AS (SELECT id, v, cent_id AS cell_id FROM ranked WHERE cr = 1),
-           |probes AS (SELECT id AS query_id, cent_id AS cell_id FROM ranked WHERE cr <= 3),
-           |cand AS (
-           |  SELECT DISTINCT q.id AS query_id, q.v AS qv, a.id AS neighbor_id, a.v AS cv
-           |  FROM assigned q
-           |  JOIN probes p ON p.query_id = q.id
-           |  JOIN assigned a ON a.cell_id = p.cell_id AND a.id <> q.id
-           |  WHERE q.id % 10 = 0),
-           |s2 AS (
-           |  SELECT query_id, neighbor_id,
-           |    round(${cosine("qv", "cv", Dims)}, 9) AS cos9
-           |  FROM cand)
-           |SELECT query_id, neighbor_id, rank, cos9 FROM (
-           |  SELECT *, row_number() OVER (
-           |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
-           |  FROM s2)
-           |WHERE rank <= $K""".stripMargin
-      }),
+        val exact = bruteSpark(s, d).select(col("query_id"), col("neighbor_id"))
+        val approx = ivfSpark(s, d)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_exact").cast("double"))
+              .as("recall_at_k"))
+      },
+      s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($bruteSql)),
+         |approx AS (SELECT query_id, neighbor_id, 1 AS hit FROM ($ivfSql))
+         |SELECT b.query_id, COUNT(*) AS n_exact, COUNT(a.hit) AS n_hit,
+         |  CAST(COUNT(a.hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+         |FROM brute b
+         |LEFT JOIN approx a
+         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id""".stripMargin),
 
     // Coreset by cell quota — DIVERSITY sampling for training subsets:
     // a uniform sample over-represents dense regions of embedding

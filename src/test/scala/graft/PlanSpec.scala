@@ -18,6 +18,7 @@ class PlanSpec extends SparkSpec {
       "sim_coreset", // broadcast of the k-sized centroid set (IVF assign)
       "sim_kmeans_inertia", // same k-sized centroid broadcast, per iteration audited
       "sim_ann_recall", // embeds the brute-force baseline it grades against
+      "sim_ivf_recall", // same: brute baseline + IVF centroid broadcast
       "sim_pq_code", // broadcast of the 32-subvector PQ codebook
       "sim_pq_adc", // embeds the same broadcast-codebook assignment
       "sim_pq_recall", // embeds the exact-L2 brute force it grades against
