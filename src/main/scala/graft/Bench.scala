@@ -41,7 +41,10 @@ object Bench {
     "sim_index_build",
     // round-8 flagships
     "sim_kmeans_train", "sim_pq_train", "sim_kmeans_inertia",
-    "sim_ivf_recall", "text_bpe_train", "text_bpe_apply")
+    "sim_ivf_recall", "text_bpe_train", "text_bpe_apply",
+    // round-9 flagships
+    "sim_ivfpq_search", "sim_ivfpq_recall", "graph_pagerank_train",
+    "graph_pagerank_converge")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the
@@ -62,6 +65,16 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
   }
+
+  /** Pinned idle-host seconds for [[calibrate]]'s constant-work probe —
+    * the denominator of the load-normalization ratio. Anchored to the
+    * best observed probe pass on this host class (round-8 artifact min
+    * 0.31; a round-9 re-measure at loadavg ~2 ranged 0.18–0.43 —
+    * the probe is itself noisy, so the anchor favors the stable r8
+    * floor). The ABSOLUTE value only shifts every round's normalized
+    * number by the same constant; what makes the trend comparable is
+    * that all rounds divide by the SAME pin. */
+  private val ReferenceCalibSec = 0.30
 
   /** 1-minute /proc/loadavg at a sample point — the other half of the
     * ambient-vs-code signal (records what ELSE the host was running). */
@@ -165,8 +178,10 @@ object Bench {
     // Three interleaved passes by default (round-6 ran two): with the
     // per-query min taken across passes that are minutes apart, a
     // transient load spike inflates one pass's sample, not all of them.
+    // A malformed env value degrades to the default instead of killing
+    // the whole run before any artifact is written.
     val nPasses = math.max(2,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+      scala.util.Try(sys.env("SPARK_GRAFT_BENCH_PASSES").toInt).getOrElse(3))
     val passes = (1 to nPasses).map(_ => pass())
     val runs = passes.map(_.samples)
     // min over the SUCCESSFUL samples only; a query with no successful
@@ -285,10 +300,15 @@ object Bench {
         s""""shared_frames":${jsonMap(p.shared)},""" +
         s""""shared_frames_sec":${sec3(p.shared.map(_._2).sum)}}"""
     }.mkString("[", ",", "]")
+    // calib_ratio/normalized pipeline numbers are computed later (after
+    // the pipeline timing) and appear on the metric line; the detail
+    // file records the per-pass probe raw data they derive from plus
+    // the pinned reference so the derivation is reproducible.
     try Files.write(Paths.get("bench_detail.json"),
       (s"""{"total":${sec3(total)},"queries":${jsonMap(results)},""" +
         s""""runs":$runsJson,"passes":$passesJson,""" +
         s""""shared_frames_sec":${sec3(sharedSec)},""" +
+        s""""reference_calib_sec":${sec3(ReferenceCalibSec)},""" +
         s""""failed":$failedJson,"streams":$streamsDetail,""" +
         s""""plans":$plansJson,"sf":"$sfDir"}""")
         .getBytes(StandardCharsets.UTF_8))
@@ -312,12 +332,21 @@ object Bench {
     // drift WITH probe drift is environment; without, it's code.
     val calibJson = passes.map(p => sec3(p.calibSec)).mkString("[", ",", "]")
     val loadJson = passes.map(p => sec3(p.load)).mkString("[", ",", "]")
+    // Load-NORMALIZED throughput: measured rps × (probe_min / idle pin).
+    // Under contention the probe reads high and rps reads low by roughly
+    // the same CPU-starvation factor, so the product is the cross-round
+    // comparable number — the drift story as one value instead of a
+    // paragraph re-deriving the ambient argument from probe+loadavg.
+    val calibRatio = passes.map(_.calibSec).min / ReferenceCalibSec
+    val normalizedRps = rps * calibRatio
     val metricLine =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
         s""""queries_run":${queries.size},"errors":${failed.size},""" +
         s""""passes":$nPasses,"calib_sec":$calibJson,"loadavg":$loadJson,""" +
         s""""shared_frames_sec":${sec3(sharedSec)},""" +
         s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
+        s""""calib_ratio":${sec3(calibRatio)},""" +
+        s""""normalized_rps":${normalizedRps.round},""" +
         s""""stream_rps":${streamRps.round},"streams":$streamsJson,""" +
         s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}"""
     // The metric line must be the LAST line of stdout (the driver tail-

@@ -373,10 +373,12 @@ object StreamBench {
     Section("index", vecs.length.toLong, sec, batches)
   }
 
-  /** Streaming ADC serving ([[graft.streaming.StreamingSearch]]): query
-    * vectors arrive on the stream, each micro-batch runs the batch ADC
-    * kernel against the static coded corpus. The static side (codes +
-    * codebook) is materialized BEFORE the clock — index build cost is
+  /** Streaming ANN serving ([[graft.streaming.StreamingSearch]]): query
+    * vectors arrive on the stream, each micro-batch runs the COMPOSED
+    * probe-pruned IVF-PQ kernel (the `sim_ivfpq_search` batch shape —
+    * each query ADC-scores only its nprobe probed cells' codes, not the
+    * full corpus). The static side (cell-tagged codes + codebook +
+    * centroids) is materialized BEFORE the clock — index build cost is
     * the `index` section's job, this one times serving. */
   private def searchSection(spark: SparkSession, sfDir: String,
       floor: Int): Section = {
@@ -388,22 +390,25 @@ object StreamBench {
           .as("qv"))
       .as[IndexIn].collect().toIndexedSeq
     val span = if (base.isEmpty) 1L else base.map(_.vec_id).max + 1L
-    // ADC scores the FULL coded corpus per query, so the flat per-row
-    // floor that's right for O(1)-per-row operators would make this
-    // section ~50× the others' total work (100k queries × corpus —
-    // measured 418 s at sf0.1). The query volume is capped so total
-    // scored pairs stay comparable; rps is per-QUERY either way, and
-    // the section's rows field reports the capped count honestly.
+    // Per-query work is ~corpus·nprobe/k_cells code rows (pruned, no
+    // longer the full-corpus scan the round-8 section capped at ~50×
+    // the others' work), but it still scales with the CORPUS, unlike
+    // the O(1)-per-row operators the flat floor is sized for — so the
+    // query volume keeps a cap; rps is per-QUERY either way, and the
+    // section's rows field reports the capped count honestly.
     val qFloor = math.min(floor, 5000)
     val queries = replicate(base, qFloor) { (r, i) =>
       IndexIn(r.vec_id + i * span, r.qv)
     }
-    val codes = graft.queries.SimilarityQueries
-      .pqCodesFrame(spark, sfDir).localCheckpoint()
+    val cellCodes = graft.queries.SimilarityQueries
+      .indexedCodes(spark, sfDir).localCheckpoint()
     val cb = graft.queries.SimilarityQueries.trainedCodebookFrame(spark, sfDir)
+    val cents = graft.queries.SimilarityQueries
+      .trainedCentroidsFrame(spark, sfDir)
     val in = MemoryStream[IndexIn]
-    val q = graft.streaming.StreamingSearch.serveWriter(
-        in.toDF().toDF("query_id", "qv"), codes, cb, 10)(
+    val q = graft.streaming.StreamingSearch.servePrunedWriter(
+        in.toDF().toDF("query_id", "qv"), cellCodes, cb, cents,
+        nprobe = 3, k = 10)(
         out => out.write.format("noop").mode("overwrite").save())
       .option("checkpointLocation", tmp("sb_srch")).start()
     val (sec, batches) = drive[IndexIn](chunked(queries), in.addData(_), Seq(q))
@@ -505,6 +510,90 @@ object StreamBench {
     }
   }
 
+  /** The TTL'd content-stats view (`StatefulViews.contentStatsTtl` —
+    * `transformWithState` + RocksDB value state with per-key TTLConfig,
+    * the Redis-EXPIRE analogue): the ONE stateful-operator class
+    * (`transformWithState`) that previously had correctness pins but no
+    * perf signal next to the flatMapGroupsWithState twins. Same
+    * completion doctrine as [[enrichTtlSection]]: ProcessingTime mode
+    * schedules continuous housekeeping batches, so
+    * `processAllAvailable` never settles — completion is the memory
+    * source's endOffset high-water mark, `batches` counts distinct
+    * data-carrying batchIds, and the TTL sits far above the section's
+    * wall time so no state evicts mid-measurement. Replicas keep the
+    * fixture's content keys (the view's key space IS the content
+    * dimension; extra per-key updates are exactly what the serving
+    * view absorbs) and mint fresh event ids. */
+  private def contentStatsSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StatefulViews
+    val base = graft.views.EngagementViews.validOnly(
+        graft.queries.CdcMapping.enriched(spark, sfDir))
+      .select(col("content_id").cast("string").as("content_id"),
+        col("engagement_pct").cast("double").as("engagement_pct"),
+        col("content_type").cast("string").as("content_type"),
+        col("content_title").cast("string").as("content_title"),
+        col("event_type").cast("string").as("event_type"),
+        col("device").cast("string").as("device"),
+        col("event_ts").cast("timestamp").as("event_ts"),
+        col("event_id").cast("long").as("event_id"))
+      .as[StatefulViews.StatIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.event_id).max + 1L
+    val events = replicate(base, floor) { (r, i) =>
+      r.copy(event_id = r.event_id + i * span)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[StatefulViews.StatIn]
+    val q = StatefulViews.contentStatsTtl(in.toDS(), java.time.Duration.ofHours(1))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", tmp("sb_cstats")).start()
+    try {
+      val chunks = chunked(events)
+      val deadline = System.currentTimeMillis() + 300000
+      var chunksDone = 0L
+      var dataBatches = 0
+      val countedBatches = scala.collection.mutable.Set[Long]()
+      def fold(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
+        p.sources.headOption
+          .flatMap(s => Option(s.endOffset))
+          .flatMap(_.trim.toLongOption)
+          .foreach(o => chunksDone = math.max(chunksDone, o + 1))
+        if (p.numInputRows > 0 && countedBatches.add(p.batchId))
+          dataBatches += 1
+      }
+      def pump(): Unit = {
+        q.recentProgress.foreach(fold)
+        Option(q.lastProgress).foreach(fold)
+      }
+      val t0 = System.nanoTime()
+      var fedChunks = 0L
+      chunks.foreach { c =>
+        in.addData(c)
+        fedChunks += 1
+        while ({ pump(); chunksDone < fedChunks }
+          && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val drained = chunks.take(chunksDone.toInt).map(_.length.toLong).sum
+      if (drained < events.length)
+        System.err.println(
+          s"WARN stream bench: content_stats drained $drained/${events.length} events")
+      Section("content_stats", math.min(events.length.toLong, drained), sec,
+        dataBatches)
+    } finally {
+      try q.stop() catch { case _: Throwable => () }
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Run all sections; order puts the one-time streaming-engine warm-up
     * on a tiny untimed query, not on any section's clock. A section that
     * throws is dropped with a warning — one broken twin must not zero
@@ -538,6 +627,7 @@ object StreamBench {
       "index" -> (indexSection(_, _, volumeFloor)),
       "search" -> (searchSection(_, _, volumeFloor)),
       "pps_sample" -> (sampleSection(_, _, volumeFloor)),
+      "content_stats" -> (contentStatsSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
     try sections.flatMap { case (name, fn) =>
       try Some(fn(spark, sfDir)) catch {

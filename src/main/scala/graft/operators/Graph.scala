@@ -62,4 +62,40 @@ object Graph {
     e.unpersist()
     ranks
   }
+
+  /** The convergence audit of a [[pagerank]] run: one row per iteration
+    * with the L1 rank movement (iter, n_nodes, total_delta =
+    * Σ|rankᵢ − rankᵢ₋₁|) — THE number that says the power iteration is
+    * actually contracting toward its fixed point (damping bounds the
+    * contraction factor at ~[[Damping]] per round; the fixed-point
+    * floors add at most ±1 per node of noise), and the row a broken
+    * step (wrong degree, dropped node, swapped direction) bends
+    * immediately. Same doctrine as the k-means `sim_kmeans_inertia`
+    * audit: all-integer deltas, so the sums are exact and replay
+    * bit-for-bit in the oracle's unrolled CTEs.
+    *
+    * Scale shape: each iteration adds one node-keyed equi-join of two
+    * (node, rank) frames plus a map-side-combined global sum — strictly
+    * cheaper than the step itself; `localCheckpoint` per round caps
+    * plan growth exactly as in [[pagerank]]. */
+  def pagerankConvergence(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var prev = nodes.withColumn("rank_fp", lit(RankOne)).localCheckpoint(true)
+    val deltas = (1 to iters).map { i =>
+      val next = pagerankStep(e, prev).localCheckpoint(true)
+      val d = prev.select(col("node"), col("rank_fp").as("r0"))
+        .join(next.select(col("node"), col("rank_fp").as("r1")), Seq("node"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(abs(col("r1") - col("r0"))).as("total_delta"))
+        .select(lit(i.toLong).as("iter"), col("n_nodes"), col("total_delta"))
+      prev = next
+      d
+    }
+    // the delta frames read only checkpointed (materialized) inputs, so
+    // releasing the edge cache before they evaluate is safe
+    e.unpersist()
+    deltas.reduce(_.union(_))
+  }
 }

@@ -220,8 +220,8 @@ object Similarity {
   }
 
   /** PQ asymmetric-distance (ADC) search kernel — how a PQ index is
-    * queried: each query precomputes its distance table to the 32
-    * codewords (|queries| × 32 rows — tiny, BROADCAST), every coded
+    * queried: each query precomputes its distance table to the 64
+    * codewords (|queries| × 64 rows — tiny, BROADCAST), every coded
     * corpus vector's approximate distance is four table lookups summed
     * (a broadcast equi-join on (sub, code) + one (query, vec)
     * aggregation), and per-query top-k plans as a WindowGroupLimit.
@@ -233,22 +233,78 @@ object Similarity {
     * `queries`: (query_id, qv) with 64-dim integer-quantized vectors;
     * `codes`: (vec_id, sub: long, code) — the PQ-coded corpus;
     * `cb`: (sub, code, cv) — the trained 16-dim per-subspace codebook. */
-  def pqAdcSearch(queries: DataFrame, codes: DataFrame, cb: DataFrame,
-      k: Int): DataFrame = {
+  /** Per-query ADC distance table: one row per (query, sub, codeword)
+    * with the exact int64 sub-distance — |queries| × 64 rows, tiny by
+    * construction, the frame both ADC searches BROADCAST. */
+  private def adcDistTable(queries: DataFrame, cb: DataFrame): DataFrame = {
     val subD2 = (dot(col("sv"), col("sv")) -
       lit(2.0) * dot(col("sv"), col("cv")) +
       dot(col("cv"), col("cv"))).cast("long")
-    val qx = queries
+    queries
       .select(col("query_id"), explode(sequence(lit(0), lit(3))).as("sub"),
         col("qv"))
       .withColumn("sv", slice(col("qv"), col("sub") * 16 + 1, lit(16)))
-    val dt = qx.join(broadcast(cb), Seq("sub"))
+      .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub").cast("long").as("sub"),
         col("code"), subD2.as("dt"))
+  }
+
+  def pqAdcSearch(queries: DataFrame, codes: DataFrame, cb: DataFrame,
+      k: Int): DataFrame = {
+    val dt = adcDistTable(queries, cb)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
     codes
       .join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adist"))
+  }
+
+  /** The COMPOSED IVF-PQ search — the serving shape a production vector
+    * index actually runs, and the scale fix for [[pqAdcSearch]]'s one
+    * honest flaw (it scores the FULL coded corpus per query; at 100 TB
+    * nobody full-scans codes):
+    *
+    *   1. each query ranks the broadcast trained centroids by exact
+    *      squared L2 and keeps its `nprobe` nearest cells (a window
+    *      over |queries| × k rows — query-frame-sized, never corpus);
+    *   2. the ADC scan is RESTRICTED to the probed cells' codes: the
+    *      (query_id, cell_id) probe frame — |queries| × nprobe rows —
+    *      broadcasts onto the cell-tagged code rows, so each query
+    *      scores only ~corpus·nprobe/k of the codes and the pruning
+    *      join is map-only (no shuffle of the corpus);
+    *   3. the per-(query, vec) ADC sum and top-k are [[pqAdcSearch]]'s
+    *      kernel unchanged — same distance table, same int64 ranking.
+    *
+    * `cellCodes`: (vec_id, cell_id, sub, code) — the `sim_index_build`
+    * row shape with codes unpacked, i.e. THE stored index. Recall is
+    * NOT simply bounded by full-scan ADC: the cell restriction uses
+    * exact query-to-centroid geometry, so it can evict quantization
+    * false positives and RAISE recall while cutting work (measured
+    * 0.29 vs 0.22 at sf0.01 — the `sim_ivfpq_recall` gate pins it). */
+  def ivfPqSearch(queries: DataFrame, cellCodes: DataFrame, cb: DataFrame,
+      cents: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val qd2 = dot(col("qv"), col("qv")) -
+      lit(2.0) * dot(col("qv"), col("cent_v")) +
+      dot(col("cent_v"), col("cent_v"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qd2").asc, col("cent_id").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("__qd2", qd2)
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell_id"))
+    val dt = adcDistTable(queries, cb)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    cellCodes
+      .join(broadcast(probes), Seq("cell_id"))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg(sum(col("dt")).as("adist"))

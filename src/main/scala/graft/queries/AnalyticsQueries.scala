@@ -124,7 +124,89 @@ object AnalyticsQueries {
     coPurchasePairs(s, d)
   }
 
+  /** Power-iteration rounds for the trained PageRank — enough for the
+    * convergence audit to show genuine contraction (the per-round L1
+    * movement drops by ~the damping factor); each extra round adds one
+    * edges-join to the build and one unrolled CTE block to the oracle.
+    * MUST initialize before `defs` (the oracle CTE generators read it
+    * while `defs` initializes). */
+  private val PrIters = 3
+
+  /** The engagement graph both PageRank queries run on: distinct
+    * user→content edges from the CDC fact. */
+  private def engagementEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    CdcMapping.fact(s, d)
+      .select(col("user_id").as("src"), col("content_id").as("dst"))
+      .distinct()
+
+  /** Unrolled damped power-iteration CTEs: requires a preceding
+    * `edges(src, dst)` CTE, defines `deg`/`nodes`/`r0`..`r$PrIters` —
+    * each round exactly [[Graph.pagerankStep]]'s arithmetic (one IEEE
+    * division + floor for the share, one `0.85 ×` + floor for the
+    * damped sum, all other ops integer-exact). */
+  private def prCtes: String = {
+    val base =
+      s"""deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |r0 AS (SELECT node, CAST(${Graph.RankOne} AS BIGINT) AS rank_fp
+         |       FROM nodes)""".stripMargin
+    val steps = (1 to PrIters).map { i =>
+      s"""sh$i AS (
+         |  SELECT e.dst,
+         |    CAST(FLOOR(CAST(r.rank_fp AS DOUBLE) / g.d) AS BIGINT) AS c
+         |  FROM edges e
+         |  JOIN deg g ON e.src = g.src
+         |  JOIN r${i - 1} r ON r.node = e.src),
+         |sm$i AS (SELECT dst AS node, SUM(c) AS in_mass
+         |         FROM sh$i GROUP BY dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    CAST(${Graph.BaseFp} +
+         |         FLOOR(${Graph.Damping} * COALESCE(s.in_mass, 0))
+         |         AS BIGINT) AS rank_fp
+         |  FROM nodes n LEFT JOIN sm$i s ON n.node = s.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // The pagerank STEP kernel iterated into an actual training run
+    // (PrIters damped power-iteration rounds from the uniform start) —
+    // the same "step exists, so iterate it" capstone k-means got in
+    // round 8 (sim_kmeans_train) and BPE in rounds 7-8: the oracle
+    // replays every round as unrolled CTE blocks, so a green row
+    // proves the iteration composes — share division, damped sum, and
+    // the no-in-edges base case all bit-match across engines, K deep.
+    "graph_pagerank_train" -> QueryDef(
+      (s, d) => Graph.pagerank(engagementEdges(s, d), PrIters),
+      s"""WITH ${CdcMapping.factSql},
+         |edges AS (
+         |  SELECT DISTINCT user_id AS src, content_id AS dst FROM fact),
+         |$prCtes
+         |SELECT node, rank_fp FROM r$PrIters""".stripMargin),
+
+    // The PageRank convergence audit: per-round L1 rank movement
+    // (Σ|Δrank_fp|) across the training run — the sim_kmeans_inertia
+    // doctrine applied to the graph family. Damped power iteration
+    // contracts by ~0.85 per round, so the three deltas must fall
+    // sharply (spec-pinned monotone with a ±1-per-node floor-noise
+    // allowance); a broken degree join or dropped node bends the
+    // sequence immediately. All-integer deltas — exact, order-free,
+    // bit-identical in the unrolled oracle replay.
+    "graph_pagerank_converge" -> QueryDef(
+      (s, d) => Graph.pagerankConvergence(engagementEdges(s, d), PrIters),
+      s"""WITH ${CdcMapping.factSql},
+         |edges AS (
+         |  SELECT DISTINCT user_id AS src, content_id AS dst FROM fact),
+         |$prCtes
+         |${(1 to PrIters).map(i =>
+             s"""SELECT CAST($i AS BIGINT) AS iter, COUNT(*) AS n_nodes,
+                |  CAST(SUM(ABS(a.rank_fp - b.rank_fp)) AS BIGINT) AS total_delta
+                |FROM r$i a JOIN r${i - 1} b ON a.node = b.node""".stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin),
 
     // One damped PageRank power-iteration step over the user→content
     // engagement graph the reference pipeline materializes — content

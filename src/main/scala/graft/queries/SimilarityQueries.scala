@@ -31,6 +31,19 @@ object SimilarityQueries {
     * while `defs` initializes — a later declaration would be 0 there). */
   private val TrainIters = 2
 
+  /** Codewords per PQ subspace. 16 (4 bits per code — a 16-bit packed
+    * row for 4 subspaces) lifted recall@10 from 0.16 to 0.22 at sf0.01
+    * over the round-8 8-codeword book at the same training depth:
+    * codebook CAPACITY was the binding constraint, not Lloyd
+    * convergence (inertia was already near-flat at 2 iterations). Same
+    * init-before-`defs` rule as [[TrainIters]]. */
+  private val PqCodes = 16
+
+  /** Cells probed per query in the composed IVF-PQ search — same probe
+    * width as the exact-re-rank IVF path (`sim_knn_ivf`), so the two
+    * serving shapes are comparable. Init-before-`defs` rule applies. */
+  private val Nprobe = 3
+
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
@@ -319,16 +332,16 @@ object SimilarityQueries {
     // Product-quantization code assignment — the compression half of an
     // IVF-PQ index (the structure serving billion-vector ANN in
     // production): the 64-dim vector splits into 4 subspaces of 16
-    // dims, each subvector snaps to its nearest of 8 codewords, and the
-    // vector is thereafter 4 small codes (16 bytes of float becomes 3
+    // dims, each subvector snaps to its nearest of 16 codewords, and the
+    // vector is thereafter 4 small codes (16 bytes of float becomes 4
     // bits per subspace). Codewords are TRAINED (2 grouped integer-Lloyd
-    // iterations off the vec_id < 8 id-pick init — sim_pq_train exposes
+    // iterations off the vec_id < 16 id-pick init — sim_pq_train exposes
     // them; still zero RNG, so the oracle replays the training too).
     // All arithmetic is exact: quantized integer coords, squared-L2 by
     // dot identity, and the argmin is a MIN over the collision-free key
     // d2·16+code — so assignment is ONE map-side-combined hash
     // aggregation, no per-vector window, no shuffle of the vectors
-    // themselves. At 100 TB: the codebook (32 subvectors) broadcasts to
+    // themselves. At 100 TB: the codebook (64 subvectors) broadcasts to
     // every executor, the subspace fan-out is map-only, and the only
     // exchange carries (vec_id, sub, partial-min key) — the same rows
     // the PQ index stores.
@@ -339,7 +352,7 @@ object SimilarityQueries {
 
     // PQ search by asymmetric distance computation (ADC) — how a PQ
     // index is actually queried: each query precomputes its distance
-    // TABLE to the 32 codewords (|queries| × 32 rows — tiny, BROADCAST),
+    // TABLE to the 64 codewords (|queries| × 64 rows — tiny, BROADCAST),
     // and every coded corpus vector's approximate distance is then four
     // table lookups summed — a broadcast equi-join on (sub, code) plus
     // one (query, vec) aggregation; the corpus vectors themselves never
@@ -358,67 +371,51 @@ object SimilarityQueries {
     // the join keys on (query, neighbor) id pairs — k×|queries| rows —
     // and the recall is one IEEE division of two exact counts. The
     // absolute level is honestly modest on this fixture: the synthetic
-    // embeddings are near-orthogonal and 4×3 bits is severe compression
-    // (the id-pick codebook measured 0.0-0.3; training lifts it — see
+    // embeddings are near-orthogonal and 4×4 bits is severe compression
+    // (the id-pick 8-codeword book measured 0.0-0.3; training plus the
+    // round-9 16-codeword capacity lift it — see
     // docs/SCALE.md) — the row pins the MEASURED value, so any codebook
     // / packing / lookup regression moves it and turns the row red.
     "sim_pq_recall" -> QueryDef(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = quantized(s, d)
-        val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
-          .select(col("vec_id").as("query_id"), col("qv").as("xv"))
-        val d2full = (Similarity.dot(col("xv"), col("xv"))
-          - lit(2.0) * Similarity.dot(col("xv"), col("cv2"))
-          + Similarity.dot(col("cv2"), col("cv2"))).cast("long")
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("d2").asc, col("neighbor_id").asc)
-        val exact = q.crossJoin(
-            e.select(col("vec_id").as("neighbor_id"), col("qv").as("cv2")))
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .withColumn("d2", d2full)
-          .withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= K)
-          .select(col("query_id"), col("neighbor_id"))
-        val approx = pqAdc(s, d)
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            lit(1).as("hit"))
-        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
-          .groupBy(col("query_id"))
-          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
-          .select(col("query_id"), col("n_exact"), col("n_hit"),
-            (col("n_hit").cast("double") / col("n_exact").cast("double"))
-              .as("recall_at_k"))
-      },
-      s"""WITH exact AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |        ${dot("q.v", "q.v", Dims)} - 2 * ${dot("q.v", "c.v", Dims)}
-         |          + ${dot("c.v", "c.v", Dims)} ASC,
-         |        c.vec_id ASC) AS rank
-         |    FROM (SELECT vec_id, ${quantVec("embedding")} AS v
-         |          FROM embeddings WHERE vec_id % 50 = 0) q,
-         |         (SELECT vec_id, ${quantVec("embedding")} AS v
-         |          FROM embeddings) c
-         |    WHERE c.vec_id <> q.vec_id)
-         |  WHERE rank <= $K),
-         |approx AS (
-         |  SELECT query_id, vec_id AS neighbor_id, 1 AS hit
-         |  FROM ($pqAdcSql))
-         |SELECT e.query_id, COUNT(*) AS n_exact, COUNT(a.hit) AS n_hit,
-         |  CAST(COUNT(a.hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-         |    AS recall_at_k
-         |FROM exact e
-         |LEFT JOIN approx a
-         |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-         |GROUP BY e.query_id""".stripMargin),
+      (s, d) => recallAgainstExactL2(s, d,
+        pqAdc(s, d).select(col("query_id"), col("vec_id").as("neighbor_id"))),
+      recallAgainstExactL2Sql(pqAdcSql)),
+
+    // The COMPOSED IVF-PQ search — probe-pruned ADC, the serving shape
+    // a production vector index runs (and the scale fix for sim_pq_adc,
+    // which honestly full-scans the coded corpus per query): each query
+    // ranks the broadcast trained centroids and keeps its nprobe
+    // nearest cells, then the ADC distance-table join is RESTRICTED to
+    // those cells' code rows via the broadcast (query, cell) probe
+    // frame — each query scores ~nprobe/k_cells of the corpus instead
+    // of all of it, and the pruning join is map-only. Inputs are the
+    // stored index itself (sim_index_build's rows with codes unpacked)
+    // plus the trained centroid/codebook metadata — the three
+    // previously-separate components composed into one DAG, which the
+    // oracle replays end-to-end (training, coding, cell assignment,
+    // probing, pruned ADC, top-k).
+    "sim_ivfpq_search" -> QueryDef((s, d) => ivfpqSpark(s, d), ivfpqSql),
+
+    // IVF-PQ quality gate: recall@10 of the probe-pruned ADC against
+    // exact squared-L2 — the fourth recall row, completing the gate set
+    // over every serving path (LSH / IVF / full-scan PQ / IVF-PQ).
+    // Measured at sf0.01: 0.29 vs full-scan ADC's 0.22 — pruning
+    // HELPS recall here, not just cost: the cell restriction uses exact
+    // query-to-centroid geometry, so it evicts far-away vectors whose
+    // quantized codes masquerade as near (ADC false positives), the
+    // classic reason production indexes run IVF-PQ rather than PQ
+    // full scans even ignoring the ~nprobe/k_cells work reduction.
+    "sim_ivfpq_recall" -> QueryDef(
+      (s, d) => recallAgainstExactL2(s, d,
+        ivfpqSpark(s, d).select(col("query_id"),
+          col("vec_id").as("neighbor_id"))),
+      recallAgainstExactL2Sql(ivfpqSql)),
 
     // ANN index-build capstone — the composition proof for the
     // similarity family (curate_recipe's role for curation): ONE DAG
     // emits the complete IVF-PQ index row per vector — its IVF cell
     // (broadcast-centroid argmin, the sim_knn_ivf assignment), its 4
-    // subspace codes PACKED into a single 12-bit int (code·8^sub — the
+    // subspace codes PACKED into a single 16-bit int (code·16^sub — the
     // byte layout a real index stores), and the total reconstruction
     // error Σd2 (int64-exact — the quality audit column an index build
     // reports). Two id-keyed frames join on vec_id; the oracle replays
@@ -431,15 +428,15 @@ object SimilarityQueries {
         val e = quantized(s, d)
         val (assigned, _) = Similarity.ivfAssignCentroids(e, "vec_id", "qv",
           cents = trainedCentroids(s, d), nprobe = 1)
-        val pow8 = array(lit(1L), lit(8L), lit(64L), lit(512L))
+        val pow16 = array(lit(1L), lit(16L), lit(256L), lit(4096L))
         val packed = pqCodes(s, d)
           .groupBy(col("vec_id"))
           .agg(sum(col("code") *
-              element_at(pow8, (col("sub") + 1).cast("int"))).as("pq12"),
+              element_at(pow16, (col("sub") + 1).cast("int"))).as("pq16"),
             sum(col("d2")).as("recon_d2"))
         assigned.select(col("__id").as("vec_id"), col("cell_id"))
           .join(packed, Seq("vec_id"))
-          .select(col("vec_id"), col("cell_id"), col("pq12"),
+          .select(col("vec_id"), col("cell_id"), col("pq16"),
             col("recon_d2"))
       },
       s"""WITH $pqCtes,
@@ -455,10 +452,10 @@ object SimilarityQueries {
          |  WHERE cr = 1),
          |packed AS (
          |  SELECT vec_id,
-         |    CAST(SUM((k & 15) * ([1, 8, 64, 512])[sub + 1]) AS BIGINT) AS pq12,
+         |    CAST(SUM((k & 15) * ([1, 16, 256, 4096])[sub + 1]) AS BIGINT) AS pq16,
          |    CAST(SUM(k >> 4) AS BIGINT) AS recon_d2
          |  FROM k GROUP BY vec_id)
-         |SELECT cell.vec_id, cell.cell_id, packed.pq12, packed.recon_d2
+         |SELECT cell.vec_id, cell.cell_id, packed.pq16, packed.recon_d2
          |FROM cell JOIN packed ON cell.vec_id = packed.vec_id""".stripMargin),
 
     // ANN quality gate: recall@10 of the LSH path against the exact
@@ -521,6 +518,131 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("qv")),
       pqCodesFrame(s, d), trainedCodebook(s, d), K)
 
+  /** The stored index as search input: (vec_id, cell_id, sub, code) —
+    * `sim_index_build`'s row shape with the codes unpacked. One
+    * id-keyed equi-join of the two index halves at BUILD time; the
+    * serving path then prunes on `cell_id` without touching vectors.
+    * Package-visible for the streaming pruned-search twin. */
+  private[graft] def indexedCodes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (assigned, _) = Similarity.ivfAssignCentroids(quantized(s, d),
+      "vec_id", "qv", cents = trainedCentroids(s, d), nprobe = 1)
+    assigned.select(col("__id").as("vec_id"), col("cell_id"))
+      .join(pqCodesFrame(s, d), Seq("vec_id"))
+  }
+
+  /** Probe-pruned IVF-PQ top-k (the sim_ivfpq_search body) — shared
+    * with its recall gate and the streaming serving twin's bench. */
+  private def ivfpqSpark(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Similarity.ivfPqSearch(
+      quantized(s, d).filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("qv")),
+      indexedCodes(s, d), trainedCodebook(s, d), trainedCentroids(s, d),
+      nprobe = Nprobe, k = K)
+
+  /** DuckDB text of the composed IVF-PQ search: training (both
+    * families), coding, cell assignment, per-query probing, and the
+    * cell-restricted ADC — one CTE chain, replayed end-to-end. */
+  private def ivfpqSql: String =
+    s"""WITH $pqCtes,
+       |$ivfTrainCtes,
+       |codes AS (SELECT vec_id, sub, k & 15 AS code FROM k),
+       |cell AS (
+       |  SELECT vec_id, cent_id AS cell_id FROM (
+       |    SELECT e.vec_id, c.cent_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
+       |    FROM e, c)
+       |  WHERE cr = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, cent_id AS cell_id FROM (
+       |    SELECT e.vec_id, c.cent_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
+       |    FROM e, c WHERE e.vec_id % 50 = 0)
+       |  WHERE cr <= $Nprobe),
+       |qx AS (
+       |  SELECT p.vec_id AS query_id, p.sub, cb.code, p.sv, cb.cv
+       |  FROM p16 p JOIN cb ON cb.sub = p.sub
+       |  WHERE p.vec_id % 50 = 0),
+       |dt AS (
+       |  SELECT query_id, CAST(sub AS BIGINT) AS sub, code,
+       |    ${pqD2Sql} AS dt
+       |  FROM qx),
+       |ad AS (
+       |  SELECT pr.query_id, codes.vec_id,
+       |    CAST(SUM(dt.dt) AS BIGINT) AS adist
+       |  FROM codes
+       |  JOIN cell ON cell.vec_id = codes.vec_id
+       |  JOIN qprobe pr ON pr.cell_id = cell.cell_id
+       |  JOIN dt ON dt.query_id = pr.query_id
+       |    AND dt.sub = codes.sub AND dt.code = codes.code
+       |  WHERE codes.vec_id <> pr.query_id
+       |  GROUP BY pr.query_id, codes.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
+       |WHERE rank <= $K""".stripMargin
+
+  /** Recall@K of `approx` (query_id, neighbor_id) against the exact
+    * squared-L2 top-K over the 1-in-50 query sample — the shared body
+    * of the PQ-family recall gates. */
+  private def recallAgainstExactL2(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(s, d)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("xv"))
+    val d2full = (Similarity.dot(col("xv"), col("xv"))
+      - lit(2.0) * Similarity.dot(col("xv"), col("cv2"))
+      + Similarity.dot(col("cv2"), col("cv2"))).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    val exact = q.crossJoin(
+        e.select(col("vec_id").as("neighbor_id"), col("qv").as("cv2")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2", d2full)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall_at_k"))
+  }
+
+  /** Oracle text for [[recallAgainstExactL2]]: `approxSql` must return
+    * (query_id, …, vec_id, …) ranked rows (the two ADC search shapes). */
+  private def recallAgainstExactL2Sql(approxSql: String): String =
+    s"""WITH exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${dot("q.v", "q.v", Dims)} - 2 * ${dot("q.v", "c.v", Dims)}
+       |          + ${dot("c.v", "c.v", Dims)} ASC,
+       |        c.vec_id ASC) AS rank
+       |    FROM (SELECT vec_id, ${quantVec("embedding")} AS v
+       |          FROM embeddings WHERE vec_id % 50 = 0) q,
+       |         (SELECT vec_id, ${quantVec("embedding")} AS v
+       |          FROM embeddings) c
+       |    WHERE c.vec_id <> q.vec_id)
+       |  WHERE rank <= $K),
+       |approx AS (
+       |  SELECT query_id, vec_id AS neighbor_id, 1 AS hit
+       |  FROM ($approxSql))
+       |SELECT e.query_id, COUNT(*) AS n_exact, COUNT(a.hit) AS n_hit,
+       |  CAST(COUNT(a.hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS recall_at_k
+       |FROM exact e
+       |LEFT JOIN approx a
+       |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id""".stripMargin
+
   /** The PQ-coded corpus (vec_id, sub, code) — the batch ADC query's
     * static side, also served to the streaming search twin. */
   private[graft] def pqCodesFrame(s: org.apache.spark.sql.SparkSession,
@@ -532,6 +654,12 @@ object SimilarityQueries {
   private[graft] def trainedCodebookFrame(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     trainedCodebook(s, d)
+
+  /** The trained centroid frame, package-visible for the streaming
+    * pruned-search twin (probe side of [[Similarity.ivfPqSearch]]). */
+  private[graft] def trainedCentroidsFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    trainedCentroids(s, d)
 
   /** TRAINED IVF centroids (cent_id, cent_v): the deterministic id-pick
     * (vec_id % 50) is only the INIT — [[Similarity.kmeansTrain]] runs
@@ -557,8 +685,8 @@ object SimilarityQueries {
     FrameCache.memo(s, d, "ivf_centroids")(ivfTrainPipeline(s, d))
 
   /** TRAINED per-subspace PQ codebook pipeline: the 4 subspaces train as
-    * one grouped k-means (group key = `sub`, 8 codewords each, init =
-    * the vec_id < 8 id-pick), replayed by [[pqTrainCtes]]. */
+    * one grouped k-means (group key = `sub`, [[PqCodes]] codewords each,
+    * init = the vec_id < [[PqCodes]] id-pick), replayed by [[pqTrainCtes]]. */
   private[graft] def pqTrainPipeline(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val e = quantized(s, d)
@@ -567,12 +695,12 @@ object SimilarityQueries {
       .select(col("sub"), col("__id"),
         slice(col("qv"), col("sub") * 16 + 1, lit(16)).as("__v"))
     Similarity.kmeansTrain(pts,
-      pts.filter(col("__id") < 8)
+      pts.filter(col("__id") < PqCodes)
         .select(col("sub"), col("__id").as("cent_id"), col("__v").as("cent_v")),
       iters = TrainIters, groupCols = Seq("sub"))
   }
 
-  /** Trained PQ codebook (sub, code, cv): 8 × 16-dim codewords per
+  /** Trained PQ codebook (sub, code, cv): [[PqCodes]] × 16-dim codewords per
     * subspace, [[FrameCache]]-memoized like the IVF centroids. */
   private def trainedCodebook(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
@@ -647,7 +775,7 @@ object SimilarityQueries {
       s"""p16 AS (
          |  SELECT e.vec_id, t.m AS sub, e.v[t.m*16+1 : t.m*16+16] AS sv
          |  FROM e, UNNEST(generate_series(0, 3)) AS t(m)),
-         |cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM p16 WHERE vec_id < 8)""".stripMargin
+         |cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM p16 WHERE vec_id < $PqCodes)""".stripMargin
     val steps = (1 to TrainIters).map { i =>
       s"""pasg$i AS (
          |  SELECT vec_id, sub, sv, code FROM (

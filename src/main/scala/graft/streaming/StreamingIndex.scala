@@ -44,7 +44,11 @@ object StreamingIndex {
   /** First-minimum argmin of `vec` against a literal entry array:
     * returns struct(d2, id) — ties fall to the earliest (lowest-id)
     * entry, matching `min(struct(d2, id))`. */
-  private def argmin(entries: Seq[(Long, Seq[Double])], vec: Column): Column =
+  private def argmin(entries: Seq[(Long, Seq[Double])], vec: Column): Column = {
+    // fail-loud doctrine (see Tables): an empty entry list would fold the
+    // (Double.MaxValue, Long.MaxValue) sentinel into every output row —
+    // garbage cell ids/codes instead of an error at plan-build time
+    require(entries.nonEmpty, "argmin over an empty centroid/codeword list")
     aggregate(
       array(entries.sortBy(_._1).map { case (id, v) => entryLit(id, v) }: _*),
       struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("id")),
@@ -53,12 +57,15 @@ object StreamingIndex {
         when(dd < acc.getField("d2"),
           struct(dd.as("d2"), e.getField("id").as("id"))).otherwise(acc)
       })
+  }
 
   /** `vecs`: streaming frame with (vec_id long, qv array<double>,
     * integer-quantized). `cents`: trained IVF centroids (cent_id,
     * cent_v). `codebook`: trained PQ codewords (sub, code, cv) with 4
     * subspaces × 16 dims. Emits the batch index row per vector:
-    * (vec_id, cell_id, pq12, recon_d2), append-mode, stateless. */
+    * (vec_id, cell_id, pq16, recon_d2), append-mode, stateless. The
+    * 4 codes pack base-16 (code·16^sub, 4 bits each) — the same layout
+    * as the batch `sim_index_build`. */
   def indexStream(vecs: DataFrame,
       cents: Seq[(Long, Seq[Double])],
       codebook: Seq[(Int, Long, Seq[Double])]): DataFrame = {
@@ -66,12 +73,12 @@ object StreamingIndex {
     val subs = (0 until 4).map { sub =>
       val cw = codebook.filter(_._1 == sub).map { case (_, code, v) => (code, v) }
       val best = argmin(cw, slice(col("qv"), sub * 16 + 1, 16))
-      (best.getField("id") * lit(math.pow(8, sub).toLong),
+      (best.getField("id") * lit(math.pow(16, sub).toLong),
         best.getField("d2").cast("long"))
     }
     vecs.select(col("vec_id"),
       cell.getField("id").as("cell_id"),
-      subs.map(_._1).reduce(_ + _).as("pq12"),
+      subs.map(_._1).reduce(_ + _).as("pq16"),
       subs.map(_._2).reduce(_ + _).as("recon_d2"))
   }
 }

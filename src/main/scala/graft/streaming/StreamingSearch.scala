@@ -36,4 +36,21 @@ object StreamingSearch {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(Similarity.pqAdcSearch(batch, codes, cb, k))
       }
+
+  /** Probe-pruned serving — [[serveWriter]] with the full-corpus ADC
+    * scan replaced by the composed IVF-PQ kernel
+    * ([[Similarity.ivfPqSearch]]): each micro-batch's queries probe
+    * their `nprobe` nearest trained cells and ADC-score only those
+    * cells' code rows. Same static index (`cellCodes` =
+    * sim_index_build's rows with codes unpacked, never reshuffled),
+    * per-query work down by ~nprobe/k_cells — the shape that survives
+    * a 100 TB corpus. StreamingSpec pins streamed results equal to the
+    * batch `sim_ivfpq_search` on the same query set. */
+  def servePrunedWriter(queries: DataFrame, cellCodes: DataFrame,
+      cb: DataFrame, cents: DataFrame, nprobe: Int, k: Int)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(Similarity.ivfPqSearch(batch, cellCodes, cb, cents, nprobe, k))
+      }
 }

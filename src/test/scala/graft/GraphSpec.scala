@@ -32,6 +32,31 @@ class GraphSpec extends SparkSpec {
     ranks(2L) shouldBe step(Graph.BaseFp) // round 2: receives 1's base rank
   }
 
+  test("power iteration contracts: per-round L1 movement falls monotonically") {
+    // damping bounds the contraction at ~0.85 per round; the share/sum
+    // floors add at most ±1 per node of noise, so each round's total
+    // delta must drop below the previous one plus an n_nodes allowance —
+    // and over the full run the movement must genuinely shrink
+    val rows = SparkEntry.queries("graph_pagerank_converge")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("iter"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("total_delta")))
+      .sortBy(_._1)
+    rows.map(_._1) shouldBe Array(1L, 2L, 3L)
+    val slack = rows.map(_._2).max
+    withClue(s"per-round deltas ${rows.mkString(", ")}: ") {
+      rows.sliding(2).foreach { case Array((_, _, a), (_, _, b)) =>
+        b should be <= (a + slack)
+      }
+      rows.last._3 should be < rows.head._3 // strict end-to-end contraction
+    }
+    // and the trained ranks are exactly the step kernel iterated: the
+    // final convergence state must match graph_pagerank_train's output size
+    val trained = SparkEntry.queries("graph_pagerank_train")(
+      spark, "/root/testdata/sf0.001")
+    trained.count() shouldBe rows.head._2
+  }
+
   test("iteration is deterministic and total (every node ranked)") {
     val edges = Seq.tabulate(200)(i => (i.toLong % 23, (i * 7L) % 31))
       .filter { case (a, b) => a != b }.toDF("src", "dst")

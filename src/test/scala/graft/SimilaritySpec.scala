@@ -126,22 +126,28 @@ class SimilaritySpec extends SparkSpec {
     rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length should be > 0.0
   }
 
-  test("k-means training monotonically improves the inertia objective") {
-    // Lloyd with exact argmin + exact means is non-increasing; the
-    // re-quantization of the means can only nudge each centroid by
-    // ≤ 0.5 per dim, so iteration-over-iteration the audited objective
-    // must still fall or hold — a rise means the update step broke
-    // (wrong means, dropped cluster, swapped dims)
-    val rows = graft.SparkEntry.queries("sim_kmeans_inertia")(
+  test("k-means training improves the inertia objective") {
+    // Exact Lloyd is non-increasing, but the means are RE-QUANTIZED
+    // (round to integer coords) each iteration — near convergence that
+    // perturbation can exceed a step's improvement, so the per-step
+    // check carries a worst-case quantization-nudge slack
+    // (|x−c'|² − |x−c|| ≤ dims·(|Δ|·2·max|x−c| …) bounded loosely as
+    // n_vecs·dims on the summed objective) instead of asserting strict
+    // monotonicity the algorithm doesn't guarantee on all data. The
+    // end-to-end improvement stays strict: training must genuinely move
+    // the objective off the init.
+    val raw = graft.SparkEntry.queries("sim_kmeans_inertia")(
         spark, "/root/testdata/sf0.001").collect()
+    val rows = raw
       .map(r => r.getAs[Long]("iter") -> r.getAs[Long]("total_d2"))
       .sortBy(_._1)
     rows.map(_._1) shouldBe Array(0L, 1L, 2L)
+    val slack = raw.map(_.getAs[Long]("n_vecs")).max * 64L
     withClue(s"inertia per iteration ${rows.mkString(", ")}: ") {
       rows.sliding(2).foreach { case Array((_, a), (_, b)) =>
-        b should be <= a
+        b should be <= (a + slack)
       }
-      // and training genuinely moved off the init
+      // and training genuinely moved off the init — strict, no slack
       rows.last._2 should be < rows.head._2
     }
   }

@@ -18,7 +18,8 @@ class StreamBenchSpec extends SparkSpec {
     val byName = sections.map(s => s.name -> s).toMap
     byName.keySet shouldBe Set(
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
-      "dedup", "intake", "index", "search", "pps_sample", "anomaly")
+      "dedup", "intake", "index", "search", "pps_sample", "content_stats",
+      "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
         s.rows should be > 0L
@@ -35,10 +36,14 @@ class StreamBenchSpec extends SparkSpec {
     // the document sections replicate to the volume floor — a section
     // quietly falling back to the raw fixture would reintroduce the
     // scheduling-overhead-dominated rps this floor exists to fix
-    for (n <- Seq("budget", "pack", "dedup", "intake", "index", "search",
-        "pps_sample"))
+    for (n <- Seq("budget", "pack", "dedup", "intake", "index",
+        "pps_sample", "content_stats"))
       withClue(s"section $n: ") {
         byName(n).rows should be >= floor.toLong
       }
+    // `search` caps its query volume at min(floor, 5000) by per-query
+    // cost (see StreamBench.searchSection) — assert against the capped
+    // floor so raising the spec floor past the cap can't fail spuriously
+    byName("search").rows should be >= math.min(floor, 5000).toLong
   }
 }

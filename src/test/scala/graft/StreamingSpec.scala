@@ -827,4 +827,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     buf.toSet shouldBe expected
   }
+
+  test("streaming probe-pruned serving equals the batch IVF-PQ search on the same query set") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("sim_ivfpq_search")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    expected should not be empty
+
+    val qvecs = graft.ingest.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+      .as[(Long, Seq[Double])].collect().toIndexedSeq
+    val cellCodes = graft.queries.SimilarityQueries.indexedCodes(spark, d)
+      .localCheckpoint()
+    val cb = graft.queries.SimilarityQueries.trainedCodebookFrame(spark, d)
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingSearch.servePrunedWriter(
+        in.toDF().toDF("query_id", "qv"), cellCodes, cb, cents,
+        nprobe = 3, k = 10) { out =>
+        buf.synchronized { buf ++= out.as[(Long, Long, Long, Long)].collect() }
+      }
+      .option("checkpointLocation", tmp("ckpt-ivfpq")).start()
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    buf.toSet shouldBe expected
+  }
 }
