@@ -20,30 +20,30 @@ object Bench {
     * SLOs are defined over, the TPC-H-shaped heavy hitters, the dedup /
     * similarity / text LLM-pipeline operators, and the custom-plan ops. */
   private val Headline: Seq[String] = Seq(
+    // The metric line must survive the caller's 2000-byte tail window
+    // (see the guard at the end of main) — every entry costs ~26 bytes,
+    // so this set holds the SLO surface plus one-or-two flagships per
+    // family and rotates older mid-tier entries out to
+    // bench_detail.json (which always carries every query).
     "cdc_parse_roundtrip", "cdc_enrich", "cdc_leaderboard",
     "cdc_content_stats", "cdc_minute_windows", "cdc_warehouse_hour",
-    "rel_pricing_summary", "rel_order_revenue", "rel_nation_revenue",
+    "rel_pricing_summary", "rel_nation_revenue",
     "rel_window_funcs", "adv_grouping_sets",
     "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_cosine",
     "dedup_components", "curate_corpus",
     "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_ann_recall",
     "curate_token_budget", "dedup_keeper_election",
-    "text_quality", "text_langid", "op_asof_join", "op_funnel",
-    // round-6 flagships
+    "text_quality", "text_langid", "op_funnel",
     "curate_decontaminate", "curate_pack_chunks", "op_pps_sample",
-    "curate_quality_gate", "sim_coreset", "text_corpus_freq",
     "curate_recipe",
-    // round-7 flagships
-    "graph_triangles", "text_novelty", "dedup_cluster_sizes",
-    "curate_scorecard", "dedup_spans", "text_bpe_step", "mm_phash_pairs",
-    "mm_phash_clusters", "curate_chunk_overlap", "corpus_search",
-    "text_hash_embed", "sim_pq_code", "sim_pq_adc", "sim_pq_recall",
-    "sim_index_build",
+    "graph_triangles", "curate_scorecard", "mm_phash_clusters",
+    "corpus_search", "sim_pq_adc", "sim_pq_recall", "sim_index_build",
     // round-8 flagships
     "sim_kmeans_train", "sim_pq_train", "sim_kmeans_inertia",
     "sim_ivf_recall", "text_bpe_train", "text_bpe_apply",
     // round-9 flagships
-    "sim_ivfpq_search", "sim_ivfpq_recall", "graph_pagerank_train",
+    "sim_ivfpq_search", "sim_ivfpq_recall", "sim_ivfpq_residual",
+    "sim_ivfpq_res_recall", "graph_pagerank_train",
     "graph_pagerank_converge")
 
   /** How many of the slowest queries get their formatted plan dumped to
@@ -339,16 +339,38 @@ object Bench {
     // paragraph re-deriving the ambient argument from probe+loadavg.
     val calibRatio = passes.map(_.calibSec).min / ReferenceCalibSec
     val normalizedRps = rps * calibRatio
-    val metricLine =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qs,""" +
+    def buildLine(qMap: String, streams: String): String =
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qMap,""" +
         s""""queries_run":${queries.size},"errors":${failed.size},""" +
         s""""passes":$nPasses,"calib_sec":$calibJson,"loadavg":$loadJson,""" +
         s""""shared_frames_sec":${sec3(sharedSec)},""" +
         s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
         s""""calib_ratio":${sec3(calibRatio)},""" +
         s""""normalized_rps":${normalizedRps.round},""" +
-        s""""stream_rps":${streamRps.round},"streams":$streamsJson,""" +
+        s""""stream_rps":${streamRps.round},"streams":$streams,""" +
         s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}"""
+    // HARD length guard: the caller tail-captures 2000 bytes and parses
+    // the final {...} line — a line that outgrows the window loses its
+    // opening brace and the whole round's metrics parse as null. If the
+    // full line doesn't fit with headroom, drop the streams map first
+    // (it lives in bench_detail.json), then halve the headline set —
+    // a shorter-but-parseable line always beats a complete-but-lost one.
+    val metricLine = {
+      val full = buildLine(qs, streamsJson)
+      if (full.length <= 1900) full
+      else {
+        System.err.println(
+          s"WARN bench: metric line ${full.length}B > 1900B guard; shrinking")
+        val noStreams = buildLine(qs, "{}")
+        if (noStreams.length <= 1900) noStreams
+        else {
+          val halfQs = Headline.take(Headline.size / 2)
+            .flatMap(n => byName.get(n).map(v => s"\"$n\":" + sec3(v)))
+            .mkString("{", ",", "}")
+          buildLine(halfQs, "{}")
+        }
+      }
+    }
     // The metric line must be the LAST line of stdout (the driver tail-
     // captures and parses the final {...} line): silence Spark first, stop
     // the session (its shutdown logging, if any, lands before the line),

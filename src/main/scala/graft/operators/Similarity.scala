@@ -375,6 +375,59 @@ object Similarity {
     }
   }
 
+  /** Residual IVF-PQ serving — [[ivfPqSearch]] with the PQ half coding
+    * RESIDUALS (v − assigned centroid), the layout production IVF-PQ
+    * indexes actually store (the IVFADC scheme): residual norms are far
+    * smaller than vector norms, so the same 4×4-bit code budget
+    * quantizes much finer and recall rises at identical serving cost.
+    *
+    * The distance table becomes PER (query, probed cell) — the query's
+    * residual against each probed centroid, |queries| × nprobe × 64
+    * rows, still broadcast-sized by construction. Joining the
+    * cell-tagged residual codes on (cell_id, sub, code) restricts the
+    * scan to probed cells AND resolves the table lookup in the same
+    * broadcast join — pruning and ADC in one map-only stage, one
+    * exchange for the per-(query, vec) sum.
+    *
+    * `cellCodes`: (vec_id, cell_id, sub, code) with codes from the
+    * RESIDUAL codebook `cb`; `cents` must be the same trained centroids
+    * the codes were built against (the residual is centroid-relative). */
+  def ivfPqResidualSearch(queries: DataFrame, cellCodes: DataFrame,
+      cb: DataFrame, cents: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val qd2 = dot(col("qv"), col("qv")) -
+      lit(2.0) * dot(col("qv"), col("cent_v")) +
+      dot(col("cent_v"), col("cent_v"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qd2").asc, col("cent_id").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("__qd2", qd2)
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell_id"),
+        zip_with(col("qv"), col("cent_v"), (a, b) => a - b).as("qres"))
+    val subD2 = (dot(col("sv"), col("sv")) -
+      lit(2.0) * dot(col("sv"), col("cv")) +
+      dot(col("cv"), col("cv"))).cast("long")
+    val dt = probes
+      .select(col("query_id"), col("cell_id"),
+        explode(sequence(lit(0), lit(3))).as("sub"), col("qres"))
+      .withColumn("sv", slice(col("qres"), col("sub") * 16 + 1, lit(16)))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("cell_id"),
+        col("sub").cast("long").as("sub"), col("code"), subD2.as("dt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    cellCodes
+      .join(broadcast(dt), Seq("cell_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adist"))
+  }
+
   /** Near-duplicate vector pairs: LSH candidates verified at an exact
     * cosine `threshold`. Returns (a, b) with a < b. */
   def nearDuplicateVectors(corpus: DataFrame, idCol: String, vecCol: String,

@@ -24,6 +24,8 @@ class PlanSpec extends SparkSpec {
       "sim_pq_recall", // embeds the exact-L2 brute force it grades against
       "sim_ivfpq_search", // broadcast centroid probe (k-sized, linear in queries)
       "sim_ivfpq_recall", // embeds the exact-L2 brute force it grades against
+      "sim_ivfpq_residual", // same broadcast centroid probe, residual variant
+      "sim_ivfpq_res_recall", // embeds the exact-L2 brute force it grades against
       "sim_index_build", // broadcast centroid + codebook assignments
       "rel_cross_small", // 5×25 dimension product — the cross IS the query
       "wh_dq_checks") // 1-row × 1-row scalar cross (metrics × orphan count)
