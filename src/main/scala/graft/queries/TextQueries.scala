@@ -493,6 +493,98 @@ object TextQueries {
          |    ORDER BY score DESC, doc_id ASC) AS rk FROM cand)
          |WHERE rk <= 5""".stripMargin),
 
+    // BM25 ranked retrieval — corpus_search's scoring upgraded with the
+    // two ideas that make BM25 the lexical-retrieval standard: tf
+    // SATURATION (k1 = 1.2 — the 10th occurrence of a term is worth
+    // far less than the 1st) and document-LENGTH normalization
+    // (b = 0.75 — long documents don't win just by containing more
+    // tokens). Everything is exact int64, in the repo's log-free
+    // doctrine: idf is the rational Robertson–Spärck-Jones core
+    // (2N−2df+1)/(2df+1) (the log's argument — per-term-monotone, like
+    // corpus_tfidf's N/df for ln(N/df)); with k1 = 6/5, b = 3/4, and
+    // integer avgdl A = L div N, the per-(term, doc) weight reduces to
+    //   w = floor( (2N−2df+1)·44·tf·A·1000
+    //              / ((2df+1)·(20·tf·A + 6·A + 18·dl)) )
+    // — numerator ≤ ~1e12 at sf0.1 (< 2^52, so the IEEE quotient's
+    // distance to any integer exceeds its ulp and both engines floor
+    // identically; beyond ~2^52 the same formula runs in decimal(38)),
+    // summed over the query's terms as exact longs. Shape at 100 TB:
+    // identical to corpus_search — tf/df/dl from ONE token explosion,
+    // query-term frame broadcast onto the tf aggregate, candidates
+    // carried as id pairs; the corpus never reshuffles for scoring.
+    "corpus_bm25" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+        val a = toks.count() / n // integer avgdl — exact, replayed as l // n
+        val qw = Window.partitionBy(col("doc_id"))
+          .orderBy((col("tf") * lit(n) / col("df")).desc, col("term").asc)
+        val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)
+          .join(dfT, "term")
+          .withColumn("qrk", row_number().over(qw))
+          .filter(col("qrk") <= 3)
+          .select(col("doc_id").as("query_doc"), col("term"), col("df"))
+        val cw = Window.partitionBy(col("query_doc"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+        tf.join(broadcast(qterms), Seq("term"))
+          .filter(col("doc_id") =!= col("query_doc"))
+          .join(dl, "doc_id")
+          .groupBy(col("query_doc"), col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_shared"),
+            sum(TextAnalysis.bm25Weight(col("tf"), col("df"), col("dl"),
+              n, a)).as("score"))
+          .withColumn("rk", row_number().over(cw))
+          .filter(col("rk") <= 5)
+          .select(col("query_doc"), col("rk").cast("long").as("rk"),
+            col("doc_id"), col("n_shared"), col("score"))
+      },
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${tokens("text")}) AS term FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY doc_id, term),
+         |df AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
+         |dl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |  FROM toks GROUP BY doc_id),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+         |      FROM documents),
+         |st AS (SELECT tot.l // n.n AS a
+         |       FROM (SELECT CAST(count(*) AS BIGINT) AS l FROM toks) tot, n),
+         |q AS (
+         |  SELECT doc_id AS query_doc, term, df FROM (
+         |    SELECT tf.doc_id, tf.term, df.df,
+         |      row_number() OVER (PARTITION BY tf.doc_id
+         |        ORDER BY tf.tf * n.n / df.df DESC, tf.term ASC) AS qrk
+         |    FROM tf JOIN df USING (term), n
+         |    WHERE tf.doc_id % 100 = 0)
+         |  WHERE qrk <= 3),
+         |cand AS (
+         |  SELECT q.query_doc, tf.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_shared,
+         |    CAST(sum(CAST(floor(
+         |      ((2 * n.n - 2 * q.df + 1) * (44 * st.a * 1000) * tf.tf)
+         |      / ((q.df * 2 + 1)
+         |        * (tf.tf * (20 * st.a) + 6 * st.a + dl.dl * 18)))
+         |      AS BIGINT)) AS BIGINT) AS score
+         |  FROM q JOIN tf USING (term) JOIN dl ON dl.doc_id = tf.doc_id, n, st
+         |  WHERE tf.doc_id <> q.query_doc
+         |  GROUP BY q.query_doc, tf.doc_id)
+         |SELECT query_doc, CAST(rk AS BIGINT) AS rk, doc_id, n_shared, score
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_doc
+         |    ORDER BY score DESC, doc_id ASC) AS rk FROM cand)
+         |WHERE rk <= 5""".stripMargin),
+
     // Feature-hashing-trick document embedding (hash kernel): each
     // token lands in one of 16 buckets via the engine-portable MD5
     // hash, and the per-bucket counts ARE the document's sparse

@@ -26,6 +26,10 @@ class PlanSpec extends SparkSpec {
       "sim_ivfpq_recall", // embeds the exact-L2 brute force it grades against
       "sim_ivfpq_residual", // same broadcast centroid probe, residual variant
       "sim_ivfpq_res_recall", // embeds the exact-L2 brute force it grades against
+      "sim_ivfpq_rerank", // embeds the residual probe's centroid broadcast
+      "sim_ivfpq_rerank_recall", // embeds the exact-L2 brute force baseline
+      "sim_sq8_search", // broadcast query-sample cross (SQFlat baseline)
+      "sim_sq8_recall", // embeds the exact-L2 brute force it grades against
       "sim_index_build", // broadcast centroid + codebook assignments
       "rel_cross_small", // 5×25 dimension product — the cross IS the query
       "wh_dq_checks") // 1-row × 1-row scalar cross (metrics × orphan count)

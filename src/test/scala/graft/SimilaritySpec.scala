@@ -151,4 +151,39 @@ class SimilaritySpec extends SparkSpec {
       rows.last._2 should be < rows.head._2
     }
   }
+
+  test("exact re-rank (IVFADC+R) never loses recall vs its ADC shortlist") {
+    // The re-rank re-scores the residual-ADC shortlist with EXACT d2, so
+    // per query its top-K can only be a better-or-equal subset of what
+    // the probed cells contain: mean recall@K must be >= the plain
+    // residual-ADC row's. (Strict improvement is data-dependent — at
+    // sf0.01 the measured lift is 0.34 -> 0.70 — so the pin is >=.)
+    def meanRecall(name: String): Double = {
+      val rows = graft.SparkEntry.queries(name)(
+        spark, "/root/testdata/sf0.001").collect()
+      rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    }
+    val adc = meanRecall("sim_ivfpq_res_recall")
+    val rr = meanRecall("sim_ivfpq_rerank_recall")
+    withClue(s"residual-ADC recall=$adc, rerank recall=$rr: ") {
+      rr should be >= adc
+    }
+  }
+
+  test("SQ8 outranks every sub-byte code on the recall ladder") {
+    // 8 bits per DIMENSION (64 B/vec) vs 16 bits per VECTOR (2 B/vec):
+    // 32× the rate buys near-exact recall — the measured memory/recall
+    // frontier the docs cite (sf0.01: SQ8 0.99 vs residual IVF-PQ 0.34).
+    def meanRecall(name: String): Double = {
+      val rows = graft.SparkEntry.queries(name)(
+        spark, "/root/testdata/sf0.001").collect()
+      rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    }
+    val sq8 = meanRecall("sim_sq8_recall")
+    val res = meanRecall("sim_ivfpq_res_recall")
+    withClue(s"sq8 recall=$sq8, residual IVF-PQ recall=$res: ") {
+      sq8 should be > res
+      sq8 should be > 0.8 // near-exact in absolute terms, not just relative
+    }
+  }
 }

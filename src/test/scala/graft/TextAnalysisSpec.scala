@@ -90,4 +90,27 @@ class TextAnalysisSpec extends SparkSpec {
     r(0) should be > 0.8
     r(1) shouldBe 0.0
   }
+
+  test("bm25 weight: tf saturates, length normalizes, rarity dominates") {
+    // The three properties that make BM25 BM25, pinned on the exact
+    // integer weight (n = 1000 docs, avgdl = 50 tokens):
+    def w(tf: Long, df: Long, dl: Long): Long =
+      Seq((tf, df, dl)).toDF("tf", "df", "dl")
+        .select(TextAnalysis.bm25Weight(col("tf"), col("df"), col("dl"),
+          n = 1000, avgdl = 50).as("w"))
+        .as[Long].head()
+    // (1) tf saturation: increasing, but with strictly decreasing
+    // marginal gain — and bounded by the k1+1 asymptote
+    val tfw = Seq(1L, 2L, 4L, 8L, 16L).map(w(_, 10, 50))
+    tfw shouldBe sorted
+    val gains = tfw.sliding(2).map { case Seq(a, b) => b - a }.toSeq
+    gains.sliding(2).foreach { case Seq(g1, g2) => g2 should be < g1 }
+    // asymptote: w(tf→∞) = idf · (k1+1) · 1000; at tf=1000 we're under it
+    val idfTimes2200 = (2L * 1000 - 2 * 10 + 1) * 2200 * 1000 / ((2 * 10 + 1) * 1000)
+    w(1000, 10, 50) should be <= idfTimes2200
+    // (2) length normalization: same tf in a longer document is worth less
+    w(5, 10, 200) should be < w(5, 10, 50)
+    // (3) rarity: rarer terms weigh more at equal tf and length
+    w(5, 5, 50) should be > w(5, 100, 50)
+  }
 }
