@@ -428,6 +428,34 @@ object Similarity {
         col("vec_id"), col("adist"))
   }
 
+  /** Exact re-rank refinement (the "+R" of IVFADC+R): re-score an ADC
+    * shortlist with exact squared-L2 on the raw vectors and keep the
+    * top-k. `shortlist` carries (query_id, vec_id) candidate pairs —
+    * |queries|×R rows, broadcast-small by construction — and `corpus`
+    * (vec_id, qv) / `queries` (query_id, qv) the raw vectors. Both the
+    * shortlist and the query frame broadcast onto the corpus scan, so
+    * the gather is a per-query point-lookup: R vector reads per query,
+    * vectors never shuffle. Shared by the batch `sim_ivfpq_rerank`
+    * query and the streaming serving twin. */
+  def rerankExact(shortlist: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val d2 = (dot(col("xv"), col("xv")) -
+      lit(2.0) * dot(col("xv"), col("cv2")) +
+      dot(col("cv2"), col("cv2"))).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    corpus.select(col("vec_id"), col("qv").as("cv2"))
+      .join(broadcast(shortlist.select(col("query_id"), col("vec_id"))),
+        Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv").as("xv"))),
+        Seq("query_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("d2"))
+  }
+
   /** Near-duplicate vector pairs: LSH candidates verified at an exact
     * cosine `threshold`. Returns (a, b) with a < b. */
   def nearDuplicateVectors(corpus: DataFrame, idCol: String, vecCol: String,

@@ -801,6 +801,12 @@ object SimilarityQueries {
       pqResTrainPipeline(s, d).select(col("sub"),
         col("cent_id").as("code"), col("cent_v").as("cv")))
 
+  /** The trained residual codebook, package-visible for the streaming
+    * re-rank serving twin. */
+  private[graft] def trainedResCodebookFrame(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = trainedResCodebook(s, d)
+
   /** The residual index rows (vec_id, cell_id, sub, code) — cell-tagged
     * codes from the residual codebook; the min-key argmin shape of
     * [[pqCodes]] with the cell id riding the grouping keys. */
@@ -904,25 +910,12 @@ object SimilarityQueries {
     * vectors; exact d2 then re-orders and cuts to top-[[K]]. */
   private def ivfpqRerankSpark(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val shortlist = ivfpqResSpark(s, d, k = RerankR)
-      .select(col("query_id"), col("vec_id"))
     val e = quantized(s, d)
-    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select(col("vec_id").as("query_id"), col("qv").as("xv"))
-    val exactD2 = (Similarity.dot(col("xv"), col("xv"))
-      - lit(2.0) * Similarity.dot(col("xv"), col("cv2"))
-      + Similarity.dot(col("cv2"), col("cv2"))).cast("long")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("vec_id").asc)
-    e.select(col("vec_id"), col("qv").as("cv2"))
-      .join(broadcast(shortlist), Seq("vec_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .withColumn("d2", exactD2)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), col("d2"))
+    Similarity.rerankExact(
+      ivfpqResSpark(s, d, k = RerankR),
+      e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("qv")),
+      e, k = K)
   }
 
   /** DuckDB text of the re-rank: the full IVFADC chain at shortlist

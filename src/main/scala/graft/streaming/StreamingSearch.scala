@@ -53,4 +53,24 @@ object StreamingSearch {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(Similarity.ivfPqSearch(batch, cellCodes, cb, cents, nprobe, k))
       }
+
+  /** Refined serving (IVFADC+R) — the complete production pipeline per
+    * micro-batch: probe nprobe trained cells, residual-ADC-rank their
+    * codes ([[Similarity.ivfPqResidualSearch]]) to an `rWidth`-wide
+    * shortlist, then decide the top-k by exact squared-L2 on the raw
+    * vectors of just those candidates ([[Similarity.rerankExact]] — a
+    * per-query point-lookup gather against the static `corpus` frame,
+    * which never reshuffles). Both stages reuse the batch kernels
+    * verbatim; StreamingSpec pins streamed results equal to the batch
+    * `sim_ivfpq_rerank` on the same query set. */
+  def serveRerankWriter(queries: DataFrame, resCellCodes: DataFrame,
+      resCb: DataFrame, cents: DataFrame, corpus: DataFrame,
+      nprobe: Int, rWidth: Int, k: Int)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val shortlist = Similarity.ivfPqResidualSearch(
+          batch, resCellCodes, resCb, cents, nprobe, rWidth)
+        sink(Similarity.rerankExact(shortlist, batch, corpus, k))
+      }
 }

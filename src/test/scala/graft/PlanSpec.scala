@@ -148,7 +148,11 @@ class PlanSpec extends SparkSpec {
       // r9 entrants: the composed serving path + iterated pagerank
       "sim_ivfpq_search" -> 12, // measured 11: index build (assign + codes) + pruned ADC agg + top-k
       "graph_pagerank_train" -> 0, // checkpointed rank frame: a pure scan
-      "graph_pagerank_converge" -> 9) // measured 8: 3 delta joins + sums over checkpointed frames
+      "graph_pagerank_converge" -> 9, // measured 8: 3 delta joins + sums over checkpointed frames
+      // r9 retrieval-frontier entrants
+      "sim_ivfpq_rerank" -> 14, // measured 13: residual search at width R + two broadcast gathers + top-k
+      "sim_sq8_search" -> 9, // measured 8: range agg collapse + coded cross + top-k
+      "corpus_bm25" -> 12) // measured 11: corpus_search's shape + the dl join
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

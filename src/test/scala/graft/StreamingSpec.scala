@@ -857,4 +857,35 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     buf.toSet shouldBe expected
   }
+
+  test("streaming refined serving equals the batch IVFADC+R re-rank on the same query set") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("sim_ivfpq_rerank")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    expected should not be empty
+
+    val corpus = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val qvecs = corpus.filter(col("vec_id") % 50 === 0)
+      .as[(Long, Seq[Double])].collect().toIndexedSeq
+    val resCodes = graft.queries.SimilarityQueries
+      .residualCellCodes(spark, d).localCheckpoint()
+    val resCb = graft.queries.SimilarityQueries
+      .trainedResCodebookFrame(spark, d)
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingSearch.serveRerankWriter(
+        in.toDF().toDF("query_id", "qv"), resCodes, resCb, cents,
+        corpus.localCheckpoint(), nprobe = 3, rWidth = 30, k = 10) { out =>
+        buf.synchronized { buf ++= out.as[(Long, Long, Long, Long)].collect() }
+      }
+      .option("checkpointLocation", tmp("ckpt-rerank")).start()
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    buf.toSet shouldBe expected
+  }
 }
