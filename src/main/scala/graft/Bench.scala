@@ -46,7 +46,8 @@ object Bench {
     "sim_ivfpq_res_recall", "graph_pagerank_train",
     "graph_pagerank_converge",
     "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
-    "sim_sq8_search", "sim_sq8_recall", "corpus_bm25")
+    "sim_sq8_search", "sim_sq8_recall", "corpus_bm25",
+    "curate_dsir_weights")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

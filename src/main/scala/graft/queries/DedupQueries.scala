@@ -917,6 +917,80 @@ object DedupQueries {
            |FROM documents GROUP BY source""".stripMargin
       }),
 
+    // DSIR-style importance weighting — targeted data SELECTION, the
+    // step after filtering in a modern pretraining recipe: score every
+    // document by how much it resembles a TARGET distribution (here the
+    // corpus' English slice) relative to the background (the full
+    // corpus), using hashed-n-gram bag-of-features models exactly as
+    // DSIR does. Per 64-bucket feature b the weight is the log-free
+    // rational ratio
+    //   r_b = floor( 1000·(ct_b+1)·Nb / ((cb_b+1)·Nt) )
+    // ((ct/cb) = target/background bucket counts, +1 smoothing, Nt/Nb
+    // the smoothed totals — the argument of DSIR's log, per-feature
+    // monotone; same doctrine as corpus_tfidf's N/df for ln(N/df)), and
+    // a document's importance is the exact int64 sum of r_b over its
+    // hashed distinct 2-grams. Shape at 100 TB: the two count frames
+    // are 64-row aggregates; the weight table folds into a 64-element
+    // array on a 1-row broadcast frame; scoring is then a MAP-ONLY
+    // aggregate() fold per document — no shuffle touches the corpus at
+    // all after the counting pass, and resampling by the score is
+    // op_pps_sample's prefix-sum kernel downstream.
+    "curate_dsir_weights" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val grams = docs.select(col("doc_id"), col("lang"),
+          Dedup.hashedShingles(col("text"), 2).as("gs"))
+        val ex = grams.select(col("doc_id"), col("lang"),
+            explode(col("gs")).as("g"))
+          .withColumn("b", pmod(col("g"), lit(64L)))
+        val cbF = ex.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+        val ctF = ex.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val nb = ex.count() + 64
+        val nt = ex.filter(col("lang") === "en").count() + 64
+        val w = s.range(1)
+          .select(explode(sequence(lit(0L), lit(63L))).as("b"))
+          .join(cbF, Seq("b"), "left").join(ctF, Seq("b"), "left")
+          .select(col("b"), floor(
+            ((coalesce(col("ct"), lit(0L)) + 1) * nb * 1000) /
+              ((coalesce(col("cb"), lit(0L)) + 1) * nt))
+            .cast("long").as("r"))
+        val rl = w.agg(sort_array(collect_list(struct(col("b"), col("r"))))
+            .as("ws"))
+          .select(transform(col("ws"), x => x.getField("r")).as("rl"))
+        grams.crossJoin(broadcast(rl))
+          .filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), size(col("gs")).cast("long").as("n_feats"),
+            aggregate(col("gs"), lit(0L), (acc, g) =>
+              acc + element_at(col("rl"),
+                (pmod(g, lit(64L)) + 1).cast("int"))).as("imp_score"))
+      }, {
+        val hs = s"list_transform(${shingles(tokens("text"), 2)}, " +
+          s"s -> ${graft.functions.PortableHash.hash60Sql("s")})"
+        s"""WITH gb AS (
+           |  SELECT doc_id, lang, g0 % 64 AS b
+           |  FROM (SELECT doc_id, lang, unnest($hs) AS g0 FROM documents)),
+           |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb
+           |       FROM gb GROUP BY b),
+           |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+           |       FROM gb WHERE lang = 'en' GROUP BY b),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) + 64 AS nb,
+           |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) + 64 AS nt
+           |  FROM gb),
+           |bk AS (SELECT CAST(t.m AS BIGINT) AS b
+           |       FROM UNNEST(generate_series(0, 63)) AS t(m)),
+           |w AS (
+           |  SELECT bk.b, CAST(floor(
+           |    ((COALESCE(ct.ct, 0) + 1) * tot.nb * 1000)
+           |    / ((COALESCE(cb.cb, 0) + 1) * tot.nt)) AS BIGINT) AS r
+           |  FROM bk LEFT JOIN cb USING (b) LEFT JOIN ct USING (b), tot)
+           |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           |  CAST(sum(w.r) AS BIGINT) AS imp_score
+           |FROM gb JOIN w USING (b)
+           |WHERE gb.doc_id % 5 = 0
+           |GROUP BY gb.doc_id""".stripMargin
+      }),
+
     // Embedding-cosine near-dup: random-hyperplane LSH candidates, exact
     // cosine verification. Vectors quantized to integer-valued doubles so
     // all arithmetic is exact (order-independent, engine-portable).
