@@ -53,6 +53,19 @@ object SimilarityQueries {
     * applies (see [[TrainIters]]). */
   private val RerankR = 3 * K
 
+  /** Power-iteration rounds for the SVD family. Three moves the
+    * Rayleigh quotient visibly off the uniform init; each round costs
+    * one corpus pass + one 64-key shuffle + one 64-row collect, and one
+    * unrolled oracle CTE block. Init-before-`defs` rule applies. */
+  private val SvdIters = 3
+
+  /** ∞-norm scale of the re-quantized SVD direction. 100 keeps every
+    * bound exact: |u| ≤ 64·578·100 ≈ 3.7e6, |w| ≤ n·578·|u| ≈ 4.3e12 at
+    * sf0.1, w·100 ≈ 4.3e14 < 2^53 (the re-quantization quotient's
+    * operands stay exact doubles), Rayleigh numerator ≤ 2.7e16 < 2^63.
+    * Init-before-`defs` rule applies. */
+  private val SvdScale = 100L
+
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
@@ -499,6 +512,46 @@ object SimilarityQueries {
         sq8Spark(s, d).select(col("query_id"),
           col("vec_id").as("neighbor_id"))),
       recallAgainstExactL2Sql(sq8Sql)),
+
+    // Power-iteration SVD — the dominant right singular direction of
+    // the embedding matrix, trained by iterating the audited step (the
+    // k-means / BPE / PageRank doctrine, fourth family): per round
+    // u = Xv is a map-only native dot against the broadcast direction
+    // literals, w = Xᵀu is ONE posexplode + 64-key map-side-combined
+    // sum (the corpus never shuffles; the shuffle carries 64 partials
+    // per partition), and the next direction is w re-quantized by
+    // round(w·100/max|w|) so every round's inputs stay exact
+    // integer-valued. The direction a pipeline whitens/projects with
+    // before ANN indexing. Oracle replays all rounds as unrolled CTEs.
+    "sim_svd_power" -> QueryDef(
+      (s, d) => {
+        val sqlc = s
+        import sqlc.implicits._
+        val (v, _) = svdIterations(s, d)
+        v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+          .toDF("dim", "v")
+      },
+      s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |$svdCtes
+         |SELECT CAST(pos - 1 AS BIGINT) AS dim, CAST(v AS BIGINT) AS v
+         |FROM v$SvdIters""".stripMargin),
+
+    // SVD convergence audit — the Rayleigh quotient λ̂ = vᵀ(XᵀX)v / vᵀv
+    // of each round's INPUT direction, reported as the exact integer
+    // pair (rq_num, rq_den) (the ratio estimates λ_max and is
+    // non-decreasing for power iteration up to the re-quantization
+    // perturbation — SimilaritySpec pins the trajectory with the same
+    // slack doctrine as the k-means inertia audit).
+    "sim_svd_converge" -> QueryDef(
+      (s, d) => {
+        val sqlc = s
+        import sqlc.implicits._
+        svdIterations(s, d)._2.toDF("iter", "rq_num", "rq_den")
+      },
+      s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |$svdCtes
+         |${(1 to SvdIters).map(i => s"SELECT * FROM rq$i")
+           .mkString("\nUNION ALL\n")}""".stripMargin),
 
     // ANN index-build capstone — the composition proof for the
     // similarity family (curate_recipe's role for curation): ONE DAG
@@ -1211,4 +1264,88 @@ object SimilarityQueries {
        |  SELECT vec_id, CAST(sub AS BIGINT) AS sub,
        |    MIN(d2 * 16 + code) AS k
        |  FROM dd GROUP BY vec_id, sub)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Power-iteration SVD: the dominant right singular direction of the
+  // (uncentered) embedding matrix — the fourth family trained by
+  // iterating an audited step (k-means / BPE / PageRank doctrine).
+
+  /** One distributed power step: u = Xv (map-only native dot per row
+    * against the broadcast direction literals — index-metadata-sized,
+    * like the streaming twins' centroid folds), then w = Xᵀu as ONE
+    * posexplode + 64-key map-side-combined sum. The corpus is touched
+    * exactly once per step and never shuffles — the shuffle carries 64
+    * partial sums per partition. Every value is an exact integer-valued
+    * double (< 2^53), collected as int64. */
+  private def svdStep(s: org.apache.spark.sql.SparkSession, d: String,
+      v: Array[Long]): Array[Long] = {
+    val vlit = array(v.toIndexedSeq.map(x => lit(x.toDouble)): _*)
+    quantized(s, d)
+      .select(col("qv"), Similarity.dot(col("qv"), vlit).as("u"))
+      .select(posexplode(col("qv")).as(Seq("pos", "x")), col("u"))
+      .groupBy(col("pos"))
+      .agg(sum(col("x") * col("u")).cast("long").as("w"))
+      .collect()
+      .sortBy(_.getAs[Int]("pos"))
+      .map(_.getAs[Long]("w"))
+  }
+
+  /** The full training run: v₀ = uniform(SvdScale); per round, the
+    * distributed step, the exact-int Rayleigh pair (vᵀw, vᵀv) — the
+    * objective the audit row reports, λ̂ = num/den → λ_max — and the
+    * re-quantized next direction round(w·scale/max|w|). The rounding
+    * replicates the engines bit-for-bit: the quotient is the IEEE
+    * double (w·100).toDouble / m (operands exact, division correctly
+    * rounded — identical in Spark, DuckDB, and here), and HALF_UP on
+    * that double is exactly both engines' round(). Returns the final
+    * direction and the per-round Rayleigh pairs. */
+  private[graft] def svdIterations(s: org.apache.spark.sql.SparkSession,
+      d: String): (Array[Long], Seq[(Long, Long, Long)]) = {
+    var v = Array.fill(Dims)(SvdScale)
+    val rqs = Seq.newBuilder[(Long, Long, Long)]
+    for (t <- 1 to SvdIters) {
+      val w = svdStep(s, d, v)
+      val num = v.zip(w).map { case (a, b) => a * b }.sum
+      val den = v.map(x => x * x).sum
+      rqs += ((t.toLong, num, den))
+      val m = w.map(math.abs).max
+      require(m > 0, "svd power step produced the zero vector")
+      v = w.map { x =>
+        val q = (x * 100L).toDouble / m.toDouble
+        BigDecimal(q).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    (v, rqs.result())
+  }
+
+  /** The unrolled oracle chain: per round, u/w as the same two dots,
+    * the Rayleigh pair from the PREVIOUS direction, and the
+    * re-quantized next direction (round + the `-0.0 → +0.0`
+    * normalization, the kmeans-chain doctrine). Ends defining
+    * `v$SvdIters(pos, v)` and `rq1..rq$SvdIters(iter, rq_num, rq_den)`. */
+  private def svdCtes: String = {
+    val init =
+      s"v0l AS (SELECT list_transform(generate_series(1, $Dims), i -> ${SvdScale}.0) AS vl)"
+    val steps = (1 to SvdIters).map { i =>
+      s"""u$i AS (
+         |  SELECT e.vec_id, ${dot("e.v", "v.vl", Dims)} AS u
+         |  FROM e, v${i - 1}l v),
+         |w$i AS (
+         |  SELECT di.i AS pos, CAST(SUM(e.v[di.i] * u$i.u) AS BIGINT) AS w
+         |  FROM e JOIN u$i USING (vec_id),
+         |    (SELECT unnest(range(1, ${Dims + 1})) AS i) di
+         |  GROUP BY di.i),
+         |rq$i AS (
+         |  SELECT CAST($i AS BIGINT) AS iter,
+         |    CAST(SUM(CAST(v.vl[w.pos] AS BIGINT) * w.w) AS BIGINT) AS rq_num,
+         |    CAST(SUM(CAST(v.vl[w.pos] AS BIGINT)
+         |      * CAST(v.vl[w.pos] AS BIGINT)) AS BIGINT) AS rq_den
+         |  FROM w$i w, v${i - 1}l v),
+         |m$i AS (SELECT MAX(ABS(w)) AS m FROM w$i),
+         |v$i AS (
+         |  SELECT pos, round(w * 100 / m) + 0.0 AS v FROM w$i, m$i),
+         |v${i}l AS (SELECT list(v ORDER BY pos) AS vl FROM v$i)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
 }

@@ -186,4 +186,32 @@ class SimilaritySpec extends SparkSpec {
       sq8 should be > 0.8 // near-exact in absolute terms, not just relative
     }
   }
+
+  test("SVD power iteration climbs the Rayleigh quotient") {
+    // λ̂ = rq_num/rq_den estimates λ_max and is non-decreasing for exact
+    // power iteration; re-quantization (round(w·100/max|w|)) perturbs
+    // each step, so per-step gets 1% relative slack (the inertia-audit
+    // doctrine) while the end-to-end climb is pinned strict. Ratios
+    // compared by BigInt cross-multiplication — no float division.
+    val rows = graft.SparkEntry.queries("sim_svd_converge")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("iter"),
+        BigInt(r.getAs[Long]("rq_num")), BigInt(r.getAs[Long]("rq_den"))))
+      .sortBy(_._1)
+    rows.map(_._1) shouldBe Array(1L, 2L, 3L)
+    rows.foreach { case (_, num, den) =>
+      num should be > BigInt(0); den should be > BigInt(0)
+    }
+    rows.sliding(2).foreach { case Array((_, n1, d1), (_, n2, d2)) =>
+      // n2/d2 >= 0.99 * n1/d1  ⟺  100·n2·d1 >= 99·n1·d2
+      withClue(s"per-step Rayleigh drop beyond slack: $n1/$d1 -> $n2/$d2: ") {
+        (n2 * d1 * 100) should be >= (n1 * d2 * 99)
+      }
+    }
+    val (_, nF, dF) = rows.last
+    val (_, n0, d0) = rows.head
+    withClue(s"no end-to-end climb: $n0/$d0 -> $nF/$dF: ") {
+      (nF * d0) should be > (n0 * dF)
+    }
+  }
 }
