@@ -47,7 +47,8 @@ object Bench {
     "graph_pagerank_converge",
     "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
     "sim_sq8_search", "sim_sq8_recall", "corpus_bm25",
-    "curate_dsir_weights", "sim_svd_power", "sim_svd_converge")
+    "curate_dsir_weights", "curate_dsir_resample",
+    "sim_svd_power", "sim_svd_converge")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

@@ -24,6 +24,14 @@ object DedupQueries {
   private val Bands = 4
   private val RowsPerBand = K / Bands
 
+  /** Systematic-sampling step for the DSIR resampler: one document kept
+    * per 2^18 units of cumulative importance (scores are ~1000 per
+    * feature × ~45 features per doc, so ≈ one keeper per ~5 docs at any
+    * SF — 98/500 measured at sf0.01; the kept count tracks corpus
+    * size). MUST initialize before
+    * `defs` (the oracle text reads it while `defs` initializes). */
+  private val DsirStep = 262144L
+
   /** Shared near-dup frames. A real curation run computes the MinHash
     * candidate→verify PAIR frame once and every downstream step reads
     * it: the pair listing (`dedup_minhash_pairs`), the connected-
@@ -937,58 +945,79 @@ object DedupQueries {
     // op_pps_sample's prefix-sum kernel downstream.
     "curate_dsir_weights" -> QueryDef(
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val grams = docs.select(col("doc_id"), col("lang"),
-          Dedup.hashedShingles(col("text"), 2).as("gs"))
-        val ex = grams.select(col("doc_id"), col("lang"),
-            explode(col("gs")).as("g"))
-          .withColumn("b", pmod(col("g"), lit(64L)))
-        val cbF = ex.groupBy(col("b")).agg(count(lit(1)).as("cb"))
-        val ctF = ex.filter(col("lang") === "en")
-          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-        val nb = ex.count() + 64
-        val nt = ex.filter(col("lang") === "en").count() + 64
-        val w = s.range(1)
-          .select(explode(sequence(lit(0L), lit(63L))).as("b"))
-          .join(cbF, Seq("b"), "left").join(ctF, Seq("b"), "left")
-          .select(col("b"), floor(
-            ((coalesce(col("ct"), lit(0L)) + 1) * nb * 1000) /
-              ((coalesce(col("cb"), lit(0L)) + 1) * nt))
-            .cast("long").as("r"))
-        val rl = w.agg(sort_array(collect_list(struct(col("b"), col("r"))))
+        val rl = dsirWeightTable(s, d)
+          .agg(sort_array(collect_list(struct(col("b"), col("r"))))
             .as("ws"))
           .select(transform(col("ws"), x => x.getField("r")).as("rl"))
-        grams.crossJoin(broadcast(rl))
+        Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.hashedShingles(col("text"), 2).as("gs"))
+          .crossJoin(broadcast(rl))
           .filter(pmod(col("doc_id"), lit(5)) === 0)
           .select(col("doc_id"), size(col("gs")).cast("long").as("n_feats"),
             aggregate(col("gs"), lit(0L), (acc, g) =>
               acc + element_at(col("rl"),
                 (pmod(g, lit(64L)) + 1).cast("int"))).as("imp_score"))
+      },
+      s"""WITH $dsirCtes
+         |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |  CAST(sum(w.r) AS BIGINT) AS imp_score
+         |FROM gb JOIN w USING (b)
+         |WHERE gb.doc_id % 5 = 0
+         |GROUP BY gb.doc_id""".stripMargin),
+
+    // DSIR resampling capstone — the second half of the DSIR recipe
+    // (estimate importance, then RESAMPLE proportionally): systematic
+    // PPS over the per-document importance scores, riding the same
+    // distributed prefix-sum kernel as op_pps_sample (per-bucket local
+    // cumsums in parallel; the only single-task window is the
+    // rows=buckets offsets frame). Order is a portable hash of doc_id —
+    // a deterministic "shuffle before systematic sampling", replay-safe
+    // on a cluster. Selection probability is ∝ importance score, which
+    // is exactly DSIR's resampling step; at 100 TB the corpus is scored
+    // map-only (weight-array broadcast), cumsummed by the bucketed
+    // kernel, and the step-crossing filter is a pure column predicate.
+    "curate_dsir_resample" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        import graft.operators.PrefixSum
+        val rl = dsirWeightTable(s, d)
+          .agg(sort_array(collect_list(struct(col("b"), col("r"))))
+            .as("ws"))
+          .select(transform(col("ws"), x => x.getField("r")).as("rl"))
+        val h = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|dsir")))
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), Dedup.hashedShingles(col("text"), 2).as("gs"))
+          .crossJoin(broadcast(rl))
+          .select(col("doc_id"),
+            aggregate(col("gs"), lit(0L), (acc, g) =>
+              acc + element_at(col("rl"),
+                (pmod(g, lit(64L)) + 1).cast("int"))).as("w"),
+            (h % 64).as("bkt"), h.as("ord"))
+        PrefixSum.bucketedRunningSum(scored, Seq.empty, "bkt",
+            Seq(col("ord"), col("doc_id")), "w", "cum_weight")
+          .filter(expr(s"cum_weight div $DsirStep") >
+            expr(s"(cum_weight - w) div $DsirStep"))
+          .select(col("doc_id"), col("w").as("imp_score"), col("cum_weight"))
       }, {
-        val hs = s"list_transform(${shingles(tokens("text"), 2)}, " +
-          s"s -> ${graft.functions.PortableHash.hash60Sql("s")})"
-        s"""WITH gb AS (
-           |  SELECT doc_id, lang, g0 % 64 AS b
-           |  FROM (SELECT doc_id, lang, unnest($hs) AS g0 FROM documents)),
-           |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb
-           |       FROM gb GROUP BY b),
-           |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
-           |       FROM gb WHERE lang = 'en' GROUP BY b),
-           |tot AS (SELECT CAST(count(*) AS BIGINT) + 64 AS nb,
-           |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) + 64 AS nt
-           |  FROM gb),
-           |bk AS (SELECT CAST(t.m AS BIGINT) AS b
-           |       FROM UNNEST(generate_series(0, 63)) AS t(m)),
-           |w AS (
-           |  SELECT bk.b, CAST(floor(
-           |    ((COALESCE(ct.ct, 0) + 1) * tot.nb * 1000)
-           |    / ((COALESCE(cb.cb, 0) + 1) * tot.nt)) AS BIGINT) AS r
-           |  FROM bk LEFT JOIN cb USING (b) LEFT JOIN ct USING (b), tot)
-           |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-           |  CAST(sum(w.r) AS BIGINT) AS imp_score
-           |FROM gb JOIN w USING (b)
-           |WHERE gb.doc_id % 5 = 0
-           |GROUP BY gb.doc_id""".stripMargin
+        import graft.functions.PortableHash
+        val hSql = PortableHash.hash60Sql(
+          "CAST(doc_id AS VARCHAR) || '|dsir'")
+        s"""WITH $dsirCtes,
+           |sc AS (
+           |  SELECT gb.doc_id, CAST(sum(w.r) AS BIGINT) AS w
+           |  FROM gb JOIN w USING (b) GROUP BY gb.doc_id),
+           |t AS (
+           |  SELECT doc_id, w, $hSql % 64 AS bkt, $hSql AS ord FROM sc),
+           |c AS (
+           |  SELECT doc_id, w,
+           |    CAST(SUM(w) OVER (
+           |      ORDER BY bkt, ord, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_weight
+           |  FROM t)
+           |SELECT doc_id, w AS imp_score, cum_weight
+           |FROM c
+           |WHERE cum_weight // $DsirStep > (cum_weight - w) // $DsirStep""".stripMargin
       }),
 
     // Embedding-cosine near-dup: random-hyperplane LSH candidates, exact
@@ -1014,4 +1043,61 @@ object DedupQueries {
            |JOIN e eb ON eb.vec_id = c.b
            |WHERE ${cosine("ea.v", "eb.v", 64)} >= 0.35""".stripMargin
       }))
+
+  /** Shared DSIR oracle CTEs: hashed-2-gram bucketing (`gb`), the
+    * target/background counts, smoothed totals, and the 64-row weight
+    * table (`w`) — consumed by both the weight query and the resampler. */
+  private def dsirCtes: String = {
+    val hs = s"list_transform(${shingles(tokens("text"), 2)}, " +
+      s"s -> ${graft.functions.PortableHash.hash60Sql("s")})"
+    s"""gb AS (
+       |  SELECT doc_id, lang, g0 % 64 AS b
+       |  FROM (SELECT doc_id, lang, unnest($hs) AS g0 FROM documents)),
+       |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb
+       |       FROM gb GROUP BY b),
+       |ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+       |       FROM gb WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) + 64 AS nb,
+       |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) + 64 AS nt
+       |  FROM gb),
+       |bk AS (SELECT CAST(t.m AS BIGINT) AS b
+       |       FROM UNNEST(generate_series(0, 63)) AS t(m)),
+       |w AS (
+       |  SELECT bk.b, CAST(floor(
+       |    ((COALESCE(ct.ct, 0) + 1) * tot.nb * 1000)
+       |    / ((COALESCE(cb.cb, 0) + 1) * tot.nt)) AS BIGINT) AS r
+       |  FROM bk LEFT JOIN cb USING (b) LEFT JOIN ct USING (b), tot)""".stripMargin
+  }
+
+  /** The trained DSIR weight table (b 0..63, r): per-bucket log-free
+    * rational importance ratios of the target (en) slice vs the full
+    * corpus — see `curate_dsir_weights` for the formula and bounds.
+    * 64 rows; two corpus count aggregates + a seeded left join. */
+  private[graft] def dsirWeightTable(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(Dedup.hashedShingles(col("text"), 2)).as("g"))
+      .withColumn("b", pmod(col("g"), lit(64L)))
+    val cbF = ex.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+    val ctF = ex.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val nb = ex.count() + 64
+    val nt = ex.filter(col("lang") === "en").count() + 64
+    s.range(1)
+      .select(explode(sequence(lit(0L), lit(63L))).as("b"))
+      .join(cbF, Seq("b"), "left").join(ctF, Seq("b"), "left")
+      .select(col("b"), floor(
+        ((coalesce(col("ct"), lit(0L)) + 1) * nb * 1000) /
+          ((coalesce(col("cb"), lit(0L)) + 1) * nt))
+        .cast("long").as("r"))
+  }
+
+  /** The weight table as a 64-long array ordered by bucket — the
+    * trained index metadata the STREAMING scorer folds into its plan
+    * as literals (the StreamingIndex broadcast-to-writers shape). */
+  private[graft] def dsirWeightArray(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Long] =
+    dsirWeightTable(s, d).collect()
+      .sortBy(_.getAs[Long]("b")).map(_.getAs[Long]("r")).toIndexedSeq
 }

@@ -553,6 +553,26 @@ object SimilarityQueries {
          |${(1 to SvdIters).map(i => s"SELECT * FROM rq$i")
            .mkString("\nUNION ALL\n")}""".stripMargin),
 
+    // SVD projection — the trained direction's read path: each vector's
+    // coordinate along the dominant singular direction, as a map-only
+    // native dot against the direction literals (the same
+    // metadata-broadcast shape as the streaming index twins). The 1-D
+    // coordinate a pipeline range-bins, sorts, or stratifies embeddings
+    // by after training; exact int64 (|proj| ≤ 64·578·100 ≈ 3.7e6).
+    "sim_svd_project" -> QueryDef(
+      (s, d) => {
+        val (v, _) = svdIterations(s, d)
+        val vlit = array(v.toIndexedSeq.map(x => lit(x.toDouble)): _*)
+        quantized(s, d).filter(pmod(col("vec_id"), lit(10)) === 0)
+          .select(col("vec_id"),
+            Similarity.dot(col("qv"), vlit).cast("long").as("proj"))
+      },
+      s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |$svdCtes
+         |SELECT e.vec_id, CAST(${dot("e.v", "v.vl", Dims)} AS BIGINT) AS proj
+         |FROM e, v${SvdIters}l v
+         |WHERE e.vec_id % 10 = 0""".stripMargin),
+
     // ANN index-build capstone — the composition proof for the
     // similarity family (curate_recipe's role for curation): ONE DAG
     // emits the complete IVF-PQ index row per vector — its IVF cell

@@ -33,7 +33,8 @@ class PlanSpec extends SparkSpec {
       "sim_index_build", // broadcast centroid + codebook assignments
       "rel_cross_small", // 5×25 dimension product — the cross IS the query
       "wh_dq_checks", // 1-row × 1-row scalar cross (metrics × orphan count)
-      "curate_dsir_weights") // 1-row broadcast of the 64-entry weight array
+      "curate_dsir_weights", // 1-row broadcast of the 64-entry weight array
+      "curate_dsir_resample") // same 1-row weight-array broadcast, resampled
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

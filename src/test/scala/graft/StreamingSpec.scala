@@ -888,4 +888,29 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     buf.toSet shouldBe expected
   }
+
+  test("streaming DSIR scoring equals the batch importance weights row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("curate_dsir_weights")(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    expected should not be empty
+
+    // the trained weight table ships to the scorer as 64 longs
+    val weights = graft.queries.DedupQueries.dsirWeightArray(spark, d)
+    weights.length shouldBe 64
+    val docs = graft.ingest.Tables.documents(spark, d)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toIndexedSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingScore.scoreStream(
+        in.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.format("memory").queryName("sdsir")
+      .outputMode("append").start()
+    docs.grouped(20).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    spark.table("sdsir").as[(Long, Long, Long)].collect().toSet shouldBe expected
+  }
 }
