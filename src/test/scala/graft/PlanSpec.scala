@@ -30,6 +30,8 @@ class PlanSpec extends SparkSpec {
       "sim_ivfpq_rerank_recall", // embeds the exact-L2 brute force baseline
       "sim_sq8_search", // broadcast query-sample cross (SQFlat baseline)
       "sim_sq8_recall", // embeds the exact-L2 brute force it grades against
+      "sim_rp_search", // broadcast query-sample cross in sketch space
+      "sim_rp_recall", // embeds the exact-L2 brute force it grades against
       "sim_index_build", // broadcast centroid + codebook assignments
       "rel_cross_small", // 5×25 dimension product — the cross IS the query
       "wh_dq_checks", // 1-row × 1-row scalar cross (metrics × orphan count)
@@ -154,7 +156,9 @@ class PlanSpec extends SparkSpec {
       // r9 retrieval-frontier entrants
       "sim_ivfpq_rerank" -> 14, // measured 13: residual search at width R + two broadcast gathers + top-k
       "sim_sq8_search" -> 9, // measured 8: range agg collapse + coded cross + top-k
-      "corpus_bm25" -> 12) // measured 11: corpus_search's shape + the dl join
+      "corpus_bm25" -> 12, // measured 11: corpus_search's shape + the dl join
+      "curate_dsir_weights" -> 7, // measured 6: two count aggs + weight-table collapse
+      "curate_dsir_resample" -> 17) // measured 16: weights + bucketed prefix-sum + offsets
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

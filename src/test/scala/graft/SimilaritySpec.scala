@@ -187,6 +187,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("JL sketch recall is positive and competitive with the PQ full scan") {
+    // sim_rp_search keeps the full projection dots on the hyperplanes
+    // the LSH path truncates to sign bits (measured at sf0.01: 0.24 vs
+    // LSH's 0.03 — the gates themselves use different query samples, so
+    // the spec pins against the same-sample PQ full-scan gate instead:
+    // the 16-long sketch must stay at least half as good as the 2-byte
+    // code full scan, and strictly better than nothing).
+    def meanRecall(name: String): Double = {
+      val rows = graft.SparkEntry.queries(name)(
+        spark, "/root/testdata/sf0.001").collect()
+      rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    }
+    val rp = meanRecall("sim_rp_recall")
+    val pq = meanRecall("sim_pq_recall") // full-scan PQ, same %50 sample
+    withClue(s"rp recall=$rp (pq full-scan=$pq): ") {
+      rp should be > 0.0
+      rp should be >= pq * 0.5
+    }
+  }
+
   test("SVD power iteration climbs the Rayleigh quotient") {
     // λ̂ = rq_num/rq_den estimates λ_max and is non-decreasing for exact
     // power iteration; re-quantization (round(w·100/max|w|)) perturbs
