@@ -250,6 +250,32 @@ object StreamBench {
     Section("pack", docs.length.toLong, sec, batches)
   }
 
+  case class ScoreIn(doc_id: Long, text: String)
+
+  /** Streaming DSIR importance scoring ([[graft.streaming.StreamingScore]]):
+    * arriving documents scored against the TRAINED 64-long weight array
+    * folded in as literals — stateless, map-only; the weight table is
+    * trained (two 64-row count aggregates) BEFORE the clock, like the
+    * index section's centroids. */
+  private def scoreSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[ScoreIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val docs = replicate(base, floor)((r, i) => r.copy(doc_id = r.doc_id + i * span))
+    val weights = graft.queries.DedupQueries.dsirWeightArray(spark, sfDir)
+    val in = MemoryStream[ScoreIn]
+    val q = graft.streaming.StreamingScore.scoreStream(
+        in.toDF().toDF("doc_id", "text"), weights)
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_score")).start()
+    val (sec, batches) = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
+    Section("score", docs.length.toLong, sec, batches)
+  }
+
   case class DedupIn(doc_id: Long, text: String, ts: Timestamp)
 
   private val DedupEpoch = 1704067200L
@@ -628,6 +654,7 @@ object StreamBench {
       "search" -> (searchSection(_, _, volumeFloor)),
       "pps_sample" -> (sampleSection(_, _, volumeFloor)),
       "content_stats" -> (contentStatsSection(_, _, volumeFloor)),
+      "score" -> (scoreSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
     try sections.flatMap { case (name, fn) =>
       try Some(fn(spark, sfDir)) catch {
