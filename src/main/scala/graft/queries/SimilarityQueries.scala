@@ -53,6 +53,20 @@ object SimilarityQueries {
     * applies (see [[TrainIters]]). */
   private val RerankR = 3 * K
 
+  /** SemDeDup cosine threshold: within a trained k-means cluster, a
+    * pair at or above this exact cosine marks the higher id as a
+    * semantic duplicate. Same threshold as `dedup_embedding_cosine`, so
+    * the cluster-scoped and LSH-scoped near-dup surfaces are directly
+    * comparable. Init-before-`defs` rule applies (see [[TrainIters]]). */
+  private val SemTau = 0.35
+
+  /** Per-cluster admission quota of `curate_cluster_balance`: a member
+    * is kept when its portable hash mod the cluster's size falls under
+    * the quota — keep-probability min(1, quota/|cell|), i.e. clusters
+    * at or under the quota keep everything and oversized clusters are
+    * down-sampled toward it. Init-before-`defs` rule applies. */
+  private val BalQuota = 32L
+
   /** Power-iteration rounds for the SVD family. Three moves the
     * Rayleigh quotient visibly off the uniform init; each round costs
     * one corpus pass + one 64-key shuffle + one 64-row collect, and one
@@ -677,7 +691,105 @@ object SimilarityQueries {
          |FROM brute b
          |LEFT JOIN approx a
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
-         |GROUP BY b.query_id""".stripMargin))
+         |GROUP BY b.query_id""".stripMargin),
+
+    // SemDeDup — cluster-scoped SEMANTIC deduplication (Abbas et al.
+    // 2023): assign every embedding to its trained k-means cell, then
+    // look for near-duplicate pairs ONLY within cells; a vector with a
+    // lower-id neighbor at cosine ≥ SemTau in its cell is dropped.
+    // This is the method's entire scale argument: the quadratic pair
+    // space shrinks from |corpus|² to Σ|cell|² — at 100 TB k is tens
+    // of thousands, cells are corpus/k-sized, and the pair join is an
+    // equi-join on cell_id that never leaves the cell; assignment is
+    // the map-only broadcast-centroid argmin every IVF consumer shares.
+    // Output is the kept/dropped manifest the downstream recipe reads.
+    "curate_semdedup" -> QueryDef(
+      (s, d) => {
+        val m = semAssigned(s, d)
+        val dup = m.as("x").join(m.as("y"),
+            col("x.cell_id") === col("y.cell_id") &&
+              col("x.__id") < col("y.__id"))
+          .filter(Similarity.cosine(col("x.__v"), col("y.__v")) >= SemTau)
+          .select(col("y.__id").as("__id")).distinct()
+        m.join(dup.withColumn("dropped", lit(1L)), Seq("__id"), "left")
+          .select(col("__id").as("vec_id"), col("cell_id"),
+            coalesce(col("dropped"), lit(0L)).as("dropped"))
+      },
+      s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |$semAsgCtes,
+         |sdup AS (
+         |  SELECT DISTINCT y.vec_id FROM sasg x JOIN sasg y
+         |  ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+         |  WHERE ${cosine("x.v", "y.v", Dims)} >= $SemTau)
+         |SELECT a.vec_id, a.cell_id,
+         |  CAST(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped
+         |FROM sasg a LEFT JOIN sdup s ON s.vec_id = a.vec_id""".stripMargin),
+
+    // Cluster-balanced sampling — the diversity half of an
+    // embedding-cluster curation recipe (oversampled modes crowd out
+    // the tail; capping per cluster rebalances the mixture): keep a
+    // member when its portable hash mod its cluster's size clears the
+    // quota, i.e. keep-probability min(1, quota/|cell|) with zero RNG.
+    // Shape at 100 TB: assignment is the shared map-only argmin, cell
+    // sizes are a k-row aggregate BROADCAST back onto the members, and
+    // admission is a pure column predicate — the only corpus-keyed
+    // shuffle is the final per-cell manifest aggregate.
+    "curate_cluster_balance" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        val m = semAssigned(s, d)
+        val counts = m.groupBy(col("cell_id"))
+          .agg(count(lit(1)).as("n_cell"))
+        val kept = PortableHash.hash60(
+          concat(col("__id").cast("string"), lit("|bal"))) %
+          col("n_cell") < lit(BalQuota)
+        m.join(broadcast(counts), Seq("cell_id"))
+          .groupBy(col("cell_id"))
+          .agg(count(lit(1)).as("n_total"),
+            count(when(kept, 1)).as("n_kept"))
+      }, {
+        import graft.functions.PortableHash
+        val keptSql = PortableHash.hash60Sql(
+          "CAST(sasg.vec_id AS VARCHAR) || '|bal'")
+        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+           |$semAsgCtes,
+           |cnt AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_cell
+           |        FROM sasg GROUP BY cell_id)
+           |SELECT sasg.cell_id, CAST(count(*) AS BIGINT) AS n_total,
+           |  CAST(count(CASE WHEN $keptSql % cnt.n_cell < $BalQuota
+           |             THEN 1 END) AS BIGINT) AS n_kept
+           |FROM sasg JOIN cnt ON cnt.cell_id = sasg.cell_id
+           |GROUP BY sasg.cell_id""".stripMargin
+      }))
+
+  /** Every embedding assigned to its trained k-means cell —
+    * (`__id`, `__v`, `cell_id`), the frame SemDeDup and the
+    * cluster-balance sampler share. Assignment is the broadcast-
+    * centroid argmin ([[Similarity.ivfAssignCentroids]]); memoized per
+    * (session, sf) so the two consumers (and the bench) pay it once.
+    * The inner trained-centroid memo is resolved BEFORE entering this
+    * memo (FrameCache's no-nesting rule). */
+  private def semAssigned(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cents = trainedCentroids(s, d)
+    FrameCache.memo(s, d, "sem_assign")(
+      Similarity.ivfAssignCentroids(quantized(s, d), "vec_id", "qv",
+        cents, 1)._1)
+  }
+
+  /** Trained-centroid assignment CTE shared by the SemDeDup and
+    * cluster-balance oracles: [[ivfTrainCtes]] (requires a preceding
+    * `e(vec_id, v)` CTE, defines `c`) followed by the argmin
+    * assignment `sasg(vec_id, v, cell_id)` — row_number ≡ the Spark
+    * side's min-struct tie order (d2 ASC, cent_id ASC). */
+  private def semAsgCtes: String =
+    s"""$ivfTrainCtes,
+       |sasg AS (
+       |  SELECT vec_id, v, cent_id AS cell_id FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
+       |    FROM e, c) WHERE cr = 1)""".stripMargin
 
   /** DuckDB text of the full ADC search — the `sim_pq_adc` oracle and
     * the recall gate's `approx` side. */

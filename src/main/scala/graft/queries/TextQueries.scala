@@ -105,6 +105,143 @@ object TextQueries {
        |$rounds""".stripMargin
   }
 
+  /** Hashed-bigram LM family (the CCNet recipe: train a target-domain
+    * language model, score every document, gate on in-distribution
+    * perplexity). Token buckets per position — 256 keeps the bigram
+    * grid at 65,536 rows (a broadcastable weight table) while leaving
+    * enough resolution that target-language docs separate. Declared
+    * before `defs` (the oracle CTE generator reads these during `defs`
+    * initialization — see the BpeSteps note). */
+  private val LmB = 256
+
+  /** Probability scale of the LM weight staircase: the smoothed bigram
+    * ratio x = (c12+1)·4096 div (c1+256) lives in [0, 4096] (c12 ≤ c1
+    * by construction), so x⁴ ≤ 2⁴⁸ — no int64 overflow at ANY corpus
+    * size — and `length(bin(x⁴))` ≈ 4·log₂x is a quarter-bit-granular
+    * integer log of the conditional probability P(b₂|b₁): exact, log-
+    * free, identical in both engines (the corpus_bm25 doctrine). */
+  private val LmScale = 4096L
+
+  /** Admission threshold of `curate_lm_gate`, in quarter-bits per
+    * bigram: keep documents with mean LM score ≥ 105/4 = 26.25
+    * quarter-bit units — cross-multiplied (4·lp ≥ 105·n) so the gate
+    * is pure int64 arithmetic. At sf0.01 this keeps 94 % of the
+    * target-language (en) slice and ~30-40 % of every other language —
+    * the separation TextAnalysisSpec pins. */
+  private val LmGateT4 = 105L
+
+  /** Ordered hashed-bigram codes of a text column: per-token 256-way
+    * portable-hash buckets, consecutive pairs packed as b1·256+b2.
+    * Occurrence-ordered (an LM counts occurrences, not the distinct
+    * shingle SET dedup uses). Map-only. */
+  private def lmBigrams(text: org.apache.spark.sql.Column) = {
+    val bs = transform(TextAnalysis.tokens(text),
+      t => pmod(graft.functions.PortableHash.hash60(t), lit(LmB.toLong)))
+    zip_with(slice(bs, lit(1), size(bs) - 1), slice(bs, lit(2), size(bs) - 1),
+      (a, b) => a * LmB + b)
+  }
+
+  /** The trained LM weight grid (g, c12, c1, wbits), one row per bigram
+    * code 0..65535: c12/c1 = target-slice (en) bigram/context counts,
+    * wbits = the quarter-bit add-one-smoothed conditional log-prob (see
+    * [[LmScale]]). At 100 TB: two map-side-combined count aggregates
+    * (≤65,536 / ≤256 result rows) and a grid join of aggregate-sized
+    * frames — the corpus is touched exactly once, map-only. */
+  private[graft] def lmGridPipeline(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val ex = Tables.documents(s, d).filter(col("lang") === "en")
+      .select(explode(lmBigrams(col("text"))).as("g"))
+    val c12 = ex.groupBy(col("g")).agg(count(lit(1)).as("c12"))
+    val c1 = ex.select(expr(s"g DIV $LmB").as("b1"))
+      .groupBy(col("b1")).agg(count(lit(1)).as("c1"))
+    s.range(1)
+      .select(explode(sequence(lit(0L), lit((LmB.toLong * LmB) - 1))).as("g"))
+      .withColumn("b1", expr(s"g DIV $LmB"))
+      .join(c12, Seq("g"), "left")
+      .join(c1, Seq("b1"), "left")
+      .select(col("g"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+      .withColumn("x", expr(s"((c12 + 1) * $LmScale) DIV (c1 + $LmB)"))
+      .select(col("g"), col("c12"), col("c1"),
+        length(bin(col("x") * col("x") * col("x") * col("x")))
+          .cast("long").as("wbits"))
+  }
+
+  /** Grid memoized per (session, sf) — trained once, every consumer
+    * (train report, scorer, gate, streaming twin) reads the checkpoint
+    * (the trained-centroid doctrine). */
+  private def lmGrid(s: org.apache.spark.sql.SparkSession, d: String) =
+    FrameCache.memo(s, d, "lm_grid")(lmGridPipeline(s, d))
+
+  /** The per-document LM score frame (doc_id, lang, n_bigrams,
+    * lp_bits): the 65,536-entry wbits grid folds into ONE array on a
+    * 1-row broadcast frame (512 KB — index metadata), and scoring is a
+    * map-only `aggregate()` fold per document. No shuffle touches the
+    * corpus after the training counts — the DSIR serving shape. */
+  private def lmScoreSpark(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val wl = lmGrid(s, d)
+      .agg(sort_array(collect_list(struct(col("g"), col("wbits")))).as("ws"))
+      .select(transform(col("ws"), x => x.getField("wbits")).as("wl"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), lmBigrams(col("text")).as("gs"))
+      .crossJoin(broadcast(wl))
+      .select(col("doc_id"), col("lang"),
+        size(col("gs")).cast("long").as("n_bigrams"),
+        aggregate(col("gs"), lit(0L), (acc, g) =>
+          acc + element_at(col("wl"), (g + 1).cast("int"))).as("lp_bits"))
+  }
+
+  /** The wbits grid as a 65,536-long array ordered by bigram code — the
+    * trained metadata the streaming scorer folds into its plan as
+    * literals ([[graft.streaming.StreamingScore]]). */
+  private[graft] def lmWeightArray(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[Long] =
+    lmGrid(s, d).collect()
+      .sortBy(_.getAs[Long]("g")).map(_.getAs[Long]("wbits")).toIndexedSeq
+
+  /** Shared LM oracle CTEs: bigram codes (`lmg`/`lmex`), target counts,
+    * and the full weight grid (`lmgrid`) — consumed by the train
+    * report, the scorer, and the gate so the three oracles can never
+    * drift apart. */
+  private def lmCtes: String = {
+    val hs = s"list_transform(${tokens("text")}, " +
+      s"t -> ${graft.functions.PortableHash.hash60Sql("t")} % $LmB)"
+    val x = s"((COALESCE(lmc12.c12, 0) + 1) * $LmScale " +
+      s"// (COALESCE(lmc1.c1, 0) + $LmB))"
+    s"""lmb AS (SELECT doc_id, lang, $hs AS bs FROM documents),
+       |lmg AS (
+       |  SELECT doc_id, lang, list_transform(
+       |    generate_series(1, len(bs) - 1), i -> bs[i] * $LmB + bs[i+1]) AS gs
+       |  FROM lmb),
+       |lmex AS (SELECT doc_id, lang, unnest(gs) AS g FROM lmg),
+       |lmc12 AS (SELECT g, CAST(count(*) AS BIGINT) AS c12
+       |          FROM lmex WHERE lang = 'en' GROUP BY g),
+       |lmc1 AS (SELECT g // $LmB AS b1, CAST(count(*) AS BIGINT) AS c1
+       |         FROM lmex WHERE lang = 'en' GROUP BY 1),
+       |lmgrid AS (
+       |  SELECT gg.g,
+       |    CAST(COALESCE(lmc12.c12, 0) AS BIGINT) AS c12,
+       |    CAST(COALESCE(lmc1.c1, 0) AS BIGINT) AS c1,
+       |    CAST(length(bin($x * $x * $x * $x)) AS BIGINT) AS wbits
+       |  FROM (SELECT CAST(t.m AS BIGINT) AS g
+       |        FROM UNNEST(generate_series(0, ${LmB * LmB - 1})) AS t(m)) gg
+       |  LEFT JOIN lmc12 ON lmc12.g = gg.g
+       |  LEFT JOIN lmc1 ON lmc1.b1 = gg.g // $LmB)""".stripMargin
+  }
+
+  /** Score + per-doc CTEs shared by `text_lm_score` and the gate. */
+  private def lmScoreCtes: String =
+    s"""$lmCtes,
+       |lmlp AS (
+       |  SELECT lmex.doc_id, CAST(sum(lmgrid.wbits) AS BIGINT) AS lp
+       |  FROM lmex JOIN lmgrid ON lmgrid.g = lmex.g GROUP BY lmex.doc_id),
+       |lmsc AS (
+       |  SELECT g2.doc_id, g2.lang, CAST(len(g2.gs) AS BIGINT) AS n_bigrams,
+       |    CAST(COALESCE(lmlp.lp, 0) AS BIGINT) AS lp_bits
+       |  FROM lmg g2 LEFT JOIN lmlp ON lmlp.doc_id = g2.doc_id)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Token / punctuation / stopword counting (BPE-ish subword proxy
@@ -655,5 +792,50 @@ object TextQueries {
          |SELECT pd.doc_id, pd.n_shingles,
          |  CAST(COALESCE(nvc.n_novel, 0) AS BIGINT) AS n_novel,
          |  CAST(COALESCE(nvc.n_novel, 0) AS DOUBLE) / pd.n_shingles AS novelty
-         |FROM pd LEFT JOIN nvc ON pd.doc_id = nvc.doc_id""".stripMargin))
+         |FROM pd LEFT JOIN nvc ON pd.doc_id = nvc.doc_id""".stripMargin),
+
+    // Hashed-bigram LM TRAINING — the CCNet quality-filter recipe's
+    // model half: add-one-smoothed conditional bigram counts over the
+    // TARGET slice (lang = 'en' — CCNet trains on Wikipedia), the
+    // conditional log-prob as an exact quarter-bit integer staircase
+    // (length(bin(x⁴)), x the smoothed ratio — see LmScale; log-free,
+    // overflow-free at any corpus size). Reports the observed-support
+    // grid rows; unseen bigrams are the formula's c12=0 arm, resolved
+    // at serving time from the same grid. Shape at 100 TB: two
+    // map-side-combined count aggregates over one corpus pass, then
+    // grid assembly over aggregate-sized frames only.
+    "text_lm_train" -> QueryDef(
+      (s, d) => lmGrid(s, d).filter(col("c12") > 0),
+      s"""WITH $lmCtes
+         |SELECT g, c12, c1, wbits FROM lmgrid WHERE c12 > 0""".stripMargin),
+
+    // LM scoring — the serving half: every document's summed
+    // quarter-bit log-probability under the trained target LM. The
+    // 65,536-entry grid folds into one broadcast array; scoring is a
+    // map-only aggregate() fold per document (the DSIR serving shape —
+    // no post-training shuffle touches the corpus). lp_bits/4/n_bigrams
+    // ≈ mean log₂ P(b₂|b₁): an integer perplexity proxy.
+    "text_lm_score" -> QueryDef(
+      (s, d) => lmScoreSpark(s, d),
+      s"""WITH $lmScoreCtes
+         |SELECT doc_id, lang, n_bigrams, lp_bits FROM lmsc""".stripMargin),
+
+    // LM perplexity gate — the filter CCNet actually applies: keep
+    // documents whose mean LM score clears the threshold (4·lp ≥
+    // 105·n, pure int64 cross-multiplication). Reports the per-language
+    // admission manifest; the target language passes at ~94 % vs
+    // ~30-40 % for the rest at sf0.01 (TextAnalysisSpec pins en as the
+    // top admission rate) — exactly the in-distribution selection the
+    // recipe is for.
+    "curate_lm_gate" -> QueryDef(
+      (s, d) => lmScoreSpark(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(lit(4L) * col("lp_bits") >=
+            lit(LmGateT4) * col("n_bigrams"), 1)).as("n_kept")),
+      s"""WITH $lmScoreCtes
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN 4 * lp_bits >= $LmGateT4 * n_bigrams
+         |             THEN 1 END) AS BIGINT) AS n_kept
+         |FROM lmsc GROUP BY lang""".stripMargin))
 }

@@ -40,4 +40,36 @@ object StreamingScore {
           acc + element_at(rl, (pmod(g, lit(64L)) + 1).cast("int")))
           .as("imp_score"))
   }
+
+  /** Streaming LM perplexity scoring — the serving half of
+    * `text_lm_score`/`curate_lm_gate` (the CCNet admission filter):
+    * arriving documents are scored against the TRAINED 65,536-entry
+    * hashed-bigram weight grid, folded into the plan as one literal
+    * array (512 KB — still index metadata by the broadcast-to-writers
+    * doctrine; at 65,536 entries the literal is built ONCE per plan,
+    * not per row). Stateless map-only like [[scoreStream]]; the
+    * quarter-bit integer log weights make streamed scores exactly
+    * equal to the batch query's (StreamingSpec pins it row-for-row).
+    *
+    * `wbits`: the grid ordered by bigram code
+    * ([[graft.queries.TextQueries.lmWeightArray]]). Emits
+    * (doc_id, lang, n_bigrams, lp_bits) — the batch query's schema. */
+  def lmScoreStream(docs: DataFrame, wbits: Seq[Long]): DataFrame = {
+    require(wbits.length == 65536,
+      s"LM weight grid must have 65,536 entries, got ${wbits.length}")
+    // ONE ArrayType literal, not 65,536 expression nodes — a 64K-node
+    // tree would blow codegen method limits; typedlit keeps the whole
+    // grid as a single constant the fold indexes into
+    val wl = typedlit(wbits.toIndexedSeq)
+    val bs = transform(split(Dedup.normalize(col("text")), " "),
+      t => pmod(graft.functions.PortableHash.hash60(t), lit(256L)))
+    docs
+      .select(col("doc_id"), col("lang"),
+        zip_with(slice(bs, lit(1), size(bs) - 1),
+          slice(bs, lit(2), size(bs) - 1), (a, b) => a * 256 + b).as("gs"))
+      .select(col("doc_id"), col("lang"),
+        size(col("gs")).cast("long").as("n_bigrams"),
+        aggregate(col("gs"), lit(0L), (acc, g) =>
+          acc + element_at(wl, (g + 1).cast("int"))).as("lp_bits"))
+  }
 }

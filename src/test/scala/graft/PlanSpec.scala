@@ -36,7 +36,11 @@ class PlanSpec extends SparkSpec {
       "rel_cross_small", // 5×25 dimension product — the cross IS the query
       "wh_dq_checks", // 1-row × 1-row scalar cross (metrics × orphan count)
       "curate_dsir_weights", // 1-row broadcast of the 64-entry weight array
-      "curate_dsir_resample") // same 1-row weight-array broadcast, resampled
+      "curate_dsir_resample", // same 1-row weight-array broadcast, resampled
+      "curate_semdedup", // broadcast centroid assignment (k-sized, linear)
+      "curate_cluster_balance", // same assignment + k-row count broadcast
+      "text_lm_score", // 1-row broadcast of the 65,536-entry LM weight array
+      "curate_lm_gate") // same 1-row LM weight-array broadcast, gated
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -234,4 +234,43 @@ class SimilaritySpec extends SparkSpec {
       (nF * d0) should be > (n0 * dF)
     }
   }
+
+  test("SemDeDup manifest covers the corpus and actually deduplicates") {
+    val d = "/root/testdata/sf0.001"
+    val n = graft.ingest.Tables.embeddings(spark, d).count()
+    val man = SparkEntry.queries("curate_semdedup")(spark, d)
+      .as[(Long, Long, Long)].collect()
+    // one verdict per vector, nothing silently lost
+    man.length.toLong shouldBe n
+    man.map(_._1).distinct.length.toLong shouldBe n
+    man.map(_._3).toSet should be(Set(0L, 1L))
+    val dropped = man.count(_._3 == 1L).toLong
+    withClue("cluster-scoped near-dup must both fire and not collapse: ") {
+      dropped should be > 0L
+      dropped should be < n
+    }
+    // within every cell the lowest-id member survives (a keeper can
+    // never be dropped by construction — only higher ids are)
+    man.groupBy(_._2).foreach { case (_, ms) =>
+      ms.minBy(_._1)._3 shouldBe 0L
+    }
+  }
+
+  test("cluster-balanced sampling caps oversized cells, keeps small ones whole") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("curate_cluster_balance")(spark, d)
+      .as[(Long, Long, Long)].collect()
+    rows should not be empty
+    rows.foreach { case (cell, total, kept) =>
+      withClue(s"cell $cell: ") {
+        kept should be <= total
+        kept should be > 0L
+        // an at-or-under-quota cell is never down-sampled
+        if (total <= 32L) kept shouldBe total
+      }
+    }
+    // the sampler must actually down-sample somewhere at this sf (every
+    // trained cell holds 37-64 members against the quota of 32)
+    rows.map(_._3).sum should be < rows.map(_._2).sum
+  }
 }

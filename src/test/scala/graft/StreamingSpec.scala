@@ -913,4 +913,30 @@ class StreamingSpec extends SparkSpec {
 
     spark.table("sdsir").as[(Long, Long, Long)].collect().toSet shouldBe expected
   }
+
+  test("streaming LM scoring equals the batch perplexity scores row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("text_lm_score")(spark, d)
+      .as[(Long, String, Long, Long)].collect().toSet
+    expected should not be empty
+
+    // the trained grid ships to the scorer as 65,536 longs (512 KB —
+    // still broadcast-to-writers index metadata)
+    val wbits = graft.queries.TextQueries.lmWeightArray(spark, d)
+    wbits.length shouldBe 65536
+    val docs = graft.ingest.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toIndexedSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingScore.lmScoreStream(
+        in.toDF().toDF("doc_id", "lang", "text"), wbits)
+      .writeStream.format("memory").queryName("slm")
+      .outputMode("append").start()
+    docs.grouped(20).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    spark.table("slm").as[(Long, String, Long, Long)].collect()
+      .toSet shouldBe expected
+  }
 }

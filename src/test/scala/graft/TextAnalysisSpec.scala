@@ -113,4 +113,40 @@ class TextAnalysisSpec extends SparkSpec {
     // (3) rarity: rarer terms weigh more at equal tf and length
     w(5, 5, 50) should be > w(5, 100, 50)
   }
+
+  test("LM gate admits the target language at the top rate (the CCNet property)") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("curate_lm_gate")(spark, d)
+      .as[(String, Long, Long)].collect()
+    rows.map(_._1).toSet should contain("en")
+    val rates = rows.map { case (l, n, k) => l -> (k.toDouble / n) }.toMap
+    // the model trained on the en slice must admit en above every other
+    // language — the in-distribution selection the recipe exists for
+    rates.filter(_._1 != "en").foreach { case (l, r) =>
+      withClue(s"en admission must beat $l: ") { rates("en") should be > r }
+    }
+    // the gate actually gates: both admitted and rejected are populated
+    rows.map(_._3).sum should be > 0L
+    rows.map { case (_, n, k) => n - k }.sum should be > 0L
+  }
+
+  test("LM weights are the quarter-bit staircase of the smoothed ratio") {
+    // wbits = length(bin(x^4)) with x = (c12+1)*4096 div (c1+256):
+    // monotone in c12 at fixed c1, anti-monotone in c1 at fixed c12,
+    // floored at 1 (x = 0), and bounded by 49 bits (x <= 4096 by c12 <= c1)
+    def wb(c12: Long, c1: Long): Long = {
+      val x = expr("((c12 + 1) * 4096) DIV (c1 + 256)")
+      val x4: org.apache.spark.sql.Column = x * x * x * x
+      Seq((c12, c1)).toDF("c12", "c1")
+        // qualified: ScalaTest's Matchers.length shadows functions.length
+        .select(org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.bin(x4))
+          .cast("long").as("w"))
+        .as[Long].head()
+    }
+    wb(0, 1000000) shouldBe 1L // unseen bigram in a huge context
+    Seq(0L, 10L, 100L, 1000L).map(wb(_, 1000)) shouldBe sorted
+    wb(50, 100) should be > wb(50, 10000)
+    wb(1000000, 1000000) should be <= 49L
+  }
 }
