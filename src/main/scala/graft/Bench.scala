@@ -49,7 +49,9 @@ object Bench {
     "sim_sq8_search", "sim_sq8_recall", "corpus_bm25",
     "curate_dsir_weights", "curate_dsir_resample",
     "sim_svd_power", "sim_svd_converge",
-    "sim_rp_search", "sim_rp_recall")
+    "sim_rp_search", "sim_rp_recall",
+    "curate_semdedup", "curate_cluster_balance",
+    "text_lm_train", "curate_lm_gate", "curate_pipeline")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the
@@ -163,6 +165,7 @@ object Bench {
         graft.queries.AnalyticsQueries.prewarmShared(spark, sfDir)
         graft.queries.MultimodalQueries.prewarmShared(spark, sfDir)
         graft.queries.SimilarityQueries.prewarmShared(spark, sfDir)
+        graft.queries.TextQueries.prewarmShared(spark, sfDir)
       } catch { case e: Throwable =>
         System.err.println(s"WARN bench: shared-frame prewarm failed: " +
           s"${e.getClass.getName}: ${e.getMessage}")

@@ -276,6 +276,34 @@ object StreamBench {
     Section("score", docs.length.toLong, sec, batches)
   }
 
+  case class LmScoreIn(doc_id: Long, lang: String, text: String)
+
+  /** Streaming LM perplexity scoring
+    * ([[graft.streaming.StreamingScore.lmScoreStream]]): arriving
+    * documents scored against the TRAINED 65,536-entry hashed-bigram
+    * grid folded in as ONE ArrayType literal — stateless, map-only;
+    * the grid trains (two count aggregates over one corpus pass)
+    * BEFORE the clock, like the DSIR weight table. */
+  private def lmScoreSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("lang").cast("string"),
+        col("text").cast("string"))
+      .as[LmScoreIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val docs = replicate(base, floor)((r, i) => r.copy(doc_id = r.doc_id + i * span))
+    val wbits = graft.queries.TextQueries.lmWeightArray(spark, sfDir)
+    val in = MemoryStream[LmScoreIn]
+    val q = graft.streaming.StreamingScore.lmScoreStream(
+        in.toDF().toDF("doc_id", "lang", "text"), wbits)
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_lmscore")).start()
+    val (sec, batches) = drive[LmScoreIn](chunked(docs), in.addData(_), Seq(q))
+    Section("lm_score", docs.length.toLong, sec, batches)
+  }
+
   case class DedupIn(doc_id: Long, text: String, ts: Timestamp)
 
   private val DedupEpoch = 1704067200L
@@ -655,6 +683,7 @@ object StreamBench {
       "pps_sample" -> (sampleSection(_, _, volumeFloor)),
       "content_stats" -> (contentStatsSection(_, _, volumeFloor)),
       "score" -> (scoreSection(_, _, volumeFloor)),
+      "lm_score" -> (lmScoreSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
     try sections.flatMap { case (name, fn) =>
       try Some(fn(spark, sfDir)) catch {

@@ -32,6 +32,15 @@ object DedupQueries {
     * `defs` (the oracle text reads it while `defs` initializes). */
   private val DsirStep = 262144L
 
+  /** Systematic-sampling step for the `curate_pipeline` capstone's
+    * resampling stage: half [[DsirStep]], because the resampler there
+    * runs over the (deduped ∩ quality-gated ∩ LM-admitted ∖
+    * semantic-dropped) SURVIVORS — a far smaller, importance-skewed
+    * population — and the audit manifest should stay populated at the
+    * smallest fixture (≈40 % of survivors kept at the measured ~50k
+    * mean importance). Same init-before-`defs` rule. */
+  private val PipelineStep = 131072L
+
   /** Shared near-dup frames. A real curation run computes the MinHash
     * candidate→verify PAIR frame once and every downstream step reads
     * it: the pair listing (`dedup_minhash_pairs`), the connected-
@@ -893,6 +902,135 @@ object DedupQueries {
            |       ELSE 'test' END AS split,
            |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
            |FROM clean GROUP BY 1, 2""".stripMargin
+      }),
+
+    // The FULL curation pipeline — six operator families composed in
+    // production order, the capstone of capstones: (1) exact dedup
+    // (min-id keeper per normalized-text digest), (2) per-source
+    // top-quartile quality gate over the keepers, (3) the CCNet LM
+    // admission gate (trained hashed-bigram target LM, absolute int64
+    // threshold — population-independent, so it composes), (4) SemDeDup
+    // semantic drop (trained-cluster cosine near-dups in the shared id
+    // space; documents without a vector pass through the anti-join),
+    // (5) DSIR importance RESAMPLING of the survivors on the
+    // distributed prefix-sum kernel, (6) split tag + the (source ×
+    // split) audit manifest a training run ships with. Every stage is
+    // the SAME construction as its standalone query, and the oracle
+    // replays the entire DAG — two trained models (LM grid, k-means
+    // cells), two hash frames, and a prefix sum — in ONE CTE chain:
+    // the hash-match proves the whole recipe composes end-to-end, not
+    // just that stages pass individually. At 100 TB every stage keeps
+    // its standalone shape: the only corpus-keyed shuffles are the
+    // digest aggregate, the per-source quartile, the resample cumsum,
+    // and the final manifest — gates are map-only broadcasts.
+    "curate_pipeline" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.PortableHash
+        import graft.operators.PrefixSum
+        // stage 1: exact-dedup keepers
+        val keepers = Tables.documents(s, d)
+          .groupBy(md5(Dedup.normalize(col("text"))).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        // stage 2: per-source top-quartile quality gate over keepers
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        val gated = Tables.documents(s, d)
+          .join(keepers, Seq("doc_id"), "left_semi")
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .withColumn("qt", ntile(4).over(w))
+          .filter(col("qt") === 1)
+          .select(col("source"), col("doc_id"), col("n_tokens"))
+        // stage 3: LM admission (absolute threshold — composes)
+        val lmPass = TextQueries.lmScoreFrame(s, d)
+          .filter(lit(4L) * col("lp_bits") >=
+            lit(TextQueries.lmGateT4) * col("n_bigrams"))
+          .select(col("doc_id"))
+        // stage 4: semantic near-dup drop in the shared id space
+        val semDrops = SimilarityQueries.semDroppedIds(s, d)
+          .withColumnRenamed("vec_id", "doc_id")
+        val clean = gated
+          .join(lmPass, Seq("doc_id"), "left_semi")
+          .join(semDrops, Seq("doc_id"), "left_anti")
+        // stage 5: DSIR importance resampling of the survivors
+        val rl = dsirWeightTable(s, d)
+          .agg(sort_array(collect_list(struct(col("b"), col("r"))))
+            .as("ws"))
+          .select(transform(col("ws"), x => x.getField("r")).as("rl"))
+        val h = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|dsir")))
+        val scored = Tables.documents(s, d)
+          .join(clean.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), Dedup.hashedShingles(col("text"), 2).as("gs"))
+          .crossJoin(broadcast(rl))
+          .select(col("doc_id"),
+            aggregate(col("gs"), lit(0L), (acc, g) =>
+              acc + element_at(col("rl"),
+                (pmod(g, lit(64L)) + 1).cast("int"))).as("wgt"),
+            (h % 64).as("bkt"), h.as("ord"))
+        val sampled = PrefixSum.bucketedRunningSum(scored, Seq.empty, "bkt",
+            Seq(col("ord"), col("doc_id")), "wgt", "cum_weight")
+          .filter(expr(s"cum_weight div $PipelineStep") >
+            expr(s"(cum_weight - wgt) div $PipelineStep"))
+          .select(col("doc_id"))
+        // stage 6: split tag + audit manifest
+        val b = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|split"))) % 100
+        val split = when(b < 80, "train").when(b < 90, "val")
+          .otherwise("test")
+        clean.join(sampled, Seq("doc_id"), "left_semi")
+          .groupBy(col("source"), split.as("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      }, {
+        import graft.functions.PortableHash
+        def bucketSql(e: String) =
+          s"(${PortableHash.hash60Sql(s"CAST($e AS VARCHAR) || '|split'")} % 100)"
+        val hSql = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|dsir'")
+        s"""WITH ${TextQueries.lmScoreCtes},
+           |${SimilarityQueries.semDropOracleCtes},
+           |$dsirCtes,
+           |xk AS (SELECT MIN(doc_id) AS doc_id FROM documents
+           |       GROUP BY md5(${normalize("text")})),
+           |pq0 AS (
+           |  SELECT d.source, d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |    ${TextQueries.qualitySql} AS quality
+           |  FROM (SELECT source, doc_id, text, ${tokens("text")} AS w
+           |        FROM documents) d
+           |  JOIN xk ON xk.doc_id = d.doc_id),
+           |pgated AS (
+           |  SELECT source, doc_id, n_tokens FROM (
+           |    SELECT *, ntile(4) OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id) AS qt
+           |    FROM pq0)
+           |  WHERE qt = 1),
+           |pclean AS (
+           |  SELECT g.* FROM pgated g
+           |  JOIN lmsc ON lmsc.doc_id = g.doc_id
+           |    AND 4 * lmsc.lp_bits >= ${TextQueries.lmGateT4} * lmsc.n_bigrams
+           |  WHERE g.doc_id NOT IN (SELECT vec_id FROM sdup)),
+           |psc AS (
+           |  SELECT gb.doc_id, CAST(sum(w.r) AS BIGINT) AS wgt
+           |  FROM gb JOIN w USING (b)
+           |  WHERE gb.doc_id IN (SELECT doc_id FROM pclean)
+           |  GROUP BY gb.doc_id),
+           |pt AS (SELECT doc_id, wgt, $hSql % 64 AS bkt, $hSql AS ord FROM psc),
+           |pcum AS (
+           |  SELECT doc_id, wgt,
+           |    CAST(SUM(wgt) OVER (ORDER BY bkt, ord, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+           |  FROM pt),
+           |psel AS (SELECT doc_id FROM pcum
+           |  WHERE cw // $PipelineStep > (cw - wgt) // $PipelineStep)
+           |SELECT c.source,
+           |  CASE WHEN ${bucketSql("c.doc_id")} < 80 THEN 'train'
+           |       WHEN ${bucketSql("c.doc_id")} < 90 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs, CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
+           |FROM pclean c JOIN psel ON psel.doc_id = c.doc_id
+           |GROUP BY 1, 2""".stripMargin
       }),
 
     // Deterministic weighted source mixing — the training-data recipe

@@ -706,11 +706,7 @@ object SimilarityQueries {
     "curate_semdedup" -> QueryDef(
       (s, d) => {
         val m = semAssigned(s, d)
-        val dup = m.as("x").join(m.as("y"),
-            col("x.cell_id") === col("y.cell_id") &&
-              col("x.__id") < col("y.__id"))
-          .filter(Similarity.cosine(col("x.__v"), col("y.__v")) >= SemTau)
-          .select(col("y.__id").as("__id")).distinct()
+        val dup = semDroppedIds(s, d).withColumnRenamed("vec_id", "__id")
         m.join(dup.withColumn("dropped", lit(1L)), Seq("__id"), "left")
           .select(col("__id").as("vec_id"), col("cell_id"),
             coalesce(col("dropped"), lit(0L)).as("dropped"))
@@ -776,6 +772,31 @@ object SimilarityQueries {
       Similarity.ivfAssignCentroids(quantized(s, d), "vec_id", "qv",
         cents, 1)._1)
   }
+
+  /** The SemDeDup dropped-id frame (vec_id) — vectors with a lower-id
+    * in-cell near-duplicate at [[SemTau]]. Package-visible for the
+    * `curate_pipeline` capstone, which applies the semantic-drop stage
+    * against the documents sharing the vector's id. */
+  private[queries] def semDroppedIds(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val m = semAssigned(s, d)
+    m.as("x").join(m.as("y"),
+        col("x.cell_id") === col("y.cell_id") &&
+          col("x.__id") < col("y.__id"))
+      .filter(Similarity.cosine(col("x.__v"), col("y.__v")) >= SemTau)
+      .select(col("y.__id").as("vec_id")).distinct()
+  }
+
+  /** Self-contained SemDeDup oracle CTE chain for external composition
+    * (the capstone): quantized embeddings (`e`), the training +
+    * assignment chain, and the dropped-id set `sdup(vec_id)`. */
+  private[queries] def semDropOracleCtes: String =
+    s"""e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |$semAsgCtes,
+       |sdup AS (
+       |  SELECT DISTINCT y.vec_id FROM sasg x JOIN sasg y
+       |  ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id
+       |  WHERE ${cosine("x.v", "y.v", Dims)} >= $SemTau)""".stripMargin
 
   /** Trained-centroid assignment CTE shared by the SemDeDup and
     * cluster-balance oracles: [[ivfTrainCtes]] (requires a preceding
@@ -1359,6 +1380,7 @@ object SimilarityQueries {
     trainedCentroids(s, d)
     trainedCodebook(s, d)
     trainedResCodebook(s, d)
+    semAssigned(s, d)
     ()
   }
 

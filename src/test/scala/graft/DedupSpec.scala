@@ -184,4 +184,24 @@ class DedupSpec extends SparkSpec {
     scored.filter(col("imp_score") <= 0 || col("n_feats") <= 0)
       .count() shouldBe 0L
   }
+
+  test("pipeline capstone: six stages compose into a populated, strict manifest") {
+    val d = "/root/testdata/sf0.001"
+    val man = graft.SparkEntry.queries("curate_pipeline")(spark, d)
+      .as[(String, String, Long, Long)].collect()
+    man should not be empty
+    // split tags come only from the shared "|split" hash arithmetic
+    man.map(_._2).toSet.subsetOf(Set("train", "val", "test")) shouldBe true
+    man.foreach { case (src, split, nd, nt) =>
+      withClue(s"($src, $split): ") { nd should be > 0L; nt should be > 0L }
+    }
+    // the pipeline must strictly filter: the quality quartile alone
+    // caps survivors near 25 % of the corpus, and the LM gate +
+    // semantic drop + resampler cut further — a manifest at or above
+    // a quarter of the corpus means a gate silently stopped gating
+    val total = man.map(_._3).sum
+    val corpus = graft.ingest.Tables.documents(spark, d).count()
+    total should be > 0L
+    total should be < corpus / 4
+  }
 }

@@ -40,7 +40,8 @@ class PlanSpec extends SparkSpec {
       "curate_semdedup", // broadcast centroid assignment (k-sized, linear)
       "curate_cluster_balance", // same assignment + k-row count broadcast
       "text_lm_score", // 1-row broadcast of the 65,536-entry LM weight array
-      "curate_lm_gate") // same 1-row LM weight-array broadcast, gated
+      "curate_lm_gate", // same 1-row LM weight-array broadcast, gated
+      "curate_pipeline") // DSIR weight-array + LM-grid 1-row broadcasts
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
