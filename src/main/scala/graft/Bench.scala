@@ -25,31 +25,25 @@ object Bench {
     // so this set holds the SLO surface plus one-or-two flagships per
     // family and rotates older mid-tier entries out to
     // bench_detail.json (which always carries every query).
+    // The r9-final rotation trims mid-tier entries so the FULL line —
+    // queries AND the 15-section streams map — fits the guard again
+    // (the 62-entry r9 set overflowed and the guard halved it, dropping
+    // the newest flagships from the very line meant to showcase them;
+    // every trimmed query still runs and lands in bench_detail.json).
     "cdc_parse_roundtrip", "cdc_enrich", "cdc_leaderboard",
-    "cdc_content_stats", "cdc_minute_windows", "cdc_warehouse_hour",
-    "rel_pricing_summary", "rel_nation_revenue",
-    "rel_window_funcs", "adv_grouping_sets",
+    "cdc_content_stats", "cdc_warehouse_hour",
+    "rel_pricing_summary", "rel_window_funcs", "adv_grouping_sets",
     "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_cosine",
-    "dedup_components", "curate_corpus",
-    "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf", "sim_ann_recall",
-    "curate_token_budget", "dedup_keeper_election",
-    "text_quality", "text_langid", "op_funnel",
-    "curate_decontaminate", "curate_pack_chunks", "op_pps_sample",
-    "curate_recipe",
-    "graph_triangles", "curate_scorecard", "mm_phash_clusters",
-    "corpus_search", "sim_pq_adc", "sim_pq_recall", "sim_index_build",
-    // round-8 flagships
-    "sim_kmeans_train", "sim_pq_train", "sim_kmeans_inertia",
-    "sim_ivf_recall", "text_bpe_train", "text_bpe_apply",
-    // round-9 flagships
+    "curate_corpus",
+    "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf",
+    "op_funnel", "op_pps_sample", "curate_recipe", "curate_scorecard",
+    "sim_pq_adc", "sim_index_build",
+    "sim_kmeans_train", "sim_kmeans_inertia", "text_bpe_train",
     "sim_ivfpq_search", "sim_ivfpq_recall", "sim_ivfpq_residual",
-    "sim_ivfpq_res_recall", "graph_pagerank_train",
-    "graph_pagerank_converge",
-    "sim_ivfpq_rerank", "sim_ivfpq_rerank_recall",
-    "sim_sq8_search", "sim_sq8_recall", "corpus_bm25",
+    "sim_ivfpq_rerank", "sim_sq8_search",
+    "graph_pagerank_train", "corpus_bm25",
     "curate_dsir_weights", "curate_dsir_resample",
-    "sim_svd_power", "sim_svd_converge",
-    "sim_rp_search", "sim_rp_recall",
+    "sim_svd_power", "sim_rp_search",
     "curate_semdedup", "curate_cluster_balance",
     "text_lm_train", "curate_lm_gate", "curate_pipeline")
 

@@ -41,6 +41,10 @@ object DedupQueries {
     * mean importance). Same init-before-`defs` rule. */
   private val PipelineStep = 131072L
 
+  /** The capstone resampler's step, package-visible for the streaming
+    * pipeline twin and its spec. */
+  private[graft] def pipelineStep: Long = PipelineStep
+
   /** Shared near-dup frames. A real curation run computes the MinHash
     * candidate→verify PAIR frame once and every downstream step reads
     * it: the pair listing (`dedup_minhash_pairs`), the connected-

@@ -777,7 +777,7 @@ object SimilarityQueries {
     * in-cell near-duplicate at [[SemTau]]. Package-visible for the
     * `curate_pipeline` capstone, which applies the semantic-drop stage
     * against the documents sharing the vector's id. */
-  private[queries] def semDroppedIds(s: org.apache.spark.sql.SparkSession,
+  private[graft] def semDroppedIds(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val m = semAssigned(s, d)
     m.as("x").join(m.as("y"),

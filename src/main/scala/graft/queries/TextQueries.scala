@@ -249,7 +249,7 @@ object TextQueries {
   /** The LM admission predicate threshold (quarter-bits per bigram),
     * package-visible so the capstone's gate stage and `curate_lm_gate`
     * share one constant. */
-  private[queries] def lmGateT4: Long = LmGateT4
+  private[graft] def lmGateT4: Long = LmGateT4
 
   /** Score + per-doc CTEs shared by `text_lm_score` and the gate. */
   private[queries] def lmScoreCtes: String =

@@ -96,4 +96,111 @@ object StreamingIntake {
       when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))
   }
+
+  case class PipeDoc(source: String, doc_id: Long, n_tokens: Long, w: Long)
+  case class PipeState(cumWeight: Long)
+  case class Admit(source: String, doc_id: Long, n_tokens: Long,
+    split: String)
+
+  /** Streaming form of the FULL `curate_pipeline` capstone — the
+    * admission service a curation pipeline runs at ingest, with every
+    * trained artifact arriving as broadcast metadata (the
+    * [[StreamingIndex]] doctrine) and exactly TWO stateful stages:
+    *
+    *   1. exact-dedup gate FIRST ([[StreamingDedup]], watermark-bounded
+    *      digest state) — order matters: the batch capstone elects
+    *      keepers before gating, so a duplicate of a gate-failing
+    *      keeper must die at the dedup stage, not sneak past a gate
+    *      the keeper failed;
+    *   2. quality admission — STATELESS broadcast (source, qcut, dcut)
+    *      cutoffs from [[qualityCutoffs]] over the batch keepers;
+    *   3. CCNet LM admission — STATELESS, the trained 65,536-entry
+    *      grid folded in as one ArrayType literal, int64
+    *      cross-multiplied threshold;
+    *   4. SemDeDup drop — STATELESS broadcast anti-join against the
+    *      batch-trained semantic drop list (left_outer + null filter:
+    *      documents without a vector pass through);
+    *   5. DSIR resampling — the second stateful stage: ONE long of
+    *      running importance (the [[StreamingSample]] shape), documents
+    *      scored map-only against the 64-entry weight array, admitted
+    *      at step crossings; micro-batches are re-sorted by the batch
+    *      capstone's (bucket, hash, id) resample order so a single-
+    *      batch replay reproduces the batch selection EXACTLY (the
+    *      spec's equality pin), and multi-batch arrival keeps the
+    *      same expected rate in arrival order;
+    *   6. split tag — map-only hash arithmetic, identical buckets to
+    *      the batch manifest.
+    *
+    * `docs`: (source, doc_id, lang, text, `tsCol`); `lmWeights`: the
+    * 65,536-entry LM grid; `dsirWeights`: the 64-entry DSIR table. */
+  def pipelineStream(docs: DataFrame, cutoffs: DataFrame,
+      semDrops: DataFrame, lmWeights: Seq[Long], lmT4: Long,
+      dsirWeights: Seq[Long], step: Long, tsCol: String,
+      delay: String): Dataset[Admit] = {
+    require(lmWeights.length == 65536,
+      s"LM weight grid must have 65,536 entries, got ${lmWeights.length}")
+    require(dsirWeights.length == 64,
+      s"DSIR weight table must have 64 buckets, got ${dsirWeights.length}")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // stage 1: exact-dedup gate (stateful, watermark-bounded)
+    val deduped = StreamingDedup.dedupStream(docs, tsCol, delay)
+    // stage 2: quality admission against broadcast cutoffs
+    val gated = deduped
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .join(broadcast(cutoffs), Seq("source"))
+      .filter(col("quality") > col("qcut") ||
+        (col("quality") === col("qcut") && col("doc_id") <= col("dcut")))
+    // stage 3: LM admission (trained grid as ONE ArrayType literal)
+    val wl = typedlit(lmWeights.toIndexedSeq)
+    val bs = transform(split(graft.operators.Dedup.normalize(col("text")), " "),
+      t => pmod(PortableHash.hash60(t), lit(256L)))
+    val gs = zip_with(slice(bs, lit(1), size(bs) - 1),
+      slice(bs, lit(2), size(bs) - 1), (a, b) => a * 256 + b)
+    val lmPassed = gated
+      .withColumn("__gs", gs)
+      .filter(lit(4L) * aggregate(col("__gs"), lit(0L), (acc, g) =>
+        acc + element_at(wl, (g + 1).cast("int"))) >=
+        lit(lmT4) * size(col("__gs")))
+    // stage 4: semantic drop list (broadcast; missing vector = pass)
+    val cleaned = lmPassed
+      .join(broadcast(semDrops.select(col("vec_id").as("doc_id"),
+        lit(1L).as("__semdrop"))), Seq("doc_id"), "left_outer")
+      .filter(col("__semdrop").isNull)
+    // stage 5: DSIR importance + systematic resampling (one long of state)
+    val rl = array(dsirWeights.map(lit(_)): _*)
+    val weighted = cleaned.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        aggregate(graft.operators.Dedup.hashedShingles(col("text"), 2),
+          lit(0L), (acc, g) =>
+            acc + element_at(rl, (pmod(g, lit(64L)) + 1).cast("int")))
+          .as("w"))
+      .as[PipeDoc]
+    def ord(id: Long): Long = PortableHash.seedLong(s"$id|dsir")
+    val picked = weighted
+      .groupByKey(_ => "all")
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        (_: String, batch: Iterator[PipeDoc],
+            state: org.apache.spark.sql.streaming.GroupState[PipeState]) =>
+          var cum = state.getOption.map(_.cumWeight).getOrElse(0L)
+          // the batch capstone's resample order, reproduced per batch
+          val picks = batch.toSeq
+            .sortBy(d => (ord(d.doc_id) % 64, ord(d.doc_id), d.doc_id))
+            .flatMap { d =>
+              val before = cum
+              cum += d.w
+              if (cum / step > before / step) Some(d) else None
+            }
+          state.update(PipeState(cum))
+          picks.iterator
+      }
+    // stage 6: split tag (same "|split" buckets as the batch manifest)
+    picked.map { d =>
+      val b = PortableHash.seedLong(s"${d.doc_id}|split") % 100
+      val split = if (b < 80) "train" else if (b < 90) "val" else "test"
+      Admit(d.source, d.doc_id, d.n_tokens, split)
+    }
+  }
 }

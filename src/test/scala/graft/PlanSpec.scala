@@ -163,7 +163,14 @@ class PlanSpec extends SparkSpec {
       "sim_sq8_search" -> 9, // measured 8: range agg collapse + coded cross + top-k
       "corpus_bm25" -> 12, // measured 11: corpus_search's shape + the dl join
       "curate_dsir_weights" -> 7, // measured 6: two count aggs + weight-table collapse
-      "curate_dsir_resample" -> 17) // measured 16: weights + bucketed prefix-sum + offsets
+      "curate_dsir_resample" -> 17, // measured 16: weights + bucketed prefix-sum + offsets
+      // r9 curation entrants (bench top-5 rotation: pipeline + LM gate)
+      "text_lm_train" -> 0, // checkpointed LM grid: a pure scan + filter
+      "text_lm_score" -> 3, // measured 2: grid collapse + corpus manifest agg
+      "curate_lm_gate" -> 4, // measured 3: the score shape + per-lang rollup
+      "curate_semdedup" -> 5, // measured 4: in-cell pair join + manifest join off the checkpointed assignment
+      "curate_cluster_balance" -> 4, // measured 3: cell counts + broadcast-back + manifest agg
+      "curate_pipeline" -> 52) // measured 50: six family subtrees, shared stages repeated in the tree string
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

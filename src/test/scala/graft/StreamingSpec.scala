@@ -939,4 +939,52 @@ class StreamingSpec extends SparkSpec {
     spark.table("slm").as[(Long, String, Long, Long)].collect()
       .toSet shouldBe expected
   }
+
+  test("streaming pipeline equals the batch capstone manifest on a one-batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("curate_pipeline")(spark, d)
+      .as[(String, String, Long, Long)].collect().toSet
+    expected should not be empty
+
+    // trained/broadcast metadata, computed batch-side: quality cutoffs
+    // over the exact-dedup keepers (== the corpus here — the fixture
+    // has no exact duplicates), the semantic drop list, the LM grid,
+    // and the DSIR weight table
+    val docs0 = graft.ingest.Tables.documents(spark, d)
+    val cutoffs = graft.streaming.StreamingIntake.qualityCutoffs(
+      docs0.select(col("source"), col("doc_id"), col("text")))
+      .localCheckpoint()
+    val semDrops = graft.queries.SimilarityQueries.semDroppedIds(spark, d)
+      .localCheckpoint()
+    val lmW = graft.queries.TextQueries.lmWeightArray(spark, d)
+    val dsirW = graft.queries.DedupQueries.dsirWeightArray(spark, d)
+
+    val docs = docs0
+      .select(col("source"), col("doc_id"), col("lang"), col("text"))
+      .as[(String, Long, String, String)].collect().toIndexedSeq
+      .sortBy(_._2)
+    val in = MemoryStream[(String, Long, String, String)]
+    val stream = in.toDF().toDF("source", "doc_id", "lang", "text")
+      .withColumn("ts", (lit(1704067200L) + col("doc_id")).cast("timestamp"))
+    val q = graft.streaming.StreamingIntake.pipelineStream(
+        stream, cutoffs, semDrops, lmW,
+        graft.queries.TextQueries.lmGateT4, dsirW,
+        graft.queries.DedupQueries.pipelineStep, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("spipe")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("ckpt-pipe")).start()
+    // ONE batch: the resampler's within-batch sort reproduces the
+    // batch capstone's global (bucket, hash, id) order exactly
+    in.addData(docs)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("spipe").as[(String, Long, Long, String)].collect()
+    val manifest = got.groupBy(r => (r._1, r._4)).map {
+      case ((src, split), rs) =>
+        (src, split, rs.length.toLong, rs.map(_._3).sum)
+    }.toSet
+    manifest shouldBe expected
+  }
 }
