@@ -233,6 +233,57 @@ object TextHashFunctions {
       copy(child = c)
   }
 
+  /** Hashed-bigram LM score of a token array against a 65,536-entry
+    * weight grid, in ONE compiled scan: per token one direct MD5→60-bit
+    * hash (no hex round-trip) mod 256, per consecutive pair one grid
+    * lookup at b1·256+b2. The composable form — `transform` buckets,
+    * two `slice`s, `zip_with`, `aggregate` with `element_at` — walks
+    * the token array five times through interpreted lambda dispatch
+    * and allocates three intermediate arrays per row; this is the same
+    * value (pinned bit-identical by TextHashFunctionsSpec) at the cost
+    * of the tokenize pass alone. Empty-bigram docs (≤1 token) score 0,
+    * exactly like the fold over an empty array. */
+  def lmScoreBits(tokens: ArrayData, grid: ArrayData): Long = {
+    val n = tokens.numElements()
+    if (n < 2) return 0L
+    var prev = (hash60(tokens.getUTF8String(0)) % 256L).toInt
+    var sum = 0L
+    var i = 1
+    while (i < n) {
+      val b = (hash60(tokens.getUTF8String(i)) % 256L).toInt
+      sum += grid.getLong(prev * 256 + b)
+      prev = b
+      i += 1
+    }
+    sum
+  }
+
+  /** [[lmScoreBits]] as a native binary expression: left = the token
+    * array, right = the weight grid (a literal or a broadcast 1-row
+    * frame's column — either way it ships in the plan, so executors
+    * need no side-channel state). Codegen is one static call, keeping
+    * the enclosing whole-stage span intact. */
+  case class LmScoreBits(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def prettyName: String = "lm_score_bits"
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, array<bigint>), " +
+            s"got (${l.sql}, ${r.sql})")
+      }
+    override protected def nullSafeEval(t: Any, g: Any): Any =
+      lmScoreBits(t.asInstanceOf[ArrayData], g.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, g) =>
+        s"graft.functions.TextHashFunctions.lmScoreBits($t, $g)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): LmScoreBits = copy(left = l, right = r)
+  }
+
   def shingleStrings(tokens: Column, n: Int): Column =
     CatalystBridge.column(ShingleStrings(CatalystBridge.expression(tokens), n))
   def hashedShingles60(tokens: Column, n: Int): Column =
@@ -241,4 +292,7 @@ object TextHashFunctions {
     CatalystBridge.column(MinHashSig(CatalystBridge.expression(hashed), k))
   def simhash16(tokens: Column): Column =
     CatalystBridge.column(SimHash16(CatalystBridge.expression(tokens)))
+  def lmScoreBits(tokens: Column, grid: Column): Column =
+    CatalystBridge.column(LmScoreBits(
+      CatalystBridge.expression(tokens), CatalystBridge.expression(grid)))
 }

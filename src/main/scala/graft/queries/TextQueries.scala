@@ -184,6 +184,32 @@ object TextQueries {
     val wl = lmGrid(s, d)
       .agg(sort_array(collect_list(struct(col("g"), col("wbits")))).as("ws"))
       .select(transform(col("ws"), x => x.getField("wbits")).as("wl"))
+    // scoring rides the native one-pass [[TextHashFunctions.LmScoreBits]]
+    // (hash + grid lookup per token in compiled code) — bit-identical to
+    // the composable bucket/zip_with/aggregate fold, which walks the
+    // token array five times through interpreted lambdas
+    // (TextHashFunctionsSpec pins the equivalence; n_bigrams =
+    // |tokens| − 1 ≡ the fold's |zip_with| length, tokens ≥ 1 always)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .crossJoin(broadcast(wl))
+      .select(col("doc_id"), col("lang"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        graft.functions.TextHashFunctions.lmScoreBits(col("toks"), col("wl"))
+          .as("lp_bits"))
+  }
+
+  /** The composable form of the LM scorer — buckets, sliced bigrams,
+    * `aggregate` fold with `element_at` — kept as the semantic
+    * reference for the native expression; TextHashFunctionsSpec pins
+    * the two bit-identical on the fixture corpus. */
+  private[graft] def lmScoreComposable(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val wl = lmGrid(s, d)
+      .agg(sort_array(collect_list(struct(col("g"), col("wbits")))).as("ws"))
+      .select(transform(col("ws"), x => x.getField("wbits")).as("wl"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), lmBigrams(col("text")).as("gs"))
       .crossJoin(broadcast(wl))

@@ -151,17 +151,14 @@ object StreamingIntake {
       .join(broadcast(cutoffs), Seq("source"))
       .filter(col("quality") > col("qcut") ||
         (col("quality") === col("qcut") && col("doc_id") <= col("dcut")))
-    // stage 3: LM admission (trained grid as ONE ArrayType literal)
+    // stage 3: LM admission (trained grid as ONE ArrayType literal,
+    // scored by the native one-pass LmScoreBits expression)
     val wl = typedlit(lmWeights.toIndexedSeq)
-    val bs = transform(split(graft.operators.Dedup.normalize(col("text")), " "),
-      t => pmod(PortableHash.hash60(t), lit(256L)))
-    val gs = zip_with(slice(bs, lit(1), size(bs) - 1),
-      slice(bs, lit(2), size(bs) - 1), (a, b) => a * 256 + b)
+    val toks = split(graft.operators.Dedup.normalize(col("text")), " ")
     val lmPassed = gated
-      .withColumn("__gs", gs)
-      .filter(lit(4L) * aggregate(col("__gs"), lit(0L), (acc, g) =>
-        acc + element_at(wl, (g + 1).cast("int"))) >=
-        lit(lmT4) * size(col("__gs")))
+      .filter(lit(4L) *
+        graft.functions.TextHashFunctions.lmScoreBits(toks, wl) >=
+        lit(lmT4) * (size(toks) - 1).cast("long"))
     // stage 4: semantic drop list (broadcast; missing vector = pass)
     val cleaned = lmPassed
       .join(broadcast(semDrops.select(col("vec_id").as("doc_id"),

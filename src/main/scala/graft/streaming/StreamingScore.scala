@@ -59,17 +59,14 @@ object StreamingScore {
       s"LM weight grid must have 65,536 entries, got ${wbits.length}")
     // ONE ArrayType literal, not 65,536 expression nodes — a 64K-node
     // tree would blow codegen method limits; typedlit keeps the whole
-    // grid as a single constant the fold indexes into
+    // grid as a single constant the native scorer indexes into
     val wl = typedlit(wbits.toIndexedSeq)
-    val bs = transform(split(Dedup.normalize(col("text")), " "),
-      t => pmod(graft.functions.PortableHash.hash60(t), lit(256L)))
+    val toks = split(Dedup.normalize(col("text")), " ")
     docs
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
       .select(col("doc_id"), col("lang"),
-        zip_with(slice(bs, lit(1), size(bs) - 1),
-          slice(bs, lit(2), size(bs) - 1), (a, b) => a * 256 + b).as("gs"))
-      .select(col("doc_id"), col("lang"),
-        size(col("gs")).cast("long").as("n_bigrams"),
-        aggregate(col("gs"), lit(0L), (acc, g) =>
-          acc + element_at(wl, (g + 1).cast("int"))).as("lp_bits"))
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        graft.functions.TextHashFunctions.lmScoreBits(col("toks"), wl)
+          .as("lp_bits"))
   }
 }

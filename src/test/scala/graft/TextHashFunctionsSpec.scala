@@ -85,4 +85,34 @@ class TextHashFunctionsSpec extends SparkSpec {
         org.apache.spark.unsafe.types.UTF8String.fromString(s)) shouldBe expected
     }
   }
+
+  test("native lmScoreBits == bucket/zip_with/aggregate fold (incl. edge docs)") {
+    // a small deterministic grid: entry g holds g % 7 + 1, so any
+    // off-by-one in the b1*256+b2 indexing shows up as a value diff
+    val grid = (0 until 65536).map(g => (g % 7 + 1).toLong)
+    val wl = typedlit(grid)
+    // edge docs: empty, single-token (no bigrams), repeated tokens
+    val texts = Seq("", "one", "a a a a", "the quick brown fox jumps",
+      "x y x y x", "punctuated, text! with? tokens.")
+    // qualified: ScalaTest's Matchers.size shadows functions.size
+    val fsize = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.size(c)
+    val toks = split(Dedup.normalize(col("t")), " ")
+    val bs = transform(toks,
+      w => pmod(PortableHash.hash60(w), lit(256L)))
+    val gs = zip_with(slice(bs, lit(1), fsize(bs) - 1),
+      slice(bs, lit(2), fsize(bs) - 1), (a, b) => a * 256 + b)
+    val classic = aggregate(gs, lit(0L), (acc, g) =>
+      acc + element_at(wl, (g + 1).cast("int")))
+    val diff = (texts.toDF("t") union
+        graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+          .select(col("text").as("t")))
+      .select(TextHashFunctions.lmScoreBits(toks, wl).as("native"),
+        classic.as("classic"),
+        (fsize(toks) - 1).cast("long").as("n_native"),
+        fsize(gs).cast("long").as("n_classic"))
+      .filter(col("native") =!= col("classic") ||
+        col("n_native") =!= col("n_classic"))
+    diff.count() shouldBe 0L
+  }
 }
