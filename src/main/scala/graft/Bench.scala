@@ -45,7 +45,8 @@ object Bench {
     "curate_dsir_weights", "curate_dsir_resample",
     "sim_svd_power", "sim_rp_search",
     "curate_semdedup", "curate_cluster_balance",
-    "text_lm_train", "curate_lm_gate", "curate_pipeline")
+    "text_lm_train", "curate_lm_gate", "curate_pipeline",
+    "curate_sem_decontaminate")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

@@ -721,6 +721,67 @@ object SimilarityQueries {
          |  CAST(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS dropped
          |FROM sasg a LEFT JOIN sdup s ON s.vec_id = a.vec_id""".stripMargin),
 
+    // SEMANTIC decontamination — the embedding-level counterpart of
+    // curate_decontaminate's lexical (MinHash) scan, and the
+    // contamination check modern eval suites actually need: a training
+    // document that PARAPHRASES a holdout document shares no n-grams
+    // (lexical scan misses it) but sits next to it in embedding space.
+    // Candidates are cluster-scoped exactly like SemDeDup (pairs only
+    // within trained cells — Σ|cell|², never |corpus|²); a pair is
+    // contaminating when its exact cosine clears the threshold and the
+    // two sides land in DIFFERENT split groups under the shared
+    // "|split" hash (train <80 / holdout ≥80 — the same buckets every
+    // split consumer uses); the TRAIN side is the drop. Output is the
+    // per-cell audit: candidate pairs checked, contaminating pairs,
+    // distinct train docs to drop.
+    "curate_sem_decontaminate" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        def bucket(idc: org.apache.spark.sql.Column) =
+          PortableHash.hash60(
+            concat(idc.cast("string"), lit("|split"))) % 100
+        val m = semAssigned(s, d)
+        val pairs = m.as("x").join(m.as("y"),
+            col("x.cell_id") === col("y.cell_id") &&
+              col("x.__id") < col("y.__id"))
+          .select(col("x.cell_id").as("cell_id"),
+            col("x.__id").as("a"), col("y.__id").as("b"),
+            (Similarity.cosine(col("x.__v"), col("y.__v")) >= SemTau)
+              .as("near"),
+            (bucket(col("x.__id")) < 80).as("ta"),
+            (bucket(col("y.__id")) < 80).as("tb"))
+          .withColumn("cross", col("ta") =!= col("tb"))
+        pairs.groupBy(col("cell_id"))
+          .agg(count(when(col("cross"), 1)).as("n_cross_pairs"),
+            count(when(col("cross") && col("near"), 1))
+              .as("n_contaminating"),
+            countDistinct(when(col("cross") && col("near"),
+              when(col("ta"), col("a")).otherwise(col("b"))))
+              .as("n_train_drops"))
+      }, {
+        import graft.functions.PortableHash
+        def bucketSql(e: String) =
+          s"(${PortableHash.hash60Sql(s"CAST($e AS VARCHAR) || '|split'")} % 100)"
+        s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+           |$semAsgCtes,
+           |pp AS (
+           |  SELECT x.cell_id, x.vec_id AS a, y.vec_id AS b,
+           |    (${cosine("x.v", "y.v", Dims)} >= $SemTau) AS near,
+           |    (${bucketSql("x.vec_id")} < 80) AS ta,
+           |    (${bucketSql("y.vec_id")} < 80) AS tb
+           |  FROM sasg x JOIN sasg y
+           |  ON x.cell_id = y.cell_id AND x.vec_id < y.vec_id)
+           |SELECT cell_id,
+           |  CAST(count(CASE WHEN ta <> tb THEN 1 END) AS BIGINT)
+           |    AS n_cross_pairs,
+           |  CAST(count(CASE WHEN ta <> tb AND near THEN 1 END) AS BIGINT)
+           |    AS n_contaminating,
+           |  CAST(count(DISTINCT CASE WHEN ta <> tb AND near
+           |    THEN (CASE WHEN ta THEN a ELSE b END) END) AS BIGINT)
+           |    AS n_train_drops
+           |FROM pp GROUP BY cell_id""".stripMargin
+      }),
+
     // Cluster-balanced sampling — the diversity half of an
     // embedding-cluster curation recipe (oversampled modes crowd out
     // the tail; capping per cluster rebalances the mixture): keep a

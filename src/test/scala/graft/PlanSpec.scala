@@ -38,6 +38,7 @@ class PlanSpec extends SparkSpec {
       "curate_dsir_weights", // 1-row broadcast of the 64-entry weight array
       "curate_dsir_resample", // same 1-row weight-array broadcast, resampled
       "curate_semdedup", // broadcast centroid assignment (k-sized, linear)
+      "curate_sem_decontaminate", // same shared assignment build path
       "curate_cluster_balance", // same assignment + k-row count broadcast
       "text_lm_score", // 1-row broadcast of the 65,536-entry LM weight array
       "curate_lm_gate", // same 1-row LM weight-array broadcast, gated

@@ -256,6 +256,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: audit counts nest and the scan finds signal") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("curate_sem_decontaminate")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    rows should not be empty
+    rows.foreach { case (cell, cross, contam, drops) =>
+      withClue(s"cell $cell: ") {
+        contam should be <= cross
+        drops should be <= contam
+      }
+    }
+    // the fixture's near-dup pairs straddle the split boundary often
+    // enough that an empty report means the cross-split predicate broke
+    rows.map(_._3).sum should be > 0L
+    rows.map(_._4).sum should be > 0L
+  }
+
   test("cluster-balanced sampling caps oversized cells, keeps small ones whole") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("curate_cluster_balance")(spark, d)
