@@ -3,11 +3,12 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.CatalystBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructField, StructType}
 
 /** Native Catalyst expressions for the vector hot path.
   *
@@ -79,6 +80,78 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** First-minimum squared-L2 argmin of a vector against an entry
+    * array — the per-row kernel of streaming ANN index maintenance
+    * ([[graft.streaming.StreamingIndex]]): each arriving vector picks
+    * its nearest trained centroid / codeword from a plan-folded
+    * literal array. The composable form (an `aggregate` fold keeping
+    * `struct(best d2, best id)`) interprets the whole three-dot
+    * distance tree per entry per row; this computes the same values —
+    * left-to-right per-dot accumulation, `d2 = a·a − 2·a·b + b·b`,
+    * strict `<` so ties fall to the EARLIEST entry (callers pre-sort
+    * by id, matching `min(struct(d2, id))`) — in one compiled loop.
+    * `a·a` hoists out of the entry loop: on the integer-valued
+    * quantized inputs every sum is exact, so hoisting cannot change
+    * the value. */
+  def argminD2(vec: ArrayData, entries: ArrayData): InternalRow = {
+    val n = vec.numElements()
+    var aa = 0.0
+    var j = 0
+    while (j < n) { val x = vec.getDouble(j); aa += x * x; j += 1 }
+    var bestD2 = Double.MaxValue
+    var bestId = Long.MaxValue
+    val m = entries.numElements()
+    var i = 0
+    while (i < m) {
+      val e = entries.getStruct(i, 2)
+      val v = e.getArray(1)
+      var ab = 0.0
+      var bb = 0.0
+      j = 0
+      while (j < n) {
+        val x = vec.getDouble(j); val y = v.getDouble(j)
+        ab += x * y; bb += y * y
+        j += 1
+      }
+      val dd = aa - 2.0 * ab + bb
+      if (dd < bestD2) { bestD2 = dd; bestId = e.getLong(0) }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestD2, bestId))
+  }
+
+  /** [[argminD2]] as a native binary expression: left = the vector
+    * (array<double>), right = the entry array
+    * (array<struct<id: long, v: array<double>>>, typically a literal
+    * folded from trained index metadata). Returns
+    * struct(d2: double, id: long). */
+  case class ArgminD2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def prettyName: String = "vec_argmin_d2"
+    override val dataType: DataType = StructType(Seq(
+      StructField("d2", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(DoubleType, _),
+            ArrayType(StructType(Array(
+              StructField(_, LongType, _, _),
+              StructField(_, ArrayType(DoubleType, _), _, _))), _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, " +
+            s"array<struct<long, array<double>>>), got (${l.sql}, ${r.sql})")
+      }
+    override protected def nullSafeEval(v: Any, e: Any): Any =
+      argminD2(v.asInstanceOf[ArrayData], e.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, e) =>
+        s"graft.functions.VectorFunctions.argminD2($v, $e)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): ArgminD2 =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Column-level API (no registry needed). Inputs are cast to
     * `array<double>` — products and sums always run in double, matching
     * the composable reference form on double arrays. */
@@ -86,6 +159,12 @@ object VectorFunctions {
     CatalystBridge.column(DotProduct(
       CatalystBridge.expression(a.cast("array<double>")),
       CatalystBridge.expression(b.cast("array<double>"))))
+
+  /** Column-level [[ArgminD2]]: `entries` must be sorted by id for the
+    * min-struct tie order. */
+  def vecArgminD2(vec: Column, entries: Column): Column =
+    CatalystBridge.column(ArgminD2(
+      CatalystBridge.expression(vec), CatalystBridge.expression(entries)))
 
   private val dotInfo = new ExpressionInfo(
     classOf[DotProduct].getCanonicalName, null, "vec_dot")
@@ -108,6 +187,8 @@ object VectorFunctions {
   *   hashed_shingles60(tokens, n)   sorted 60-bit hashed shingle set
   *   minhash_sig(hashed, k)         k-slot MinHash signature
   *   simhash16(tokens)              16-bit SimHash fingerprint
+  *   lm_score_bits(tokens, grid)    hashed-bigram LM score (quarter-bit)
+  *   vec_argmin_d2(vec, entries)    nearest entry by exact squared L2
   *
   * Integer parameters (n, k) must be literals — they parameterize the
   * generated code, exactly like the Scala API's Int arguments.
@@ -141,6 +222,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => T.MinHashSig(c(0), intLit(c(1), "minhash_sig")) })
     ext.injectFunction(fn("simhash16", classOf[T.SimHash16]) {
       c => T.SimHash16(c(0)) })
+    ext.injectFunction(fn("lm_score_bits", classOf[T.LmScoreBits]) {
+      c => T.LmScoreBits(c(0), c(1)) })
+    ext.injectFunction(fn("vec_argmin_d2", classOf[VectorFunctions.ArgminD2]) {
+      c => VectorFunctions.ArgminD2(c(0), c(1)) })
     ext.injectFunction(fn("morton_interleave16",
         classOf[MortonFunctions.MortonInterleave16]) {
       c => MortonFunctions.MortonInterleave16(c(0), c(1)) })

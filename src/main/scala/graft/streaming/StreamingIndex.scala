@@ -16,7 +16,8 @@ import graft.operators.Similarity
   * codebook are index METADATA (k·dims integer-valued doubles — small
   * by construction, exactly what a real index broadcasts to its
   * writers), folded into the plan as literal arrays, and each arriving
-  * vector's cell/code argmins are per-row `aggregate` folds over those
+  * vector's cell/code argmins run as the native compiled
+  * [[graft.functions.VectorFunctions.ArgminD2]] loop over those
   * literals. No state store, no watermark, no shuffle — a micro-batch
   * of N vectors is N independent rows, so the operator scales with
   * executor count and admits at scan speed.
@@ -43,11 +44,25 @@ object StreamingIndex {
 
   /** First-minimum argmin of `vec` against a literal entry array:
     * returns struct(d2, id) — ties fall to the earliest (lowest-id)
-    * entry, matching `min(struct(d2, id))`. */
+    * entry, matching `min(struct(d2, id))`. Runs as the native
+    * compiled loop ([[graft.functions.VectorFunctions.ArgminD2]]);
+    * [[argminComposable]] is the `aggregate`-fold reference form it
+    * must match bit-for-bit (VectorFunctionsSpec pins the pair, and the
+    * streamed-equals-batch StreamingSpec pin covers the end-to-end). */
   private def argmin(entries: Seq[(Long, Seq[Double])], vec: Column): Column = {
     // fail-loud doctrine (see Tables): an empty entry list would fold the
     // (Double.MaxValue, Long.MaxValue) sentinel into every output row —
     // garbage cell ids/codes instead of an error at plan-build time
+    require(entries.nonEmpty, "argmin over an empty centroid/codeword list")
+    graft.functions.VectorFunctions.vecArgminD2(vec,
+      array(entries.sortBy(_._1).map { case (id, v) => entryLit(id, v) }: _*))
+  }
+
+  /** The composable `aggregate`-fold argmin — kept as the semantic
+    * reference for the native expression (interpreted per entry, so
+    * only the spec runs it). */
+  private[graft] def argminComposable(
+      entries: Seq[(Long, Seq[Double])], vec: Column): Column = {
     require(entries.nonEmpty, "argmin over an empty centroid/codeword list")
     aggregate(
       array(entries.sortBy(_._1).map { case (id, v) => entryLit(id, v) }: _*),

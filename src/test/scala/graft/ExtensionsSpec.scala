@@ -50,6 +50,19 @@ class ExtensionsSpec extends SparkSpec {
     sql1("SELECT morton_interleave16(3L, 1L) AS z").getLong(0) shouldBe 7L
   }
 
+  test("lm_score_bits / vec_argmin_d2 from SQL") {
+    // two bigrams, every grid entry 5 -> score 10
+    sql1("SELECT lm_score_bits(array('a','b','c'), " +
+      "array_repeat(5L, 65536)) AS s").getLong(0) shouldBe 10L
+    // nearest of two entries by exact squared L2, struct(d2, id) out
+    val r = sql1("SELECT vec_argmin_d2(array(1.0d, 0.0d), array(" +
+      "named_struct('id', 7L, 'v', array(1.0d, 0.0d)), " +
+      "named_struct('id', 9L, 'v', array(5.0d, 5.0d)))) AS a")
+      .getStruct(0)
+    r.getDouble(0) shouldBe 0.0
+    r.getLong(1) shouldBe 7L
+  }
+
   test("literal-parameter contract is enforced with a clear error") {
     installed
     val e = intercept[Exception] {

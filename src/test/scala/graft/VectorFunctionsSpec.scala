@@ -67,4 +67,42 @@ class VectorFunctionsSpec extends SparkSpec {
     spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .head().getDouble(0) shouldBe 11.0
   }
+
+  test("native vec_argmin_d2 == the aggregate-fold argmin, ties to lowest id") {
+    // random integer-quantized vectors (the production domain: every
+    // distance is an exact int64-valued double) + a duplicated entry so
+    // the tie must resolve to the LOWEST id on both paths
+    val rnd = new scala.util.Random(41)
+    def vec(): Seq[Double] =
+      Seq.fill(64)((rnd.nextInt(2001) - 1000).toDouble)
+    val entries = ((1L to 12L).map(i => (i, vec())) :+ (99L, vec()))
+      .sortBy(_._1)
+    val dup = entries.head._2
+    val withTie = (entries :+ (100L, dup)).sortBy(_._1)
+    val rows = ((1L to 40L).map(i => (i, vec())) :+ (200L, dup))
+      .toDF("vec_id", "qv")
+    val lits = withTie.map { case (id, v) =>
+      struct(lit(id).as("id"), array(v.map(lit): _*).as("v")) }
+    val native = VectorFunctions.vecArgminD2(col("qv"), array(lits: _*))
+    val classic = aggregate(array(lits: _*),
+      struct(lit(Double.MaxValue).as("d2"), lit(Long.MaxValue).as("id")),
+      (acc, e) => {
+        val dd = VectorFunctions.vecDot(col("qv"), col("qv")) -
+          lit(2.0) * VectorFunctions.vecDot(col("qv"), e.getField("v")) +
+          VectorFunctions.vecDot(e.getField("v"), e.getField("v"))
+        when(dd < acc.getField("d2"),
+          struct(dd.as("d2"), e.getField("id").as("id"))).otherwise(acc)
+      })
+    val got = rows.select(col("vec_id"), native.as("n"), classic.as("c"))
+      .select(col("vec_id"),
+        col("n.d2").as("nd2"), col("n.id").as("nid"),
+        col("c.d2").as("cd2"), col("c.id").as("cid"))
+      .as[(Long, Double, Long, Double, Long)].collect()
+    got.foreach { case (id, nd2, nid, cd2, cid) =>
+      withClue(s"vec $id: ") { nd2 shouldBe cd2; nid shouldBe cid }
+    }
+    // the duplicated-vector row is an exact tie between ids 1 and 100:
+    // both paths must elect 1
+    got.find(_._1 == 200L).get._3 shouldBe withTie.head._1
+  }
 }
