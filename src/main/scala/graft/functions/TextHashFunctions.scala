@@ -258,6 +258,48 @@ object TextHashFunctions {
     sum
   }
 
+  /** DSIR-style weighted bucket sum over a PRE-HASHED feature array in
+    * one compiled scan: Σ weights[h mod |weights|]. The composable form
+    * (`aggregate` with `element_at` and `pmod`) pays interpreted lambda
+    * dispatch per feature; same value (hash60 features are non-negative,
+    * so `%` ≡ `pmod`), pinned bit-identical by TextHashFunctionsSpec. */
+  def weightedBucketSum(hashed: ArrayData, weights: ArrayData): Long = {
+    val m = weights.numElements()
+    val n = hashed.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      sum += weights.getLong((hashed.getLong(i) % m).toInt)
+      i += 1
+    }
+    sum
+  }
+
+  /** [[weightedBucketSum]] as a native binary expression: left = the
+    * hashed feature array (array<long>, e.g. [[HashedShingles60]]'s
+    * output), right = the trained bucket-weight array (a literal or a
+    * broadcast 1-row frame's column). */
+  case class WeightedBucketSum(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def prettyName: String = "weighted_bucket_sum"
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, array<bigint>), " +
+            s"got (${l.sql}, ${r.sql})")
+      }
+    override protected def nullSafeEval(h: Any, w: Any): Any =
+      weightedBucketSum(h.asInstanceOf[ArrayData], w.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (h, w) =>
+        s"graft.functions.TextHashFunctions.weightedBucketSum($h, $w)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): WeightedBucketSum = copy(left = l, right = r)
+  }
+
   /** [[lmScoreBits]] as a native binary expression: left = the token
     * array, right = the weight grid (a literal or a broadcast 1-row
     * frame's column — either way it ships in the plan, so executors
@@ -295,4 +337,7 @@ object TextHashFunctions {
   def lmScoreBits(tokens: Column, grid: Column): Column =
     CatalystBridge.column(LmScoreBits(
       CatalystBridge.expression(tokens), CatalystBridge.expression(grid)))
+  def weightedBucketSum(hashed: Column, weights: Column): Column =
+    CatalystBridge.column(WeightedBucketSum(
+      CatalystBridge.expression(hashed), CatalystBridge.expression(weights)))
 }

@@ -971,9 +971,8 @@ object DedupQueries {
           .select(col("doc_id"), Dedup.hashedShingles(col("text"), 2).as("gs"))
           .crossJoin(broadcast(rl))
           .select(col("doc_id"),
-            aggregate(col("gs"), lit(0L), (acc, g) =>
-              acc + element_at(col("rl"),
-                (pmod(g, lit(64L)) + 1).cast("int"))).as("wgt"),
+            graft.functions.TextHashFunctions
+              .weightedBucketSum(col("gs"), col("rl")).as("wgt"),
             (h % 64).as("bkt"), h.as("ord"))
         val sampled = PrefixSum.bucketedRunningSum(scored, Seq.empty, "bkt",
             Seq(col("ord"), col("doc_id")), "wgt", "cum_weight")
@@ -1096,9 +1095,8 @@ object DedupQueries {
           .crossJoin(broadcast(rl))
           .filter(pmod(col("doc_id"), lit(5)) === 0)
           .select(col("doc_id"), size(col("gs")).cast("long").as("n_feats"),
-            aggregate(col("gs"), lit(0L), (acc, g) =>
-              acc + element_at(col("rl"),
-                (pmod(g, lit(64L)) + 1).cast("int"))).as("imp_score"))
+            graft.functions.TextHashFunctions
+              .weightedBucketSum(col("gs"), col("rl")).as("imp_score"))
       },
       s"""WITH $dsirCtes
          |SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
@@ -1132,9 +1130,8 @@ object DedupQueries {
           .select(col("doc_id"), Dedup.hashedShingles(col("text"), 2).as("gs"))
           .crossJoin(broadcast(rl))
           .select(col("doc_id"),
-            aggregate(col("gs"), lit(0L), (acc, g) =>
-              acc + element_at(col("rl"),
-                (pmod(g, lit(64L)) + 1).cast("int"))).as("w"),
+            graft.functions.TextHashFunctions
+              .weightedBucketSum(col("gs"), col("rl")).as("w"),
             (h % 64).as("bkt"), h.as("ord"))
         PrefixSum.bucketedRunningSum(scored, Seq.empty, "bkt",
             Seq(col("ord"), col("doc_id")), "w", "cum_weight")

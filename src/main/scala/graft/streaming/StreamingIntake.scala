@@ -168,10 +168,8 @@ object StreamingIntake {
     val rl = array(dsirWeights.map(lit(_)): _*)
     val weighted = cleaned.select(col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        aggregate(graft.operators.Dedup.hashedShingles(col("text"), 2),
-          lit(0L), (acc, g) =>
-            acc + element_at(rl, (pmod(g, lit(64L)) + 1).cast("int")))
-          .as("w"))
+        graft.functions.TextHashFunctions.weightedBucketSum(
+          graft.operators.Dedup.hashedShingles(col("text"), 2), rl).as("w"))
       .as[PipeDoc]
     def ord(id: Long): Long = PortableHash.seedLong(s"$id|dsir")
     val picked = weighted

@@ -36,9 +36,8 @@ object StreamingScore {
     docs
       .select(col("doc_id"), Dedup.hashedShingles(col("text"), 2).as("gs"))
       .select(col("doc_id"), size(col("gs")).cast("long").as("n_feats"),
-        aggregate(col("gs"), lit(0L), (acc, g) =>
-          acc + element_at(rl, (pmod(g, lit(64L)) + 1).cast("int")))
-          .as("imp_score"))
+        graft.functions.TextHashFunctions
+          .weightedBucketSum(col("gs"), rl).as("imp_score"))
   }
 
   /** Streaming LM perplexity scoring — the serving half of

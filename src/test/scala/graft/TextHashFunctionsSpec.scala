@@ -86,6 +86,20 @@ class TextHashFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native weightedBucketSum == aggregate/element_at fold") {
+    // non-uniform 64-entry weights: bucket b weighs (b*37) % 101
+    val weights = (0 until 64).map(b => ((b * 37) % 101).toLong)
+    val rl = typedlit(weights)
+    val gs = TextHashFunctions.hashedShingles60(tokens, 2)
+    val classic = aggregate(gs, lit(0L), (acc, g) =>
+      acc + element_at(rl, (pmod(g, lit(64L)) + 1).cast("int")))
+    val diff = docs.select(
+      TextHashFunctions.weightedBucketSum(gs, rl).as("native"),
+      classic.as("classic"))
+      .filter(col("native") =!= col("classic"))
+    diff.count() shouldBe 0L
+  }
+
   test("native lmScoreBits == bucket/zip_with/aggregate fold (incl. edge docs)") {
     // a small deterministic grid: entry g holds g % 7 + 1, so any
     // off-by-one in the b1*256+b2 indexing shows up as a value diff
