@@ -46,7 +46,7 @@ object Bench {
     "sim_svd_power", "sim_rp_search",
     "curate_semdedup", "curate_cluster_balance",
     "text_lm_train", "curate_lm_gate", "curate_pipeline",
-    "curate_sem_decontaminate")
+    "curate_sem_decontaminate", "sim_nprobe_sweep")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

@@ -693,6 +693,41 @@ object SimilarityQueries {
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          |GROUP BY b.query_id""".stripMargin),
 
+    // The nprobe frontier — recall@10 of the composed IVF-PQ search at
+    // probe widths 1/3/5, each against the exact-L2 baseline: the
+    // MEASURED recall-vs-work curve for the index's one serving-time
+    // knob (per-query scan cost is ~nprobe/k_cells of the codes, so
+    // this row IS the quality/cost trade a capacity planner reads).
+    // The oracle replays the full train+code+probe+ADC chain once per
+    // width; each branch's CTE scope is isolated inside its UNION
+    // subquery. The direction is NOT guaranteed a priori — wider
+    // probes add ADC false-positive candidates along with true ones —
+    // and on this fixture the measured curve actually FALLS with
+    // width (0.37 → 0.29 → 0.24 at sf0.01), monotonically toward the
+    // full-scan ADC limit (0.22, `sim_pq_recall`): unclustered random
+    // embeddings make the exact probe geometry a better ranker than
+    // the quantized codes, so tighter pruning evicts more ADC false
+    // positives than true neighbors it costs. Exactly why the curve
+    // must be measured rather than assumed; SimilaritySpec pins the
+    // measured shape and the nprobe=3 row's consistency with
+    // `sim_ivfpq_recall`.
+    "sim_nprobe_sweep" -> QueryDef(
+      (s, d) => Seq(1, 3, 5).map { np =>
+        recallAgainstExactL2(s, d,
+          Similarity.ivfPqSearch(
+            quantized(s, d).filter(pmod(col("vec_id"), lit(50)) === 0)
+              .select(col("vec_id").as("query_id"), col("qv")),
+            indexedCodes(s, d), trainedCodebook(s, d),
+            trainedCentroids(s, d), nprobe = np, k = K)
+            .select(col("query_id"), col("vec_id").as("neighbor_id")))
+          .select(lit(np.toLong).as("nprobe"), col("query_id"),
+            col("n_exact"), col("n_hit"), col("recall_at_k"))
+      }.reduce(_ unionAll _),
+      Seq(1, 3, 5).map(np =>
+        s"SELECT CAST($np AS BIGINT) AS nprobe, r.* FROM (\n" +
+          s"${recallAgainstExactL2Sql(ivfpqSqlAt(np))}) r")
+        .mkString("\nUNION ALL\n")),
+
     // SemDeDup — cluster-scoped SEMANTIC deduplication (Abbas et al.
     // 2023): assign every embedding to its trained k-means cell, then
     // look for near-duplicate pairs ONLY within cells; a vector with a
@@ -931,7 +966,11 @@ object SimilarityQueries {
   /** DuckDB text of the composed IVF-PQ search: training (both
     * families), coding, cell assignment, per-query probing, and the
     * cell-restricted ADC — one CTE chain, replayed end-to-end. */
-  private def ivfpqSql: String =
+  private def ivfpqSql: String = ivfpqSqlAt(Nprobe)
+
+  /** [[ivfpqSql]] at an explicit probe width — the nprobe-sweep
+    * frontier row re-runs the whole chain per width. */
+  private def ivfpqSqlAt(np: Int): String =
     s"""WITH $pqCtes,
        |$ivfTrainCtes,
        |codes AS (SELECT vec_id, sub, k & 15 AS code FROM k),
@@ -948,7 +987,7 @@ object SimilarityQueries {
        |      PARTITION BY e.vec_id
        |      ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
        |    FROM e, c WHERE e.vec_id % 50 = 0)
-       |  WHERE cr <= $Nprobe),
+       |  WHERE cr <= $np),
        |qx AS (
        |  SELECT p.vec_id AS query_id, p.sub, cb.code, p.sv, cb.cv
        |  FROM p16 p JOIN cb ON cb.sub = p.sub

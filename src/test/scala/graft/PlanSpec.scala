@@ -24,6 +24,7 @@ class PlanSpec extends SparkSpec {
       "sim_pq_recall", // embeds the exact-L2 brute force it grades against
       "sim_ivfpq_search", // broadcast centroid probe (k-sized, linear in queries)
       "sim_ivfpq_recall", // embeds the exact-L2 brute force it grades against
+      "sim_nprobe_sweep", // the same brute baseline + probe, once per width
       "sim_ivfpq_residual", // same broadcast centroid probe, residual variant
       "sim_ivfpq_res_recall", // embeds the exact-L2 brute force it grades against
       "sim_ivfpq_rerank", // embeds the residual probe's centroid broadcast

@@ -235,6 +235,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("nprobe sweep: measured frontier is coherent with its two limits") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sim_nprobe_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val mean = rows.groupBy(_._1).map { case (np, rs) =>
+      np -> rs.map(_._5).sum / rs.length
+    }
+    mean.keySet shouldBe Set(1L, 3L, 5L)
+    // every width finds signal
+    mean.values.foreach(_ should be > 0.0)
+    // the nprobe=3 rows ARE sim_ivfpq_recall's computation — the sweep
+    // must agree with the standalone gate row-for-row
+    val gate = SparkEntry.queries("sim_ivfpq_recall")(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    rows.filter(_._1 == 3L)
+      .map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe gate
+    // the fixture's measured direction: unclustered embeddings make the
+    // exact probe geometry a better ranker than the 4-bit codes, so
+    // recall FALLS toward the full-scan ADC limit as probes widen
+    withClue(s"mean recall by nprobe: $mean: ") {
+      mean(1L) should be > mean(5L)
+    }
+  }
+
   test("SemDeDup manifest covers the corpus and actually deduplicates") {
     val d = "/root/testdata/sf0.001"
     val n = graft.ingest.Tables.embeddings(spark, d).count()
