@@ -1081,7 +1081,8 @@ object DedupQueries {
     // hashed distinct 2-grams. Shape at 100 TB: the two count frames
     // are 64-row aggregates; the weight table folds into a 64-element
     // array on a 1-row broadcast frame; scoring is then a MAP-ONLY
-    // aggregate() fold per document — no shuffle touches the corpus at
+    // pass per document (the native compiled weighted_bucket_sum
+    // expression) — no shuffle touches the corpus at
     // all after the counting pass, and resampling by the score is
     // op_pps_sample's prefix-sum kernel downstream.
     "curate_dsir_weights" -> QueryDef(

@@ -10,7 +10,8 @@ import graft.operators.Dedup
   * TRAINED 64-bucket weight table, folded into the plan as literals
   * (index metadata, broadcast-small by construction — the
   * [[StreamingIndex]] doctrine). Stateless and map-only: shingle →
-  * hash → bucket → `aggregate()` fold per document, no watermark, no
+  * hash → bucket → one compiled `weighted_bucket_sum` pass per
+  * document, no watermark, no
   * shuffle — admission-time targeted-selection scoring scales with
   * executor count. StreamingSpec pins streamed scores equal to the
   * batch query row-for-row on the same documents.
