@@ -92,7 +92,10 @@ object VectorFunctions {
     * by id, matching `min(struct(d2, id))`) — in one compiled loop.
     * `a·a` hoists out of the entry loop: on the integer-valued
     * quantized inputs every sum is exact, so hoisting cannot change
-    * the value. */
+    * the value. An EMPTY entry array yields the
+    * (Double.MaxValue, Long.MaxValue) sentinel — identical to the
+    * fold's init element — so callers must reject empty metadata
+    * up front (StreamingIndex's `require`, the fail-loud doctrine). */
   def argminD2(vec: ArrayData, entries: ArrayData): InternalRow = {
     val n = vec.numElements()
     var aa = 0.0

@@ -172,7 +172,8 @@ class PlanSpec extends SparkSpec {
       "curate_lm_gate" -> 4, // measured 3: the score shape + per-lang rollup
       "curate_semdedup" -> 5, // measured 4: in-cell pair join + manifest join off the checkpointed assignment
       "curate_cluster_balance" -> 4, // measured 3: cell counts + broadcast-back + manifest agg
-      "curate_pipeline" -> 52) // measured 50: six family subtrees, shared stages repeated in the tree string
+      "curate_pipeline" -> 52, // measured 50: six family subtrees, shared stages repeated in the tree string
+      "sim_nprobe_sweep" -> 50) // measured 48: three probe-width branches × (search + exact-baseline compare)
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
