@@ -304,6 +304,54 @@ object StreamBench {
     Section("lm_score", docs.length.toLong, sec, batches)
   }
 
+  case class PipeIn(source: String, doc_id: Long, lang: String,
+    text: String, ts: Timestamp)
+
+  /** The FULL streaming curation pipeline
+    * ([[graft.streaming.StreamingIntake.pipelineStream]]): dedup gate →
+    * quality/LM/semantic admission → DSIR resampler → split tag, per
+    * arriving document. All four trained artifacts (quality cutoffs,
+    * semantic drop list, LM grid, DSIR weights) are computed BEFORE the
+    * clock — they are the batch-trained metadata the admission service
+    * broadcasts — so the section times exactly the serving path: two
+    * stateful stages plus compiled map-only gates. Replicas mint fresh
+    * ids and varied text (the dedupDocs doctrine: replicated rows are
+    * new admission work, not free digest drops). */
+  private def curationSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir)
+      .select(col("source").cast("string"), col("doc_id").cast("long"),
+        col("lang").cast("string"), col("text").cast("string"),
+        (lit(DedupEpoch) + col("doc_id")).cast("timestamp").as("ts"))
+      .as[PipeIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val docs = replicate(base, floor) { (r, i) =>
+      val id = r.doc_id + i * span
+      r.copy(doc_id = id, text = r.text + " ~r" + i,
+        ts = new Timestamp((DedupEpoch + id) * 1000L))
+    }
+    val cutoffs = graft.streaming.StreamingIntake.qualityCutoffs(
+        Tables.documents(spark, sfDir)
+          .select(col("source"), col("doc_id"), col("text")))
+      .localCheckpoint()
+    val semDrops = graft.queries.SimilarityQueries
+      .semDroppedIds(spark, sfDir).localCheckpoint()
+    val lmW = graft.queries.TextQueries.lmWeightArray(spark, sfDir)
+    val dsirW = graft.queries.DedupQueries.dsirWeightArray(spark, sfDir)
+    val in = MemoryStream[PipeIn]
+    val q = graft.streaming.StreamingIntake.pipelineStream(
+        in.toDF().toDF("source", "doc_id", "lang", "text", "ts"),
+        cutoffs, semDrops, lmW, graft.queries.TextQueries.lmGateT4,
+        dsirW, graft.queries.DedupQueries.pipelineStep,
+        "ts", "10 minutes")
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_pipe")).start()
+    val (sec, batches) = drive[PipeIn](chunked(docs), in.addData(_), Seq(q))
+    Section("curation", docs.length.toLong, sec, batches)
+  }
+
   case class DedupIn(doc_id: Long, text: String, ts: Timestamp)
 
   private val DedupEpoch = 1704067200L
@@ -684,6 +732,7 @@ object StreamBench {
       "content_stats" -> (contentStatsSection(_, _, volumeFloor)),
       "score" -> (scoreSection(_, _, volumeFloor)),
       "lm_score" -> (lmScoreSection(_, _, volumeFloor)),
+      "curation" -> (curationSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
     try sections.flatMap { case (name, fn) =>
       try Some(fn(spark, sfDir)) catch {
