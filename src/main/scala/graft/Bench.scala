@@ -287,10 +287,21 @@ object Bench {
       case c => c.toString
     } + "\""
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def secArr(xs: Seq[Double]): String =
+      xs.map(sec3).mkString("[", ",", "]")
     val streamsDetail = streamSections.map { s =>
+      val detail =
+        if (s.chunkSec.isEmpty && s.queryBatch.isEmpty) ""
+        else {
+          val qb = s.queryBatch
+            .map { case (n, bs) => s""""$n":${secArr(bs)}""" }.mkString(",")
+          s""","chunk_sec":${secArr(s.chunkSec)}""" +
+            (if (qb.nonEmpty) s""","query_batch_sec":{$qb}""" else "")
+        }
       s"""{"name":"${s.name}","rows":${s.rows},"sec":${sec3(s.sec)},""" +
         s""""batches":${s.batches},"rps":${s.rps.round},""" +
-        s""""batch_sec":${sec3(if (s.batches > 0) s.sec / s.batches else 0.0)}}"""
+        s""""batch_sec":${sec3(if (s.batches > 0) s.sec / s.batches else 0.0)}""" +
+        detail + "}"
     }.mkString("[", ",", "]")
     val plansJson = planDump
       .map { case (k, v) => "\"" + k + "\":" + jsonStr(v) }
@@ -342,7 +353,18 @@ object Bench {
     // paragraph re-deriving the ambient argument from probe+loadavg.
     val calibRatio = passes.map(_.calibSec).min / ReferenceCalibSec
     val normalizedRps = rps * calibRatio
-    def buildLine(qMap: String, streams: String): String =
+    // Compact per-batch/per-query attribution for the headline stream
+    // section ON the metric line (the r9 `pipeline` regression could not
+    // be attributed from the official artifact — 2,507 vs the committed
+    // 9,286 rec/s with no per-query split): per feed-chunk wall seconds
+    // plus each concurrent query's engine-reported per-batch seconds.
+    val pipeDetailJson = streamSections.find(_.name == "pipeline").map { s =>
+      val qb = s.queryBatch
+        .map { case (n, bs) => s""""$n":${secArr(bs)}""" }.mkString(",")
+      s"""{"chunks":${secArr(s.chunkSec)}""" +
+        (if (qb.nonEmpty) s",$qb" else "") + "}"
+    }.getOrElse("{}")
+    def buildLine(qMap: String, streams: String, pipeDetail: String): String =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qMap,""" +
         s""""queries_run":${queries.size},"errors":${failed.size},""" +
         s""""passes":$nPasses,"calib_sec":$calibJson,"loadavg":$loadJson,""" +
@@ -351,6 +373,7 @@ object Bench {
         s""""calib_ratio":${sec3(calibRatio)},""" +
         s""""normalized_rps":${normalizedRps.round},""" +
         s""""stream_rps":${streamRps.round},"streams":$streams,""" +
+        s""""stream_pipe":$pipeDetail,""" +
         s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}"""
     // HARD length guard: the caller tail-captures 2000 bytes and parses
     // the final {...} line — a line that outgrows the window loses its
@@ -359,18 +382,24 @@ object Bench {
     // (it lives in bench_detail.json), then halve the headline set —
     // a shorter-but-parseable line always beats a complete-but-lost one.
     val metricLine = {
-      val full = buildLine(qs, streamsJson)
+      val full = buildLine(qs, streamsJson, pipeDetailJson)
       if (full.length <= 1900) full
       else {
         System.err.println(
           s"WARN bench: metric line ${full.length}B > 1900B guard; shrinking")
-        val noStreams = buildLine(qs, "{}")
-        if (noStreams.length <= 1900) noStreams
+        // Shrink order: pipeline per-batch detail first (it also lives in
+        // bench_detail.json), then the streams map, then the headline set.
+        val noPipe = buildLine(qs, streamsJson, "{}")
+        if (noPipe.length <= 1900) noPipe
         else {
-          val halfQs = Headline.take(Headline.size / 2)
-            .flatMap(n => byName.get(n).map(v => s"\"$n\":" + sec3(v)))
-            .mkString("{", ",", "}")
-          buildLine(halfQs, "{}")
+          val noStreams = buildLine(qs, "{}", "{}")
+          if (noStreams.length <= 1900) noStreams
+          else {
+            val halfQs = Headline.take(Headline.size / 2)
+              .flatMap(n => byName.get(n).map(v => s"\"$n\":" + sec3(v)))
+              .mkString("{", ",", "}")
+            buildLine(halfQs, "{}", "{}")
+          }
         }
       }
     }

@@ -41,7 +41,17 @@ import graft.streaming.{StatefulEnricher, StreamingAnomaly, StreamingBudget,
   */
 object StreamBench {
 
-  case class Section(name: String, rows: Long, sec: Double, batches: Int) {
+  /** `chunkSec` (per feed-chunk wall seconds) and `queryBatch` (per
+    * named query, the engine-reported per-batch `triggerExecution`
+    * seconds) are populated only for sections that opt into detailed
+    * driving — they exist so a regressed section's time can be
+    * ATTRIBUTED (which query, which batch) from the artifact alone
+    * instead of demanding a re-run under a profiler (the round-9
+    * `pipeline` section regressed 3.7× between two same-code runs with
+    * no way to tell which of its two concurrent queries was at fault). */
+  case class Section(name: String, rows: Long, sec: Double, batches: Int,
+      chunkSec: Seq[Double] = Nil,
+      queryBatch: Seq[(String, Seq[Double])] = Nil) {
     def rps: Double = if (sec > 0) rows / sec else 0.0
   }
 
@@ -70,25 +80,52 @@ object StreamBench {
     }
   }
 
+  case class Drive(sec: Double, batches: Int,
+      chunkSec: Seq[Double], queryBatch: Seq[(String, Seq[Double])])
+
   /** Feed `chunks` through `add`, draining every query after each chunk;
-    * returns (elapsedSec, batches of the first query). Queries are
-    * stopped in a finally — a feed failure must not leave a live
-    * streaming query contending with the next timed section. */
-  private def drive[T](chunks: Seq[IndexedSeq[T]],
-      add: Seq[T] => Unit, queries: Seq[StreamingQuery]): (Double, Int) = {
+    * returns elapsed, batch count of the first query, per-chunk wall
+    * times, and each query's engine-reported per-batch
+    * `triggerExecution` seconds (captured from `recentProgress` BEFORE
+    * stop — stop clears nothing, but a dead query can be left without
+    * progress). Queries are stopped in a finally — a feed failure must
+    * not leave a live streaming query contending with the next timed
+    * section. */
+  private def driveDetailed[T](chunks: Seq[IndexedSeq[T]],
+      add: Seq[T] => Unit, queries: Seq[StreamingQuery]): Drive = {
     try {
+      val chunkSec = Vector.newBuilder[Double]
       val t0 = System.nanoTime()
       chunks.foreach { c =>
+        val c0 = System.nanoTime()
         add(c)
         queries.foreach(_.processAllAvailable())
+        chunkSec += (System.nanoTime() - c0) / 1e9
       }
       val sec = (System.nanoTime() - t0) / 1e9
       val batches = queries.headOption.flatMap(q => Option(q.lastProgress))
         .map(_.batchId.toInt + 1).getOrElse(chunks.size)
-      (sec, batches)
+      val perQuery = queries.map { q =>
+        val name = Option(q.name).getOrElse(q.id.toString)
+        val ms = q.recentProgress.toIndexedSeq.map { p =>
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue / 1e3).getOrElse(0.0)
+        }
+        if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+          q.recentProgress.foreach(p => System.err.println(
+            s"DBG $name batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
+        name -> ms
+      }
+      Drive(sec, batches, chunkSec.result(), perQuery)
     } finally queries.foreach { q =>
       try q.stop() catch { case _: Throwable => () }
     }
+  }
+
+  private def drive[T](chunks: Seq[IndexedSeq[T]],
+      add: Seq[T] => Unit, queries: Seq[StreamingQuery]): (Double, Int) = {
+    val d = driveDetailed(chunks, add, queries)
+    (d.sec, d.batches)
   }
 
   /** Checkpoint dirs are tracked and deleted at the end of [[run]] —
@@ -118,7 +155,7 @@ object StreamBench {
     * user-latest via per-batch KV upserts, minute windows as a
     * watermarked streaming aggregation). One source, two concurrent
     * queries — the reference's single Flink dataflow fan-out. */
-  private def pipelineSection(spark: SparkSession, sfDir: String): Section = {
+  private[graft] def pipelineSection(spark: SparkSession, sfDir: String): Section = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val msgs = graft.queries.CdcQueries.jsonMessages(
@@ -126,16 +163,66 @@ object StreamBench {
       .select(col("value")).as[String].collect().toIndexedSeq
     val dim = graft.queries.CdcMapping.dim(spark, sfDir)
     val in = MemoryStream[String]
-    val enriched = StreamingPipeline.enrichStream(in.toDF(), dim)
+    // A MemoryStream batch arrives as ONE partition (the whole chunk
+    // rides in a single task binary — Spark warns at 2.7 MB/task), so
+    // without a repartition the JSON parse + enrich of every micro-batch
+    // runs on one core in each of the two queries. A Kafka source would
+    // arrive already spread over its topic partitions; spread the raw
+    // values the same way before the parse.
+    val enriched = StreamingPipeline.enrichStream(in.toDF().repartition(8), dim)
     val sink = new StreamingPipeline.InMemoryKvSink
+    // T6 parallelism mapping, applied per-load: a 12.5k-row micro-batch
+    // across 32 shuffle/state partitions pays 32 task schedules and 32
+    // state-store commits per batch for partitions of ~400 rows. Size
+    // the section's partitioning to its micro-batch volume (the
+    // reference's setParallelism knob); restore the session conf after.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // The watermark-advance (no-data) micro-batches of the windows query
+    // each pay a full state-store commit cycle (~0.5 s here) and run
+    // CONCURRENTLY with the kv query's data batches — in update mode the
+    // closed windows still emit on the next data batch, so for the
+    // drained-after-each-chunk protocol they are pure contention.
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
-      val qKv = StreamingPipeline.kvViewsWriter(enriched, sink)(tmp("sb_kv")).start()
+      // Untimed section warm-up: run a couple of rows through throwaway
+      // queries with the SAME plans so whole-stage-codegen JIT for the
+      // streaming aggregate / foreachBatch views is paid off the clock
+      // (same doctrine as the batch bench's untimed cdc_enrich warm-up).
+      locally {
+        val wIn = MemoryStream[String]
+        val wEnriched = StreamingPipeline.enrichStream(
+          wIn.toDF().repartition(8), dim)
+        val wSink = new StreamingPipeline.InMemoryKvSink
+        val wKv = StreamingPipeline.kvViewsWriter(wEnriched, wSink)(tmp("sb_kvw")).start()
+        val wWin = StreamingPipeline.minuteWindowsStream(wEnriched)
+          .writeStream.outputMode("update").format("noop")
+          .option("checkpointLocation", tmp("sb_winw")).start()
+        try {
+          wIn.addData(msgs.take(64))
+          wKv.processAllAvailable(); wWin.processAllAvailable()
+        } finally {
+          try wKv.stop() catch { case _: Throwable => () }
+          try wWin.stop() catch { case _: Throwable => () }
+          wSink.close()
+        }
+      }
+      val qKv = StreamingPipeline.kvViewsWriter(enriched, sink)(tmp("sb_kv"))
+        .queryName("kv_views").start()
       val qWin = StreamingPipeline.minuteWindowsStream(enriched)
-        .writeStream.outputMode("update").format("noop")
+        .writeStream.queryName("minute_windows")
+        .outputMode("update").format("noop")
         .option("checkpointLocation", tmp("sb_win")).start()
-      val (sec, batches) = drive[String](chunked(msgs), in.addData(_), Seq(qKv, qWin))
-      Section("pipeline", msgs.length.toLong, sec, batches)
-    } finally sink.close()
+      val d = driveDetailed[String](chunked(msgs), in.addData(_), Seq(qKv, qWin))
+      Section("pipeline", msgs.length.toLong, d.sec, d.batches,
+        d.chunkSec, d.queryBatch)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      sink.close()
+    }
   }
 
   /** Shared prep for both enricher sections: the CdcRecord chunk

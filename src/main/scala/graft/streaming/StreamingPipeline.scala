@@ -253,6 +253,21 @@ object StreamingPipeline {
     * its connection per partition there): the driver never materializes
     * a view, so A2/A3's per-batch key space — unbounded at high event
     * rates — streams straight from the executors to the KV service. */
+  /** One small shared pool for the per-batch view jobs: the three views
+    * are independent Spark jobs over the SAME cached micro-batch, so
+    * running them serially leaves the cluster idle for two-thirds of
+    * the batch — each view's shuffle is tiny (a micro-batch of rows)
+    * and nowhere near saturating the executors on its own. Daemon
+    * threads; sized to the view count, not the machine. */
+  private lazy val viewJobPool =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(3,
+        (r: Runnable) => {
+          val t = new Thread(r, "kv-view-job")
+          t.setDaemon(true)
+          t
+        }))
+
   def kvViewsWriter(enriched: DataFrame, sink: KvSink, topK: Int = 100)(
       checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] = {
     def upsertAll(view: DataFrame)(
@@ -269,21 +284,30 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
-          upsertAll(EngagementViews.leaderboard(b, topK)) { r =>
-            ("top_engagement", r.getAs[String]("member"),
-              r.getAs[java.math.BigDecimal]("score").toPlainString)
-          }
-          upsertAll(EngagementViews.contentStats(b)) { r =>
-            ("content_stats", r.getAs[String]("content_id"),
-              Seq("latest_engagement", "content_type", "content_title",
-                "event_type", "device", "total_events")
-                .map(f => s"$f=${r.getAs[Any](f)}").mkString(","))
-          }
-          upsertAll(EngagementViews.userContentLatest(b)) { r =>
-            ("user_engagement",
-              s"${r.getAs[String]("user_id")}:${r.getAs[String]("content_id")}",
-              r.getAs[java.math.BigDecimal]("engagement_pct").toPlainString)
-          }
+          // No separate materialization job: the three concurrent view
+          // jobs race to the cache, and the per-partition cache locks
+          // ensure each partition is computed exactly once (the losers
+          // block briefly, then read) — one fewer job per micro-batch.
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec = viewJobPool
+          val jobs = Seq(
+            Future(upsertAll(EngagementViews.leaderboard(b, topK)) { r =>
+              ("top_engagement", r.getAs[String]("member"),
+                r.getAs[java.math.BigDecimal]("score").toPlainString)
+            }),
+            Future(upsertAll(EngagementViews.contentStats(b)) { r =>
+              ("content_stats", r.getAs[String]("content_id"),
+                Seq("latest_engagement", "content_type", "content_title",
+                  "event_type", "device", "total_events")
+                  .map(f => s"$f=${r.getAs[Any](f)}").mkString(","))
+            }),
+            Future(upsertAll(EngagementViews.userContentLatest(b)) { r =>
+              ("user_engagement",
+                s"${r.getAs[String]("user_id")}:${r.getAs[String]("content_id")}",
+                r.getAs[java.math.BigDecimal]("engagement_pct").toPlainString)
+            }))
+          Await.result(Future.sequence(jobs), Duration.Inf)
         } finally b.unpersist()
         ()
       }
