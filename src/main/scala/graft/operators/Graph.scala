@@ -51,17 +51,28 @@ object Graph {
           .cast("long").as("rank_fp"))
   }
 
-  /** `iters` full power-iteration rounds from a uniform start. */
-  def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+  /** The full per-round trace of a training run — r0 (uniform start)
+    * through r`iters`, each eagerly `localCheckpoint`ed. Exposing the
+    * trace (not just the final frame) lets every consumer of the run —
+    * final ranks, the convergence audit, per-round diagnostics — read
+    * the SAME materialized rounds instead of re-running the power
+    * iteration (the duplication the r9 bench paid: train + converge
+    * each re-trained). */
+  def pagerankTrace(edges: DataFrame, iters: Int): IndexedSeq[DataFrame] = {
     val e = edges.persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    var ranks = nodes.withColumn("rank_fp", lit(RankOne)).localCheckpoint(true)
-    for (_ <- 1 to iters)
-      ranks = pagerankStep(e, ranks).localCheckpoint(true)
+    val r0 = nodes.withColumn("rank_fp", lit(RankOne)).localCheckpoint(true)
+    val trace = (1 to iters).foldLeft(IndexedSeq(r0)) { (acc, _) =>
+      acc :+ pagerankStep(e, acc.last).localCheckpoint(true)
+    }
     e.unpersist()
-    ranks
+    trace
   }
+
+  /** `iters` full power-iteration rounds from a uniform start. */
+  def pagerank(edges: DataFrame, iters: Int): DataFrame =
+    pagerankTrace(edges, iters).last
 
   /** The convergence audit of a [[pagerank]] run: one row per iteration
     * with the L1 rank movement (iter, n_nodes, total_delta =
@@ -78,24 +89,22 @@ object Graph {
     * (node, rank) frames plus a map-side-combined global sum — strictly
     * cheaper than the step itself; `localCheckpoint` per round caps
     * plan growth exactly as in [[pagerank]]. */
-  def pagerankConvergence(edges: DataFrame, iters: Int): DataFrame = {
-    val e = edges.persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    var prev = nodes.withColumn("rank_fp", lit(RankOne)).localCheckpoint(true)
-    val deltas = (1 to iters).map { i =>
-      val next = pagerankStep(e, prev).localCheckpoint(true)
-      val d = prev.select(col("node"), col("rank_fp").as("r0"))
-        .join(next.select(col("node"), col("rank_fp").as("r1")), Seq("node"))
+  def pagerankConvergence(edges: DataFrame, iters: Int): DataFrame =
+    convergenceOf(pagerankTrace(edges, iters))
+
+  /** The L1-delta audit derived from an already-materialized
+    * [[pagerankTrace]] — each row one node-keyed equi-join of two
+    * checkpointed (node, rank) frames plus a map-side-combined global
+    * sum. Callers holding a trace (e.g. one shared with the final-ranks
+    * consumer) pay NO training compute here. */
+  def convergenceOf(trace: Seq[DataFrame]): DataFrame = {
+    require(trace.size >= 2, "convergence needs at least rounds r0 and r1")
+    (1 until trace.size).map { i =>
+      trace(i - 1).select(col("node"), col("rank_fp").as("r0"))
+        .join(trace(i).select(col("node"), col("rank_fp").as("r1")), Seq("node"))
         .agg(count(lit(1)).as("n_nodes"),
           sum(abs(col("r1") - col("r0"))).as("total_delta"))
         .select(lit(i.toLong).as("iter"), col("n_nodes"), col("total_delta"))
-      prev = next
-      d
-    }
-    // the delta frames read only checkpointed (materialized) inputs, so
-    // releasing the edge cache before they evaluate is safe
-    e.unpersist()
-    deltas.reduce(_.union(_))
+    }.reduce(_.union(_))
   }
 }

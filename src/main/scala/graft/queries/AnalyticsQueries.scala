@@ -140,6 +140,29 @@ object AnalyticsQueries {
       .select(col("user_id").as("src"), col("content_id").as("dst"))
       .distinct()
 
+  /** The per-round rank frames r0..r[[PrIters]] of ONE training run,
+    * memoized — `graph_pagerank_train` reads the last frame and
+    * `graph_pagerank_converge` derives its L1 deltas from consecutive
+    * pairs, so the power iteration is paid once per bench pass instead
+    * of once per consumer (the `sim_kmeans_inertia` doctrine; the r9
+    * bench's top-2 entries were train and converge each re-running the
+    * same three rounds). Each round is checkpointed by the memo;
+    * `prev`/`edges` are resolved before each memo call (no nesting). */
+  private def prRankTrace(s: org.apache.spark.sql.SparkSession,
+      d: String): IndexedSeq[org.apache.spark.sql.DataFrame] = {
+    val edges = FrameCache.memo(s, d, "pagerank_edges")(engagementEdges(s, d))
+    val r0 = FrameCache.memo(s, d, "pagerank_r0") {
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .withColumn("rank_fp", lit(Graph.RankOne))
+    }
+    (1 to PrIters).foldLeft(IndexedSeq(r0)) { (acc, i) =>
+      val prev = acc.last
+      acc :+ FrameCache.memo(s, d, s"pagerank_r$i")(
+        Graph.pagerankStep(edges, prev))
+    }
+  }
+
   /** Unrolled damped power-iteration CTEs: requires a preceding
     * `edges(src, dst)` CTE, defines `deg`/`nodes`/`r0`..`r$PrIters` —
     * each round exactly [[Graph.pagerankStep]]'s arithmetic (one IEEE
@@ -181,7 +204,7 @@ object AnalyticsQueries {
     // proves the iteration composes — share division, damped sum, and
     // the no-in-edges base case all bit-match across engines, K deep.
     "graph_pagerank_train" -> QueryDef(
-      (s, d) => Graph.pagerank(engagementEdges(s, d), PrIters),
+      (s, d) => prRankTrace(s, d).last,
       s"""WITH ${CdcMapping.factSql},
          |edges AS (
          |  SELECT DISTINCT user_id AS src, content_id AS dst FROM fact),
@@ -197,7 +220,9 @@ object AnalyticsQueries {
     // sequence immediately. All-integer deltas — exact, order-free,
     // bit-identical in the unrolled oracle replay.
     "graph_pagerank_converge" -> QueryDef(
-      (s, d) => Graph.pagerankConvergence(engagementEdges(s, d), PrIters),
+      // L1 movement between consecutive frames of the SAME training run
+      // graph_pagerank_train serves — not a second run.
+      (s, d) => Graph.convergenceOf(prRankTrace(s, d)),
       s"""WITH ${CdcMapping.factSql},
          |edges AS (
          |  SELECT DISTINCT user_id AS src, content_id AS dst FROM fact),
