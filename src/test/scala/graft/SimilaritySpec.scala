@@ -260,6 +260,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("production-path nprobe sweep agrees with the standalone gate and beats raw ADC") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sim_nprobe_rerank_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val mean = rows.groupBy(_._1).map { case (np, rs) =>
+      np -> rs.map(_._5).sum / rs.length
+    }
+    mean.keySet shouldBe Set(1L, 3L, 5L)
+    // the nprobe=3 branch IS sim_ivfpq_rerank_recall's computation —
+    // the sweep must agree with the standalone gate row-for-row
+    val gate = SparkEntry.queries("sim_ivfpq_rerank_recall")(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    rows.filter(_._1 == 3L)
+      .map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe gate
+    // at every width the refined path must beat the raw-ADC sweep's
+    // same-width branch — refinement is the whole point of serving
+    // IVFADC+R instead of the raw ranking
+    val raw = SparkEntry.queries("sim_nprobe_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (np, rs) => np -> rs.map(_._5).sum / rs.length }
+    Seq(1L, 3L, 5L).foreach { np =>
+      withClue(s"nprobe=$np rerank=${mean(np)} raw=${raw(np)}: ") {
+        mean(np) should be >= raw(np)
+      }
+    }
+  }
+
+  test("re-rank width sweep: 3K branch equals the gate; recall non-decreasing in R") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sim_rwidth_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val mean = rows.groupBy(_._1).map { case (r, rs) =>
+      r -> rs.map(_._5).sum / rs.length
+    }
+    mean.keySet shouldBe Set(10L, 30L, 100L)
+    // the R=3K branch IS sim_ivfpq_rerank_recall's computation
+    val gate = SparkEntry.queries("sim_ivfpq_rerank_recall")(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4)).toSet
+    rows.filter(_._1 == 30L)
+      .map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe gate
+    // a wider shortlist only feeds the exact picker more candidates
+    withClue(s"mean recall by R: $mean: ") {
+      mean(10L) should be <= mean(30L)
+      mean(30L) should be <= mean(100L)
+    }
+  }
+
   test("SemDeDup manifest covers the corpus and actually deduplicates") {
     val d = "/root/testdata/sf0.001"
     val n = graft.ingest.Tables.embeddings(spark, d).count()
