@@ -426,11 +426,13 @@ object StreamBench {
     val semDrops = graft.queries.SimilarityQueries
       .semDroppedIds(spark, sfDir).localCheckpoint()
     val lmW = graft.queries.TextQueries.lmWeightArray(spark, sfDir)
+    val lmBg = graft.queries.TextQueries.lmBgWeightArray(spark, sfDir)
+    val (rNum, rDen) = graft.queries.TextQueries.lmRatioThreshold
     val dsirW = graft.queries.DedupQueries.dsirWeightArray(spark, sfDir)
     val in = MemoryStream[PipeIn]
     val q = graft.streaming.StreamingIntake.pipelineStream(
         in.toDF().toDF("source", "doc_id", "lang", "text", "ts"),
-        cutoffs, semDrops, lmW, graft.queries.TextQueries.lmGateT4,
+        cutoffs, semDrops, lmW, lmBg, rNum, rDen,
         dsirW, graft.queries.DedupQueries.pipelineStep,
         "ts", "10 minutes")
       .writeStream.outputMode("append").format("noop")

@@ -948,10 +948,16 @@ object DedupQueries {
           .withColumn("qt", ntile(4).over(w))
           .filter(col("qt") === 1)
           .select(col("source"), col("doc_id"), col("n_tokens"))
-        // stage 3: LM admission (absolute threshold — composes)
-        val lmPass = TextQueries.lmScoreFrame(s, d)
-          .filter(lit(4L) * col("lp_bits") >=
-            lit(TextQueries.lmGateT4) * col("n_bigrams"))
+        // stage 3: LM admission on the FULL CCNet discriminator — the
+        // target-vs-background perplexity ratio (the target-only
+        // threshold partially restated language ID; the ratio cancels
+        // the generic-probability term). Both grids are trained
+        // models served as broadcast arrays; the predicate is int64
+        // cross-multiplied.
+        val (rNum, rDen) = TextQueries.lmRatioThreshold
+        val lmPass = TextQueries.lmRatioScoreFrame(s, d)
+          .filter(lit(rDen) * (col("lp_t") - col("lp_bg")) >=
+            lit(rNum) * col("n_bigrams"))
           .select(col("doc_id"))
         // stage 4: semantic near-dup drop in the shared id space
         val semDrops = SimilarityQueries.semDroppedIds(s, d)
@@ -992,7 +998,8 @@ object DedupQueries {
         def bucketSql(e: String) =
           s"(${PortableHash.hash60Sql(s"CAST($e AS VARCHAR) || '|split'")} % 100)"
         val hSql = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|dsir'")
-        s"""WITH ${TextQueries.lmScoreCtes},
+        val (rNum, rDen) = TextQueries.lmRatioThreshold
+        s"""WITH ${TextQueries.lmRatioCtes},
            |${SimilarityQueries.semDropOracleCtes},
            |$dsirCtes,
            |xk AS (SELECT MIN(doc_id) AS doc_id FROM documents
@@ -1011,8 +1018,9 @@ object DedupQueries {
            |  WHERE qt = 1),
            |pclean AS (
            |  SELECT g.* FROM pgated g
-           |  JOIN lmsc ON lmsc.doc_id = g.doc_id
-           |    AND 4 * lmsc.lp_bits >= ${TextQueries.lmGateT4} * lmsc.n_bigrams
+           |  JOIN lmrsc ON lmrsc.doc_id = g.doc_id
+           |    AND $rDen * (lmrsc.lp_t - lmrsc.lp_bg) >=
+           |        $rNum * lmrsc.n_bigrams
            |  WHERE g.doc_id NOT IN (SELECT vec_id FROM sdup)),
            |psc AS (
            |  SELECT gb.doc_id, CAST(sum(w.r) AS BIGINT) AS wgt

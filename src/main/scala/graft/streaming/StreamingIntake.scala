@@ -114,9 +114,10 @@ object StreamingIntake {
     *      the keeper failed;
     *   2. quality admission — STATELESS broadcast (source, qcut, dcut)
     *      cutoffs from [[qualityCutoffs]] over the batch keepers;
-    *   3. CCNet LM admission — STATELESS, the trained 65,536-entry
-    *      grid folded in as one ArrayType literal, int64
-    *      cross-multiplied threshold;
+    *   3. CCNet LM admission — STATELESS, the full ratio gate: BOTH
+    *      trained 65,536-entry grids (target + background) folded in
+    *      as ArrayType literals, admission on the int64
+    *      cross-multiplied target-vs-background ratio;
     *   4. SemDeDup drop — STATELESS broadcast anti-join against the
     *      batch-trained semantic drop list (left_outer + null filter:
     *      documents without a vector pass through);
@@ -131,14 +132,19 @@ object StreamingIntake {
     *   6. split tag — map-only hash arithmetic, identical buckets to
     *      the batch manifest.
     *
-    * `docs`: (source, doc_id, lang, text, `tsCol`); `lmWeights`: the
-    * 65,536-entry LM grid; `dsirWeights`: the 64-entry DSIR table. */
+    * `docs`: (source, doc_id, lang, text, `tsCol`); `lmTarget` /
+    * `lmBackground`: the two 65,536-entry LM grids of the CCNet ratio
+    * gate (admit iff lmRatioDen·(lp_t − lp_bg) ≥ lmRatioNum·n);
+    * `dsirWeights`: the 64-entry DSIR table. */
   def pipelineStream(docs: DataFrame, cutoffs: DataFrame,
-      semDrops: DataFrame, lmWeights: Seq[Long], lmT4: Long,
+      semDrops: DataFrame, lmTarget: Seq[Long], lmBackground: Seq[Long],
+      lmRatioNum: Long, lmRatioDen: Long,
       dsirWeights: Seq[Long], step: Long, tsCol: String,
       delay: String): Dataset[Admit] = {
-    require(lmWeights.length == 65536,
-      s"LM weight grid must have 65,536 entries, got ${lmWeights.length}")
+    require(lmTarget.length == 65536,
+      s"target LM grid must have 65,536 entries, got ${lmTarget.length}")
+    require(lmBackground.length == 65536,
+      s"background LM grid must have 65,536 entries, got ${lmBackground.length}")
     require(dsirWeights.length == 64,
       s"DSIR weight table must have 64 buckets, got ${dsirWeights.length}")
     val spark = docs.sparkSession
@@ -151,14 +157,17 @@ object StreamingIntake {
       .join(broadcast(cutoffs), Seq("source"))
       .filter(col("quality") > col("qcut") ||
         (col("quality") === col("qcut") && col("doc_id") <= col("dcut")))
-    // stage 3: LM admission (trained grid as ONE ArrayType literal,
-    // scored by the native one-pass LmScoreBits expression)
-    val wl = typedlit(lmWeights.toIndexedSeq)
+    // stage 3: CCNet ratio admission (BOTH trained grids as ArrayType
+    // literals, each scored by the native one-pass LmScoreBits
+    // expression over the same token array; int64 cross-multiplied)
+    val wlT = typedlit(lmTarget.toIndexedSeq)
+    val wlB = typedlit(lmBackground.toIndexedSeq)
     val toks = split(graft.operators.Dedup.normalize(col("text")), " ")
     val lmPassed = gated
-      .filter(lit(4L) *
-        graft.functions.TextHashFunctions.lmScoreBits(toks, wl) >=
-        lit(lmT4) * (size(toks) - 1).cast("long"))
+      .filter(lit(lmRatioDen) *
+        (graft.functions.TextHashFunctions.lmScoreBits(toks, wlT) -
+          graft.functions.TextHashFunctions.lmScoreBits(toks, wlB)) >=
+        lit(lmRatioNum) * (size(toks) - 1).cast("long"))
     // stage 4: semantic drop list (broadcast; missing vector = pass)
     val cleaned = lmPassed
       .join(broadcast(semDrops.select(col("vec_id").as("doc_id"),

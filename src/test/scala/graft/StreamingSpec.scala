@@ -967,9 +967,10 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(String, Long, String, String)]
     val stream = in.toDF().toDF("source", "doc_id", "lang", "text")
       .withColumn("ts", (lit(1704067200L) + col("doc_id")).cast("timestamp"))
+    val lmBg = graft.queries.TextQueries.lmBgWeightArray(spark, d)
+    val (rNum, rDen) = graft.queries.TextQueries.lmRatioThreshold
     val q = graft.streaming.StreamingIntake.pipelineStream(
-        stream, cutoffs, semDrops, lmW,
-        graft.queries.TextQueries.lmGateT4, dsirW,
+        stream, cutoffs, semDrops, lmW, lmBg, rNum, rDen, dsirW,
         graft.queries.DedupQueries.pipelineStep, "ts", "10 minutes")
       .writeStream.format("memory").queryName("spipe")
       .outputMode("append")

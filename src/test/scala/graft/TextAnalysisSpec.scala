@@ -130,6 +130,37 @@ class TextAnalysisSpec extends SparkSpec {
     rows.map { case (_, n, k) => n - k }.sum should be > 0L
   }
 
+  test("ratio gate separates languages AND reorders within the target language") {
+    val d = "/root/testdata/sf0.001"
+    // (1) the per-language separation survives the background division
+    val rows = SparkEntry.queries("curate_lm_ratio_gate")(spark, d)
+      .as[(String, Long, Long)].collect()
+    rows.map(_._1).toSet should contain("en")
+    val rates = rows.map { case (l, n, k) => l -> (k.toDouble / n) }.toMap
+    rates.filter(_._1 != "en").foreach { case (l, r) =>
+      withClue(s"en admission must beat $l: ") { rates("en") should be > r }
+    }
+    rows.map(_._3).sum should be > 0L
+    rows.map { case (_, n, k) => n - k }.sum should be > 0L
+    // (2) WITHIN en the ratio ranks documents differently than the
+    // target-only score — the background term is doing real work
+    // (cancelling frequent-everywhere mass), not rescaling: at least
+    // one pair of en documents must swap order between the two
+    // rankings (both per-bigram normalized, cross-multiplied exactly)
+    val sc = SparkEntry.queries("text_lm_ratio_score")(spark, d)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .filter(_._2 == "en").map { case (id, _, n, t, bg) => (id, n, t, t - bg) }
+    val swapped = sc.combinations(2).exists { case Array(a, b) =>
+      // a ranks above b by target iff t_a/n_a > t_b/n_b
+      val byTarget = a._3 * b._2 - b._3 * a._2
+      val byRatio = a._4 * b._2 - b._4 * a._2
+      byTarget.sign * byRatio.sign < 0
+    }
+    withClue("ratio vs target-only must disagree on some en pair: ") {
+      swapped shouldBe true
+    }
+  }
+
   test("LM weights are the quarter-bit staircase of the smoothed ratio") {
     // wbits = length(bin(x^4)) with x = (c12+1)*4096 div (c1+256):
     // monotone in c12 at fixed c1, anti-monotone in c1 at fixed c12,
