@@ -419,9 +419,17 @@ object StreamBench {
       r.copy(doc_id = id, text = r.text + " ~r" + i,
         ts = new Timestamp((DedupEpoch + id) * 1000L))
     }
-    val cutoffs = graft.streaming.StreamingIntake.qualityCutoffs(
-        Tables.documents(spark, sfDir)
-          .select(col("source"), col("doc_id"), col("text")))
+    // pipelineStream's contract: cutoffs train over the exact-dedup
+    // KEEPERS (min id per normalized-text digest), exactly as the
+    // batch capstone derives them — not over the raw corpus.
+    val keeperDocs = Tables.documents(spark, sfDir)
+      .withColumn("__h", md5(graft.operators.Dedup.normalize(col("text"))))
+      .withColumn("__keep",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))))
+      .filter(col("doc_id") === col("__keep"))
+      .select(col("source"), col("doc_id"), col("text"))
+    val cutoffs = graft.streaming.StreamingIntake.qualityCutoffs(keeperDocs)
       .localCheckpoint()
     val semDrops = graft.queries.SimilarityQueries
       .semDroppedIds(spark, sfDir).localCheckpoint()

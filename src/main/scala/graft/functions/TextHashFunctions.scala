@@ -244,6 +244,13 @@ object TextHashFunctions {
     * of the tokenize pass alone. Empty-bigram docs (≤1 token) score 0,
     * exactly like the fold over an empty array. */
   def lmScoreBits(tokens: ArrayData, grid: ArrayData): Long = {
+    // fail loud, not garbage: the SQL-registered form accepts any
+    // array<bigint> grid, and a short one would silently read out of
+    // bounds on UnsafeArrayData (undefined longs, not an error)
+    if (grid.numElements() != 65536)
+      throw new IllegalArgumentException(
+        s"lm_score_bits grid must have 65,536 entries (256×256 bigram " +
+          s"codes), got ${grid.numElements()}")
     val n = tokens.numElements()
     if (n < 2) return 0L
     var prev = (hash60(tokens.getUTF8String(0)) % 256L).toInt
@@ -265,11 +272,21 @@ object TextHashFunctions {
     * so `%` ≡ `pmod`), pinned bit-identical by TextHashFunctionsSpec. */
   def weightedBucketSum(hashed: ArrayData, weights: ArrayData): Long = {
     val m = weights.numElements()
+    if (m == 0)
+      throw new IllegalArgumentException(
+        "weighted_bucket_sum weight table must be non-empty")
     val n = hashed.numElements()
     var sum = 0L
     var i = 0
     while (i < n) {
-      sum += weights.getLong((hashed.getLong(i) % m).toInt)
+      val h = hashed.getLong(i)
+      // the SQL-registered form accepts arbitrary longs; a negative
+      // "hash" would index out of bounds (Java % keeps the sign) and
+      // read garbage — reject it instead of returning a wrong sum
+      if (h < 0)
+        throw new IllegalArgumentException(
+          s"weighted_bucket_sum features must be non-negative hashes, got $h")
+      sum += weights.getLong((h % m).toInt)
       i += 1
     }
     sum

@@ -108,6 +108,13 @@ object VectorFunctions {
     while (i < m) {
       val e = entries.getStruct(i, 2)
       val v = e.getArray(1)
+      // fail loud, not garbage: the SQL-registered form accepts any
+      // entry vectors, and a shorter-than-query one would silently
+      // read out of bounds on UnsafeArrayData (undefined doubles)
+      if (v.numElements() != n)
+        throw new IllegalArgumentException(
+          s"vec_argmin_d2 entry ${e.getLong(0)} has ${v.numElements()} " +
+            s"dims, query has $n")
       var ab = 0.0
       var bb = 0.0
       j = 0

@@ -151,12 +151,22 @@ object StreamingIntake {
     import spark.implicits._
     // stage 1: exact-dedup gate (stateful, watermark-bounded)
     val deduped = StreamingDedup.dedupStream(docs, tsCol, delay)
-    // stage 2: quality admission against broadcast cutoffs
+    // stage 2: quality admission against broadcast cutoffs. LEFT join +
+    // assert: a document whose source has no trained cutoff row (a new
+    // source appearing at serving time) must FAIL the batch, not be
+    // silently dropped — the operator can't know the right quartile
+    // boundary for a source the training scan never saw, and a silent
+    // drop channel here would be invisible data loss at ingest.
+    val cutoffPresent = assert_true(col("qcut").isNotNull,
+      concat(lit("pipelineStream: source '"), col("source"),
+        lit("' has no trained quality cutoff — retrain qualityCutoffs " +
+          "over a corpus that includes it")))
     val gated = deduped
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .join(broadcast(cutoffs), Seq("source"))
-      .filter(col("quality") > col("qcut") ||
-        (col("quality") === col("qcut") && col("doc_id") <= col("dcut")))
+      .join(broadcast(cutoffs), Seq("source"), "left")
+      .filter(cutoffPresent.isNull &&
+        (col("quality") > col("qcut") ||
+          (col("quality") === col("qcut") && col("doc_id") <= col("dcut"))))
     // stage 3: CCNet ratio admission (BOTH trained grids as ArrayType
     // literals, each scored by the native one-pass LmScoreBits
     // expression over the same token array; int64 cross-multiplied)

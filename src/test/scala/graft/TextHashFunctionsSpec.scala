@@ -129,4 +129,25 @@ class TextHashFunctionsSpec extends SparkSpec {
         col("n_native") =!= col("n_classic"))
     diff.count() shouldBe 0L
   }
+
+  test("malformed inputs fail loud: short LM grid, negative bucket hash") {
+    // SQL-registered surface: a user-supplied grid of the wrong size or
+    // a negative "hash" must throw, not index out of bounds and return
+    // garbage scores (UnsafeArrayData reads are unchecked)
+    val shortGrid = typedlit((0 until 100).map(_.toLong))
+    val exGrid = intercept[Exception] {
+      Seq("two tokens").toDF("t")
+        .select(TextHashFunctions.lmScoreBits(
+          split(col("t"), " "), shortGrid))
+        .collect()
+    }
+    exGrid.getMessage should include("65,536")
+    val weights = typedlit((0 until 64).map(_.toLong))
+    val exNeg = intercept[Exception] {
+      Seq(Seq(-5L)).toDF("gs")
+        .select(TextHashFunctions.weightedBucketSum(col("gs"), weights))
+        .collect()
+    }
+    exNeg.getMessage should include("non-negative")
+  }
 }

@@ -105,4 +105,18 @@ class VectorFunctionsSpec extends SparkSpec {
     // both paths must elect 1
     got.find(_._1 == 200L).get._3 shouldBe withTie.head._1
   }
+
+  test("vec_argmin_d2 rejects an entry vector shorter than the query") {
+    // SQL-registered surface: a malformed entry must throw, not read
+    // out of bounds on UnsafeArrayData and return garbage distances
+    val entries = array(
+      struct(lit(1L).as("id"), array(lit(1.0), lit(2.0), lit(3.0)).as("v")),
+      struct(lit(2L).as("id"), array(lit(1.0), lit(2.0)).as("v")))
+    val ex = intercept[Exception] {
+      Seq(Seq(0.0, 0.0, 0.0)).toDF("qv")
+        .select(VectorFunctions.vecArgminD2(col("qv"), entries))
+        .collect()
+    }
+    ex.getMessage should include("dims")
+  }
 }
