@@ -442,7 +442,10 @@ object StreamBench {
         in.toDF().toDF("source", "doc_id", "lang", "text", "ts"),
         cutoffs, semDrops, lmW, lmBg, rNum, rDen,
         dsirW, graft.queries.DedupQueries.pipelineStep,
-        "ts", "10 minutes")
+        // 64-way sharded resampler: at the section's replicated volume
+        // every stratum's weight is far above the step, so the
+        // stratified scale path is healthy here (see resampleStream)
+        "ts", "10 minutes", resampleShards = 64)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_pipe")).start()
     val (sec, batches) = drive[PipeIn](chunked(docs), in.addData(_), Seq(q))

@@ -121,14 +121,21 @@ object StreamingIntake {
     *   4. SemDeDup drop — STATELESS broadcast anti-join against the
     *      batch-trained semantic drop list (left_outer + null filter:
     *      documents without a vector pass through);
-    *   5. DSIR resampling — the second stateful stage: ONE long of
-    *      running importance (the [[StreamingSample]] shape), documents
-    *      scored map-only against the 64-entry weight array, admitted
-    *      at step crossings; micro-batches are re-sorted by the batch
-    *      capstone's (bucket, hash, id) resample order so a single-
-    *      batch replay reproduces the batch selection EXACTLY (the
-    *      spec's equality pin), and multi-batch arrival keeps the
-    *      same expected rate in arrival order;
+    *   5. DSIR resampling — the second stateful stage, with a
+    *      parallelism knob: `resampleShards` independent systematic
+    *      samplers keyed by a hash shard of the document id, one long
+    *      of running importance EACH (the [[StreamingSample]] shape,
+    *      stratified). `resampleShards = 1` is the EXACT global
+    *      sampler (within-batch rows re-sorted by the batch capstone's
+    *      (bucket, hash, id) resample order, so a single-batch replay
+    *      reproduces the batch manifest exactly — the spec's equality
+    *      pin); `resampleShards > 1` is the scale path — ingest
+    *      throughput scales with the shuffle width instead of
+    *      funnelling every document through one state group, at the
+    *      cost of up to one un-crossed step remainder PER shard, so
+    *      size shards such that each stratum's weight ≫ `step`
+    *      (shards ≲ expected_picks; the sharded spec pins per-shard
+    *      equality against a stratified batch replay);
     *   6. split tag — map-only hash arithmetic, identical buckets to
     *      the batch manifest.
     *
@@ -140,13 +147,15 @@ object StreamingIntake {
       semDrops: DataFrame, lmTarget: Seq[Long], lmBackground: Seq[Long],
       lmRatioNum: Long, lmRatioDen: Long,
       dsirWeights: Seq[Long], step: Long, tsCol: String,
-      delay: String): Dataset[Admit] = {
+      delay: String, resampleShards: Int = 1): Dataset[Admit] = {
     require(lmTarget.length == 65536,
       s"target LM grid must have 65,536 entries, got ${lmTarget.length}")
     require(lmBackground.length == 65536,
       s"background LM grid must have 65,536 entries, got ${lmBackground.length}")
     require(dsirWeights.length == 64,
       s"DSIR weight table must have 64 buckets, got ${dsirWeights.length}")
+    require(resampleShards >= 1,
+      s"resampleShards must be >= 1, got $resampleShards")
     val spark = docs.sparkSession
     import spark.implicits._
     // stage 1: exact-dedup gate (stateful, watermark-bounded)
@@ -183,23 +192,50 @@ object StreamingIntake {
       .join(broadcast(semDrops.select(col("vec_id").as("doc_id"),
         lit(1L).as("__semdrop"))), Seq("doc_id"), "left_outer")
       .filter(col("__semdrop").isNull)
-    // stage 5: DSIR importance + systematic resampling (one long of state)
+    // stage 5: DSIR importance + systematic resampling, sharded by
+    // `resampleShards` (see the scaladoc trade; one long of running
+    // weight per shard). shards=1 keeps the batch capstone's exact
+    // global phase — its within-batch sort is then the capstone's full
+    // (bucket, hash, id) order; shards>1 stratify it, each shard
+    // crossing its own phase in the same within-shard order.
     val rl = array(dsirWeights.map(lit(_)): _*)
     val weighted = cleaned.select(col("source"), col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         graft.functions.TextHashFunctions.weightedBucketSum(
           graft.operators.Dedup.hashedShingles(col("text"), 2), rl).as("w"))
       .as[PipeDoc]
+    val picked = resampleStream(weighted, step, resampleShards)
+    // stage 6: split tag (same "|split" buckets as the batch manifest)
+    picked.map { d =>
+      val b = PortableHash.seedLong(s"${d.doc_id}|split") % 100
+      val split = if (b < 80) "train" else if (b < 90) "val" else "test"
+      Admit(d.source, d.doc_id, d.n_tokens, split)
+    }
+  }
+
+  /** The systematic-PPS resampler behind [[pipelineStream]] stage 5,
+    * factored out so the shard semantics are testable on their own:
+    * `shards` independent state groups keyed by the document's DSIR
+    * hash mod `shards`, each keeping ONE long of running weight and
+    * admitting at its own step crossings; within every micro-batch
+    * each group walks its rows in the batch capstone's (bucket, hash,
+    * id) resample order. shards=1 ≡ the capstone's exact global phase
+    * on a one-batch replay; shards=k partitions the document set by
+    * hash, so the k-sharded pick set is EXACTLY the union of the
+    * global sampler run on each hash-slice separately (the spec's
+    * shard-decomposition pin). */
+  private[graft] def resampleStream(weighted: Dataset[PipeDoc], step: Long,
+      shards: Int): Dataset[PipeDoc] = {
+    import weighted.sparkSession.implicits._
     def ord(id: Long): Long = PortableHash.seedLong(s"$id|dsir")
-    val picked = weighted
-      .groupByKey(_ => "all")
+    weighted
+      .groupByKey(d => ord(d.doc_id) % shards)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append(),
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
-        (_: String, batch: Iterator[PipeDoc],
+        (_: Long, batch: Iterator[PipeDoc],
             state: org.apache.spark.sql.streaming.GroupState[PipeState]) =>
           var cum = state.getOption.map(_.cumWeight).getOrElse(0L)
-          // the batch capstone's resample order, reproduced per batch
           val picks = batch.toSeq
             .sortBy(d => (ord(d.doc_id) % 64, ord(d.doc_id), d.doc_id))
             .flatMap { d =>
@@ -210,11 +246,5 @@ object StreamingIntake {
           state.update(PipeState(cum))
           picks.iterator
       }
-    // stage 6: split tag (same "|split" buckets as the batch manifest)
-    picked.map { d =>
-      val b = PortableHash.seedLong(s"${d.doc_id}|split") % 100
-      val split = if (b < 80) "train" else if (b < 90) "val" else "test"
-      Admit(d.source, d.doc_id, d.n_tokens, split)
-    }
   }
 }

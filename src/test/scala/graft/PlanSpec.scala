@@ -43,6 +43,10 @@ class PlanSpec extends SparkSpec {
       "curate_cluster_balance", // same assignment + k-row count broadcast
       "text_lm_score", // 1-row broadcast of the 65,536-entry LM weight array
       "curate_lm_gate", // same 1-row LM weight-array broadcast, gated
+      "text_lm_ratio_score", // TWO 1-row grid broadcasts (target + background)
+      "curate_lm_ratio_gate", // same two-grid broadcast, ratio-gated
+      "sim_nprobe_rerank_sweep", // brute baseline + probe broadcast, once per width
+      "sim_rwidth_sweep", // same, once per shortlist width
       "curate_pipeline") // DSIR weight-array + LM-grid 1-row broadcasts
 
   test("no query plans an accidental cartesian / nested-loop join") {
@@ -172,7 +176,7 @@ class PlanSpec extends SparkSpec {
       "curate_lm_gate" -> 4, // measured 3: the score shape + per-lang rollup
       "curate_semdedup" -> 5, // measured 4: in-cell pair join + manifest join off the checkpointed assignment
       "curate_cluster_balance" -> 4, // measured 3: cell counts + broadcast-back + manifest agg
-      "curate_pipeline" -> 52, // measured 50: six family subtrees, shared stages repeated in the tree string
+      "curate_pipeline" -> 58, // measured 56 (r10: +6 for the background LM grid's counts+join in the ratio gate): six family subtrees, shared stages repeated in the tree string
       "sim_nprobe_sweep" -> 50) // measured 48: three probe-width branches × (search + exact-baseline compare)
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator

@@ -940,6 +940,50 @@ class StreamingSpec extends SparkSpec {
       .toSet shouldBe expected
   }
 
+  test("sharded resampler decomposes into per-hash-slice global samplers") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingIntake
+    import graft.functions.PortableHash
+    // synthetic weighted docs: enough mass that every shard crosses
+    val step = 1000L
+    val docs = (1L to 400L).map { id =>
+      StreamingIntake.PipeDoc(s"src${id % 4}", id, id % 50 + 1,
+        w = (PortableHash.seedLong(s"w$id") % 90L).abs + 10L)
+    }
+    def ord(id: Long): Long = PortableHash.seedLong(s"$id|dsir")
+    def run(shards: Int, chunks: Seq[Seq[StreamingIntake.PipeDoc]]): Set[Long] = {
+      val in = MemoryStream[StreamingIntake.PipeDoc]
+      val q = StreamingIntake.resampleStream(in.toDS(), step, shards)
+        .writeStream.format("memory").queryName(s"rs$shards")
+        .outputMode("append")
+        .option("checkpointLocation", tmp(s"ckpt-rs$shards")).start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      q.stop()
+      spark.table(s"rs$shards").as[StreamingIntake.PipeDoc]
+        .collect().map(_.doc_id).toSet
+    }
+    // (1) the 4-sharded run IS the union of the 1-shard (exact global)
+    // sampler run over each hash-slice separately — stratification
+    // changes WHICH strata exist, not the sampler's arithmetic.
+    // (One batch on both sides: batching changes the walk ORDER — cum
+    // carries across batches but each batch re-sorts only its own
+    // rows — which moves pick positions identically for any shard
+    // count; the decomposition pin isolates the sharding itself.)
+    val sharded = run(4, Seq(docs))
+    val bySlice = (0 until 4).map { s =>
+      val slice = docs.filter(d => ord(d.doc_id) % 4 == s)
+      run(1, Seq(slice))
+    }.reduce(_ union _)
+    sharded shouldBe bySlice
+    // (2) every shard finds signal at this mass, and the stratified
+    // total stays within one step-remainder per shard of the global
+    val global = run(1, Seq(docs))
+    val totalW = docs.map(_.w).sum
+    sharded should not be empty
+    math.abs(sharded.size - global.size) should be <= 4
+    global.size.toLong shouldBe totalW / step
+  }
+
   test("streaming pipeline equals the batch capstone manifest on a one-batch replay") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
