@@ -60,7 +60,7 @@ object Bench {
     * whole board drifts with zero plan changes (round 7: −31 % uniform),
     * the probe classifies the drift as ambient (probe drifted too) vs
     * code (probe steady). */
-  private def calibrate(spark: SparkSession): Double = {
+  private[graft] def calibrate(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0, 64L << 20, 1, 32)
       .selectExpr("sum(hash(id, id * 2654435761)) as h")
@@ -300,7 +300,8 @@ object Bench {
         }
       s"""{"name":"${s.name}","rows":${s.rows},"sec":${sec3(s.sec)},""" +
         s""""batches":${s.batches},"rps":${s.rps.round},""" +
-        s""""batch_sec":${sec3(if (s.batches > 0) s.sec / s.batches else 0.0)}""" +
+        s""""batch_sec":${sec3(if (s.batches > 0) s.sec / s.batches else 0.0)},""" +
+        s""""calib_sec":${sec3(s.calibSec)}""" +
         detail + "}"
     }.mkString("[", ",", "]")
     val plansJson = planDump
@@ -361,9 +362,18 @@ object Bench {
     val pipeDetailJson = streamSections.find(_.name == "pipeline").map { s =>
       val qb = s.queryBatch
         .map { case (n, bs) => s""""$n":${secArr(bs)}""" }.mkString(",")
-      s"""{"chunks":${secArr(s.chunkSec)}""" +
+      s"""{"calib_sec":${sec3(s.calibSec)},"chunks":${secArr(s.chunkSec)}""" +
         (if (qb.nonEmpty) s",$qb" else "") + "}"
     }.getOrElse("{}")
+    // Load-normalized streaming headline (same derivation as
+    // normalized_rps): measured section rps × (its own immediately-
+    // preceding probe / the idle pin). Streaming on this host class
+    // swings several-fold between same-code runs, so the normalized
+    // value is the cross-round comparable one.
+    val streamRpsNorm = streamSections.find(_.name == "pipeline")
+      .filter(_.calibSec > 0)
+      .map(s => s.rps * (s.calibSec / ReferenceCalibSec))
+      .getOrElse(0.0)
     def buildLine(qMap: String, streams: String, pipeDetail: String): String =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qMap,""" +
         s""""queries_run":${queries.size},"errors":${failed.size},""" +
@@ -372,7 +382,8 @@ object Bench {
         s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
         s""""calib_ratio":${sec3(calibRatio)},""" +
         s""""normalized_rps":${normalizedRps.round},""" +
-        s""""stream_rps":${streamRps.round},"streams":$streams,""" +
+        s""""stream_rps":${streamRps.round},""" +
+        s""""stream_rps_norm":${streamRpsNorm.round},"streams":$streams,""" +
         s""""stream_pipe":$pipeDetail,""" +
         s""""leaderboard_batch_sec":${sec3(lbSec)},"sf":"$sfDir"}"""
     // HARD length guard: the caller tail-captures 2000 bytes and parses

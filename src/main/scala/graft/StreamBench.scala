@@ -49,9 +49,16 @@ object StreamBench {
     * instead of demanding a re-run under a profiler (the round-9
     * `pipeline` section regressed 3.7× between two same-code runs with
     * no way to tell which of its two concurrent queries was at fault). */
+  /** `calibSec`: the constant-work CPU probe ([[Bench.calibrate]]) run
+    * UNTIMED immediately before the section — the ambient-attribution
+    * signal. Streaming throughput on this host class swings up to ~8×
+    * between same-code runs (multi-minute host-contention phases the
+    * guest can't see except as wall-clock); a slow section WITH a slow
+    * probe is environment, without one it's code. */
   case class Section(name: String, rows: Long, sec: Double, batches: Int,
       chunkSec: Seq[Double] = Nil,
-      queryBatch: Seq[(String, Seq[Double])] = Nil) {
+      queryBatch: Seq[(String, Seq[Double])] = Nil,
+      calibSec: Double = -1.0) {
     def rps: Double = if (sec > 0) rows / sec else 0.0
   }
 
@@ -835,7 +842,11 @@ object StreamBench {
       "curation" -> (curationSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
     try sections.flatMap { case (name, fn) =>
-      try Some(fn(spark, sfDir)) catch {
+      try {
+        // untimed ambient probe immediately before the section clock
+        val cs = try Bench.calibrate(spark) catch { case _: Throwable => -1.0 }
+        Some(fn(spark, sfDir).copy(calibSec = cs))
+      } catch {
         case e: Throwable =>
           System.err.println(
             s"WARN stream bench: section $name failed: ${e.getClass.getName}: ${e.getMessage}")

@@ -545,6 +545,27 @@ object SimilarityQueries {
     // as it does for PQ (sim_ivfpq_* prove that shape).
     "sim_sq8_search" -> QueryDef((s, d) => sq8Spark(s, d), sq8Sql),
 
+    // IVF + SQ8 — the probe-pruning composition for the BANDWIDTH
+    // point of the frontier: the probed cells' members are scored on
+    // their 64 B/vec SQ8 codes (8× less scan bandwidth than raw) with
+    // per-query work cut to ~nprobe/k_cells of the corpus, the same
+    // composition sim_ivfpq_* proves for the PQ codes. Completes the
+    // claim that IVF pruning composes with every coding family.
+    "sim_ivfsq_search" -> QueryDef((s, d) => ivfSq8Spark(s, d), ivfSq8Sql),
+
+    // IVF+SQ8 quality gate: near-exact coding under cell pruning
+    // measures the PROBED-CELL COVERAGE ceiling itself — with SQ8 at
+    // 0.99 full-scan recall, whatever this row loses vs 0.99 is what
+    // the nprobe=3 cells don't contain. Measured 0.92 recall@10 at
+    // sf0.01 (vs full-scan SQ8 0.99, pruned residual-PQ 0.34): the
+    // ceiling is high, confirming the re-rank sweep's finding that
+    // code quality, not cell coverage, binds the PQ rows.
+    "sim_ivfsq_recall" -> QueryDef(
+      (s, d) => recallAgainstExactL2(s, d,
+        ivfSq8Spark(s, d).select(col("query_id"),
+          col("vec_id").as("neighbor_id"))),
+      recallAgainstExactL2Sql(ivfSq8Sql)),
+
     // SQ8 quality gate — pins where 8-bit-per-dim lands on the recall
     // ladder: near-exact (the quantization step is ~range/255 per dim),
     // far above any 16-bit-per-vector PQ row, at 32× the memory. The
@@ -1225,6 +1246,96 @@ object SimilarityQueries {
        |      + ${dot("c.sv", "c.sv", Dims)} AS BIGINT) AS d2
        |  FROM sq q, sq c
        |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY d2 ASC, vec_id ASC) AS rank FROM sc)
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  /** Probe-pruned SQ8 search (IVF + SQ8): the bandwidth point of the
+    * compression frontier composed with cell pruning — the SAME probe
+    * frame shape as [[ivfpqSpark]], but the probed cells' members are
+    * scored on their 64 B/vec SQ8 codes instead of 2 B/vec PQ codes.
+    * Per query ~nprobe/k_cells of the corpus is read at 8× less
+    * bandwidth than raw; nothing but the (query, cell) probe frame and
+    * the coded query sample broadcasts. */
+  private def ivfSq8Spark(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantized(s, d)
+    val cents = trainedCentroids(s, d)
+    // corpus cells (argmin) and query probes (top-Nprobe) from the
+    // exact-geometry assignment every IVF consumer shares
+    val (assigned, _) = Similarity.ivfAssignCentroids(
+      e, "vec_id", "qv", cents = cents, nprobe = 1)
+    val cells = assigned.select(col("__id").as("vec_id"), col("cell_id"))
+    val (_, probes) = Similarity.ivfAssignCentroids(
+      e.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", "qv",
+      cents = cents, nprobe = Nprobe)
+    val coded = sq8Frame(s, d)
+    val q = coded.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id").as("query_id"), col("sv").as("xv"))
+    val d2 = (Similarity.dot(col("xv"), col("xv"))
+      - lit(2.0) * Similarity.dot(col("xv"), col("cv2"))
+      + Similarity.dot(col("cv2"), col("cv2"))).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    coded.select(col("vec_id"), col("sv").as("cv2"))
+      .join(cells, Seq("vec_id"))
+      .join(broadcast(probes), Seq("cell_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("d2"))
+  }
+
+  /** DuckDB text of the probe-pruned SQ8 search: IVF training, cell
+    * assignment, probing, the SQ8 range/coding chain, and the
+    * cell-restricted code-space ranking in one CTE chain. */
+  private def ivfSq8Sql: String = {
+    val code = (v: String) =>
+      s"""list_transform(generate_series(1, $Dims), i -> CASE
+         |    WHEN mxl[i] = mnl[i] THEN 0.0
+         |    ELSE floor((($v[i] - mnl[i]) * 510 + (mxl[i] - mnl[i]))
+         |      / ((mxl[i] - mnl[i]) * 2)) * (mxl[i] - mnl[i]) END)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |$ivfTrainCtes,
+       |cellv AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
+       |    FROM e, c)
+       |  WHERE cr = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cent_id AS cell_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
+       |    FROM e, c WHERE e.vec_id % 50 = 0)
+       |  WHERE cr <= $Nprobe),
+       |rng AS (
+       |  SELECT t.i AS dim, MIN(v[t.i]) AS mn, MAX(v[t.i]) AS mx
+       |  FROM e CROSS JOIN UNNEST(generate_series(1, $Dims)) AS t(i)
+       |  GROUP BY t.i),
+       |rngl AS (
+       |  SELECT list(mn ORDER BY dim) AS mnl, list(mx ORDER BY dim) AS mxl
+       |  FROM rng),
+       |sq AS (
+       |  SELECT vec_id, ${code("v")} AS sv
+       |  FROM e, rngl),
+       |sc AS (
+       |  SELECT p.query_id, c2.vec_id,
+       |    CAST(${dot("q.sv", "q.sv", Dims)} - 2 * ${dot("q.sv", "c2.sv", Dims)}
+       |      + ${dot("c2.sv", "c2.sv", Dims)} AS BIGINT) AS d2
+       |  FROM sq c2
+       |  JOIN cellv ON cellv.vec_id = c2.vec_id
+       |  JOIN qprobe p ON p.cell_id = cellv.cell_id
+       |  JOIN sq q ON q.vec_id = p.query_id
+       |  WHERE c2.vec_id <> p.query_id)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, d2 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY d2 ASC, vec_id ASC) AS rank FROM sc)

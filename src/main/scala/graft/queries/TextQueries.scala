@@ -364,15 +364,13 @@ object TextQueries {
        |    CAST(COALESCE(lmlp.lp, 0) AS BIGINT) AS lp_bits
        |  FROM lmg g2 LEFT JOIN lmlp ON lmlp.doc_id = g2.doc_id)""".stripMargin
 
-  /** Background-grid + ratio-score CTEs: the SAME formula as the
-    * target grid with the `lang = 'en'` training filter dropped, then
-    * both per-document sums side by side. Appends to [[lmScoreCtes]]
-    * (reuses `lmb`/`lmg`/`lmex`/`lmsc`). */
-  private[queries] def lmRatioCtes: String = {
+  /** Background-grid CTEs (`bgc12`/`bgc1`/`bggrid`): the SAME formula
+    * as the target grid with the `lang = 'en'` training filter
+    * dropped. Appends to [[lmCtes]] (reuses `lmb`/`lmg`/`lmex`). */
+  private def lmBgGridCtes: String = {
     val x = s"((COALESCE(bgc12.c12, 0) + 1) * $LmScale " +
       s"// (COALESCE(bgc1.c1, 0) + $LmB))"
-    s"""$lmScoreCtes,
-       |bgc12 AS (SELECT g, CAST(count(*) AS BIGINT) AS c12
+    s"""bgc12 AS (SELECT g, CAST(count(*) AS BIGINT) AS c12
        |          FROM lmex GROUP BY g),
        |bgc1 AS (SELECT g // $LmB AS b1, CAST(count(*) AS BIGINT) AS c1
        |         FROM lmex GROUP BY 1),
@@ -384,7 +382,14 @@ object TextQueries {
        |  FROM (SELECT CAST(t.m AS BIGINT) AS g
        |        FROM UNNEST(generate_series(0, ${LmB * LmB - 1})) AS t(m)) gg
        |  LEFT JOIN bgc12 ON bgc12.g = gg.g
-       |  LEFT JOIN bgc1 ON bgc1.b1 = gg.g // $LmB),
+       |  LEFT JOIN bgc1 ON bgc1.b1 = gg.g // $LmB)""".stripMargin
+  }
+
+  /** Ratio-score CTEs: [[lmScoreCtes]] (target score) + the background
+    * grid + both per-document sums side by side in `lmrsc`. */
+  private[queries] def lmRatioCtes: String =
+    s"""$lmScoreCtes,
+       |$lmBgGridCtes,
        |bglp AS (
        |  SELECT lmex.doc_id, CAST(sum(bggrid.wbits) AS BIGINT) AS lp
        |  FROM lmex JOIN bggrid ON bggrid.g = lmex.g GROUP BY lmex.doc_id),
@@ -392,7 +397,12 @@ object TextQueries {
        |  SELECT s.doc_id, s.lang, s.n_bigrams, s.lp_bits AS lp_t,
        |    CAST(COALESCE(bglp.lp, 0) AS BIGINT) AS lp_bg
        |  FROM lmsc s LEFT JOIN bglp ON bglp.doc_id = s.doc_id)""".stripMargin
-  }
+
+  /** [[lmCtes]] + the background grid only — the train-report oracle's
+    * chain (no score stage). */
+  private[queries] def lmBgTrainCtes: String =
+    s"""$lmCtes,
+       |$lmBgGridCtes""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -971,6 +981,17 @@ object TextQueries {
       (s, d) => lmScoreSpark(s, d),
       s"""WITH $lmScoreCtes
          |SELECT doc_id, lang, n_bigrams, lp_bits FROM lmsc""".stripMargin),
+
+    // BACKGROUND-LM training report — the second trained model of the
+    // CCNet ratio discriminator: the same add-one-smoothed conditional
+    // bigram grid trained over the WHOLE corpus (the raw-CommonCrawl
+    // stand-in to the target grid's Wikipedia stand-in). Same two
+    // map-side-combined count aggregates over one corpus pass; the
+    // report rows are the observed-support grid entries.
+    "text_lm_train_bg" -> QueryDef(
+      (s, d) => lmGridBg(s, d).filter(col("c12") > 0),
+      s"""WITH $lmBgTrainCtes
+         |SELECT g, c12, c1, wbits FROM bggrid WHERE c12 > 0""".stripMargin),
 
     // The full CCNet discriminator's scoring frame: per-document
     // TARGET (en-slice) and BACKGROUND (whole-corpus) LM scores from

@@ -31,6 +31,8 @@ class PlanSpec extends SparkSpec {
       "sim_ivfpq_rerank_recall", // embeds the exact-L2 brute force baseline
       "sim_sq8_search", // broadcast query-sample cross (SQFlat baseline)
       "sim_sq8_recall", // embeds the exact-L2 brute force it grades against
+      "sim_ivfsq_search", // broadcast centroid probe + coded query sample
+      "sim_ivfsq_recall", // embeds the exact-L2 brute force it grades against
       "sim_rp_search", // broadcast query-sample cross in sketch space
       "sim_rp_recall", // embeds the exact-L2 brute force it grades against
       "sim_index_build", // broadcast centroid + codebook assignments

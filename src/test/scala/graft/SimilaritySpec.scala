@@ -260,6 +260,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF+SQ8: pruning composes with the near-exact code family") {
+    val d = "/root/testdata/sf0.001"
+    def meanRecall(name: String): Double = {
+      val rows = graft.SparkEntry.queries(name)(spark, d).collect()
+      rows.map(_.getAs[Double]("recall_at_k")).sum / rows.length
+    }
+    val pruned = meanRecall("sim_ivfsq_recall")
+    val prunedPq = meanRecall("sim_ivfpq_res_recall")
+    // same probed cells, 64 B/vec codes instead of 2 B/vec: the better
+    // code family must not rank worse over the identical candidate set
+    withClue(s"IVF+SQ8=$pruned vs IVF+residual-PQ=$prunedPq: ") {
+      pruned should be >= prunedPq
+    }
+    // and the row actually finds signal under pruning
+    pruned should be > 0.0
+  }
+
   test("production-path nprobe sweep agrees with the standalone gate and beats raw ADC") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("sim_nprobe_rerank_sweep")(spark, d)
