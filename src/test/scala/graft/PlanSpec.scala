@@ -179,7 +179,13 @@ class PlanSpec extends SparkSpec {
       "curate_semdedup" -> 5, // measured 4: in-cell pair join + manifest join off the checkpointed assignment
       "curate_cluster_balance" -> 4, // measured 3: cell counts + broadcast-back + manifest agg
       "curate_pipeline" -> 58, // measured 56 (r10: +6 for the background LM grid's counts+join in the ratio gate): six family subtrees, shared stages repeated in the tree string
-      "sim_nprobe_sweep" -> 50) // measured 48: three probe-width branches × (search + exact-baseline compare)
+      "sim_nprobe_sweep" -> 50, // measured 48: three probe-width branches × (search + exact-baseline compare)
+      // r10 bench top-2 entrants: the production-path serving-knob
+      // sweeps each replay the rerank chain + exact baseline 3×
+      "sim_nprobe_rerank_sweep" -> 56, // measured 54: 3 × (residual probe search + re-rank gathers + brute compare)
+      "sim_rwidth_sweep" -> 56, // measured 54: same chain swept over shortlist widths
+      "sim_rp_recall" -> 12, // measured 10 + AQE slack: sketch ranking + shared exact re-rank + brute compare
+      "sim_ivfsq_recall" -> 21) // measured 19: IVF assign + probe + SQ8 coding + brute compare
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
