@@ -122,6 +122,8 @@ object AnalyticsQueries {
       d: String): Unit = {
     basketItems(s, d)
     coPurchasePairs(s, d)
+    prRankTrace(s, d)
+    ()
   }
 
   /** Power-iteration rounds for the trained PageRank — enough for the

@@ -1530,25 +1530,37 @@ object SimilarityQueries {
   /** Recall@K of `approx` (query_id, neighbor_id) against the exact
     * squared-L2 top-K over the 1-in-50 query sample — the shared body
     * of the PQ-family recall gates. */
+  /** The exact squared-L2 top-K of the 1-in-50 query sample — the
+    * grading baseline EVERY recall gate compares against, memoized so
+    * the board computes the brute-force scan once per session/pass
+    * instead of once per gate (ten gate rows plus six sweep branches
+    * re-derived it — the same first-consumer duplication the trained
+    * centroids/codebooks already avoid). */
+  private def exactL2TopK(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.memo(s, d, "exact_l2_topk") {
+      import org.apache.spark.sql.expressions.Window
+      val e = quantized(s, d)
+      val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("qv").as("xv"))
+      val d2full = (Similarity.dot(col("xv"), col("xv"))
+        - lit(2.0) * Similarity.dot(col("xv"), col("cv2"))
+        + Similarity.dot(col("cv2"), col("cv2"))).cast("long")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2").asc, col("neighbor_id").asc)
+      q.crossJoin(
+          e.select(col("vec_id").as("neighbor_id"), col("qv").as("cv2")))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("d2", d2full)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+
   private def recallAgainstExactL2(s: org.apache.spark.sql.SparkSession,
       d: String,
       approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = quantized(s, d)
-    val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
-      .select(col("vec_id").as("query_id"), col("qv").as("xv"))
-    val d2full = (Similarity.dot(col("xv"), col("xv"))
-      - lit(2.0) * Similarity.dot(col("xv"), col("cv2"))
-      + Similarity.dot(col("cv2"), col("cv2"))).cast("long")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("d2").asc, col("neighbor_id").asc)
-    val exact = q.crossJoin(
-        e.select(col("vec_id").as("neighbor_id"), col("qv").as("cv2")))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("d2", d2full)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("neighbor_id"))
+    val exact = exactL2TopK(s, d)
     exact.join(approx.withColumn("hit", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -1658,6 +1670,7 @@ object SimilarityQueries {
     trainedCodebook(s, d)
     trainedResCodebook(s, d)
     semAssigned(s, d)
+    exactL2TopK(s, d)
     ()
   }
 
