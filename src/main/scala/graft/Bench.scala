@@ -347,22 +347,36 @@ object Bench {
     // drift WITH probe drift is environment; without, it's code.
     val calibJson = passes.map(p => sec3(p.calibSec)).mkString("[", ",", "]")
     val loadJson = passes.map(p => sec3(p.load)).mkString("[", ",", "]")
-    // Load-NORMALIZED throughput: measured rps × (probe_min / idle pin).
-    // Under contention the probe reads high and rps reads low by roughly
-    // the same CPU-starvation factor, so the product is the cross-round
-    // comparable number — the drift story as one value instead of a
-    // paragraph re-deriving the ambient argument from probe+loadavg.
-    val calibRatio = passes.map(_.calibSec).min / ReferenceCalibSec
+    // Load-NORMALIZED throughput: measured rps × (probe_median / idle
+    // pin). Under contention the probe reads high and rps reads low by
+    // roughly the same CPU-starvation factor, so the product is the
+    // cross-round comparable number. MEDIAN, not min: the probe itself
+    // is bimodal with JVM heap/JIT state (observed 0.06–0.45 s for the
+    // same work in one process), and a single anomalously fast pass
+    // under min halved normalized_rps in an otherwise healthy r10 run
+    // — the median keeps the estimator robust to single-probe luck in
+    // BOTH directions.
+    val calibRatio =
+      passes.map(_.calibSec).sorted.apply(passes.size / 2) / ReferenceCalibSec
     val normalizedRps = rps * calibRatio
     // Compact per-batch/per-query attribution for the headline stream
     // section ON the metric line (the r9 `pipeline` regression could not
     // be attributed from the official artifact — 2,507 vs the committed
     // 9,286 rec/s with no per-query split): per feed-chunk wall seconds
     // plus each concurrent query's engine-reported per-batch seconds.
+    // Compact on purpose: the metric line has a 1900-byte guard and the
+    // full form overflowed it (which silently dropped this breakdown) —
+    // 2-decimal batch times, short query keys, the chunk walls and the
+    // 3-decimal form stay in bench_detail.json.
+    def secArr2(xs: Seq[Double]): String =
+      xs.map(v => f"$v%.2f").mkString("[", ",", "]")
     val pipeDetailJson = streamSections.find(_.name == "pipeline").map { s =>
-      val qb = s.queryBatch
-        .map { case (n, bs) => s""""$n":${secArr(bs)}""" }.mkString(",")
-      s"""{"calib_sec":${sec3(s.calibSec)},"chunks":${secArr(s.chunkSec)}""" +
+      val qb = s.queryBatch.map { case (n, bs) =>
+        val short = if (n == "kv_views") "kv"
+          else if (n == "minute_windows") "win" else n
+        s""""$short":${secArr2(bs)}"""
+      }.mkString(",")
+      s"""{"calib":${sec3(s.calibSec)}""" +
         (if (qb.nonEmpty) s",$qb" else "") + "}"
     }.getOrElse("{}")
     // Load-normalized streaming headline (same derivation as
