@@ -398,6 +398,35 @@ object StreamBench {
     Section("lm_score", docs.length.toLong, sec, batches)
   }
 
+  /** Streaming CCNet RATIO scoring
+    * ([[graft.streaming.StreamingScore.lmRatioScoreStream]]): the
+    * complete serving-side discriminator — TWO trained 65,536-entry
+    * grids (target + background) folded in as literals, each document
+    * paying two native one-pass folds over one tokenization. Measured
+    * separately from `lm_score` so the cost of the second grid (the
+    * price of ratio admission over raw-perplexity admission) is its
+    * own artifact number rather than an inference. */
+  private def lmRatioSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("lang").cast("string"),
+        col("text").cast("string"))
+      .as[LmScoreIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val docs = replicate(base, floor)((r, i) => r.copy(doc_id = r.doc_id + i * span))
+    val wT = graft.queries.TextQueries.lmWeightArray(spark, sfDir)
+    val wB = graft.queries.TextQueries.lmBgWeightArray(spark, sfDir)
+    val in = MemoryStream[LmScoreIn]
+    val q = graft.streaming.StreamingScore.lmRatioScoreStream(
+        in.toDF().toDF("doc_id", "lang", "text"), wT, wB)
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_lmratio")).start()
+    val (sec, batches) = drive[LmScoreIn](chunked(docs), in.addData(_), Seq(q))
+    Section("lm_ratio", docs.length.toLong, sec, batches)
+  }
+
   case class PipeIn(source: String, doc_id: Long, lang: String,
     text: String, ts: Timestamp)
 
@@ -839,6 +868,7 @@ object StreamBench {
       "content_stats" -> (contentStatsSection(_, _, volumeFloor)),
       "score" -> (scoreSection(_, _, volumeFloor)),
       "lm_score" -> (lmScoreSection(_, _, volumeFloor)),
+      "lm_ratio" -> (lmRatioSection(_, _, volumeFloor)),
       "curation" -> (curationSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
     try sections.flatMap { case (name, fn) =>

@@ -911,17 +911,20 @@ object DedupQueries {
     // The FULL curation pipeline — six operator families composed in
     // production order, the capstone of capstones: (1) exact dedup
     // (min-id keeper per normalized-text digest), (2) per-source
-    // top-quartile quality gate over the keepers, (3) the CCNet LM
-    // admission gate (trained hashed-bigram target LM, absolute int64
-    // threshold — population-independent, so it composes), (4) SemDeDup
+    // top-quartile quality gate over the keepers, (3) the FULL CCNet
+    // admission gate (TWO trained hashed-bigram LMs — target and
+    // background — admitting on the int64 cross-multiplied perplexity
+    // ratio; per-document and threshold-fixed, so it composes),
+    // (4) SemDeDup
     // semantic drop (trained-cluster cosine near-dups in the shared id
     // space; documents without a vector pass through the anti-join),
     // (5) DSIR importance RESAMPLING of the survivors on the
     // distributed prefix-sum kernel, (6) split tag + the (source ×
     // split) audit manifest a training run ships with. Every stage is
     // the SAME construction as its standalone query, and the oracle
-    // replays the entire DAG — two trained models (LM grid, k-means
-    // cells), two hash frames, and a prefix sum — in ONE CTE chain:
+    // replays the entire DAG — three trained models (target LM grid,
+    // background LM grid, k-means cells), two hash frames, and a
+    // prefix sum — in ONE CTE chain:
     // the hash-match proves the whole recipe composes end-to-end, not
     // just that stages pass individually. At 100 TB every stage keeps
     // its standalone shape: the only corpus-keyed shuffles are the

@@ -69,4 +69,32 @@ object StreamingScore {
         graft.functions.TextHashFunctions.lmScoreBits(col("toks"), wl)
           .as("lp_bits"))
   }
+
+  /** Streaming RATIO scoring — the serving half of
+    * `text_lm_ratio_score`/`curate_lm_ratio_gate` (the complete CCNet
+    * discriminator): BOTH trained grids fold in as literal arrays and
+    * each document gets its target and background scores from two
+    * native one-pass folds over the same token array. Still stateless
+    * map-only; a downstream gate is one int64 cross-multiplication.
+    *
+    * Emits (doc_id, lang, n_bigrams, lp_t, lp_bg) — the batch ratio
+    * query's schema; StreamingSpec pins it row-for-row. */
+  def lmRatioScoreStream(docs: DataFrame, target: Seq[Long],
+      background: Seq[Long]): DataFrame = {
+    require(target.length == 65536,
+      s"target LM grid must have 65,536 entries, got ${target.length}")
+    require(background.length == 65536,
+      s"background LM grid must have 65,536 entries, got ${background.length}")
+    val wlT = typedlit(target.toIndexedSeq)
+    val wlB = typedlit(background.toIndexedSeq)
+    val toks = split(Dedup.normalize(col("text")), " ")
+    docs
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        graft.functions.TextHashFunctions.lmScoreBits(col("toks"), wlT)
+          .as("lp_t"),
+        graft.functions.TextHashFunctions.lmScoreBits(col("toks"), wlB)
+          .as("lp_bg"))
+  }
 }

@@ -940,6 +940,30 @@ class StreamingSpec extends SparkSpec {
       .toSet shouldBe expected
   }
 
+  test("streaming ratio scoring equals the batch target+background scores") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("text_lm_ratio_score")(spark, d)
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    expected should not be empty
+
+    val wT = graft.queries.TextQueries.lmWeightArray(spark, d)
+    val wB = graft.queries.TextQueries.lmBgWeightArray(spark, d)
+    val docs = graft.ingest.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toIndexedSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingScore.lmRatioScoreStream(
+        in.toDF().toDF("doc_id", "lang", "text"), wT, wB)
+      .writeStream.format("memory").queryName("slmr")
+      .outputMode("append").start()
+    docs.grouped(20).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    spark.table("slmr").as[(Long, String, Long, Long, Long)].collect()
+      .toSet shouldBe expected
+  }
+
   test("sharded resampler decomposes into per-hash-slice global samplers") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingIntake
