@@ -196,6 +196,48 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
   }
 
+  /** Metadata-FILTERED IVF top-k — vector search restricted by a
+    * relational predicate (the "WHERE lang = 'en'" of vector search,
+    * the join every production vector store has to serve). Same
+    * probe/re-rank shape as [[knnIvfCentroids]], with the NEIGHBOR
+    * side pre-filtered: `allowed` (a one-column id frame produced by
+    * the metadata predicate) left-semi-joins the assigned corpus
+    * BEFORE candidate generation, so each probed cell contributes only
+    * predicate-passing members and the k-shortlist never wastes slots
+    * on candidates a post-filter would discard (the recall difference
+    * between pre- and post-filtering is exactly the slots a post-pass
+    * drops). Queries are NOT filtered — asking from outside the
+    * predicate is legal. At 100 TB the predicate pushes down to the
+    * metadata table's scan and the semi-join is id-keyed (ids move,
+    * vectors don't); everything downstream is the pinned IVF shape. */
+  def knnIvfFiltered(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: DataFrame, allowed: DataFrame, nprobe: Int = 3,
+      queryFilter: Column = lit(true)): DataFrame = {
+    val (assigned, probes) =
+      ivfAssignCentroids(corpus, idCol, vecCol, cents, nprobe)
+    val queries = assigned.filter(queryFilter)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"),
+        norm(col("__v")).as("__qn"))
+    val nbrs = assigned.join(
+      allowed.select(col(allowed.columns.head).as("__id")),
+      Seq("__id"), "left_semi")
+    val cand = queries
+      .join(probes, Seq("query_id"))
+      .join(nbrs.select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
+        norm(col("__v")).as("__cn"), col("cell_id")), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos9").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cos9",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
+  }
+
   /** One distributed Lloyd (k-means) iteration — the training seam that
     * produces [[ivfAssign]]'s centroids. Assignment reuses the IVF
     * argmin (broadcast centroids, map-only distance); the update step

@@ -173,6 +173,87 @@ object SimilarityQueries {
        |WHERE rank <= $K""".stripMargin
   }
 
+  /** The filtered-search family's metadata predicate: the embedding's
+    * document (shared id space, the SemDeDup join) is English. ~44 %
+    * selective at sf0.01 — restrictive enough that filtered and
+    * unfiltered top-10 differ, dense enough that probed cells still
+    * hold candidates. */
+  private def filteredAllowed(s: org.apache.spark.sql.SparkSession,
+      d: String) = Tables.documents(s, d)
+    .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+
+  private val filteredAllowedCte =
+    "al AS (SELECT doc_id AS vec_id FROM documents WHERE lang = 'en')"
+
+  private def filteredIvfSpark(s: org.apache.spark.sql.SparkSession,
+      d: String) =
+    Similarity.knnIvfFiltered(quantized(s, d), "vec_id", "qv", K,
+        cents = trainedCentroids(s, d), allowed = filteredAllowed(s, d),
+        nprobe = 3, queryFilter = pmod(col("__id"), lit(10)) === 0)
+      .withColumn("rank", col("rank").cast("long"))
+
+  private def filteredIvfSql: String = {
+    def d2(v: String, c: String) =
+      s"(${dot(v, v, Dims)} - 2.0 * ${dot(v, c, Dims)} + ${dot(c, c, Dims)})"
+    s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |$ivfTrainCtes,
+       |$filteredAllowedCte,
+       |scored AS (
+       |  SELECT e.vec_id AS id, e.v, c.cent_id,
+       |    ${d2("e.v", "c.cent_v")} AS d2
+       |  FROM e, c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY id ORDER BY d2 ASC, cent_id ASC) AS cr
+       |  FROM scored),
+       |assigned AS (SELECT id, v, cent_id AS cell_id FROM ranked WHERE cr = 1),
+       |probes AS (SELECT id AS query_id, cent_id AS cell_id FROM ranked WHERE cr <= 3),
+       |cand AS (
+       |  SELECT DISTINCT q.id AS query_id, q.v AS qv, a.id AS neighbor_id, a.v AS cv
+       |  FROM assigned q
+       |  JOIN probes p ON p.query_id = q.id
+       |  JOIN assigned a ON a.cell_id = p.cell_id AND a.id <> q.id
+       |  JOIN al ON al.vec_id = a.id
+       |  WHERE q.id % 10 = 0),
+       |s2 AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(${cosine("qv", "cv", Dims)}, 9) AS cos9
+       |  FROM cand)
+       |SELECT query_id, neighbor_id, rank, cos9 FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+       |  FROM s2)
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  /** Filtered ground truth: brute force over the predicate-passing
+    * corpus only — what filtered recall is measured against. */
+  private def filteredBruteSpark(s: org.apache.spark.sql.SparkSession,
+      d: String) = {
+    val e = quantized(s, d)
+    Similarity.knnBruteForce(
+        e.filter(pmod(col("vec_id"), lit(10)) === 0),
+        e.join(filteredAllowed(s, d), Seq("vec_id"), "left_semi"),
+        "vec_id", "qv", K)
+      .withColumn("rank", col("rank").cast("long"))
+  }
+
+  private def filteredBruteSql: String =
+    s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |$filteredAllowedCte,
+       |s AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(${cosine("q.v", "c.v", Dims)}, 9) AS cos9
+       |  FROM e q
+       |  JOIN e c ON c.vec_id <> q.vec_id
+       |  JOIN al ON al.vec_id = c.vec_id
+       |  WHERE q.vec_id % 10 = 0)
+       |SELECT query_id, neighbor_id, rank, cos9 FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+       |  FROM s)
+       |WHERE rank <= $K""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact top-10 cosine neighbors for each sampled query vector.
@@ -203,6 +284,48 @@ object SimilarityQueries {
       },
       s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($bruteSql)),
          |approx AS (SELECT query_id, neighbor_id, 1 AS hit FROM ($ivfSql))
+         |SELECT b.query_id, COUNT(*) AS n_exact, COUNT(a.hit) AS n_hit,
+         |  CAST(COUNT(a.hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+         |FROM brute b
+         |LEFT JOIN approx a
+         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id""".stripMargin),
+
+    // FILTERED vector search — ANN under a relational predicate (the
+    // embedding's document is English; shared id space), served by the
+    // PRE-filter strategy: the predicate's id frame left-semi-joins
+    // the assigned corpus before candidate generation, so probed cells
+    // contribute only predicate-passing members and no shortlist slot
+    // is wasted on a candidate a post-pass would drop. The production
+    // concern this family pins: filtering AFTER an unfiltered top-k
+    // silently degrades recall as selectivity tightens (a 44 %
+    // predicate post-filtered from an unfiltered top-10 keeps ~4.4
+    // usable slots); pre-filtering keeps all k. At 100 TB the
+    // predicate pushes to the documents scan, the semi-join moves ids
+    // only, and the rest is the pinned trained-IVF probe shape.
+    "sim_filtered_search" -> QueryDef(
+      (s, d) => filteredIvfSpark(s, d), filteredIvfSql),
+
+    // Its recall gate, against the FILTERED exact baseline (brute
+    // force over predicate-passing vectors only — measuring against
+    // the unfiltered baseline would conflate predicate selectivity
+    // with index quality).
+    "sim_filtered_recall" -> QueryDef(
+      (s, d) => {
+        val exact = filteredBruteSpark(s, d)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = filteredIvfSpark(s, d)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_exact").cast("double"))
+              .as("recall_at_k"))
+      },
+      s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($filteredBruteSql)),
+         |approx AS (SELECT query_id, neighbor_id, 1 AS hit
+         |           FROM ($filteredIvfSql))
          |SELECT b.query_id, COUNT(*) AS n_exact, COUNT(a.hit) AS n_hit,
          |  CAST(COUNT(a.hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
          |FROM brute b

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Tables
-import graft.operators.TextAnalysis
+import graft.operators.{Similarity, TextAnalysis}
 
 /** Text-analysis query surface over the `documents` fixture: token
   * counting, quality scoring, language identification, fingerprinting.
@@ -403,6 +403,96 @@ object TextQueries {
   private[queries] def lmBgTrainCtes: String =
     s"""$lmCtes,
        |$lmBgGridCtes""".stripMargin
+
+  /** BM25 top-5 frame (query_doc, rk, doc_id, n_shared, score) — the
+    * whole `corpus_bm25` chain, factored out so the hybrid RRF fusion
+    * reuses the EXACT lexical ranking it fuses (a drifted copy would
+    * hash-green both queries while fusing a different ranking). */
+  private def bm25TopSpark(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+    val a = toks.count() / n // integer avgdl — exact, replayed as l // n
+    val qw = Window.partitionBy(col("doc_id"))
+      .orderBy((col("tf") * lit(n) / col("df")).desc, col("term").asc)
+    val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .join(dfT, "term")
+      .withColumn("qrk", row_number().over(qw))
+      .filter(col("qrk") <= 3)
+      .select(col("doc_id").as("query_doc"), col("term"), col("df"))
+    val cw = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_doc"))
+      .join(dl, "doc_id")
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        sum(TextAnalysis.bm25Weight(col("tf"), col("df"), col("dl"),
+          n, a)).as("score"))
+      .withColumn("rk", row_number().over(cw))
+      .filter(col("rk") <= 5)
+      .select(col("query_doc"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_shared"), col("score"))
+  }
+
+  /** The `corpus_bm25` CTE chain through `lexr` (the rk ≤ 5 ranked
+    * frame) — shared verbatim by the BM25 oracle and the hybrid
+    * fusion oracle. */
+  private def bm25Ctes: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(${tokens("text")}) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY doc_id, term),
+       |df AS (
+       |  SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY term),
+       |dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |  FROM toks GROUP BY doc_id),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+       |      FROM documents),
+       |st AS (SELECT tot.l // n.n AS a
+       |       FROM (SELECT CAST(count(*) AS BIGINT) AS l FROM toks) tot, n),
+       |q AS (
+       |  SELECT doc_id AS query_doc, term, df FROM (
+       |    SELECT tf.doc_id, tf.term, df.df,
+       |      row_number() OVER (PARTITION BY tf.doc_id
+       |        ORDER BY tf.tf * n.n / df.df DESC, tf.term ASC) AS qrk
+       |    FROM tf JOIN df USING (term), n
+       |    WHERE tf.doc_id % 100 = 0)
+       |  WHERE qrk <= 3),
+       |cand AS (
+       |  SELECT q.query_doc, tf.doc_id,
+       |    CAST(count(*) AS BIGINT) AS n_shared,
+       |    CAST(sum(CAST(floor(
+       |      ((2 * n.n - 2 * q.df + 1) * (44 * st.a * 1000) * tf.tf)
+       |      / ((q.df * 2 + 1)
+       |        * (tf.tf * (20 * st.a) + 6 * st.a + dl.dl * 18)))
+       |      AS BIGINT)) AS BIGINT) AS score
+       |  FROM q JOIN tf USING (term) JOIN dl ON dl.doc_id = tf.doc_id, n, st
+       |  WHERE tf.doc_id <> q.query_doc
+       |  GROUP BY q.query_doc, tf.doc_id),
+       |lexr AS (
+       |  SELECT query_doc, CAST(rk AS BIGINT) AS rk, doc_id, n_shared, score
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_doc
+       |      ORDER BY score DESC, doc_id ASC) AS rk FROM cand)
+       |  WHERE rk <= 5)""".stripMargin
+
+  /** Reciprocal-rank-fusion constant: LCM(61..65) — with fused ranks
+    * capped at 5 and the standard RRF offset 60, every per-branch
+    * contribution LCM/(60+rank) is an exact integer, so the fused
+    * score is int64 arithmetic with no fraction summation (the
+    * engine-portability doctrine every ranked query here follows). */
+  private val RrfLcm = 495593280L
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -812,76 +902,92 @@ object TextQueries {
     // query-term frame broadcast onto the tf aggregate, candidates
     // carried as id pairs; the corpus never reshuffles for scoring.
     "corpus_bm25" -> QueryDef(
+      (s, d) => bm25TopSpark(s, d),
+      s"""WITH $bm25Ctes
+         |SELECT query_doc, rk, doc_id, n_shared, score
+         |FROM lexr""".stripMargin),
+
+    // HYBRID retrieval — the fusion modern engines actually serve:
+    // the BM25 lexical ranking (exact corpus_bm25 chain, factored
+    // shared) and an exact dense-cosine ranking over the embeddings
+    // (same quantized kernel as sim_knn_brute; query set = the same
+    // doc_id % 100 picks, the two tables sharing an id space) combined
+    // by reciprocal-rank fusion. RRF is normally Σ 1/(60+rank) — sums
+    // of fractions, an engine-portability trap — but with ranks capped
+    // at 5 each branch contributes LCM(61..65)/(60+rank) EXACTLY, so
+    // the fused score is pure int64 (rrf ≤ 2·LCM/61 ≈ 1.6e7). A full
+    // outer join keeps single-branch hits (docs without a vector can
+    // still win on lexical rank — at sf0.1 only 2 of 5 corpus docs
+    // have embeddings, the realistic partial-coverage shape); a branch
+    // miss reads rank 0 in the output. Shape at 100 TB: both branches
+    // are the already-pinned retrieval shapes (query-term broadcast /
+    // query-vector broadcast, candidates as id pairs); the fusion adds
+    // one (query, doc)-keyed outer join over two ≤ 5·|Q|-row frames —
+    // metadata-scale, nothing corpus-sized moves. At serving time the
+    // dense branch swaps for the composed IVFADC+R chain unchanged —
+    // fusion only reads (query, doc, rank).
+    "corpus_hybrid_rrf" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
-        val toks = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("term"))
-        val tf = toks.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
-        val a = toks.count() / n // integer avgdl — exact, replayed as l // n
-        val qw = Window.partitionBy(col("doc_id"))
-          .orderBy((col("tf") * lit(n) / col("df")).desc, col("term").asc)
-        val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)
-          .join(dfT, "term")
-          .withColumn("qrk", row_number().over(qw))
-          .filter(col("qrk") <= 3)
-          .select(col("doc_id").as("query_doc"), col("term"), col("df"))
-        val cw = Window.partitionBy(col("query_doc"))
-          .orderBy(col("score").desc, col("doc_id").asc)
-        tf.join(broadcast(qterms), Seq("term"))
-          .filter(col("doc_id") =!= col("query_doc"))
-          .join(dl, "doc_id")
-          .groupBy(col("query_doc"), col("doc_id"))
-          .agg(count(lit(1)).cast("long").as("n_shared"),
-            sum(TextAnalysis.bm25Weight(col("tf"), col("df"), col("dl"),
-              n, a)).as("score"))
-          .withColumn("rk", row_number().over(cw))
+        val lex = bm25TopSpark(s, d)
+          .select(col("query_doc"), col("doc_id"), col("rk").as("lex_rk"))
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000)).as("qv"))
+        val den = Similarity.knnBruteForce(
+            e.filter(pmod(col("vec_id"), lit(100)) === 0), e,
+            "vec_id", "qv", 5)
+          .select(col("query_id").as("query_doc"),
+            col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dense_rk"))
+        val fw = Window.partitionBy(col("query_doc"))
+          .orderBy(col("rrf").desc, col("doc_id").asc)
+        lex.join(den, Seq("query_doc", "doc_id"), "full_outer")
+          .select(col("query_doc"), col("doc_id"),
+            coalesce(col("lex_rk"), lit(0L)).as("lex_rk"),
+            coalesce(col("dense_rk"), lit(0L)).as("dense_rk"))
+          .withColumn("rrf",
+            when(col("lex_rk") > 0, lit(RrfLcm).divide(lit(60L) + col("lex_rk"))
+              .cast("long")).otherwise(lit(0L)) +
+            when(col("dense_rk") > 0, lit(RrfLcm).divide(lit(60L) + col("dense_rk"))
+              .cast("long")).otherwise(lit(0L)))
+          .withColumn("rk", row_number().over(fw).cast("long"))
           .filter(col("rk") <= 5)
-          .select(col("query_doc"), col("rk").cast("long").as("rk"),
-            col("doc_id"), col("n_shared"), col("score"))
+          .select(col("query_doc"), col("rk"), col("doc_id"),
+            col("lex_rk"), col("dense_rk"), col("rrf"))
       },
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest(${tokens("text")}) AS term FROM documents),
-         |tf AS (
-         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM toks GROUP BY doc_id, term),
-         |df AS (
-         |  SELECT term, CAST(count(*) AS BIGINT) AS df
-         |  FROM tf GROUP BY term),
-         |dl AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
-         |  FROM toks GROUP BY doc_id),
-         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n
-         |      FROM documents),
-         |st AS (SELECT tot.l // n.n AS a
-         |       FROM (SELECT CAST(count(*) AS BIGINT) AS l FROM toks) tot, n),
-         |q AS (
-         |  SELECT doc_id AS query_doc, term, df FROM (
-         |    SELECT tf.doc_id, tf.term, df.df,
-         |      row_number() OVER (PARTITION BY tf.doc_id
-         |        ORDER BY tf.tf * n.n / df.df DESC, tf.term ASC) AS qrk
-         |    FROM tf JOIN df USING (term), n
-         |    WHERE tf.doc_id % 100 = 0)
-         |  WHERE qrk <= 3),
-         |cand AS (
-         |  SELECT q.query_doc, tf.doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_shared,
-         |    CAST(sum(CAST(floor(
-         |      ((2 * n.n - 2 * q.df + 1) * (44 * st.a * 1000) * tf.tf)
-         |      / ((q.df * 2 + 1)
-         |        * (tf.tf * (20 * st.a) + 6 * st.a + dl.dl * 18)))
-         |      AS BIGINT)) AS BIGINT) AS score
-         |  FROM q JOIN tf USING (term) JOIN dl ON dl.doc_id = tf.doc_id, n, st
-         |  WHERE tf.doc_id <> q.query_doc
-         |  GROUP BY q.query_doc, tf.doc_id)
-         |SELECT query_doc, CAST(rk AS BIGINT) AS rk, doc_id, n_shared, score
+      s"""WITH $bm25Ctes,
+         |e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |denr AS (
+         |  SELECT query_doc, doc_id, rank FROM (
+         |    SELECT eq.vec_id AS query_doc, ec.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY eq.vec_id
+         |        ORDER BY round(${cosine("eq.v", "ec.v", 64)}, 9) DESC,
+         |          ec.vec_id ASC) AS rank
+         |    FROM e eq, e ec
+         |    WHERE eq.vec_id % 100 = 0 AND ec.vec_id <> eq.vec_id)
+         |  WHERE rank <= 5),
+         |fused AS (
+         |  SELECT COALESCE(l.query_doc, r.query_doc) AS query_doc,
+         |    COALESCE(l.doc_id, r.doc_id) AS doc_id,
+         |    CAST(COALESCE(l.rk, 0) AS BIGINT) AS lex_rk,
+         |    CAST(COALESCE(r.rank, 0) AS BIGINT) AS dense_rk
+         |  FROM lexr l
+         |  FULL OUTER JOIN denr r
+         |    ON r.query_doc = l.query_doc AND r.doc_id = l.doc_id),
+         |sc AS (
+         |  SELECT query_doc, doc_id, lex_rk, dense_rk,
+         |    CAST((CASE WHEN lex_rk > 0
+         |            THEN $RrfLcm // (60 + lex_rk) ELSE 0 END)
+         |       + (CASE WHEN dense_rk > 0
+         |            THEN $RrfLcm // (60 + dense_rk) ELSE 0 END)
+         |      AS BIGINT) AS rrf
+         |  FROM fused)
+         |SELECT query_doc, CAST(rk AS BIGINT) AS rk, doc_id,
+         |  lex_rk, dense_rk, rrf
          |FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_doc
-         |    ORDER BY score DESC, doc_id ASC) AS rk FROM cand)
+         |    ORDER BY rrf DESC, doc_id ASC) AS rk FROM sc)
          |WHERE rk <= 5""".stripMargin),
 
     // Feature-hashing-trick document embedding (hash kernel): each

@@ -49,6 +49,9 @@ class PlanSpec extends SparkSpec {
       "curate_lm_ratio_gate", // same two-grid broadcast, ratio-gated
       "sim_nprobe_rerank_sweep", // brute baseline + probe broadcast, once per width
       "sim_rwidth_sweep", // same, once per shortlist width
+      "sim_filtered_search", // broadcast centroid probe, pre-filtered neighbors
+      "sim_filtered_recall", // embeds the FILTERED brute baseline it grades against
+      "corpus_hybrid_rrf", // dense branch is the brute query-sample broadcast cross
       "curate_pipeline") // DSIR weight-array + LM-grid 1-row broadcasts
 
   test("no query plans an accidental cartesian / nested-loop join") {

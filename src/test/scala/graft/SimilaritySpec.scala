@@ -381,4 +381,75 @@ class SimilaritySpec extends SparkSpec {
     // trained cell holds 37-64 members against the quota of 32)
     rows.map(_._3).sum should be < rows.map(_._2).sum
   }
+
+  test("filtered IVF pre-filter keeps shortlist slots a post-filter would waste") {
+    // one cell, one query along (1,0); the two vectors closest to the
+    // query are DISALLOWED, so an unfiltered top-2 post-filtered by the
+    // predicate returns nothing while the pre-filtered operator returns
+    // the two allowed vectors — the exact recall failure mode
+    // sim_filtered_search's scaladoc claims pre-filtering avoids.
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.99, 0.1)),
+      (3L, Seq(0.98, 0.15)),
+      (4L, Seq(0.9, 0.3)),
+      (5L, Seq(0.5, 0.8))).toDF("vec_id", "v")
+    val cents = Seq((0L, Seq(0.0, 0.0))).toDF("cent_id", "cent_v")
+    val allowed = Seq(4L, 5L).toDF("vec_id")
+    val pre = Similarity.knnIvfFiltered(corpus, "vec_id", "v", 2,
+        cents = cents, allowed = allowed, nprobe = 1,
+        queryFilter = col("__id") === 1L)
+      .collect()
+    pre.map(_.getAs[Long]("neighbor_id")).toSet shouldBe Set(4L, 5L)
+    val post = Similarity.knnIvfCentroids(corpus, "vec_id", "v", 2,
+        cents = cents, nprobe = 1, queryFilter = col("__id") === 1L)
+      .join(allowed.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left_semi")
+      .collect()
+    post shouldBe empty
+  }
+
+  test("filtered search returns only predicate-passing neighbors on the fixture") {
+    val d = "/root/testdata/sf0.001"
+    val en = graft.ingest.Tables.documents(spark, d)
+      .filter(col("lang") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    val out = SparkEntry.queries("sim_filtered_search")(spark, d)
+      .select("neighbor_id").as[Long].collect()
+    out should not be empty
+    out.foreach(id => en should contain(id))
+  }
+
+  test("hybrid RRF fusion equals a driver-side recomputation from its two branches") {
+    val d = "/root/testdata/sf0.001"
+    val lex = SparkEntry.queries("corpus_bm25")(spark, d)
+      .select("query_doc", "doc_id", "rk")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, c, r) => (q, c) -> r }.toMap
+    val e = graft.ingest.Tables.embeddings(spark, d).select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
+    val den = Similarity.knnBruteForce(
+        e.filter(pmod(col("vec_id"), lit(100)) === 0), e, "vec_id", "qv", 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, c, r) => (q, c) -> r }.toMap
+    val lcm = 495593280L
+    val expected = (lex.keySet ++ den.keySet).groupBy(_._1).flatMap {
+      case (q, pairs) =>
+        pairs.toSeq.map { p =>
+          val lr = lex.getOrElse(p, 0L)
+          val dr = den.getOrElse(p, 0L)
+          val rrf = (if (lr > 0) lcm / (60 + lr) else 0L) +
+            (if (dr > 0) lcm / (60 + dr) else 0L)
+          (p._2, lr, dr, rrf)
+        }.sortBy { case (id, _, _, rrf) => (-rrf, id) }
+          .take(5).zipWithIndex
+          .map { case ((id, lr, dr, rrf), i) =>
+            (q, (i + 1).toLong, id, lr, dr, rrf) }
+    }.toSet
+    expected should not be empty
+    val got = SparkEntry.queries("corpus_hybrid_rrf")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    got shouldBe expected
+  }
 }
