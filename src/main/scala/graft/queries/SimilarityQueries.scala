@@ -333,6 +333,44 @@ object SimilarityQueries {
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          |GROUP BY b.query_id""".stripMargin),
 
+    // The POST-filter strategy, measured against the same filtered
+    // exact baseline — the comparison row that turns the pre-vs-post
+    // claim into an artifact number pair instead of prose: the
+    // unfiltered IVF top-10 is computed first, THEN the predicate
+    // drops non-passing hits, so every dropped hit is a shortlist slot
+    // wasted (at 44 % selectivity roughly half the slots). The pre-
+    // filter row (`sim_filtered_recall`) fills all k slots with
+    // predicate-passing candidates. A spec pins pre ≥ post in total
+    // hits on the fixture.
+    "sim_postfilter_recall" -> QueryDef(
+      (s, d) => {
+        val exact = filteredBruteSpark(s, d)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = ivfSpark(s, d)
+          .join(filteredAllowed(s, d)
+            .withColumnRenamed("vec_id", "neighbor_id"),
+            Seq("neighbor_id"), "left_semi")
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+          .select(col("query_id"), col("n_exact"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_exact").cast("double"))
+              .as("recall_at_k"))
+      },
+      s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($filteredBruteSql)),
+         |approx AS (
+         |  SELECT f.query_id, f.neighbor_id, 1 AS hit
+         |  FROM ($ivfSql) f
+         |  JOIN documents dd ON dd.doc_id = f.neighbor_id
+         |    AND dd.lang = 'en')
+         |SELECT b.query_id, COUNT(*) AS n_exact, COUNT(a.hit) AS n_hit,
+         |  CAST(COUNT(a.hit) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall_at_k
+         |FROM brute b
+         |LEFT JOIN approx a
+         |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |GROUP BY b.query_id""".stripMargin),
+
     // Coreset by cell quota — DIVERSITY sampling for training subsets:
     // a uniform sample over-represents dense regions of embedding
     // space; capping each IVF cell at a fixed quota keeps every region

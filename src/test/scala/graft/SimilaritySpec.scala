@@ -420,6 +420,20 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(id => en should contain(id))
   }
 
+  test("pre-filtered recall dominates post-filtered recall on the fixture") {
+    val d = "/root/testdata/sf0.001"
+    def hits(name: String): (Long, Long) = {
+      val rows = SparkEntry.queries(name)(spark, d)
+        .select("n_exact", "n_hit").as[(Long, Long)].collect()
+      (rows.map(_._1).sum, rows.map(_._2).sum)
+    }
+    val (preExact, preHit) = hits("sim_filtered_recall")
+    val (postExact, postHit) = hits("sim_postfilter_recall")
+    postExact shouldBe preExact // same filtered ground truth
+    preHit should be >= postHit
+    preHit should be > 0L
+  }
+
   test("hybrid RRF fusion equals a driver-side recomputation from its two branches") {
     val d = "/root/testdata/sf0.001"
     val lex = SparkEntry.queries("corpus_bm25")(spark, d)
