@@ -125,6 +125,40 @@ object DedupQueries {
        |  FROM capped x JOIN capped y ON x.__band = y.__band AND x.__id < y.__id)""".stripMargin
   }
 
+  /** Band configurations of `dedup_band_sweep`: every divisor split of
+    * the K=12 signature into (bands × rows-per-band). More bands /
+    * shorter rows move the LSH s-curve threshold (≈ (1/b)^(1/r)) down:
+    * recall rises, precision falls. Declared before `defs` (the oracle
+    * generator reads it while `defs` initializes). */
+  private val SweepBands = Seq(2, 3, 4, 6)
+
+  /** Per-config candidate CTEs for the band sweep: same signature CTE
+    * (`signedsl`), band explode and a<b equi-join per config —
+    * UNCAPPED on the sampled slice, so the measured knob is banding
+    * alone, not bucket capping. */
+  private def bandSweepCtes: String = SweepBands.map { nb =>
+    val r = K / nb
+    val bandKeys = (0 until nb).map { j =>
+      val cols = (j * r until (j + 1) * r).map(i => s"s$i")
+      s"concat_ws(',', $j, ${cols.mkString(", ")})"
+    }.mkString("[", ", ", "]")
+    s"""bands$nb AS (
+       |  SELECT id, unnest($bandKeys) AS bk FROM signedsl),
+       |cand$nb AS (
+       |  SELECT DISTINCT x.id AS a, y.id AS b
+       |  FROM bands$nb x JOIN bands$nb y ON x.bk = y.bk AND x.id < y.id),
+       |m$nb AS (
+       |  SELECT CAST($nb AS BIGINT) AS bands,
+       |    CAST($r AS BIGINT) AS rows_per_band,
+       |    CAST(count(t.ta) AS BIGINT) AS n_truth,
+       |    CAST(count(c.ca) AS BIGINT) AS n_cand,
+       |    CAST(count(CASE WHEN t.ta IS NOT NULL AND c.ca IS NOT NULL
+       |      THEN 1 END) AS BIGINT) AS n_hit
+       |  FROM (SELECT a AS ta, b AS tb FROM truth) t
+       |  FULL OUTER JOIN (SELECT a AS ca, b AS cb FROM cand$nb) c
+       |    ON t.ta = c.ca AND t.tb = c.cb)""".stripMargin
+  }.mkString(",\n")
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: hash-groupBy on the 32-byte digest of normalized text
@@ -247,6 +281,66 @@ object DedupQueries {
          |SELECT x.doc_id AS a, y.doc_id AS b, ${jaccard("x.sh2", "y.sh2")} AS jaccard
          |FROM capped x JOIN capped y ON x.b = y.b AND x.doc_id < y.doc_id
          |WHERE ${jaccard("x.sh2", "y.sh2")} >= 0.08""".stripMargin),
+
+    // LSH band-tuning sweep — the dedup family's serving-knob frontier
+    // (the sim_nprobe/rwidth doctrine applied to near-dup candidate
+    // generation): every divisor split of the K=12 MinHash signature
+    // into (bands × rows-per-band), each config's candidate set graded
+    // for precision AND recall against exhaustive Jaccard≥0.9 truth on
+    // a 1-in-4 sampled slice. More bands / shorter rows lower the LSH
+    // s-curve threshold ≈ (1/b)^(1/r): recall rises, precision falls —
+    // the sweep turns "pick bands=4" from folklore into a measured
+    // operating point. The exhaustive truth cross-pair is confined to
+    // the SAMPLE by design (tuning harness, not production path — the
+    // production pipeline stays banded+capped); candidates are
+    // uncapped on the slice so the measured knob is banding alone.
+    // Each config is one band explode + one a<b equi-join + one
+    // full-outer count aggregate — at 100 TB the same sweep runs on
+    // the same sampled slice, corpus-size-independent.
+    "dedup_band_sweep" -> QueryDef(
+      (s, d) => {
+        val sl = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(4)) === 0)
+          .select(col("doc_id").as("__id"),
+            Dedup.hashedShingles(col("text"), 1).as("__sh"))
+        val truth = sl.as("p").join(sl.as("q"),
+            col("p.__id") < col("q.__id"))
+          .filter(Dedup.jaccardSorted(col("p.__sh"), col("q.__sh")) >= 0.9)
+          .select(col("p.__id").as("a"), col("q.__id").as("b"),
+            lit(1).as("t"))
+        val signed = Dedup.withMinhashSignature(sl, "__sh", K)
+        SweepBands.map { nb =>
+          val cand = Dedup.candidatePairs(signed, "__id", nb, K / nb)
+            .select(col("a"), col("b"), lit(1).as("c"))
+          truth.join(cand, Seq("a", "b"), "full_outer")
+            .agg(count(col("t")).as("n_truth"),
+              count(col("c")).as("n_cand"),
+              count(when(col("t").isNotNull && col("c").isNotNull, 1))
+                .as("n_hit"))
+            .select(lit(nb.toLong).as("bands"),
+              lit((K / nb).toLong).as("rows_per_band"),
+              col("n_truth"), col("n_cand"), col("n_hit"),
+              (col("n_hit") / col("n_cand")).as("prec"),
+              (col("n_hit") / col("n_truth")).as("recall"))
+        }.reduce(_.union(_))
+      },
+      s"""WITH sl AS (
+         |  SELECT doc_id AS id,
+         |    list_transform(${shingles(tokens("text"), 1)},
+         |      s -> ${graft.functions.PortableHash.hash60Sql("s")}) AS sh
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |truth AS (
+         |  SELECT p.id AS a, q.id AS b
+         |  FROM sl p JOIN sl q ON p.id < q.id
+         |  WHERE ${jaccard("p.sh", "q.sh")} >= 0.9),
+         |signedsl AS (
+         |  SELECT id, ${(0 until K).map(i => s"${minhash("sh", i)} AS s$i")
+        .mkString(", ")} FROM sl),
+         |$bandSweepCtes
+         |SELECT bands, rows_per_band, n_truth, n_cand, n_hit,
+         |  n_hit / n_cand AS prec, n_hit / n_truth AS recall
+         |FROM (${SweepBands.map(nb => s"SELECT * FROM m$nb")
+        .mkString(" UNION ALL ")})""".stripMargin),
 
     // Near-dup CLUSTERS from the MinHash pair graph: connected
     // components (HashMin label propagation — one join + one hash agg

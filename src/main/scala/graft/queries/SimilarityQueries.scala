@@ -227,16 +227,20 @@ object SimilarityQueries {
   }
 
   /** Filtered ground truth: brute force over the predicate-passing
-    * corpus only — what filtered recall is measured against. */
+    * corpus only — what filtered recall is measured against. Memoized
+    * (the exact_l2_topk doctrine): both the pre-filter and post-filter
+    * recall rows grade against it, so the board computes the filtered
+    * scan once per session/pass. */
   private def filteredBruteSpark(s: org.apache.spark.sql.SparkSession,
-      d: String) = {
-    val e = quantized(s, d)
-    Similarity.knnBruteForce(
-        e.filter(pmod(col("vec_id"), lit(10)) === 0),
-        e.join(filteredAllowed(s, d), Seq("vec_id"), "left_semi"),
-        "vec_id", "qv", K)
-      .withColumn("rank", col("rank").cast("long"))
-  }
+      d: String) =
+    FrameCache.memo(s, d, "exact_filtered_topk") {
+      val e = quantized(s, d)
+      Similarity.knnBruteForce(
+          e.filter(pmod(col("vec_id"), lit(10)) === 0),
+          e.join(filteredAllowed(s, d), Seq("vec_id"), "left_semi"),
+          "vec_id", "qv", K)
+        .withColumn("rank", col("rank").cast("long"))
+    }
 
   private def filteredBruteSql: String =
     s"""WITH e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
@@ -1832,6 +1836,7 @@ object SimilarityQueries {
     trainedResCodebook(s, d)
     semAssigned(s, d)
     exactL2TopK(s, d)
+    filteredBruteSpark(s, d)
     ()
   }
 

@@ -204,4 +204,27 @@ class DedupSpec extends SparkSpec {
     total should be > 0L
     total should be < corpus / 4
   }
+
+  test("band sweep traces the LSH precision/recall frontier monotonically") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("dedup_band_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    rows.map(_._1) shouldBe Array(2L, 3L, 4L, 6L)
+    // one shared exhaustive truth set; hits bounded by both sides
+    rows.map(_._3).toSet.size shouldBe 1
+    rows.head._3 should be > 0L
+    rows.foreach { case (b, r, nTruth, nCand, nHit, prec, recall) =>
+      withClue(s"bands=$b: ") {
+        b * r shouldBe 12L
+        nHit should be <= nCand
+        nHit should be <= nTruth
+        prec shouldBe nHit.toDouble / nCand
+        recall shouldBe nHit.toDouble / nTruth
+      }
+    }
+    // the s-curve direction: more bands -> recall rises, precision falls
+    rows.map(_._7).sliding(2).foreach { case Array(a, b) => b should be >= a }
+    rows.map(_._6).sliding(2).foreach { case Array(a, b) => b should be <= a }
+  }
 }

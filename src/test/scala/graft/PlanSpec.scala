@@ -52,6 +52,7 @@ class PlanSpec extends SparkSpec {
       "sim_filtered_search", // broadcast centroid probe, pre-filtered neighbors
       "sim_filtered_recall", // embeds the FILTERED brute baseline it grades against
       "sim_postfilter_recall", // same filtered baseline, post-filter comparison row
+      "dedup_band_sweep", // sampled-slice exhaustive Jaccard truth by design
       "corpus_hybrid_rrf", // dense branch is the brute query-sample broadcast cross
       "curate_pipeline") // DSIR weight-array + LM-grid 1-row broadcasts
 
