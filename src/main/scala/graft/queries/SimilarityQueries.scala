@@ -375,6 +375,87 @@ object SimilarityQueries {
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          |GROUP BY b.query_id""".stripMargin),
 
+    // Index STALENESS / drift audit — the retraining trigger the
+    // streaming-index story needs: a production index is trained at
+    // time T while vectors keep arriving, and the decision "retrain
+    // now?" should be a measured number, not a cron guess. Simulated
+    // with the id-parity split: centroids train on the EVEN half only
+    // (the corpus as of training time; same 1-in-50 id-pick init, same
+    // integer-Lloyd chain), then the FULL corpus is assigned and each
+    // cell reports occupancy and exact-int64 assignment distance per
+    // cohort (trained evens vs arrived odds). A healthy stationary
+    // stream shows near-equal per-cell occupancy and mean-d2 between
+    // cohorts; drift shows up as arrival mass crowding a few cells
+    // and/or arrival mean-d2 rising above trained mean-d2 — both read
+    // directly off this frame. At 100 TB: training is the pinned
+    // k-means shape over the training slice, assignment is the
+    // broadcast-centroid argmin (map-only), and the audit is ONE
+    // map-side-combined aggregate keyed by k cells — no corpus-keyed
+    // shuffle anywhere.
+    "sim_index_drift" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ef = quantized(s, d)
+        val evens = ef.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val cents = Similarity.kmeansTrain(
+          evens.select(col("vec_id").as("__id"), col("qv").as("__v")),
+          evens.filter(pmod(col("vec_id"), lit(50)) === 0)
+            .select(col("vec_id").as("cent_id"), col("qv").as("cent_v")),
+          iters = TrainIters)
+        val d2 = (Similarity.dot(col("qv"), col("qv"))
+          - lit(2.0) * Similarity.dot(col("qv"), col("cent_v"))
+          + Similarity.dot(col("cent_v"), col("cent_v"))).cast("long")
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("cent_id").asc)
+        val asg = ef.crossJoin(broadcast(cents))
+          .withColumn("d2", d2)
+          .withColumn("cr", row_number().over(w))
+          .filter(col("cr") === 1)
+        val trained = pmod(col("vec_id"), lit(2)) === 0
+        asg.groupBy(col("cent_id").as("cell_id"))
+          .agg(count(when(trained, 1)).as("n_trained"),
+            count(when(!trained, 1)).as("n_arrival"),
+            sum(when(trained, col("d2"))).as("d2_trained"),
+            sum(when(!trained, col("d2"))).as("d2_arrival"))
+          .select(col("cell_id"), col("n_trained"), col("n_arrival"),
+            col("d2_trained"), col("d2_arrival"),
+            when(col("n_trained") > 0,
+              col("d2_trained") / col("n_trained")).as("mean_d2_trained"),
+            when(col("n_arrival") > 0,
+              col("d2_arrival") / col("n_arrival")).as("mean_d2_arrival"))
+      },
+      s"""WITH ef AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM ef WHERE vec_id % 2 = 0),
+         |$ivfTrainCtes,
+         |scoredf AS (
+         |  SELECT ef.vec_id, c.cent_id,
+         |    ${d2Sql("ef.v", "c.cent_v", Dims)} AS d2
+         |  FROM ef, c),
+         |asgf AS (
+         |  SELECT vec_id, cent_id AS cell_id, CAST(d2 AS BIGINT) AS d2
+         |  FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2 ASC, cent_id ASC) AS cr
+         |    FROM scoredf) WHERE cr = 1)
+         |SELECT cell_id,
+         |  CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT)
+         |    AS n_trained,
+         |  CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT)
+         |    AS n_arrival,
+         |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN d2 END) AS BIGINT)
+         |    AS d2_trained,
+         |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN d2 END) AS BIGINT)
+         |    AS d2_arrival,
+         |  CASE WHEN count(CASE WHEN vec_id % 2 = 0 THEN 1 END) > 0
+         |    THEN CAST(sum(CASE WHEN vec_id % 2 = 0 THEN d2 END) AS BIGINT)
+         |      / count(CASE WHEN vec_id % 2 = 0 THEN 1 END) END
+         |    AS mean_d2_trained,
+         |  CASE WHEN count(CASE WHEN vec_id % 2 = 1 THEN 1 END) > 0
+         |    THEN CAST(sum(CASE WHEN vec_id % 2 = 1 THEN d2 END) AS BIGINT)
+         |      / count(CASE WHEN vec_id % 2 = 1 THEN 1 END) END
+         |    AS mean_d2_arrival
+         |FROM asgf GROUP BY cell_id""".stripMargin),
+
     // Coreset by cell quota — DIVERSITY sampling for training subsets:
     // a uniform sample over-represents dense regions of embedding
     // space; capping each IVF cell at a fixed quota keeps every region

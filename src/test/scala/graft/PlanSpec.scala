@@ -53,6 +53,7 @@ class PlanSpec extends SparkSpec {
       "sim_filtered_recall", // embeds the FILTERED brute baseline it grades against
       "sim_postfilter_recall", // same filtered baseline, post-filter comparison row
       "dedup_band_sweep", // sampled-slice exhaustive Jaccard truth by design
+      "sim_index_drift", // broadcast centroid assignment (k-sized, linear)
       "corpus_hybrid_rrf", // dense branch is the brute query-sample broadcast cross
       "curate_pipeline") // DSIR weight-array + LM-grid 1-row broadcasts
 

@@ -434,6 +434,22 @@ class SimilaritySpec extends SparkSpec {
     preHit should be > 0L
   }
 
+  test("index drift audit covers the corpus and shows the fit-to-training gap") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sim_index_drift")(spark, d)
+      .select("n_trained", "n_arrival", "d2_trained", "d2_arrival")
+      .as[(Long, Long, Long, Long)].collect()
+    rows should not be empty
+    val total = graft.ingest.Tables.embeddings(spark, d).count()
+    rows.map(r => r._1 + r._2).sum shouldBe total
+    // centroids were trained on the even cohort only, so the arrival
+    // cohort's corpus-wide mean assignment distance cannot beat the
+    // trained cohort's (the gap IS the staleness signal)
+    val meanTrained = rows.map(_._3).sum.toDouble / rows.map(_._1).sum
+    val meanArrival = rows.map(_._4).sum.toDouble / rows.map(_._2).sum
+    meanArrival should be >= meanTrained
+  }
+
   test("hybrid RRF fusion equals a driver-side recomputation from its two branches") {
     val d = "/root/testdata/sf0.001"
     val lex = SparkEntry.queries("corpus_bm25")(spark, d)
