@@ -30,20 +30,23 @@ object Bench {
     // (the 62-entry r9 set overflowed and the guard halved it, dropping
     // the newest flagships from the very line meant to showcase them;
     // every trimmed query still runs and lands in bench_detail.json).
+    // The r10-final rotation swaps four mid-tier sim entries
+    // (knn_lsh, knn_ivf, pq_adc, rp_search — all still timed in
+    // bench_detail.json) for the round's four new flagships.
     "cdc_parse_roundtrip", "cdc_enrich", "cdc_leaderboard",
     "cdc_content_stats", "cdc_warehouse_hour",
     "rel_pricing_summary", "rel_window_funcs", "adv_grouping_sets",
     "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_cosine",
     "curate_corpus",
-    "sim_knn_brute", "sim_knn_lsh", "sim_knn_ivf",
+    "sim_knn_brute", "corpus_hybrid_rrf", "sim_filtered_recall",
     "op_funnel", "op_pps_sample", "curate_recipe", "curate_scorecard",
-    "sim_pq_adc", "sim_index_build",
+    "dedup_band_sweep", "sim_index_build",
     "sim_kmeans_train", "sim_kmeans_inertia", "text_bpe_train",
     "sim_ivfpq_search", "sim_ivfpq_recall", "sim_ivfpq_residual",
     "sim_ivfpq_rerank", "sim_sq8_search",
     "graph_pagerank_train", "corpus_bm25",
     "curate_dsir_weights", "curate_dsir_resample",
-    "sim_svd_power", "sim_rp_search",
+    "sim_svd_power", "sim_index_drift",
     "curate_semdedup", "curate_cluster_balance",
     "text_lm_train", "curate_lm_gate", "curate_pipeline",
     "curate_sem_decontaminate", "sim_nprobe_sweep")
