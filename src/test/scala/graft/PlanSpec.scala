@@ -191,7 +191,11 @@ class PlanSpec extends SparkSpec {
       "sim_nprobe_rerank_sweep" -> 56, // measured 54: 3 × (residual probe search + re-rank gathers + brute compare)
       "sim_rwidth_sweep" -> 56, // measured 54: same chain swept over shortlist widths
       "sim_rp_recall" -> 12, // measured 10 + AQE slack: sketch ranking + shared exact re-rank + brute compare
-      "sim_ivfsq_recall" -> 21) // measured 19: IVF assign + probe + SQ8 coding + brute compare
+      "sim_ivfsq_recall" -> 21, // measured 19: IVF assign + probe + SQ8 coding + brute compare
+      // r10-final bench entrants (top-5 rotation + the new flagships)
+      "dedup_band_sweep" -> 21, // measured 20: 4 configs × (band join + full-outer count agg) + the sampled truth pair
+      "sim_index_drift" -> 18, // measured 17: cohort k-means train (2 Lloyd iters) + broadcast argmin assign + cell rollup
+      "corpus_hybrid_rrf" -> 17) // measured 16: the BM25 chain + dense brute top-5 + one fusion outer join
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
