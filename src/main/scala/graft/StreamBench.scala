@@ -853,6 +853,17 @@ object StreamBench {
       q.processAllAvailable()
       q.stop()
     } catch { case _: Throwable => () }
+    // T6 parallelism mapping, section-wide: every section feeds ~12.5k-row
+    // micro-batches, and a stateful stage at the session's 32
+    // shuffle/state partitions pays 32 task schedules + 32 state-store
+    // commits per batch for ~400-row partitions — commit overhead, not
+    // operator work. Size the whole bench's streaming partitioning to
+    // the micro-batch volume (8, the same figure pipelineSection
+    // derived); restore the session conf after. Map-only sections are
+    // unaffected (a MemoryStream batch has no shuffle), stateful ones
+    // stop paying 4× the commit schedule.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val sections = Seq[(String, (SparkSession, String) => Section)](
       "pipeline" -> pipelineSection,
       "enrich_state" -> enrichSection,
@@ -882,6 +893,9 @@ object StreamBench {
             s"WARN stream bench: section $name failed: ${e.getClass.getName}: ${e.getMessage}")
           None
       }
-    } finally deleteTmpDirs()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      deleteTmpDirs()
+    }
   }
 }
