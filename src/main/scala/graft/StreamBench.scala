@@ -398,6 +398,32 @@ object StreamBench {
     Section("lm_score", docs.length.toLong, sec, batches)
   }
 
+  /** Streaming multimodal ingest
+    * ([[graft.streaming.StreamingMedia.ingestStream]]): arriving media
+    * records pay metadata typing + decode/feature-extract + the
+    * perceptual block-hash signature in one stateless partition-local
+    * pass — the codec-seam stage of a media pipeline, batch kernels
+    * verbatim. Stateless and shuffle-free, so the number is a pure
+    * per-record codec-seam cost. */
+  private def mediaSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = graft.operators.Multimodal.fakeMediaFromDocuments(
+        Tables.documents(spark, sfDir)).collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.media_id).max + 1L
+    val docs = replicate(base, floor)((r, i) =>
+      r.copy(media_id = r.media_id + i * span))
+    val dec = new graft.operators.Multimodal.FakeDecoder(8)
+    val in = MemoryStream[graft.operators.Multimodal.MediaRecord]
+    val q = graft.streaming.StreamingMedia.ingestStream(in.toDS(), dec)
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_media")).start()
+    val (sec, batches) = drive[graft.operators.Multimodal.MediaRecord](
+      chunked(docs), in.addData(_), Seq(q))
+    Section("media", docs.length.toLong, sec, batches)
+  }
+
   /** Streaming CCNet RATIO scoring
     * ([[graft.streaming.StreamingScore.lmRatioScoreStream]]): the
     * complete serving-side discriminator — TWO trained 65,536-entry
@@ -880,6 +906,7 @@ object StreamBench {
       "score" -> (scoreSection(_, _, volumeFloor)),
       "lm_score" -> (lmScoreSection(_, _, volumeFloor)),
       "lm_ratio" -> (lmRatioSection(_, _, volumeFloor)),
+      "media" -> (mediaSection(_, _, volumeFloor)),
       "curation" -> (curationSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
     try sections.flatMap { case (name, fn) =>

@@ -77,4 +77,36 @@ class MultimodalSpec extends SparkSpec {
     val orig = media.collect().sortBy(_.media_id)
     r(0).content shouldBe orig(0).content
   }
+
+  test("streaming media ingest equals the batch features+signature join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val recs = Multimodal.fakeMediaFromDocuments(
+        graft.ingest.Tables.documents(spark, d).limit(100))
+      .collect().toIndexedSeq
+    val dec = new Multimodal.FakeDecoder(8)
+    val expected = {
+      val feats = Multimodal.extractFeatures(
+        spark.createDataset(recs), dec).collect()
+      val sigs = Multimodal.blockHashes(spark.createDataset(recs))
+        .collect().map(s => s.media_id -> s.sig).toMap
+      feats.map(f => (f.media_id, f.kind, f.n_bytes,
+        f.features.toSeq, sigs(f.media_id))).toSet
+    }
+    expected should not be empty
+
+    val in = MemoryStream[Multimodal.MediaRecord]
+    val q = graft.streaming.StreamingMedia.ingestStream(in.toDS(), dec)
+      .writeStream.format("memory").queryName("smedia")
+      .outputMode("append").start()
+    recs.grouped(30).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    import graft.streaming.StreamingMedia.MediaIngest
+    val got = spark.table("smedia").as[MediaIngest].collect()
+      .map(r => (r.media_id, r.kind, r.n_bytes, r.features.toSeq, r.sig))
+      .toSet
+    got shouldBe expected
+  }
 }

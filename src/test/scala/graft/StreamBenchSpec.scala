@@ -19,7 +19,7 @@ class StreamBenchSpec extends SparkSpec {
     byName.keySet shouldBe Set(
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
       "dedup", "intake", "index", "search", "pps_sample", "content_stats",
-      "score", "lm_score", "lm_ratio", "curation", "anomaly")
+      "score", "lm_score", "lm_ratio", "media", "curation", "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
         s.rows should be > 0L
@@ -38,7 +38,7 @@ class StreamBenchSpec extends SparkSpec {
     // scheduling-overhead-dominated rps this floor exists to fix
     for (n <- Seq("budget", "pack", "dedup", "intake", "index",
         "pps_sample", "content_stats", "score", "lm_score", "lm_ratio",
-        "curation"))
+        "media", "curation"))
       withClue(s"section $n: ") {
         byName(n).rows should be >= floor.toLong
       }
