@@ -238,6 +238,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
   }
 
+  /** Query-driven form of [[knnIvfFiltered]] — the SERVING kernel: the
+    * queries arrive as their own frame (a micro-batch of a request
+    * stream), while the searchable side is a PRE-BUILT
+    * `(__id, __v, cell_id)` frame (the assigned corpus already
+    * restricted to the predicate — built once offline, checkpointed,
+    * never re-derived per batch). Each query ranks the broadcast
+    * trained centroids for its `nprobe` nearest cells; candidates are
+    * the probed cells' members of the pre-filtered frame; exact cosine
+    * re-rank decides top-k. Per batch: one broadcast of k centroids +
+    * one cell-keyed equi-join — the corpus side never reshuffles. */
+  def knnIvfFilteredQueries(queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, assignedNbrs: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val qd2 = dot(col("__qv"), col("__qv")) -
+      lit(2.0) * dot(col("__qv"), col("cent_v")) +
+      dot(col("cent_v"), col("cent_v"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qd2").asc, col("cent_id").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__qd2", qd2)
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cent_id").as("cell_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos9").desc, col("neighbor_id").asc)
+    probes
+      .join(assignedNbrs.select(col("__id").as("neighbor_id"),
+        col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "__qv", "__cv")
+      .distinct()
+      .withColumn("cos9", round(
+        dot(col("__qv"), col("__cv")) /
+          (norm(col("__qv")) * norm(col("__cv"))), 9))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos9"))
+  }
+
   /** One distributed Lloyd (k-means) iteration — the training seam that
     * produces [[ivfAssign]]'s centroids. Assignment reuses the IVF
     * argmin (broadcast centroids, map-only distance); the update step

@@ -226,6 +226,20 @@ object SimilarityQueries {
        |WHERE rank <= $K""".stripMargin
   }
 
+  /** The predicate-restricted assigned corpus `(__id, __v, cell_id)` —
+    * the pre-built searchable side of filtered SERVING
+    * ([[graft.streaming.StreamingSearch.serveFilteredWriter]]): built
+    * once offline (assignment + predicate semi-join), checkpointed by
+    * the caller, probed per micro-batch. */
+  private[graft] def filteredAssignedFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (assigned, _) = Similarity.ivfAssignCentroids(quantized(s, d),
+      "vec_id", "qv", trainedCentroids(s, d), 1)
+    assigned.join(
+      filteredAllowed(s, d).withColumnRenamed("vec_id", "__id"),
+      Seq("__id"), "left_semi")
+  }
+
   /** Filtered ground truth: brute force over the predicate-passing
     * corpus only — what filtered recall is measured against. Memoized
     * (the exact_l2_topk doctrine): both the pre-filter and post-filter

@@ -73,4 +73,24 @@ object StreamingSearch {
           batch, resCellCodes, resCb, cents, nprobe, rWidth)
         sink(Similarity.rerankExact(shortlist, batch, corpus, k))
       }
+
+  /** FILTERED serving — metadata-predicated vector search per
+    * micro-batch ([[Similarity.knnIvfFilteredQueries]]): the
+    * searchable side (`assignedNbrs` — the assigned corpus already
+    * restricted to the predicate's ids, `(__id, __v, cell_id)`) is
+    * built ONCE offline and checkpointed; each arriving query batch
+    * ranks the broadcast trained centroids for its nprobe cells and
+    * exact-cosine re-ranks only the probed cells' predicate-passing
+    * members. Pre-filtering at the index, not after the top-k — the
+    * same recall argument the batch `sim_filtered_search` pins, now
+    * at serving time. StreamingSpec pins streamed results equal to
+    * the batch query on the same query set. */
+  def serveFilteredWriter(queries: DataFrame, assignedNbrs: DataFrame,
+      cents: DataFrame, nprobe: Int, k: Int)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(Similarity.knnIvfFilteredQueries(
+          batch, "query_id", "qv", k, assignedNbrs, cents, nprobe))
+      }
 }

@@ -889,6 +889,35 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe expected
   }
 
+  test("streaming filtered serving equals the batch filtered search on the same query set") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("sim_filtered_search")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    expected should not be empty
+
+    val qvecs = graft.ingest.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+      .as[(Long, Seq[Double])].collect().toIndexedSeq
+    val nbrs = graft.queries.SimilarityQueries
+      .filteredAssignedFrame(spark, d).localCheckpoint()
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingSearch.serveFilteredWriter(
+        in.toDF().toDF("query_id", "qv"), nbrs, cents,
+        nprobe = 3, k = 10) { out =>
+        buf.synchronized { buf ++= out.as[(Long, Long, Long, Double)].collect() }
+      }
+      .option("checkpointLocation", tmp("ckpt-filt")).start()
+    qvecs.grouped(10).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    buf.toSet shouldBe expected
+  }
+
   test("streaming DSIR scoring equals the batch importance weights row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
