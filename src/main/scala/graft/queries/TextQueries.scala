@@ -494,6 +494,85 @@ object TextQueries {
     * engine-portability doctrine every ranked query here follows). */
   private val RrfLcm = 495593280L
 
+  /** RRF fusion of a lexical ranking `(query_doc, doc_id, lex_rk)` and
+    * a dense ranking `(query_doc, doc_id, dense_rk)` — the ONE fusion
+    * implementation, shared by the batch `corpus_hybrid_rrf` and the
+    * streaming hybrid serving writer so the two can never drift. Full
+    * outer join (single-branch hits survive; a missing branch reads
+    * rank 0), exact-int64 score, top-5 per query. */
+  private[graft] def rrfFuse(lex: org.apache.spark.sql.DataFrame,
+      den: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fw = Window.partitionBy(col("query_doc"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    lex.join(den, Seq("query_doc", "doc_id"), "full_outer")
+      .select(col("query_doc"), col("doc_id"),
+        coalesce(col("lex_rk"), lit(0L)).as("lex_rk"),
+        coalesce(col("dense_rk"), lit(0L)).as("dense_rk"))
+      .withColumn("rrf",
+        when(col("lex_rk") > 0, lit(RrfLcm).divide(lit(60L) + col("lex_rk"))
+          .cast("long")).otherwise(lit(0L)) +
+        when(col("dense_rk") > 0, lit(RrfLcm).divide(lit(60L) + col("dense_rk"))
+          .cast("long")).otherwise(lit(0L)))
+      .withColumn("rk", row_number().over(fw).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("query_doc"), col("rk"), col("doc_id"),
+        col("lex_rk"), col("dense_rk"), col("rrf"))
+  }
+
+  /** The static lexical serving index — tf/df/dl frames plus the two
+    * scalars (corpus size, integer avgdl) the BM25 weight needs. Built
+    * ONCE from the corpus (the same one token explosion the batch
+    * chain uses), checkpointed by serving callers, probed per
+    * micro-batch by [[graft.streaming.StreamingHybrid]]. */
+  private[graft] case class LexIndex(
+      tf: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame, n: Long, avgdl: Long)
+
+  private[graft] def lexIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): LexIndex = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+    val a = toks.count() / n
+    LexIndex(tf, dfT, dl, n, a)
+  }
+
+  /** BM25 top-5 per query against a [[LexIndex]], with the query terms
+    * taken from `qtf` (query_doc, term, tf) — the shared serving
+    * kernel: the batch chain's qterms/candidate/rank construction with
+    * the query-side tf frame as a parameter instead of a corpus
+    * filter. */
+  private[graft] def bm25Serve(qtf: org.apache.spark.sql.DataFrame,
+      ix: LexIndex): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qw = Window.partitionBy(col("query_doc"))
+      .orderBy((col("tf") * lit(ix.n) / col("df")).desc, col("term").asc)
+    val qterms = qtf
+      .join(ix.df, "term")
+      .withColumn("qrk", row_number().over(qw))
+      .filter(col("qrk") <= 3)
+      .select(col("query_doc"), col("term"), col("df"))
+    val cw = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    ix.tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_doc"))
+      .join(ix.dl, "doc_id")
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(sum(TextAnalysis.bm25Weight(col("tf"), col("df"), col("dl"),
+        ix.n, ix.avgdl)).as("score"))
+      .withColumn("rk", row_number().over(cw))
+      .filter(col("rk") <= 5)
+      .select(col("query_doc"), col("doc_id"),
+        col("rk").cast("long").as("lex_rk"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Token / punctuation / stopword counting (BPE-ish subword proxy
@@ -928,7 +1007,6 @@ object TextQueries {
     // fusion only reads (query, doc, rank).
     "corpus_hybrid_rrf" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val lex = bm25TopSpark(s, d)
           .select(col("query_doc"), col("doc_id"), col("rk").as("lex_rk"))
         val e = Tables.embeddings(s, d).select(col("vec_id"),
@@ -940,21 +1018,7 @@ object TextQueries {
           .select(col("query_id").as("query_doc"),
             col("neighbor_id").as("doc_id"),
             col("rank").cast("long").as("dense_rk"))
-        val fw = Window.partitionBy(col("query_doc"))
-          .orderBy(col("rrf").desc, col("doc_id").asc)
-        lex.join(den, Seq("query_doc", "doc_id"), "full_outer")
-          .select(col("query_doc"), col("doc_id"),
-            coalesce(col("lex_rk"), lit(0L)).as("lex_rk"),
-            coalesce(col("dense_rk"), lit(0L)).as("dense_rk"))
-          .withColumn("rrf",
-            when(col("lex_rk") > 0, lit(RrfLcm).divide(lit(60L) + col("lex_rk"))
-              .cast("long")).otherwise(lit(0L)) +
-            when(col("dense_rk") > 0, lit(RrfLcm).divide(lit(60L) + col("dense_rk"))
-              .cast("long")).otherwise(lit(0L)))
-          .withColumn("rk", row_number().over(fw).cast("long"))
-          .filter(col("rk") <= 5)
-          .select(col("query_doc"), col("rk"), col("doc_id"),
-            col("lex_rk"), col("dense_rk"), col("rrf"))
+        rrfFuse(lex, den)
       },
       s"""WITH $bm25Ctes,
          |e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),

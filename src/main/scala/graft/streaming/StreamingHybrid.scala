@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.{Similarity, TextAnalysis}
+import graft.queries.TextQueries
+
+/** HYBRID retrieval serving — the fusion twin next to the filtered and
+  * probe-pruned serving writers: each arriving query carries its text
+  * AND its vector, and a micro-batch is answered by BM25 against the
+  * once-built static lexical index ([[TextQueries.LexIndex]] —
+  * tf/df/dl + the two scalars, checkpointed by the caller) fused with
+  * an exact dense-cosine ranking against the static vector corpus via
+  * reciprocal-rank fusion.
+  *
+  * Every stage is the BATCH kernel verbatim: the query-side tf comes
+  * from the same tokenizer the corpus index was built with, the
+  * qterms/candidate/rank construction is [[TextQueries.bm25Serve]]
+  * (the `corpus_bm25` chain with the query tf as a parameter), the
+  * dense branch is [[Similarity.knnBruteForce]], and the fusion is
+  * [[TextQueries.rrfFuse]] — the ONE implementation the batch
+  * `corpus_hybrid_rrf` also calls, so serving can never drift from
+  * the oracle-checked ranking. StreamingSpec pins streamed results
+  * row-identical to the batch query on the same query set.
+  *
+  * Per batch at scale: the query-term frame broadcasts onto the
+  * term-keyed tf index (the corpus never reshuffles for lexical
+  * scoring), the dense branch broadcasts the query batch onto the
+  * vector corpus, and the fusion outer-joins two ≤ 5·|batch|-row
+  * frames — everything corpus-sized stays put.
+  */
+object StreamingHybrid {
+
+  /** `queries`: streaming frame `(query_doc long, text string,
+    * qv array<double> | null)` — a null/absent vector degrades that
+    * query to lexical-only, exactly like a corpus document without an
+    * embedding. `ix`: the static lexical index; `corpusVecs`: the
+    * static quantized vector corpus `(vec_id, qv)`. */
+  def serveWriter(queries: DataFrame, ix: TextQueries.LexIndex,
+      corpusVecs: DataFrame, k: Int = 5)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qtf = batch
+          .select(col("query_doc"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("query_doc"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val lex = TextQueries.bm25Serve(qtf, ix)
+        val den = Similarity.knnBruteForce(
+            batch.filter(col("qv").isNotNull)
+              .select(col("query_doc").as("vec_id"), col("qv")),
+            corpusVecs, "vec_id", "qv", k)
+          .select(col("query_id").as("query_doc"),
+            col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dense_rk"))
+        sink(TextQueries.rrfFuse(lex, den))
+      }
+}

@@ -918,6 +918,41 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe expected
   }
 
+  test("streaming hybrid serving equals the batch RRF fusion on the same query set") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("corpus_hybrid_rrf")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    expected should not be empty
+
+    val ix0 = graft.queries.TextQueries.lexIndex(spark, d)
+    val ix = ix0.copy(tf = ix0.tf.localCheckpoint(),
+      df = ix0.df.localCheckpoint(), dl = ix0.dl.localCheckpoint())
+    val corpusVecs = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv")).localCheckpoint()
+    val qdocs = graft.ingest.Tables.documents(spark, d)
+      .filter(col("doc_id") % 100 === 0)
+      .join(corpusVecs.withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("qv"))
+      .as[(Long, String, Option[Seq[Double]])].collect().toIndexedSeq
+    val buf =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, String, Option[Seq[Double]])]
+    val q = graft.streaming.StreamingHybrid.serveWriter(
+        in.toDF().toDF("query_doc", "text", "qv"), ix, corpusVecs) { out =>
+        buf.synchronized {
+          buf ++= out.as[(Long, Long, Long, Long, Long, Long)].collect()
+        }
+      }
+      .option("checkpointLocation", tmp("ckpt-hyb")).start()
+    qdocs.grouped(2).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    buf.toSet shouldBe expected
+  }
+
   test("streaming DSIR scoring equals the batch importance weights row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
