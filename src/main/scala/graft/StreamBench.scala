@@ -679,6 +679,41 @@ object StreamBench {
     Section("search", queries.length.toLong, sec, batches)
   }
 
+  /** FILTERED serving ([[graft.streaming.StreamingSearch.serveFilteredWriter]]):
+    * each query batch probes the broadcast trained centroids and
+    * exact-cosine re-ranks only the probed cells' predicate-passing
+    * members of the once-built restricted corpus. Same per-query cost
+    * model as `search` (corpus-scaling, so the query volume keeps the
+    * same cap); the searchable frame builds BEFORE the clock, like the
+    * index section's centroids. */
+  private def filteredSearchSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+      .as[IndexIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.vec_id).max + 1L
+    val qFloor = math.min(floor, 5000)
+    val queries = replicate(base, qFloor) { (r, i) =>
+      IndexIn(r.vec_id + i * span, r.qv)
+    }
+    val nbrs = graft.queries.SimilarityQueries
+      .filteredAssignedFrame(spark, sfDir).localCheckpoint()
+    val cents = graft.queries.SimilarityQueries
+      .trainedCentroidsFrame(spark, sfDir)
+    val in = MemoryStream[IndexIn]
+    val q = graft.streaming.StreamingSearch.serveFilteredWriter(
+        in.toDF().toDF("query_id", "qv"), nbrs, cents,
+        nprobe = 3, k = 10)(
+        out => out.write.format("noop").mode("overwrite").save())
+      .option("checkpointLocation", tmp("sb_fsrch")).start()
+    val (sec, batches) = drive[IndexIn](chunked(queries), in.addData(_), Seq(q))
+    Section("fsearch", queries.length.toLong, sec, batches)
+  }
+
   case class AnomalyIn(key: String, event_id: Long, ts: Timestamp, x: Long)
 
   /** Per-event-type rolling 2-sigma anomaly state over the events
@@ -901,6 +936,7 @@ object StreamBench {
       "intake" -> (intakeSection(_, _, volumeFloor)),
       "index" -> (indexSection(_, _, volumeFloor)),
       "search" -> (searchSection(_, _, volumeFloor)),
+      "fsearch" -> (filteredSearchSection(_, _, volumeFloor)),
       "pps_sample" -> (sampleSection(_, _, volumeFloor)),
       "content_stats" -> (contentStatsSection(_, _, volumeFloor)),
       "score" -> (scoreSection(_, _, volumeFloor)),

@@ -18,7 +18,8 @@ class StreamBenchSpec extends SparkSpec {
     val byName = sections.map(s => s.name -> s).toMap
     byName.keySet shouldBe Set(
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
-      "dedup", "intake", "index", "search", "pps_sample", "content_stats",
+      "dedup", "intake", "index", "search", "fsearch", "pps_sample",
+      "content_stats",
       "score", "lm_score", "lm_ratio", "media", "curation", "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
@@ -46,5 +47,6 @@ class StreamBenchSpec extends SparkSpec {
     // cost (see StreamBench.searchSection) — assert against the capped
     // floor so raising the spec floor past the cap can't fail spuriously
     byName("search").rows should be >= math.min(floor, 5000).toLong
+    byName("fsearch").rows should be >= math.min(floor, 5000).toLong
   }
 }
