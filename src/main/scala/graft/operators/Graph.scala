@@ -107,4 +107,67 @@ object Graph {
         .select(lit(i.toLong).as("iter"), col("n_nodes"), col("total_delta"))
     }.reduce(_.union(_))
   }
+
+  /** One synchronous round of weighted label propagation: every node
+    * adopts the label carrying the largest total edge weight among its
+    * neighbors' CURRENT labels, ties broken by the SMALLEST label — a
+    * deterministic total order, so the round is reproducible across
+    * partitionings and replays exactly in the oracle (classic async
+    * LPA is order-dependent; the synchronous min-tie variant is not).
+    *
+    * `edges` must be the SYMMETRIZED (u, v, w) adjacency (both
+    * directions present); `labels` is (node, label). Nodes only ever
+    * appear as `u` of some edge (guaranteed by symmetrization), so no
+    * keep-old-label channel is needed.
+    *
+    * Scale shape: one shuffle to join labels onto edges keyed by the
+    * neighbor `v`, one (node, label) hash aggregation with map-side
+    * partials, then a per-node argmax folded into ONE more aggregation
+    * via the order-isomorphic `max(struct(wsum, -label))` trick (struct
+    * comparison is lexicographic: max weight first, then max(-label) =
+    * min label) — no window sort, no per-node row_number. State is one
+    * (node, label) row per node; weights stay integer so the vote sums
+    * are exact at any scale. */
+  def lpaStep(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.withColumnRenamed("node", "v"), "v")
+      .groupBy(col("u"), col("label"))
+      .agg(sum(col("w")).as("wsum"))
+      .groupBy(col("u").as("node"))
+      .agg(max(struct(col("wsum"), (-col("label")).as("nl"))).as("m"))
+      .select(col("node"), (-col("m.nl")).as("label"))
+
+  /** Per-round label frames l0 (label = own node id) through l`iters`
+    * of one synchronous LPA run, each eagerly `localCheckpoint`ed —
+    * the same shared-trace doctrine as [[pagerankTrace]]: the final
+    * communities and the convergence audit read the SAME materialized
+    * rounds. */
+  def lpaTrace(edges: DataFrame, iters: Int): IndexedSeq[DataFrame] = {
+    val e = edges.persist()
+    val l0 = e.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    val trace = (1 to iters).foldLeft(IndexedSeq(l0)) { (acc, _) =>
+      acc :+ lpaStep(e, acc.last).localCheckpoint(true)
+    }
+    e.unpersist()
+    trace
+  }
+
+  /** The convergence audit of an LPA run: one row per round with the
+    * number of nodes that switched label and the surviving community
+    * count — synchronous LPA on a finite graph coarsens fast, and a
+    * broken vote join (wrong key, dropped weight, unstable tie-break)
+    * bends both counters immediately. All-integer, order-free. */
+  def lpaConvergenceOf(trace: Seq[DataFrame]): DataFrame = {
+    require(trace.size >= 2, "convergence needs at least rounds l0 and l1")
+    (1 until trace.size).map { i =>
+      trace(i - 1).select(col("node"), col("label").as("l0"))
+        .join(trace(i).select(col("node"), col("label").as("l1")), Seq("node"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("l1") =!= col("l0"), 1L).otherwise(0L)).as("n_changed"),
+          countDistinct(col("l1")).as("n_labels"))
+        .select(lit(i.toLong).as("iter"), col("n_nodes"),
+          col("n_changed"), col("n_labels"))
+    }.reduce(_.union(_))
+  }
 }

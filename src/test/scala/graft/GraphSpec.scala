@@ -68,4 +68,64 @@ class GraphSpec extends SparkSpec {
     a.size.toLong shouldBe nNodes
     all(a.map(_.getLong(1))) should be >= Graph.BaseFp
   }
+
+  /** Symmetrize an undirected weighted edge list into lpaStep's
+    * (u, v, w) both-directions contract. */
+  private def sym(e: Seq[(Long, Long, Long)]) =
+    (e ++ e.map { case (u, v, w) => (v, u, w) }).toDF("u", "v", "w")
+
+  test("LPA separates two strong triangles across a weak bridge") {
+    // triangles {1,2,3} and {4,5,6} at weight 2, bridged 3—4 at weight
+    // 1; hand-simulated synchronous min-tie rounds: labels swap inside
+    // each triangle in round 1, collapse to the triangle minimum by
+    // round 2, and round 3 is the fixed point {1,2,3}→1, {4,5,6}→4
+    val edges = sym(Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 3L, 2L),
+      (4L, 5L, 2L), (5L, 6L, 2L), (4L, 6L, 2L), (3L, 4L, 1L)))
+    val labels = Graph.lpaTrace(edges, 3).last.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L)
+  }
+
+  test("LPA tie-break picks the smallest label and weights beat counts") {
+    // node 10 hears label 1 once at weight 5 and labels 2,3 once each
+    // at weight 2: total weight wins, not neighbor count... and with
+    // all weights equal, the min label wins the tie
+    val weighted = sym(Seq((10L, 1L, 5L), (10L, 2L, 2L), (10L, 3L, 2L)))
+    val w1 = Graph.lpaStep(weighted, weighted.select(col("u").as("node"))
+        .distinct().withColumn("label", col("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    w1(10L) shouldBe 1L // 5 > 2 + nothing: per-label totals, 5 vs 2 vs 2
+    val tied = sym(Seq((10L, 7L, 1L), (10L, 2L, 1L), (10L, 5L, 1L)))
+    val t1 = Graph.lpaStep(tied, tied.select(col("u").as("node"))
+        .distinct().withColumn("label", col("node")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    t1(10L) shouldBe 2L
+  }
+
+  test("LPA is deterministic across partitionings and coarsens (registry)") {
+    val edges = sym(Seq.tabulate(300)(i =>
+      ((i.toLong % 29), (i * 11L) % 37 + 29, (i % 3) + 1L))
+      .distinct)
+    val a = Graph.lpaTrace(edges, 3).last.orderBy("node").collect().toSeq
+    val b = Graph.lpaTrace(edges.repartition(7), 3).last
+      .orderBy("node").collect().toSeq
+    a shouldBe b
+    // the registry audit on real data: label space must shrink
+    // monotonically (every adopted label existed in the previous round)
+    val rows = SparkEntry.queries("graph_lpa_converge")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getAs[Long]("iter"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_labels"))).sortBy(_._1)
+    rows.map(_._1) shouldBe Array(1L, 2L, 3L)
+    withClue(s"per-round (iter, n_nodes, n_labels) ${rows.mkString(", ")}: ") {
+      rows.sliding(2).foreach { case Array((_, _, a1), (_, _, b1)) =>
+        b1 should be <= a1
+      }
+      rows.head._3 should be < rows.head._2 // round 1 already coarsens
+    }
+    val trained = SparkEntry.queries("graph_lpa_train")(
+      spark, "/root/testdata/sf0.001")
+    trained.count() shouldBe rows.head._2
+  }
 }
