@@ -539,6 +539,72 @@ object Similarity {
         col("vec_id"), col("d2"))
   }
 
+  /** Maximal-marginal-relevance diversification of a scored candidate
+    * pool — the greedy diversity pass a retrieval server runs AFTER the
+    * exact re-rank, when the top of the list is near-duplicates of one
+    * answer. Entirely integer: relevance is the pool's exact squared-L2
+    * `d2` (smaller = more relevant) and redundancy is the exact
+    * pairwise squared-L2 among pool members, so the λ=0.5 MMR argmax
+    * `max(min_{j∈S} d2(i,j) − d2(q,i))` is an int64 comparison with a
+    * min-id tie-break — deterministic across partitionings and
+    * replayable round-by-round as unrolled oracle CTEs (float MMR
+    * would be none of those).
+    *
+    * `pool` carries (query_id, vec_id, d2) — |Q|×R rows from e.g.
+    * [[rerankExact]]; `corpus` (vec_id, qv) supplies raw vectors.
+    * Pick 1 is pure relevance (min d2, min id); picks 2..k maximize
+    * the margin over the min distance to the already-selected set.
+    *
+    * Scale shape: the pairwise frame is |Q|·R² rows computed ONCE
+    * (query-keyed self-join; vectors attach by id before the join,
+    * never reshuffling the corpus), then each greedy round is one
+    * anti-join + one pair-join + two map-side-combined aggregations,
+    * all keyed by query_id. State per round is ≤ k rows per query;
+    * `localCheckpoint` caps plan growth (the iterative-DataFrame
+    * doctrine of [[kmeansTrain]] / ConnectedComponents). */
+  def mmrDiversify(pool: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val p = pool.select(col("query_id"), col("vec_id"), col("d2"))
+      .localCheckpoint(true)
+    val withV = p.join(corpus.select(col("vec_id"), col("qv")), Seq("vec_id"))
+    val dij = (dot(col("iv"), col("iv")) -
+      lit(2.0) * dot(col("iv"), col("jv")) +
+      dot(col("jv"), col("jv"))).cast("long")
+    val pairs = withV
+      .select(col("query_id"), col("vec_id").as("i"), col("qv").as("iv"))
+      .join(withV.select(col("query_id"), col("vec_id").as("j"),
+        col("qv").as("jv")), Seq("query_id"))
+      .filter(col("i") =!= col("j"))
+      .select(col("query_id"), col("i"), col("j"), dij.as("dij"))
+      .localCheckpoint(true)
+    // pick 1: pure relevance — min d2, ties to the smallest id
+    val first = p.groupBy(col("query_id"))
+      .agg(min(struct(col("d2"), col("vec_id"))).as("m"))
+      .select(col("query_id"), col("m.vec_id").as("vec_id"),
+        col("m.d2").as("d2"), lit(1L).as("mmr_rank"))
+    var sel = first.localCheckpoint(true)
+    for (t <- 2 to k) {
+      val cand = p.join(sel.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"), "left_anti")
+      val pick = pairs
+        .join(sel.select(col("query_id"), col("vec_id").as("j")),
+          Seq("query_id", "j"))
+        .groupBy(col("query_id"), col("i"))
+        .agg(min(col("dij")).as("ms"))
+        .join(cand.select(col("query_id"), col("vec_id").as("i"),
+          col("d2")), Seq("query_id", "i"))
+        // argmax of the integer margin, ties to the smallest id; d2
+        // rides along (unique per (margin, id) by construction)
+        .groupBy(col("query_id"))
+        .agg(max(struct((col("ms") - col("d2")).as("score"),
+          (-col("i")).as("ni"), col("d2").as("dd"))).as("m"))
+        .select(col("query_id"), (-col("m.ni")).as("vec_id"),
+          col("m.dd").as("d2"), lit(t.toLong).as("mmr_rank"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("query_id"), col("mmr_rank"), col("vec_id"), col("d2"))
+  }
+
   /** Near-duplicate vector pairs: LSH candidates verified at an exact
     * cosine `threshold`. Returns (a, b) with a < b. */
   def nearDuplicateVectors(corpus: DataFrame, idCol: String, vecCol: String,

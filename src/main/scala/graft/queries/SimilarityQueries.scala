@@ -53,6 +53,14 @@ object SimilarityQueries {
     * applies (see [[TrainIters]]). */
   private val RerankR = 3 * K
 
+  /** MMR diversification: the re-ranked pool widened past the final
+    * cut (the diversity pass needs slack to trade relevance away), and
+    * the served list length. λ is fixed at 0.5, which drops out of the
+    * integer argmax entirely (margin = min-distance-to-selected −
+    * query-distance). Init-before-`defs` rule applies. */
+  private val MmrPool = 20
+  private val MmrK = 5
+
   /** SemDeDup cosine threshold: within a trained k-means cluster, a
     * pair at or above this exact cosine marks the higher id as a
     * semantic duplicate. Same threshold as `dedup_embedding_cosine`, so
@@ -758,6 +766,68 @@ object SimilarityQueries {
         ivfpqRerankSpark(s, d).select(col("query_id"),
           col("vec_id").as("neighbor_id"))),
       recallAgainstExactL2Sql(ivfpqRerankSql)),
+
+    // MMR-diversified serving: the greedy maximal-marginal-relevance
+    // pass over the production IVFADC+R pool widened to MmrPool — what
+    // a retrieval server runs when the exact top of the list is
+    // near-duplicates of one answer. Entirely int64 (relevance and
+    // redundancy are both exact squared-L2; λ=0.5 cancels out of the
+    // margin argmax), deterministic min-id tie-break, and the oracle
+    // replays every greedy round as an unrolled CTE block — a green
+    // row proves the round-by-round selection composes identically
+    // across engines. See Similarity.mmrDiversify for the per-round
+    // scale shape.
+    "sim_mmr_rerank" -> QueryDef(
+      (s, d) => mmrSelFrame(s, d)
+        .select(col("query_id"), col("mmr_rank"), col("vec_id"),
+          col("d2")),
+      s"""WITH $mmrCtes
+         |SELECT query_id, mmr_rank, vec_id, d2 FROM sel$MmrK""".stripMargin),
+
+    // The MMR audit: summed intra-list pairwise squared-L2 of the
+    // diversified top-MmrK vs the relevance-only top-MmrK from the
+    // SAME pool — the measured diversity the greedy pass buys (exact
+    // int64 sums, order-free; SimilaritySpec pins mmr strictly more
+    // spread than topk). Two rows: what a capacity planner reads
+    // before turning the diversification knob on.
+    "sim_mmr_diversity" -> QueryDef(
+      (s, d) => {
+        val pool = mmrPoolFrame(s, d)
+        val sel = mmrSelFrame(s, d)
+        val e = quantized(s, d).select(col("vec_id"), col("qv"))
+        def intra(list: org.apache.spark.sql.DataFrame, method: String) = {
+          val withV = list.select(col("query_id"), col("vec_id"))
+            .join(e, Seq("vec_id"))
+          val dij = (Similarity.dot(col("iv"), col("iv")) -
+            lit(2.0) * Similarity.dot(col("iv"), col("jv")) +
+            Similarity.dot(col("jv"), col("jv"))).cast("long")
+          withV.select(col("query_id"), col("vec_id").as("i"),
+              col("qv").as("iv"))
+            .join(withV.select(col("query_id"), col("vec_id").as("j"),
+              col("qv").as("jv")), Seq("query_id"))
+            .filter(col("i") < col("j"))
+            .agg(count(lit(1)).as("n_pairs"), sum(dij).as("sum_d2"))
+            .select(lit(method).as("method"), col("n_pairs"),
+              col("sum_d2"))
+        }
+        intra(pool.filter(col("rank") <= MmrK), "topk")
+          .unionByName(intra(sel, "mmr"))
+      },
+      s"""WITH $mmrCtes,
+         |tk AS (SELECT query_id, vec_id FROM pool WHERE rank <= $MmrK)
+         |SELECT 'topk' AS method, COUNT(*) AS n_pairs,
+         |  CAST(SUM(pp.dij) AS BIGINT) AS sum_d2
+         |FROM pp
+         |JOIN tk a ON a.query_id = pp.query_id AND a.vec_id = pp.i
+         |JOIN tk b ON b.query_id = pp.query_id AND b.vec_id = pp.j
+         |WHERE pp.i < pp.j
+         |UNION ALL
+         |SELECT 'mmr' AS method, COUNT(*) AS n_pairs,
+         |  CAST(SUM(pp.dij) AS BIGINT) AS sum_d2
+         |FROM pp
+         |JOIN sel$MmrK a ON a.query_id = pp.query_id AND a.vec_id = pp.i
+         |JOIN sel$MmrK b ON b.query_id = pp.query_id AND b.vec_id = pp.j
+         |WHERE pp.i < pp.j""".stripMargin),
 
     // Random-projection (Johnson–Lindenstrauss) search — the SKETCH
     // point on the memory/recall frontier: each vector is projected to
@@ -1756,22 +1826,23 @@ object SimilarityQueries {
     * vectors; exact d2 then re-orders and cuts to top-[[K]]. */
   private def ivfpqRerankSpark(s: org.apache.spark.sql.SparkSession,
       d: String, r: Int = RerankR,
-      np: Int = Nprobe): org.apache.spark.sql.DataFrame = {
+      np: Int = Nprobe, finalK: Int = K): org.apache.spark.sql.DataFrame = {
     val e = quantized(s, d)
     Similarity.rerankExact(
       ivfpqResSpark(s, d, k = r, np = np),
       e.filter(pmod(col("vec_id"), lit(50)) === 0)
         .select(col("vec_id").as("query_id"), col("qv")),
-      e, k = K)
+      e, k = finalK)
   }
 
   /** DuckDB text of the re-rank: the full IVFADC chain at shortlist
     * width, then exact squared-L2 on the (query, candidate) id pairs. */
   private def ivfpqRerankSql: String = ivfpqRerankSqlAt(RerankR, Nprobe)
 
-  /** [[ivfpqRerankSql]] with parameterized shortlist width and probe
-    * width — one replay per swept knob value. */
-  private def ivfpqRerankSqlAt(r: Int, np: Int): String =
+  /** [[ivfpqRerankSql]] with parameterized shortlist width, probe
+    * width, and final cut — one replay per swept knob value (the MMR
+    * pool widens `finalK` past [[K]]). */
+  private def ivfpqRerankSqlAt(r: Int, np: Int, finalK: Int = K): String =
     s"""WITH sl AS (
        |  SELECT query_id, vec_id FROM (${ivfpqResSqlAt(r, np)})),
        |eq AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
@@ -1785,7 +1856,83 @@ object SimilarityQueries {
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, d2 FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY d2 ASC, vec_id ASC) AS rank FROM sc)
-       |WHERE rank <= $K""".stripMargin
+       |WHERE rank <= $finalK""".stripMargin
+
+  /** The MMR candidate pool: the production IVFADC+R chain with its
+    * final cut widened to [[MmrPool]] — memoized because both the MMR
+    * list and the diversity audit read it. */
+  private def mmrPoolFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // Resolve the rerank chain BEFORE entering the memo: its plan
+    // construction touches the trained-model memos (quantized,
+    // codebooks), and a nested computeIfAbsent throws (FrameCache
+    // doctrine).
+    val built = ivfpqRerankSpark(s, d, finalK = MmrPool)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+    FrameCache.memo(s, d, "mmr_pool")(built)
+  }
+
+  /** The greedy MMR selection over [[mmrPoolFrame]] — memoized (served
+    * by `sim_mmr_rerank` and graded by `sim_mmr_diversity`). */
+  private def mmrSelFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pool = mmrPoolFrame(s, d)
+    val e = quantized(s, d).select(col("vec_id"), col("qv"))
+    FrameCache.memo(s, d, "mmr_sel") {
+      Similarity.mmrDiversify(pool, e, MmrK)
+    }
+  }
+
+  /** Unrolled MMR CTEs over the widened re-rank pool: `pool` (with the
+    * relevance rank), `pp` (exact pairwise d2 among pool members), and
+    * `sel1`..`sel$MmrK` — pick 1 is pure relevance, each later round
+    * re-derives the integer margin argmax (min distance to the selected
+    * set minus query distance, ties to the smallest id) exactly as
+    * [[graft.operators.Similarity.mmrDiversify]] computes it. */
+  private def mmrCtes: String = {
+    // MATERIALIZED stops DuckDB's CTE inlining: each sel_t references
+    // sel_{t-1} three times, so inlined expansion is 3^k copies of the
+    // whole rerank chain — enough parquet re-scans to exhaust the fd
+    // limit. Materializing pool/pp/sel_t replays each frame once, which
+    // is also what the Spark side does (localCheckpoint per round).
+    val base =
+      s"""pool AS MATERIALIZED (
+         |  SELECT query_id, vec_id, d2, rank
+         |  FROM (${ivfpqRerankSqlAt(RerankR, Nprobe, MmrPool)}) pr),
+         |eq2 AS MATERIALIZED (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |pp AS MATERIALIZED (
+         |  SELECT a.query_id, a.vec_id AS i, b.vec_id AS j,
+         |    CAST(${dot("ia.v", "ia.v", Dims)} - 2 * ${dot("ia.v", "jb.v", Dims)}
+         |      + ${dot("jb.v", "jb.v", Dims)} AS BIGINT) AS dij
+         |  FROM pool a
+         |  JOIN pool b ON b.query_id = a.query_id AND b.vec_id <> a.vec_id
+         |  JOIN eq2 ia ON ia.vec_id = a.vec_id
+         |  JOIN eq2 jb ON jb.vec_id = b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT query_id, vec_id, d2, CAST(1 AS BIGINT) AS mmr_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY d2 ASC, vec_id ASC) AS rn FROM pool)
+         |  WHERE rn = 1)""".stripMargin
+    val rounds = (2 to MmrK).map { t =>
+      s"""sc$t AS (
+         |  SELECT p.query_id, p.vec_id, p.d2, MIN(pp.dij) AS ms
+         |  FROM pool p
+         |  JOIN pp ON pp.query_id = p.query_id AND pp.i = p.vec_id
+         |  JOIN sel${t - 1} s ON s.query_id = pp.query_id
+         |    AND s.vec_id = pp.j
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+         |    WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+         |  GROUP BY 1, 2, 3),
+         |pk$t AS (
+         |  SELECT query_id, vec_id, d2, CAST($t AS BIGINT) AS mmr_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY (ms - d2) DESC, vec_id ASC) AS rn FROM sc$t)
+         |  WHERE rn = 1),
+         |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1}
+         |  UNION ALL SELECT * FROM pk$t)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
 
   /** Recall@K of `approx` (query_id, neighbor_id) against the exact
     * squared-L2 top-K over the 1-in-50 query sample — the shared body
@@ -1932,6 +2079,8 @@ object SimilarityQueries {
     semAssigned(s, d)
     exactL2TopK(s, d)
     filteredBruteSpark(s, d)
+    mmrPoolFrame(s, d)
+    mmrSelFrame(s, d)
     ()
   }
 

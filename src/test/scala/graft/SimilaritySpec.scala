@@ -482,4 +482,45 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     got shouldBe expected
   }
+
+  test("MMR trades relevance for diversity on the hand fixture") {
+    // query at the origin; a is closest, b is a near-duplicate of a,
+    // c/d are farther but diverse (and symmetric: a margin tie)
+    val corpus = Seq(
+      (2L, Seq(10.0, 0.0)),   // a: d2(q,a) = 100
+      (3L, Seq(11.0, 0.0)),   // b: d2(q,b) = 121, d2(a,b) = 1
+      (4L, Seq(0.0, 12.0)),   // c: d2(q,c) = 144, d2(a,c) = 244
+      (5L, Seq(0.0, -12.0))   // d: symmetric to c
+    ).toDF("vec_id", "qv")
+    val pool = Seq((1L, 2L, 100L), (1L, 3L, 121L),
+      (1L, 4L, 144L), (1L, 5L, 144L)).toDF("query_id", "vec_id", "d2")
+    val picks = Similarity.mmrDiversify(pool, corpus, 3)
+      .orderBy("mmr_rank").collect()
+      .map(r => r.getAs[Long]("mmr_rank") -> r.getAs[Long]("vec_id"))
+    // pick 1 = pure relevance (a); pick 2: margin(b) = 1 − 121 = −120,
+    // margin(c) = margin(d) = 244 − 144 = 100 → tie → min id (c);
+    // pick 3: margin(b) = −120, margin(d) = 244 − 144 = 100 → d.
+    // b — the SECOND most relevant candidate — never makes the list.
+    picks shouldBe Array(1L -> 2L, 2L -> 4L, 3L -> 5L)
+  }
+
+  test("MMR list is measurably more spread than the relevance top-k") {
+    val rows = SparkEntry.queries("sim_mmr_diversity")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("method") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("sum_d2"))).toMap
+    val (nTop, sTop) = rows("topk")
+    val (nMmr, sMmr) = rows("mmr")
+    nMmr shouldBe nTop // same list length per query → same pair count
+    nMmr should be > 0L
+    withClue(s"intra-list spread topk=$sTop mmr=$sMmr: ") {
+      sMmr should be > sTop
+    }
+    // and the served list is exactly MmrK rows per pooled query
+    val sel = SparkEntry.queries("sim_mmr_rerank")(
+      spark, "/root/testdata/sf0.001")
+    val perQuery = sel.groupBy("query_id").count()
+      .select(countDistinct(col("count"))).head().getLong(0)
+    perQuery shouldBe 1L // every query serves the same list length
+  }
 }
