@@ -38,6 +38,38 @@ object TextQueries {
     * initializes. */
   private val BpeSteps = 5
 
+  /** Count-min sketch geometry: CmsRows independent affine hash rows
+    * (members 0..CmsRows-1 of the [[graft.functions.PortableHash]]
+    * family) over CmsWidth counters each — 1,024 int64 cells total, the
+    * whole point being that this is the ONLY state regardless of corpus
+    * size. Init-before-`defs` rule applies. */
+  private val CmsRows = 4
+  private val CmsWidth = 256
+
+  /** The per-token (row, bucket) pairs of the sketch, as DuckDB UNION
+    * ALL text over a CTE `src` carrying column `tok` (plus `carry`
+    * extra columns threaded through, e.g. the token's exact count). */
+  private def cmsEntriesSql(carry: String): String = {
+    val h = graft.functions.PortableHash.hash60Sql("tok")
+    (0 until CmsRows).map { i =>
+      s"""SELECT $carry CAST($i AS BIGINT) AS r,
+         |  ${graft.functions.PortableHash.affineSql(h, i)} % $CmsWidth AS b
+         |FROM src""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** Spark twin of [[cmsEntriesSql]]: one map-only explode emitting the
+    * CmsRows (r, b) structs per token occurrence — the corpus is read
+    * once, never CmsRows times. */
+  private def cmsEntries(tok: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val h = graft.functions.PortableHash.hash60(tok)
+    explode(array((0 until CmsRows).map { i =>
+      struct(lit(i.toLong).as("r"),
+        (graft.functions.PortableHash.affine(h, i) % CmsWidth).as("b"))
+    }: _*))
+  }
+
   /** The iterated BPE trainer shared by `text_bpe_train` (reports the
     * elected merges) and `text_bpe_apply` (consumes the final
     * vocabulary): K rounds of elect-max-pair → greedy left-to-right
@@ -1079,6 +1111,85 @@ object TextQueries {
          |FROM (SELECT doc_id, unnest(${tokens("text")}) AS tok
          |      FROM documents)
          |GROUP BY doc_id, dim""".stripMargin),
+
+    // Count-min sketch over corpus token frequencies — the streaming/
+    // mergeable frequency summary every heavy-hitter monitor keeps when
+    // the vocabulary itself is too big to hold (URL/user-agent/query
+    // logs at 100 TB). CmsRows=4 portable affine hash rows × CmsWidth=256
+    // int64 counters: construction is one map-only explode emitting 4
+    // (row, bucket) tags per token occurrence, then ONE map-side-combined
+    // shuffle whose key space is the 1,024 sketch cells — no vocabulary
+    // table ever exists, and the same aggregation merges per-partition
+    // (or per-hour) sketches by cell-wise addition. Deterministic by
+    // construction (integer sums over deterministic hashes — no sampling,
+    // no RNG), so the full sketch hash-matches DuckDB cell for cell.
+    "corpus_cms_build" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .select(cmsEntries(col("tok")).as("e"))
+        .select(col("e.r").as("r"), col("e.b").as("b"))
+        .groupBy(col("r"), col("b"))
+        .agg(count(lit(1)).cast("long").as("c")),
+      s"""WITH src AS (
+         |  SELECT unnest(${tokens("text")}) AS tok FROM documents),
+         |e AS (${cmsEntriesSql("")})
+         |SELECT r, b, CAST(count(*) AS BIGINT) AS c
+         |FROM e GROUP BY r, b""".stripMargin),
+
+    // The count-min guarantee, measured: point-estimate the exact top-20
+    // tokens from the sketch (est = min over the 4 rows' counters) and
+    // grade each against its true count. The classic one-sided bound —
+    // the sketch NEVER underestimates — must hold for every row
+    // (`no_underestimate`), and `overcount` is the measured collision
+    // noise (bounded in expectation by N/CmsWidth per row, minimized
+    // over 4 rows). The exact vocabulary is built here only to GRADE
+    // the sketch; the serving path reads the 1,024-cell frame alone —
+    // broadcast-sized by construction, which is what makes the estimate
+    // join map-only at any corpus size.
+    "corpus_cms_topk" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        val sketch = toks.select(cmsEntries(col("tok")).as("e"))
+          .select(col("e.r").as("r"), col("e.b").as("b"))
+          .groupBy(col("r"), col("b"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val top = toks.groupBy(col("tok"))
+          .agg(count(lit(1)).cast("long").as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("tok").asc)
+          .limit(20)
+        top.select(col("tok"), col("true_cnt"), cmsEntries(col("tok")).as("e"))
+          .select(col("tok"), col("true_cnt"),
+            col("e.r").as("r"), col("e.b").as("b"))
+          .join(broadcast(sketch), Seq("r", "b"))
+          .groupBy(col("tok"), col("true_cnt"))
+          .agg(min(col("c")).as("est_cnt"))
+          .select(col("tok"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") - col("true_cnt")).as("overcount"),
+            (col("est_cnt") >= col("true_cnt")).as("no_underestimate"))
+      },
+      s"""WITH src AS (
+         |  SELECT unnest(${tokens("text")}) AS tok FROM documents),
+         |sk AS (
+         |  SELECT r, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM (${cmsEntriesSql("")}) GROUP BY r, b),
+         |top AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+         |  FROM src GROUP BY tok
+         |  ORDER BY true_cnt DESC, tok ASC LIMIT 20),
+         |tb AS (
+         |${(0 until CmsRows).map { i =>
+          val h = graft.functions.PortableHash.hash60Sql("tok")
+          s"""  SELECT tok, true_cnt, CAST($i AS BIGINT) AS r,
+             |    ${graft.functions.PortableHash.affineSql(h, i)} % $CmsWidth AS b
+             |  FROM top""".stripMargin
+        }.mkString("\n  UNION ALL\n")})
+         |SELECT tb.tok, tb.true_cnt,
+         |  CAST(min(sk.c) AS BIGINT) AS est_cnt,
+         |  CAST(min(sk.c) - tb.true_cnt AS BIGINT) AS overcount,
+         |  min(sk.c) >= tb.true_cnt AS no_underestimate
+         |FROM tb JOIN sk ON sk.r = tb.r AND sk.b = tb.b
+         |GROUP BY tb.tok, tb.true_cnt""".stripMargin),
 
     // N-gram novelty score: the fraction of a document's distinct
     // 3-gram shingles that appear NOWHERE else in the corpus — the

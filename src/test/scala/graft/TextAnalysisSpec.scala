@@ -180,4 +180,31 @@ class TextAnalysisSpec extends SparkSpec {
     wb(50, 100) should be > wb(50, 10000)
     wb(1000000, 1000000) should be <= 49L
   }
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("count-min sketch: each row's cells sum to the occurrence total") {
+    // every token occurrence lands in exactly one bucket per row, so a
+    // row's counters must partition N — the conservation law that makes
+    // per-partition sketches mergeable by cell-wise addition
+    val n = graft.ingest.Tables.documents(spark, d)
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))))
+      .count()
+    val rowSums = graft.SparkEntry.queries("corpus_cms_build")(spark, d)
+      .groupBy(col("r")).agg(sum(col("c")).as("s"))
+      .select(col("s")).as[Long].collect()
+    rowSums.length shouldBe 4
+    rowSums.foreach(_ shouldBe n)
+  }
+
+  test("count-min estimates never underestimate and collisions only add") {
+    val rows = graft.SparkEntry.queries("corpus_cms_topk")(spark, d).collect()
+    rows.length shouldBe 20
+    rows.foreach { r =>
+      r.getAs[Boolean]("no_underestimate") shouldBe true
+      r.getAs[Long]("overcount") should be >= 0L
+      r.getAs[Long]("est_cnt") shouldBe
+        r.getAs[Long]("true_cnt") + r.getAs[Long]("overcount")
+    }
+  }
 }
