@@ -370,6 +370,30 @@ object StreamBench {
     Section("score", docs.length.toLong, sec, batches)
   }
 
+  /** Streaming count-min maintenance ([[graft.operators.Sketch]]): the
+    * sketch cells ARE the aggregation state — Rows×Width = 1,024 int64
+    * counters regardless of ingest volume, the constant-state extreme
+    * of the stateful family (every other stateful section's state
+    * grows with keys). Update mode emits only changed cells per batch;
+    * StreamingSpec pins the completed stream equal to the batch
+    * sketch. */
+  private def cmsSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[ScoreIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val docs = replicate(base, floor)((r, i) => r.copy(doc_id = r.doc_id + i * span))
+    val in = MemoryStream[ScoreIn]
+    val q = graft.operators.Sketch.cmsSketch(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", tmp("sb_cms")).start()
+    val (sec, batches) = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
+    Section("cms", docs.length.toLong, sec, batches)
+  }
+
   case class LmScoreIn(doc_id: Long, lang: String, text: String)
 
   /** Streaming LM perplexity scoring
@@ -940,6 +964,7 @@ object StreamBench {
       "pps_sample" -> (sampleSection(_, _, volumeFloor)),
       "content_stats" -> (contentStatsSection(_, _, volumeFloor)),
       "score" -> (scoreSection(_, _, volumeFloor)),
+      "cms" -> (cmsSection(_, _, volumeFloor)),
       "lm_score" -> (lmScoreSection(_, _, volumeFloor)),
       "lm_ratio" -> (lmRatioSection(_, _, volumeFloor)),
       "media" -> (mediaSection(_, _, volumeFloor)),

@@ -38,13 +38,12 @@ object TextQueries {
     * initializes. */
   private val BpeSteps = 5
 
-  /** Count-min sketch geometry: CmsRows independent affine hash rows
-    * (members 0..CmsRows-1 of the [[graft.functions.PortableHash]]
-    * family) over CmsWidth counters each — 1,024 int64 cells total, the
-    * whole point being that this is the ONLY state regardless of corpus
-    * size. Init-before-`defs` rule applies. */
-  private val CmsRows = 4
-  private val CmsWidth = 256
+  /** Count-min sketch geometry — mirrors
+    * [[graft.operators.Sketch.Rows]]/[[graft.operators.Sketch.Width]]
+    * (the shared batch/streaming kernel). Init-before-`defs` rule
+    * applies. */
+  private val CmsRows = graft.operators.Sketch.Rows
+  private val CmsWidth = graft.operators.Sketch.Width
 
   /** The per-token (row, bucket) pairs of the sketch, as DuckDB UNION
     * ALL text over a CTE `src` carrying column `tok` (plus `carry`
@@ -58,17 +57,12 @@ object TextQueries {
     }.mkString("\nUNION ALL\n")
   }
 
-  /** Spark twin of [[cmsEntriesSql]]: one map-only explode emitting the
-    * CmsRows (r, b) structs per token occurrence — the corpus is read
-    * once, never CmsRows times. */
+  /** Spark twin of [[cmsEntriesSql]]:
+    * [[graft.operators.Sketch.cmsEntries]] — the kernel shared with
+    * the streaming maintenance twin. */
   private def cmsEntries(tok: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val h = graft.functions.PortableHash.hash60(tok)
-    explode(array((0 until CmsRows).map { i =>
-      struct(lit(i.toLong).as("r"),
-        (graft.functions.PortableHash.affine(h, i) % CmsWidth).as("b"))
-    }: _*))
-  }
+      : org.apache.spark.sql.Column =
+    graft.operators.Sketch.cmsEntries(tok)
 
   /** The iterated BPE trainer shared by `text_bpe_train` (reports the
     * elected merges) and `text_bpe_apply` (consumes the final
@@ -1124,12 +1118,7 @@ object TextQueries {
     // construction (integer sums over deterministic hashes — no sampling,
     // no RNG), so the full sketch hash-matches DuckDB cell for cell.
     "corpus_cms_build" -> QueryDef(
-      (s, d) => Tables.documents(s, d)
-        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        .select(cmsEntries(col("tok")).as("e"))
-        .select(col("e.r").as("r"), col("e.b").as("b"))
-        .groupBy(col("r"), col("b"))
-        .agg(count(lit(1)).cast("long").as("c")),
+      (s, d) => graft.operators.Sketch.cmsSketch(Tables.documents(s, d)),
       s"""WITH src AS (
          |  SELECT unnest(${tokens("text")}) AS tok FROM documents),
          |e AS (${cmsEntriesSql("")})
@@ -1148,12 +1137,10 @@ object TextQueries {
     // join map-only at any corpus size.
     "corpus_cms_topk" -> QueryDef(
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
+        val toks = docs
           .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
-        val sketch = toks.select(cmsEntries(col("tok")).as("e"))
-          .select(col("e.r").as("r"), col("e.b").as("b"))
-          .groupBy(col("r"), col("b"))
-          .agg(count(lit(1)).cast("long").as("c"))
+        val sketch = graft.operators.Sketch.cmsSketch(docs)
         val top = toks.groupBy(col("tok"))
           .agg(count(lit(1)).cast("long").as("true_cnt"))
           .orderBy(col("true_cnt").desc, col("tok").asc)

@@ -20,7 +20,7 @@ class StreamBenchSpec extends SparkSpec {
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
       "dedup", "intake", "index", "search", "fsearch", "pps_sample",
       "content_stats",
-      "score", "lm_score", "lm_ratio", "media", "curation", "anomaly")
+      "score", "cms", "lm_score", "lm_ratio", "media", "curation", "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
         s.rows should be > 0L
@@ -38,8 +38,8 @@ class StreamBenchSpec extends SparkSpec {
     // quietly falling back to the raw fixture would reintroduce the
     // scheduling-overhead-dominated rps this floor exists to fix
     for (n <- Seq("budget", "pack", "dedup", "intake", "index",
-        "pps_sample", "content_stats", "score", "lm_score", "lm_ratio",
-        "media", "curation"))
+        "pps_sample", "content_stats", "score", "cms", "lm_score",
+        "lm_ratio", "media", "curation"))
       withClue(s"section $n: ") {
         byName(n).rows should be >= floor.toLong
       }

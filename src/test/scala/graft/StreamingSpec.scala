@@ -237,6 +237,31 @@ class StreamingSpec extends SparkSpec {
       (3L, 2L, 2L, 1.0))
   }
 
+  test("streaming count-min sketch equals the batch sketch after full replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // the sketch cells ARE the aggregation state (1,024 counters
+    // regardless of volume) and cell-wise addition is the merge — so a
+    // stream drained in chunks must land on exactly the batch frame
+    val docs = graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Sketch.cmsSketch(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_sketch")
+      .outputMode("complete").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cms_sketch").orderBy("r", "b")
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = graft.operators.Sketch.cmsSketch(docs.toDF("doc_id", "text"))
+      .orderBy("r", "b").as[(Long, Long, Long)].collect().toSeq
+    got should not be empty
+    got shouldBe want
+  }
+
   test("streaming DQ gate routes rows to clean vs quarantine with check names") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.lang.Long, java.lang.Double, Timestamp)]
