@@ -153,6 +153,64 @@ object Graph {
     trace
   }
 
+  /** One round of multi-source BFS distance relaxation: every node's
+    * tentative (dist, src) is the minimum of its current value and
+    * every neighbor's value + 1 hop — lexicographic `min(struct(dist,
+    * src))`, so a node equidistant from two sources deterministically
+    * takes the SMALLEST source id (the same order-isomorphic argmin
+    * fold as [[lpaStep]]'s vote; no window sort). Synchronous rounds
+    * over the full distance table make the iteration order-free and
+    * replayable as unrolled oracle CTEs; after K rounds the table
+    * holds exact shortest hop-distances for every node within K hops
+    * of a source (unreached nodes are absent — honest K-hop
+    * neighborhoods, not infinities).
+    *
+    * `edges` must be the SYMMETRIZED (u, v, w) adjacency; `dists` is
+    * (node, dist, src). Scale shape per round: ONE shuffle joining the
+    * frontier table onto edges keyed by the neighbor, one union with
+    * the carried table, one map-side-combined argmin aggregation —
+    * state is one row per reached node. A frontier-delta variant sends
+    * only newly-improved rows; the full-table relaxation keeps the
+    * oracle replay exact and is the same asymptotic shuffle volume on
+    * the small-diameter graphs co-purchase networks are. */
+  def bfsStep(edges: DataFrame, dists: DataFrame): DataFrame =
+    dists.withColumnRenamed("node", "v")
+      .join(edges, "v")
+      .select(col("u").as("node"), (col("dist") + lit(1L)).as("dist"),
+        col("src"))
+      .unionAll(dists.select(col("node"), col("dist"), col("src")))
+      .groupBy(col("node"))
+      .agg(min(struct(col("dist"), col("src"))).as("m"))
+      .select(col("node"), col("m.dist").as("dist"), col("m.src").as("src"))
+
+  /** Per-round distance frames d0 (sources at distance 0) through
+    * d`iters` of one multi-source BFS, each eagerly checkpointed —
+    * the [[pagerankTrace]] shared-trace doctrine: the final distances
+    * and the reach audit read the SAME materialized rounds. */
+  def bfsTrace(edges: DataFrame, sources: DataFrame,
+      iters: Int): IndexedSeq[DataFrame] = {
+    val e = edges.persist()
+    val d0 = sources.select(col("node"), lit(0L).as("dist"),
+      col("node").as("src")).localCheckpoint(true)
+    val trace = (1 to iters).foldLeft(IndexedSeq(d0)) { (acc, _) =>
+      acc :+ bfsStep(e, acc.last).localCheckpoint(true)
+    }
+    e.unpersist()
+    trace
+  }
+
+  /** The reach audit of a BFS run: one row per round with the reached-
+    * node count and the total hop distance — reach must grow
+    * monotonically (a relaxation can only add nodes) and a broken
+    * join key, lost union branch, or unstable tie-break bends the
+    * counters in round 1. All-integer, order-free. */
+  def bfsReachedOf(trace: Seq[DataFrame]): DataFrame =
+    trace.zipWithIndex.map { case (df, i) =>
+      df.agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+        .select(lit(i.toLong).as("iter"), col("n_reached"),
+          col("sum_dist").cast("long").as("sum_dist"))
+    }.reduce(_.union(_))
+
   /** The convergence audit of an LPA run: one row per round with the
     * number of nodes that switched label and the surviving community
     * count — synchronous LPA on a finite graph coarsens fast, and a

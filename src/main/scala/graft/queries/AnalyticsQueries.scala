@@ -124,6 +124,7 @@ object AnalyticsQueries {
     coPurchasePairs(s, d)
     prRankTrace(s, d)
     lpaLabelTrace(s, d)
+    bfsDistTrace(s, d)
     ()
   }
 
@@ -204,6 +205,13 @@ object AnalyticsQueries {
     * generators read it while `defs` initializes). */
   private val LpaIters = 3
 
+  /** Multi-source BFS rounds and source count: distances are exact
+    * within BfsIters hops of the BfsSources highest-weighted-degree
+    * hubs (deterministic pick: weighted degree DESC, node ASC). MUST
+    * initialize before `defs`. */
+  private val BfsIters = 3
+  private val BfsSources = 4
+
   /** The symmetrized weighted co-purchase adjacency both LPA queries
     * run on — the SAME support ≥ 2 frame `graph_triangles` thresholds,
     * doubled into (u, v, w) both directions off the shared memoized
@@ -235,6 +243,72 @@ object AnalyticsQueries {
       val prev = acc.last
       acc :+ FrameCache.memo(s, d, s"lpa_l$i")(Graph.lpaStep(edges, prev))
     }
+  }
+
+  /** The [[BfsSources]] BFS source hubs: highest weighted degree on
+    * the symmetrized co-purchase adjacency, node-ascending tie-break —
+    * a deterministic total order, planned as TakeOrderedAndProject. */
+  private def bfsSourceFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val edges = lpaEdges(s, d)
+    FrameCache.memo(s, d, "bfs_src") {
+      edges.groupBy(col("u").as("node"))
+        .agg(sum(col("w")).as("wdeg"))
+        .orderBy(col("wdeg").desc, col("node").asc)
+        .limit(BfsSources)
+        .select(col("node"))
+    }
+  }
+
+  /** Per-round distance frames d0..d[[BfsIters]] of ONE multi-source
+    * BFS, memoized — `graph_bfs_dists` reads the last frame and
+    * `graph_bfs_reach` derives its per-round counters from all of
+    * them, so the relaxation rounds are paid once per bench pass (the
+    * [[lpaLabelTrace]] doctrine). */
+  private def bfsDistTrace(s: org.apache.spark.sql.SparkSession,
+      d: String): IndexedSeq[org.apache.spark.sql.DataFrame] = {
+    val edges = lpaEdges(s, d)
+    val srcs = bfsSourceFrame(s, d)
+    val d0 = FrameCache.memo(s, d, "bfs_d0") {
+      srcs.select(col("node"), org.apache.spark.sql.functions.lit(0L)
+        .as("dist"), col("node").as("src"))
+    }
+    (1 to BfsIters).foldLeft(IndexedSeq(d0)) { (acc, i) =>
+      val prev = acc.last
+      acc :+ FrameCache.memo(s, d, s"bfs_d$i")(Graph.bfsStep(edges, prev))
+    }
+  }
+
+  /** Unrolled multi-source-BFS CTEs: requires a preceding
+    * `edges(u, v, w)` CTE (symmetric), defines `srcs` and
+    * `d0`..`d$BfsIters` — each round exactly [[Graph.bfsStep]]'s
+    * semantics (neighbor distance + 1 unioned with the carried table,
+    * per-node argmin with min-source tie-break), expressed as a
+    * row_number pick instead of Spark's order-isomorphic
+    * `min(struct(dist, src))`: identical argmin semantics.
+    * MATERIALIZED because each d_t is referenced by d_{t+1} (twice)
+    * and by the reach audit — the MMR-CTE inlining lesson. */
+  private def bfsCtes: String = {
+    val base =
+      s"""srcs AS MATERIALIZED (
+         |  SELECT u AS node FROM edges GROUP BY u
+         |  ORDER BY SUM(w) DESC, u ASC LIMIT $BfsSources),
+         |d0 AS MATERIALIZED (
+         |  SELECT node, CAST(0 AS BIGINT) AS dist, node AS src
+         |  FROM srcs)""".stripMargin
+    val rounds = (1 to BfsIters).map { t =>
+      s"""d$t AS MATERIALIZED (
+         |  SELECT node, dist, src FROM (
+         |    SELECT node, dist, src, row_number() OVER (
+         |      PARTITION BY node ORDER BY dist ASC, src ASC) AS rn
+         |    FROM (
+         |      SELECT e.u AS node, p.dist + 1 AS dist, p.src
+         |      FROM d${t - 1} p JOIN edges e ON e.v = p.node
+         |      UNION ALL
+         |      SELECT node, dist, src FROM d${t - 1}))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
   }
 
   /** Unrolled synchronous-LPA CTEs: requires a preceding
@@ -611,6 +685,38 @@ object AnalyticsQueries {
                 |       AS BIGINT) AS n_changed,
                 |  CAST(COUNT(DISTINCT a.label) AS BIGINT) AS n_labels
                 |FROM l$i a JOIN l${i - 1} b ON a.node = b.node""".stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin),
+
+    // Multi-source BFS shortest hop-distances from the top-4 weighted-
+    // degree hubs of the co-purchase graph — "how far is every product
+    // from a bestseller cluster", the nearest-hub assignment a
+    // catalog/navigation feature reads. Synchronous min-relaxation
+    // rounds (dist, then min-source tie-break) are order-free and
+    // integer, so the K-deep iteration replays as unrolled CTE blocks;
+    // nodes beyond K hops are absent (honest K-hop neighborhoods).
+    "graph_bfs_dists" -> QueryDef(
+      (s, d) => bfsDistTrace(s, d).last
+        .select(col("node").cast("long").as("node"),
+          col("dist").cast("long").as("dist"),
+          col("src").cast("long").as("src")),
+      s"""WITH $lpaEdgesSql,
+         |$bfsCtes
+         |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist,
+         |  CAST(src AS BIGINT) AS src FROM d$BfsIters""".stripMargin),
+
+    // The BFS reach audit off the SAME memoized trace: per-round
+    // reached-node count and total hop distance. Reach must grow
+    // monotonically (a relaxation only adds nodes); a broken join key,
+    // lost union branch, or unstable tie-break bends round 1.
+    "graph_bfs_reach" -> QueryDef(
+      (s, d) => Graph.bfsReachedOf(bfsDistTrace(s, d)),
+      s"""WITH $lpaEdgesSql,
+         |$bfsCtes
+         |${(0 to BfsIters).map(i =>
+             s"""SELECT CAST($i AS BIGINT) AS iter,
+                |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+                |  CAST(SUM(dist) AS BIGINT) AS sum_dist FROM d$i"""
+               .stripMargin)
            .mkString("\nUNION ALL\n")}""".stripMargin),
 
     // Bloom-prefiltered fact→dim join: the sketch of the filtered

@@ -128,4 +128,60 @@ class GraphSpec extends SparkSpec {
       spark, "/root/testdata/sf0.001")
     trained.count() shouldBe rows.head._2
   }
+
+  test("BFS on a path graph walks exact hop distances, truncates at K") {
+    // 1-2-3-4-5 chain from source 1: after 2 rounds nodes 4, 5 are
+    // honestly absent, not infinite
+    val dists = Graph.bfsTrace(
+        sym(Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 5L, 1L))),
+        Seq(1L).toDF("node"), 2).last
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    dists shouldBe Map(1L -> (0L, 1L), 2L -> (1L, 1L), 3L -> (2L, 1L))
+  }
+
+  test("BFS equidistant node takes the smallest source id") {
+    // 1-2-3 and 5-4-3: node 3 is 2 hops from both sources 1 and 5
+    val trace = Graph.bfsTrace(
+      sym(Seq((1L, 2L, 1L), (2L, 3L, 1L), (5L, 4L, 1L), (4L, 3L, 1L))),
+      Seq(1L, 5L).toDF("node"), 2)
+    val d = trace.last.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    d(3L) shouldBe (2L, 1L)  // min-source tie-break
+    d(2L) shouldBe (1L, 1L)
+    d(4L) shouldBe (1L, 5L)  // nearest source wins outright
+  }
+
+  test("BFS relaxation never worsens a distance and reach grows monotonically") {
+    val rows = SparkEntry.queries("graph_bfs_reach")(
+        spark, "/root/testdata/sf0.001")
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.map(_._1) shouldBe Array(0L, 1L, 2L, 3L)
+    rows.sliding(2).foreach { case Array((_, a, _), (_, b, _)) =>
+      b should be >= a
+    }
+    // distances are exact: one more relaxation round may ADD nodes but
+    // must never change an already-reached node's (dist, src) — the
+    // hallmark of min-relaxation having settled every node whose hop
+    // distance the rounds covered
+    val d = "/root/testdata/sf0.001"
+    val items = graft.ingest.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+        col("w").cast("long").as("w"))
+    val edges = pairs.unionAll(
+      pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val fin = SparkEntry.queries("graph_bfs_dists")(spark, d)
+    val changed = Graph.bfsStep(edges, fin)
+      .withColumnRenamed("dist", "dist2").withColumnRenamed("src", "src2")
+      .join(fin, "node")
+      .filter(col("dist2") =!= col("dist") || col("src2") =!= col("src"))
+    changed.count() shouldBe 0L
+  }
 }
