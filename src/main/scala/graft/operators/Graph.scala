@@ -211,6 +211,77 @@ object Graph {
           col("sum_dist").cast("long").as("sum_dist"))
     }.reduce(_.union(_))
 
+  /** One synchronous k-core peel round: keep every node whose degree
+    * WITHIN the current induced subgraph is still ≥ k. Iterated to its
+    * fixed point this computes the k-core — the classic degeneracy
+    * peel (Seidman 1983), the graph-quality filter a curation pipeline
+    * uses to keep densely-connected entities (products that co-sell
+    * with other co-selling products) and drop tendrils. Synchronous
+    * full-set peeling (not one-node-at-a-time) is order-free, so the
+    * rounds replay exactly as unrolled oracle CTEs — and it reaches
+    * the same fixed point as sequential peeling, since the k-core is
+    * the unique maximal subgraph of min-degree ≥ k.
+    *
+    * `edges` must be the SYMMETRIZED (u, v, w) adjacency; `surviving`
+    * is the (node) set still in play. Scale shape per round: two
+    * node-keyed semi-join-shaped equi-joins restricting the edge list
+    * to the induced subgraph, then ONE map-side-combined degree
+    * aggregation — state is one row per surviving node, shrinking
+    * monotonically, and the edge frame is computed once and persisted
+    * by the trace driver. */
+  def kcoreStep(edges: DataFrame, surviving: DataFrame, k: Long): DataFrame =
+    edges
+      .join(surviving.select(col("node").as("u")), "u")
+      .join(surviving.select(col("node").as("v")), "v")
+      .groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .select("node")
+
+  /** Per-round survivor frames s0 (all nodes) through s`iters` of one
+    * synchronous k-core peel, each eagerly checkpointed — the
+    * [[pagerankTrace]] shared-trace doctrine: the final core and the
+    * peel audit read the SAME materialized rounds. */
+  def kcoreTrace(edges: DataFrame, k: Long, iters: Int): IndexedSeq[DataFrame] = {
+    val e = edges.persist()
+    val s0 = e.select(col("u").as("node")).distinct().localCheckpoint(true)
+    val trace = (1 to iters).foldLeft(IndexedSeq(s0)) { (acc, _) =>
+      acc :+ kcoreStep(e, acc.last, k).localCheckpoint(true)
+    }
+    e.unpersist()
+    trace
+  }
+
+  /** The surviving core with each member's induced-subgraph degree —
+    * the payload frame a consumer reads (deg ≥ k for every row once
+    * the peel has reached its fixed point). Same two-join + one-agg
+    * shape as a peel round, minus the filter. */
+  def kcoreDegrees(edges: DataFrame, core: DataFrame): DataFrame =
+    edges
+      .join(core.select(col("node").as("u")), "u")
+      .join(core.select(col("node").as("v")), "v")
+      .groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+
+  /** The peel audit of a k-core run: one row per round with the
+    * survivor count and the induced (directed) edge count — both must
+    * fall monotonically to a plateau, and the plateau IS the fixed
+    * point: two equal consecutive rounds prove the peel has converged
+    * (a survivor set that removes nobody never will). A broken
+    * restriction join or dropped HAVING bends round 1. All-integer,
+    * order-free. */
+  def kcorePeelOf(edges: DataFrame, trace: Seq[DataFrame]): DataFrame =
+    trace.zipWithIndex.map { case (s, i) =>
+      val nn = s.agg(count(lit(1)).as("n_nodes"))
+        .select(lit(i.toLong).as("iter"), col("n_nodes"))
+      val ne = edges
+        .join(s.select(col("node").as("u")), "u")
+        .join(s.select(col("node").as("v")), "v")
+        .agg(count(lit(1)).as("n_edges"))
+        .select(lit(i.toLong).as("iter"), col("n_edges"))
+      nn.join(ne, "iter")
+    }.reduce(_.union(_))
+
   /** The convergence audit of an LPA run: one row per round with the
     * number of nodes that switched label and the surviving community
     * count — synchronous LPA on a finite graph coarsens fast, and a

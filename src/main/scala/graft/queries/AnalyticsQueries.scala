@@ -125,6 +125,7 @@ object AnalyticsQueries {
     prRankTrace(s, d)
     lpaLabelTrace(s, d)
     bfsDistTrace(s, d)
+    kcoreSurvTrace(s, d)
     ()
   }
 
@@ -212,6 +213,16 @@ object AnalyticsQueries {
   private val BfsIters = 3
   private val BfsSources = 4
 
+  /** k-core peel threshold and synchronous peel rounds. k = 2 with 6
+    * rounds reaches the fixed point at every fixture SF (sf0.01
+    * plateaus at round 3 after peeling 1,880 → 1,535 nodes; sf0.1 at
+    * round 5 after 5,922 → 3) — so the committed audit itself shows
+    * the plateau that proves convergence, and the spec's
+    * one-more-round check holds everywhere. MUST initialize before
+    * `defs`. */
+  private val KcoreK = 2L
+  private val KcoreIters = 6
+
   /** The symmetrized weighted co-purchase adjacency both LPA queries
     * run on — the SAME support ≥ 2 frame `graph_triangles` thresholds,
     * doubled into (u, v, w) both directions off the shared memoized
@@ -277,6 +288,44 @@ object AnalyticsQueries {
       val prev = acc.last
       acc :+ FrameCache.memo(s, d, s"bfs_d$i")(Graph.bfsStep(edges, prev))
     }
+  }
+
+  /** Per-round survivor frames s0..s[[KcoreIters]] of ONE synchronous
+    * k-core peel over the co-purchase adjacency, memoized —
+    * `graph_kcore` reads the last frame (with induced degrees) and
+    * `graph_kcore_peel` derives its per-round counters from all of
+    * them, so the peel rounds are paid once per bench pass (the
+    * [[bfsDistTrace]] doctrine). */
+  private def kcoreSurvTrace(s: org.apache.spark.sql.SparkSession,
+      d: String): IndexedSeq[org.apache.spark.sql.DataFrame] = {
+    val edges = lpaEdges(s, d)
+    val s0 = FrameCache.memo(s, d, "kcore_s0") {
+      edges.select(col("u").as("node")).distinct()
+    }
+    (1 to KcoreIters).foldLeft(IndexedSeq(s0)) { (acc, i) =>
+      val prev = acc.last
+      acc :+ FrameCache.memo(s, d, s"kcore_s$i")(
+        Graph.kcoreStep(edges, prev, KcoreK))
+    }
+  }
+
+  /** Unrolled k-core peel CTEs: requires a preceding `edges(u, v, w)`
+    * CTE (symmetric), defines `s0`..`s$KcoreIters` — each round
+    * exactly [[Graph.kcoreStep]]'s semantics (restrict the edge list
+    * to the surviving induced subgraph, keep nodes of degree ≥ k).
+    * MATERIALIZED because each s_t is referenced twice by s_{t+1} and
+    * by the peel audit. */
+  private def kcoreCtes: String = {
+    val base =
+      """s0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges)"""
+    val rounds = (1 to KcoreIters).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT e.u AS node FROM edges e
+         |  JOIN s${t - 1} a ON e.u = a.node
+         |  JOIN s${t - 1} b ON e.v = b.node
+         |  GROUP BY e.u HAVING COUNT(*) >= $KcoreK)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
   }
 
   /** Unrolled multi-source-BFS CTEs: requires a preceding
@@ -717,6 +766,44 @@ object AnalyticsQueries {
                 |  CAST(COUNT(*) AS BIGINT) AS n_reached,
                 |  CAST(SUM(dist) AS BIGINT) AS sum_dist FROM d$i"""
                .stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin),
+
+    // The 2-core of the co-purchase graph — iterative degeneracy
+    // peeling to its fixed point (see graft.operators.Graph.kcoreStep):
+    // keep products that co-sell with other co-selling products, drop
+    // tendrils — the graph-quality filter of the analytics family.
+    // Synchronous full-set peel rounds are order-free and integer, so
+    // the K-deep iteration replays as unrolled CTE blocks; the payload
+    // carries each survivor's induced-subgraph degree (≥ k for every
+    // row once converged — spec-pinned).
+    "graph_kcore" -> QueryDef(
+      (s, d) => Graph.kcoreDegrees(lpaEdges(s, d), kcoreSurvTrace(s, d).last)
+        .select(col("node").cast("long").as("node"),
+          col("deg").cast("long").as("deg")),
+      s"""WITH $lpaEdgesSql,
+         |$kcoreCtes
+         |SELECT CAST(e.u AS BIGINT) AS node,
+         |  CAST(COUNT(*) AS BIGINT) AS deg
+         |FROM edges e
+         |JOIN s$KcoreIters a ON e.u = a.node
+         |JOIN s$KcoreIters b ON e.v = b.node
+         |GROUP BY e.u""".stripMargin),
+
+    // The k-core peel audit off the SAME memoized trace: per-round
+    // survivor and induced-edge counts. Both fall monotonically to a
+    // plateau, and two equal consecutive rounds ARE the convergence
+    // proof (a survivor set that removes nobody never will) — the
+    // committed sf0.01 artifact shows the plateau from round 3.
+    "graph_kcore_peel" -> QueryDef(
+      (s, d) => Graph.kcorePeelOf(lpaEdges(s, d), kcoreSurvTrace(s, d)),
+      s"""WITH $lpaEdgesSql,
+         |$kcoreCtes
+         |${(0 to KcoreIters).map(i =>
+             s"""SELECT CAST($i AS BIGINT) AS iter,
+                |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s$i) AS n_nodes,
+                |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges e
+                |   JOIN s$i a ON e.u = a.node
+                |   JOIN s$i b ON e.v = b.node) AS n_edges""".stripMargin)
            .mkString("\nUNION ALL\n")}""".stripMargin),
 
     // Bloom-prefiltered fact→dim join: the sketch of the filtered

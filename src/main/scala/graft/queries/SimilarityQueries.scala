@@ -280,7 +280,107 @@ object SimilarityQueries {
        |  FROM s)
        |WHERE rank <= $K""".stripMargin
 
+  /** Per-label integer centroids of the nearest-centroid classifier,
+    * trained on the 9/10 labeled pool (vec_id % 10 ≠ 0) and memoized —
+    * the auto-labeling primitive: (label, dim, c) with c the floored
+    * mean of exact integer coords (one IEEE division + floor per cell,
+    * bit-reproducible). Scale shape: ONE map-side-combined (label, dim)
+    * aggregation — ≤ labels × dims rows of output regardless of corpus
+    * size, broadcast back to every classifier consumer. */
+  private def labelCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.memo(s, d, "label_cents") {
+      Tables.embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        .select(col("label").cast("long").as("label"),
+          posexplode(transform(col("embedding"),
+            x => round(x.cast("double") * 1000))))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("col")).as("sq"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos").cast("long").as("dim"),
+          floor(col("sq") / col("n")).as("c"))
+    }
+
+  /** The centroids reassembled into per-label vectors (cl, cvec). */
+  private def labelCentroidVecs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    labelCentroids(s, d)
+      .groupBy(col("label").as("cl"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("ps"))
+      .select(col("cl"),
+        transform(col("ps"), p => p.getField("c").cast("double")).as("cvec"))
+
+  /** Shared SQL preamble of both classifier oracles: labeled quantized
+    * vectors + the trained per-label centroid cells. */
+  private def centroidTrainSql: String =
+    s"""el AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |  ${quantVec("embedding")} AS v FROM embeddings),
+       |cent AS (
+       |  SELECT label AS cl, CAST(i - 1 AS BIGINT) AS dim,
+       |    CAST(FLOOR(SUM(v[i]) / COUNT(*)) AS BIGINT) AS c
+       |  FROM el, (SELECT unnest(range(1, ${Dims + 1})) AS i) di(i)
+       |  WHERE vec_id % 10 <> 0
+       |  GROUP BY 1, 2)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+
+    // Nearest-centroid classifier, training half: per-label integer
+    // centroids over the 9/10 labeled pool — the standard auto-labeling
+    // primitive (propagate a seed taxonomy to an unlabeled corpus by
+    // nearest class centroid). One (label, dim) aggregation, output
+    // bounded by labels × dims — metadata-sized at any corpus scale.
+    "sim_centroid_train" -> QueryDef(
+      (s, d) => labelCentroids(s, d)
+        .select(col("label"), col("dim"), col("c").cast("long").as("c")),
+      s"""WITH $centroidTrainSql
+         |SELECT cl AS label, dim, c FROM cent""".stripMargin),
+
+    // Nearest-centroid classifier, eval half: the split-tagged
+    // confusion matrix — every vector assigned to its nearest trained
+    // centroid (exact integer d², min-label tie-break), counts grouped
+    // by (split, true label, predicted label). The held-out 1/10 slice
+    // is the honest generalization row: on this synthetic fixture the
+    // labels are NOT geometrically clustered, so train-fit accuracy
+    // (~0.40) towers over held-out (~chance) — exactly the overfit /
+    // label-noise gap this audit exists to expose in a labeling
+    // pipeline (spec-pinned). Scale shape: broadcast labels×dims
+    // centroid frame onto the corpus, map-only argmin, one tiny
+    // (split, label, pred) aggregation — the corpus never shuffles.
+    "sim_centroid_confusion" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            transform(col("embedding"),
+              x => round(x.cast("double") * 1000)).as("qv"))
+        val d2 = Similarity.dot(col("qv"), col("qv")) -
+          lit(2.0) * Similarity.dot(col("qv"), col("cvec")) +
+          Similarity.dot(col("cvec"), col("cvec"))
+        e.crossJoin(broadcast(labelCentroidVecs(s, d)))
+          .select(col("vec_id"), col("label"),
+            when(pmod(col("vec_id"), lit(10)) === 0, "heldout")
+              .otherwise("train").as("split"),
+            col("cl"), d2.as("d2"))
+          .groupBy(col("vec_id"), col("label"), col("split"))
+          .agg(min(struct(col("d2"), col("cl"))).as("m"))
+          .groupBy(col("split"), col("label"), col("m.cl").as("pred"))
+          .agg(count(lit(1)).as("n"))
+      },
+      s"""WITH $centroidTrainSql,
+         |cv AS (SELECT cl, list(CAST(c AS DOUBLE) ORDER BY dim) AS cvec
+         |       FROM cent GROUP BY cl),
+         |scored AS (
+         |  SELECT el.vec_id, el.label,
+         |    CASE WHEN el.vec_id % 10 = 0 THEN 'heldout'
+         |         ELSE 'train' END AS split,
+         |    cv.cl, ${d2Sql("el.v", "cv.cvec", Dims)} AS d2
+         |  FROM el, cv),
+         |pred AS (
+         |  SELECT vec_id, label, split, cl AS pred FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d2 ASC, cl ASC) AS rn
+         |    FROM scored) WHERE rn = 1)
+         |SELECT split, label, pred, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM pred GROUP BY 1, 2, 3""".stripMargin),
 
     // Exact top-10 cosine neighbors for each sampled query vector.
     "sim_knn_brute" -> QueryDef((s, d) => bruteSpark(s, d), bruteSql),
@@ -2081,6 +2181,7 @@ object SimilarityQueries {
     filteredBruteSpark(s, d)
     mmrPoolFrame(s, d)
     mmrSelFrame(s, d)
+    labelCentroids(s, d)
     ()
   }
 

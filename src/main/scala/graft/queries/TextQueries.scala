@@ -780,6 +780,64 @@ object TextQueries {
          |    FROM documents) GROUP BY s)
          |ORDER BY df DESC, gram ASC LIMIT 20""".stripMargin),
 
+    // PMI-style collocation mining: adjacent-bigram association
+    // strength as lift = P(xy)/(P(x)P(y)) = cxy·N/(cx·cy) — the
+    // phrase detector of a tokenizer-training pipeline (collocations
+    // above a lift threshold become single vocabulary units; PMI is
+    // the log of this exact quantity, and ranking by lift IS ranking
+    // by PMI, log-free — the BM25 doctrine). All operands exact int64
+    // counts; the score is one IEEE division rounded to 9 places (the
+    // cos9 doctrine). Shape at 100 TB: bigrams come from a map-only
+    // indexed transform over each token array (NO positional
+    // self-join), both count tables are explode + hash-agg shuffles
+    // bounded by the observed vocab/bigram space, the vocabulary
+    // broadcasts onto the bigram frame (megabytes for natural
+    // language), and N is one map-side-combined global sum — documents
+    // themselves never shuffle.
+    "corpus_pmi" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("w"))
+        val bigrams = toks.select(explode(expr(
+            "transform(slice(w, 1, greatest(size(w) - 1, 0)), " +
+              "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"))
+            .as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("cxy"))
+        val uni = toks.select(explode(col("w")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        // ONE driver-side scalar for N (the corpus_bm25 doctrine:
+        // a map-side-combined global sum, acceptable at any scale)
+        val n = uni.agg(sum(col("c"))).head().getLong(0)
+        bigrams
+          .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("cx"))),
+            Seq("w1"))
+          .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("cy"))),
+            Seq("w2"))
+          .filter(col("cxy") >= 5)
+          .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+            col("cxy"), col("cx"), col("cy"),
+            round(col("cxy").cast("double") * lit(n.toDouble) /
+              (col("cx").cast("double") * col("cy").cast("double")), 9)
+              .as("lift9"))
+      },
+      s"""WITH toks AS (SELECT doc_id, ${tokens("text")} AS w FROM documents),
+         |uni AS (SELECT tok, COUNT(*) AS c FROM (
+         |  SELECT unnest(w) AS tok FROM toks) GROUP BY 1),
+         |n AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni),
+         |big AS (SELECT bg, COUNT(*) AS cxy FROM (
+         |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i + 1])) AS bg
+         |  FROM toks) GROUP BY 1)
+         |SELECT b.bg AS bigram, b.cxy, u1.c AS cx, u2.c AS cy,
+         |  round(b.cxy * n.n / (u1.c * u2.c), 9) AS lift9
+         |FROM big b
+         |JOIN uni u1 ON u1.tok = split_part(b.bg, ' ', 1)
+         |JOIN uni u2 ON u2.tok = split_part(b.bg, ' ', 2)
+         |CROSS JOIN n
+         |WHERE b.cxy >= 5""".stripMargin),
+
     // Corpus-frequency document scoring — the log-free core of a
     // CCNet-style LM quality filter: a document whose tokens are rare
     // in the corpus (low average corpus frequency) is likely noise /
@@ -1177,6 +1235,101 @@ object TextQueries {
          |  min(sk.c) >= tb.true_cnt AS no_underestimate
          |FROM tb JOIN sk ON sk.r = tb.r AND sk.b = tb.b
          |GROUP BY tb.tok, tb.true_cnt""".stripMargin),
+
+    // Quarter-bit log-histogram of document lengths — the mergeable
+    // quantile sketch beside corpus_cms_build's frequency sketch:
+    // bucket = bit-length of n⁴ (the LM staircase trick, integer-exact
+    // and portable), so consecutive buckets are a factor 2^(1/4) ≈ 1.19
+    // apart — a ≤ 19 % relative-error quantile summary in ≤ ~128 int64
+    // cells no matter the corpus size. Construction is ONE map-only
+    // bucket tag + ONE map-side-combined aggregation whose key space
+    // is the cells; per-partition / per-hour sketches merge by
+    // cell-wise addition, exactly like the CMS. Deterministic — the
+    // full cell frame hash-matches DuckDB cell for cell.
+    "corpus_qhist" -> QueryDef(
+      (s, d) => {
+        val n = size(TextAnalysis.tokens(col("text"))).cast("long")
+        Tables.documents(s, d)
+          .select(length(bin(n * n * n * n)).cast("long").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      s"""WITH t AS (
+         |  SELECT CAST(len(${tokens("text")}) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT CAST(length(bin(n * n * n * n)) AS BIGINT) AS bucket,
+         |  COUNT(*) AS cnt
+         |FROM t GROUP BY 1""".stripMargin),
+
+    // The quantile sketch's guarantee, measured (the corpus_cms_topk
+    // doctrine): for each target quantile, the bucket the cumulative
+    // sketch serves MUST be the bucket containing the exact order
+    // statistic — the histogram is lossless at bucket granularity, so
+    // `in_bucket` = 1 on every row unless the bucket function or the
+    // cumulative walk is broken. The exact side (value-level histogram
+    // + cumulative window) exists here only to GRADE the sketch; the
+    // serving path reads the ≤ ~128-cell bucket frame alone. Both
+    // windows ride aggregate frames (distinct lengths / buckets), so
+    // the single-partition exchanges carry metadata-sized inputs.
+    "corpus_qhist_quantiles" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        def bitlen4(c: org.apache.spark.sql.Column) =
+          length(bin(c * c * c * c)).cast("long")
+        val vh = FrameCache.memo(s, d, "qhist_vh") {
+          Tables.documents(s, d)
+            .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+            .groupBy(col("n")).agg(count(lit(1)).as("c"))
+        }
+        val cum = vh.withColumn("cum", sum(col("c")).over(Window.orderBy("n")))
+        val bcum = vh.select(bitlen4(col("n")).as("bucket"), col("c"))
+          .groupBy(col("bucket")).agg(sum(col("c")).as("c"))
+          .withColumn("bc", sum(col("c")).over(Window.orderBy("bucket")))
+        // ONE driver-side scalar off the tiny checkpointed histogram
+        val total = vh.agg(sum(col("c"))).head().getLong(0)
+        Seq(2500L, 5000L, 7500L, 9000L, 9900L).map { qbp =>
+          val k = (qbp * total + 9999L) / 10000L
+          val ex = cum.filter(col("cum") >= k)
+            .agg(min(col("n")).as("exact_value"))
+            .select(lit(qbp).as("q_bp"), lit(k).as("k"), col("exact_value"))
+          val eb = bcum.filter(col("bc") >= k)
+            .agg(min(col("bucket")).as("est_bucket"))
+            .select(lit(qbp).as("q_bp"), col("est_bucket"))
+          ex.join(eb, "q_bp")
+            .select(col("q_bp"), col("k"), col("est_bucket"),
+              col("exact_value"), bitlen4(col("exact_value")).as("exact_bucket"),
+              when(col("est_bucket") === bitlen4(col("exact_value")), 1L)
+                .otherwise(0L).as("in_bucket"))
+        }.reduce(_.union(_))
+      },
+      s"""WITH t AS (
+         |  SELECT CAST(len(${tokens("text")}) AS BIGINT) AS n
+         |  FROM documents),
+         |vh AS (SELECT n, COUNT(*) AS c FROM t GROUP BY n),
+         |cum AS (SELECT n, SUM(c) OVER (ORDER BY n) AS cum FROM vh),
+         |tot AS (SELECT SUM(c) AS total FROM vh),
+         |bh AS (
+         |  SELECT CAST(length(bin(n * n * n * n)) AS BIGINT) AS bucket,
+         |    SUM(c) AS c
+         |  FROM vh GROUP BY 1),
+         |bcum AS (SELECT bucket, SUM(c) OVER (ORDER BY bucket) AS bc FROM bh),
+         |ks AS (
+         |  SELECT CAST(q_bp AS BIGINT) AS q_bp,
+         |    CAST((q_bp * total + 9999) // 10000 AS BIGINT) AS k
+         |  FROM (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_bp), tot),
+         |ex AS (
+         |  SELECT k.q_bp, k.k, MIN(c.n) AS exact_value
+         |  FROM ks k JOIN cum c ON c.cum >= k.k GROUP BY 1, 2),
+         |eb AS (
+         |  SELECT k.q_bp, MIN(b.bucket) AS est_bucket
+         |  FROM ks k JOIN bcum b ON b.bc >= k.k GROUP BY 1)
+         |SELECT ex.q_bp, ex.k, eb.est_bucket, ex.exact_value,
+         |  CAST(length(bin(ex.exact_value * ex.exact_value *
+         |    ex.exact_value * ex.exact_value)) AS BIGINT) AS exact_bucket,
+         |  CAST(CASE WHEN eb.est_bucket = CAST(length(bin(ex.exact_value *
+         |    ex.exact_value * ex.exact_value * ex.exact_value)) AS BIGINT)
+         |    THEN 1 ELSE 0 END AS BIGINT) AS in_bucket
+         |FROM ex JOIN eb ON ex.q_bp = eb.q_bp""".stripMargin),
 
     // N-gram novelty score: the fraction of a document's distinct
     // 3-gram shingles that appear NOWHERE else in the corpus — the

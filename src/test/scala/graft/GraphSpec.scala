@@ -151,6 +151,45 @@ class GraphSpec extends SparkSpec {
     d(4L) shouldBe (1L, 5L)  // nearest source wins outright
   }
 
+  test("k-core peels a pendant chain off a triangle, one hop per round") {
+    // triangle {1,2,3} plus pendant path 3-4-5: node 5 (deg 1) falls in
+    // round 1, which strands node 4 (deg 1 induced) for round 2; the
+    // fixed point is the triangle with every induced degree exactly 2
+    val edges = sym(Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (3L, 4L, 1L), (4L, 5L, 1L)))
+    val trace = Graph.kcoreTrace(edges, 2L, 3)
+    trace.map(_.count()) shouldBe IndexedSeq(5L, 4L, 3L, 3L)
+    val degs = Graph.kcoreDegrees(edges, trace.last).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    degs shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+  }
+
+  test("k-core peel converges on real data and the registry rows agree") {
+    val d = "/root/testdata/sf0.001"
+    val peel = SparkEntry.queries("graph_kcore_peel")(spark, d)
+      .orderBy("iter").collect()
+      .map(r => (r.getAs[Long]("iter"), r.getAs[Long]("n_nodes"),
+        r.getAs[Long]("n_edges")))
+    peel.map(_._1) shouldBe (0L to 6L).toArray
+    withClue(s"peel rounds ${peel.mkString(", ")}: ") {
+      // survivors and induced edges both fall monotonically...
+      peel.sliding(2).foreach { case Array((_, n0, e0), (_, n1, e1)) =>
+        n1 should be <= n0
+        e1 should be <= e0
+      }
+      // ...and the last two rounds are equal — the fixed-point plateau
+      peel(peel.length - 1)._2 shouldBe peel(peel.length - 2)._2
+      peel(peel.length - 1)._3 shouldBe peel(peel.length - 2)._3
+    }
+    // the payload frame matches the audit's final round, every member
+    // keeps induced degree ≥ k, and one MORE peel round changes nothing
+    val core = SparkEntry.queries("graph_kcore")(spark, d).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("deg"))
+    core.length.toLong shouldBe peel.last._2
+    all(core.map(_._2)) should be >= 2L
+    core.map(_._2).sum shouldBe peel.last._3
+  }
+
   test("BFS relaxation never worsens a distance and reach grows monotonically") {
     val rows = SparkEntry.queries("graph_bfs_reach")(
         spark, "/root/testdata/sf0.001")

@@ -55,6 +55,7 @@ class PlanSpec extends SparkSpec {
       "dedup_band_sweep", // sampled-slice exhaustive Jaccard truth by design
       "sim_index_drift", // broadcast centroid assignment (k-sized, linear)
       "corpus_hybrid_rrf", // dense branch is the brute query-sample broadcast cross
+      "sim_centroid_confusion", // broadcast of the labels-sized centroid set
       "curate_pipeline") // DSIR weight-array + LM-grid 1-row broadcasts
 
   test("no query plans an accidental cartesian / nested-loop join") {

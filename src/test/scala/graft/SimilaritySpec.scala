@@ -523,4 +523,31 @@ class SimilaritySpec extends SparkSpec {
       .select(countDistinct(col("count"))).head().getLong(0)
     perQuery shouldBe 1L // every query serves the same list length
   }
+
+  test("nearest-centroid classifier exposes the train-fit vs held-out gap") {
+    val d = "/root/testdata/sf0.001"
+    // training half: one centroid cell per (label, dim)
+    val cents = SparkEntry.queries("sim_centroid_train")(spark, d).collect()
+    val nLabels = cents.map(_.getAs[Long]("label")).distinct.length
+    cents.length shouldBe nLabels * 64
+    // eval half: every vector classified exactly once, split-tagged
+    val cm = SparkEntry.queries("sim_centroid_confusion")(spark, d).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("label"),
+        r.getAs[Long]("pred"), r.getAs[Long]("n")))
+    val total = graft.ingest.Tables.embeddings(spark, d).count()
+    cm.map(_._4).sum shouldBe total
+    def acc(split: String): Double = {
+      val s = cm.filter(_._1 == split)
+      s.filter(x => x._2 == x._3).map(_._4).sum.toDouble / s.map(_._4).sum
+    }
+    // the audit's reason to exist: on this fixture the labels are NOT
+    // geometrically clustered, so train-fit accuracy (memorization of
+    // 10 centroids over a small pool) towers over held-out accuracy
+    // (~chance) — the overfit / label-noise gap a labeling pipeline
+    // must catch before trusting propagated labels
+    withClue(s"train=${acc("train")} heldout=${acc("heldout")}: ") {
+      acc("train") should be >= 0.25 // well above the 0.10 chance floor
+      acc("train") should be > acc("heldout") + 0.1
+    }
+  }
 }

@@ -207,4 +207,43 @@ class TextAnalysisSpec extends SparkSpec {
         r.getAs[Long]("true_cnt") + r.getAs[Long]("overcount")
     }
   }
+
+  test("quantile sketch serves the exact order statistic's bucket at every q") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("corpus_qhist_quantiles")(spark, d)
+      .orderBy("q_bp").collect()
+      .map(r => (r.getAs[Long]("q_bp"), r.getAs[Long]("est_bucket"),
+        r.getAs[Long]("exact_bucket"), r.getAs[Long]("in_bucket")))
+    rows.map(_._1) shouldBe Array(2500L, 5000L, 7500L, 9000L, 9900L)
+    withClue(s"quantile rows ${rows.mkString(", ")}: ") {
+      all(rows.map(_._4)) shouldBe 1L // the lossless-at-bucket guarantee
+      rows.foreach { case (_, est, exact, _) => est shouldBe exact }
+      // buckets are nondecreasing in q — a broken cumulative walk bends this
+      rows.map(_._2).sliding(2).foreach { case Array(a, b) => b should be >= a }
+    }
+    // and the sketch's cells cover the corpus exactly once
+    val cells = graft.SparkEntry.queries("corpus_qhist")(spark, d).collect()
+    cells.map(_.getAs[Long]("cnt")).sum shouldBe
+      graft.ingest.Tables.documents(spark, d).count()
+  }
+
+  test("PMI collocations: counts nest and lift is the exact count ratio") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("corpus_pmi")(spark, d).collect()
+    rows should not be empty
+    // total token mass N is recoverable from any row's exact operands:
+    // lift9 = round(cxy·N/(cx·cy), 9) — recompute and compare
+    val toks = graft.ingest.Tables.documents(spark, d)
+      .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+    val n = toks.count()
+    rows.foreach { r =>
+      val (cxy, cx, cy) = (r.getAs[Long]("cxy"), r.getAs[Long]("cx"),
+        r.getAs[Long]("cy"))
+      cxy should be >= 5L // the support floor
+      cxy should be <= math.min(cx, cy) // a pair can't outnumber its parts
+      val lift = BigDecimal(cxy.toDouble * n.toDouble / (cx.toDouble * cy.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      r.getAs[Double]("lift9") shouldBe lift +- 1e-9
+    }
+  }
 }
