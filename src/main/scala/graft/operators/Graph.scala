@@ -278,8 +278,10 @@ object Graph {
         .join(s.select(col("node").as("u")), "u")
         .join(s.select(col("node").as("v")), "v")
         .agg(count(lit(1)).as("n_edges"))
-        .select(lit(i.toLong).as("iter"), col("n_edges"))
-      nn.join(ne, "iter")
+      // 1-row × 1-row scalar cross (the wh_dq_checks shape): a literal-
+      // key equi-join here constant-folds into an unregistered nested-
+      // loop join and trips the registry-wide cartesian-absence guard
+      nn.crossJoin(broadcast(ne))
     }.reduce(_.union(_))
 
   /** The convergence audit of an LPA run: one row per round with the

@@ -1248,14 +1248,18 @@ object TextQueries {
     // full cell frame hash-matches DuckDB cell for cell.
     "corpus_qhist" -> QueryDef(
       (s, d) => {
-        val n = size(TextAnalysis.tokens(col("text"))).cast("long")
+        val raw = size(TextAnalysis.tokens(col("text"))).cast("long")
+        // saturate at 55,108: the largest n whose n⁴ fits int64 — longer
+        // documents all land in the top (~63rd) bucket instead of a
+        // silent int64 wrap (Spark) / a raised overflow (DuckDB)
+        val n = least(raw, lit(55108L))
         Tables.documents(s, d)
           .select(length(bin(n * n * n * n)).cast("long").as("bucket"))
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("cnt"))
       },
       s"""WITH t AS (
-         |  SELECT CAST(len(${tokens("text")}) AS BIGINT) AS n
+         |  SELECT LEAST(CAST(len(${tokens("text")}) AS BIGINT), 55108) AS n
          |  FROM documents)
          |SELECT CAST(length(bin(n * n * n * n)) AS BIGINT) AS bucket,
          |  COUNT(*) AS cnt
@@ -1269,41 +1273,49 @@ object TextQueries {
     // cumulative walk is broken. The exact side (value-level histogram
     // + cumulative window) exists here only to GRADE the sketch; the
     // serving path reads the ≤ ~128-cell bucket frame alone. Both
-    // windows ride aggregate frames (distinct lengths / buckets), so
-    // the single-partition exchanges carry metadata-sized inputs.
+    // cumulative windows run INSIDE the memo, directly over the
+    // value-level aggregate (rows = distinct lengths — metadata-sized),
+    // so the single-partition collapse is certified at build time and
+    // every probe below is one conditional aggregation over a pure
+    // checkpoint scan — no literal-key 1-row join (the r10 guard
+    // regression), no join at all.
     "corpus_qhist_quantiles" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        def bitlen4(c: org.apache.spark.sql.Column) =
-          length(bin(c * c * c * c)).cast("long")
-        val vh = FrameCache.memo(s, d, "qhist_vh") {
-          Tables.documents(s, d)
+        def bitlen4(c: org.apache.spark.sql.Column) = {
+          val m = least(c, lit(55108L)) // n⁴ int64 saturation guard
+          length(bin(m * m * m * m)).cast("long")
+        }
+        val vhc = FrameCache.memo(s, d, "qhist_vhc") {
+          val vh = Tables.documents(s, d)
             .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
             .groupBy(col("n")).agg(count(lit(1)).as("c"))
+          // bucket(n) is monotone in n, so the bucket-level cumulative
+          // AT bucket b equals the value-level walk's max within b —
+          // attach it per row (one bucket-keyed window), no second
+          // frame and no bucket→value join needed downstream
+          vh.withColumn("cum", sum(col("c")).over(Window.orderBy("n")))
+            .withColumn("bucket", bitlen4(col("n")))
+            .withColumn("bc",
+              max(col("cum")).over(Window.partitionBy("bucket")))
         }
-        val cum = vh.withColumn("cum", sum(col("c")).over(Window.orderBy("n")))
-        val bcum = vh.select(bitlen4(col("n")).as("bucket"), col("c"))
-          .groupBy(col("bucket")).agg(sum(col("c")).as("c"))
-          .withColumn("bc", sum(col("c")).over(Window.orderBy("bucket")))
         // ONE driver-side scalar off the tiny checkpointed histogram
-        val total = vh.agg(sum(col("c"))).head().getLong(0)
+        val total = vhc.agg(max(col("cum"))).head().getLong(0)
         Seq(2500L, 5000L, 7500L, 9000L, 9900L).map { qbp =>
           val k = (qbp * total + 9999L) / 10000L
-          val ex = cum.filter(col("cum") >= k)
-            .agg(min(col("n")).as("exact_value"))
-            .select(lit(qbp).as("q_bp"), lit(k).as("k"), col("exact_value"))
-          val eb = bcum.filter(col("bc") >= k)
-            .agg(min(col("bucket")).as("est_bucket"))
-            .select(lit(qbp).as("q_bp"), col("est_bucket"))
-          ex.join(eb, "q_bp")
-            .select(col("q_bp"), col("k"), col("est_bucket"),
+          // one aggregation serves BOTH the exact order statistic and
+          // the sketch's answer — still independently computed columns
+          vhc.agg(
+            min(when(col("cum") >= k, col("n"))).as("exact_value"),
+            min(when(col("bc") >= k, col("bucket"))).as("est_bucket"))
+            .select(lit(qbp).as("q_bp"), lit(k).as("k"), col("est_bucket"),
               col("exact_value"), bitlen4(col("exact_value")).as("exact_bucket"),
               when(col("est_bucket") === bitlen4(col("exact_value")), 1L)
                 .otherwise(0L).as("in_bucket"))
         }.reduce(_.union(_))
       },
       s"""WITH t AS (
-         |  SELECT CAST(len(${tokens("text")}) AS BIGINT) AS n
+         |  SELECT LEAST(CAST(len(${tokens("text")}) AS BIGINT), 55108) AS n
          |  FROM documents),
          |vh AS (SELECT n, COUNT(*) AS c FROM t GROUP BY n),
          |cum AS (SELECT n, SUM(c) OVER (ORDER BY n) AS cum FROM vh),

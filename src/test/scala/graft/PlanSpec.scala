@@ -54,8 +54,10 @@ class PlanSpec extends SparkSpec {
       "sim_postfilter_recall", // same filtered baseline, post-filter comparison row
       "dedup_band_sweep", // sampled-slice exhaustive Jaccard truth by design
       "sim_index_drift", // broadcast centroid assignment (k-sized, linear)
+      "sim_index_retrain", // two broadcast centroid assignments (both k-sized, linear)
       "corpus_hybrid_rrf", // dense branch is the brute query-sample broadcast cross
       "sim_centroid_confusion", // broadcast of the labels-sized centroid set
+      "graph_kcore_peel", // per-round 1-row × 1-row scalar cross (survivors × induced edges)
       "curate_pipeline") // DSIR weight-array + LM-grid 1-row broadcasts
 
   test("no query plans an accidental cartesian / nested-loop join") {
