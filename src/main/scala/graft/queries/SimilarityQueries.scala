@@ -518,12 +518,7 @@ object SimilarityQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val ef = quantized(s, d)
-        val evens = ef.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val cents = Similarity.kmeansTrain(
-          evens.select(col("vec_id").as("__id"), col("qv").as("__v")),
-          evens.filter(pmod(col("vec_id"), lit(50)) === 0)
-            .select(col("vec_id").as("cent_id"), col("qv").as("cent_v")),
-          iters = TrainIters)
+        val cents = cohortCentroids(s, d)
         val d2 = (Similarity.dot(col("qv"), col("qv"))
           - lit(2.0) * Similarity.dot(col("qv"), col("cent_v"))
           + Similarity.dot(col("cent_v"), col("cent_v"))).cast("long")
@@ -577,6 +572,89 @@ object SimilarityQueries {
          |      / count(CASE WHEN vec_id % 2 = 1 THEN 1 END) END
          |    AS mean_d2_arrival
          |FROM asgf GROUP BY cell_id""".stripMargin),
+
+    // CLOSING the drift loop: sim_index_drift measured the retraining
+    // trigger (the arrival cohort fits ~8 % worse under the cohort-
+    // trained index); this row ACTS on it — retrain the centroids on
+    // the FULL corpus with the same integer-Lloyd chain, re-assign,
+    // and report the fit gap per index generation. gap_bp is the
+    // arrival/trained mean-d2 ratio in basis points (10,000 = parity):
+    // gen 0 (stale, evens-trained) sits above parity; gen 1 (retrained)
+    // collapses to ~parity — the measured proof the retrain removed
+    // the drift. All inputs to the ratio are exact int64 sums < 2^53,
+    // so the IEEE double divisions are engine-identical; floor (not
+    // round) avoids the half-up/half-away seam. Scale shape: two
+    // broadcast-centroid assignments (k-sized builds, corpus never
+    // reshuffles) + ONE map-side-combined 2-group aggregation. The
+    // serving-side half of the loop is the hot-swap writer
+    // (StreamingSearch.servePrunedSwappableWriter): the swap spec pins
+    // pre-swap serving ≡ the stale-index batch search and post-swap
+    // serving ≡ the retrained-index batch search, row-identical.
+    "sim_index_retrain" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ef = quantized(s, d)
+        def fit(cents: org.apache.spark.sql.DataFrame, gen: Long) = {
+          val d2 = (Similarity.dot(col("qv"), col("qv"))
+            - lit(2.0) * Similarity.dot(col("qv"), col("cent_v"))
+            + Similarity.dot(col("cent_v"), col("cent_v"))).cast("long")
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("d2").asc, col("cent_id").asc)
+          ef.crossJoin(broadcast(cents))
+            .withColumn("d2", d2)
+            .withColumn("cr", row_number().over(w))
+            .filter(col("cr") === 1)
+            .select(lit(gen).as("index_gen"), col("vec_id"), col("d2"))
+        }
+        val trained = pmod(col("vec_id"), lit(2)) === 0
+        fit(cohortCentroids(s, d), 0L)
+          .union(fit(trainedCentroids(s, d), 1L))
+          .groupBy(col("index_gen"))
+          .agg(count(when(trained, 1)).as("n_trained"),
+            count(when(!trained, 1)).as("n_arrival"),
+            sum(when(trained, col("d2"))).as("d2_trained"),
+            sum(when(!trained, col("d2"))).as("d2_arrival"))
+          .select(col("index_gen"), col("n_trained"), col("n_arrival"),
+            col("d2_trained"), col("d2_arrival"),
+            (col("d2_trained") / col("n_trained")).as("mean_d2_trained"),
+            (col("d2_arrival") / col("n_arrival")).as("mean_d2_arrival"),
+            floor(lit(10000.0) * (col("d2_arrival") / col("n_arrival"))
+              / (col("d2_trained") / col("n_trained"))).as("gap_bp"))
+      },
+      s"""WITH ef AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM ef WHERE vec_id % 2 = 0),
+         |${ivfTrainChain("e", "")},
+         |${ivfTrainChain("ef", "f")},
+         |cents AS (
+         |  SELECT 0 AS g, cent_id, cent_v FROM c
+         |  UNION ALL SELECT 1 AS g, cent_id, cent_v FROM fc),
+         |scoredf AS (
+         |  SELECT cn.g, ef.vec_id, cn.cent_id,
+         |    ${d2Sql("ef.v", "cn.cent_v", Dims)} AS d2
+         |  FROM ef, cents cn),
+         |asgf AS (
+         |  SELECT g, vec_id, CAST(d2 AS BIGINT) AS d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY g, vec_id
+         |      ORDER BY d2 ASC, cent_id ASC) AS cr
+         |    FROM scoredf) WHERE cr = 1),
+         |agg AS (
+         |  SELECT g,
+         |    CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT)
+         |      AS n_trained,
+         |    CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT)
+         |      AS n_arrival,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN d2 END) AS BIGINT)
+         |      AS d2_trained,
+         |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN d2 END) AS BIGINT)
+         |      AS d2_arrival
+         |  FROM asgf GROUP BY g)
+         |SELECT CAST(g AS BIGINT) AS index_gen,
+         |  n_trained, n_arrival, d2_trained, d2_arrival,
+         |  d2_trained / n_trained AS mean_d2_trained,
+         |  d2_arrival / n_arrival AS mean_d2_arrival,
+         |  CAST(floor(10000.0 * (d2_arrival / n_arrival)
+         |    / (d2_trained / n_trained)) AS BIGINT) AS gap_bp
+         |FROM agg""".stripMargin),
 
     // Coreset by cell quota — DIVERSITY sampling for training subsets:
     // a uniform sample over-represents dense regions of embedding
@@ -1455,9 +1533,17 @@ object SimilarityQueries {
     * serving path then prunes on `cell_id` without touching vectors.
     * Package-visible for the streaming pruned-search twin. */
   private[graft] def indexedCodes(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    indexedCodesUnder(s, d, trainedCentroids(s, d))
+
+  /** [[indexedCodes]] under an EXPLICIT centroid generation — the swap
+    * spec builds the stale (drift-cohort) index with it; a retrain
+    * changes the cell assignment, not the PQ codes. */
+  private[graft] def indexedCodesUnder(s: org.apache.spark.sql.SparkSession,
+      d: String, cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val (assigned, _) = Similarity.ivfAssignCentroids(quantized(s, d),
-      "vec_id", "qv", cents = trainedCentroids(s, d), nprobe = 1)
+      "vec_id", "qv", cents = cents, nprobe = 1)
     assigned.select(col("__id").as("vec_id"), col("cell_id"))
       .join(pqCodesFrame(s, d), Seq("vec_id"))
   }
@@ -2145,6 +2231,21 @@ object SimilarityQueries {
       d: String): org.apache.spark.sql.DataFrame =
     FrameCache.memo(s, d, "ivf_centroids")(ivfTrainPipeline(s, d))
 
+  /** The DRIFT-COHORT centroids: the same integer-Lloyd chain trained
+    * on the even-id half of the corpus only — the index generation the
+    * drift audit measures against and the retrain row replaces. Shared
+    * by `sim_index_drift`, `sim_index_retrain`, and the swap spec. */
+  private[graft] def cohortCentroids(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.memo(s, d, "drift_cohort_cents") {
+      val evens = quantized(s, d).filter(pmod(col("vec_id"), lit(2)) === 0)
+      Similarity.kmeansTrain(
+        evens.select(col("vec_id").as("__id"), col("qv").as("__v")),
+        evens.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("cent_id"), col("qv").as("cent_v")),
+        iters = TrainIters)
+    }
+
   /** TRAINED per-subspace PQ codebook pipeline: the 4 subspaces train as
     * one grouped k-means (group key = `sub`, [[PqCodes]] codewords each,
     * init = the vec_id < [[PqCodes]] id-pick), replayed by [[pqTrainCtes]]. */
@@ -2174,6 +2275,7 @@ object SimilarityQueries {
   private[graft] def prewarmShared(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = {
     trainedCentroids(s, d)
+    cohortCentroids(s, d)
     trainedCodebook(s, d)
     trainedResCodebook(s, d)
     semAssigned(s, d)
@@ -2203,37 +2305,41 @@ object SimilarityQueries {
     s"(${dot(v, v, dims)} - 2.0 * ${dot(v, c, dims)} + ${dot(c, c, dims)})"
 
   /** Unrolled integer-Lloyd training CTEs for the IVF centroids —
-    * requires a preceding `e(vec_id, v)` CTE, ends by defining
-    * `c(cent_id, cent_v)`: per iteration, argmin assignment
+    * requires a preceding `$src(vec_id, v)` CTE, ends by defining
+    * `${pre}c(cent_id, cent_v)`: per iteration, argmin assignment
     * (row_number ≡ the Spark side's min-struct), per-(cluster, dim)
     * mean re-quantized with round (half away from zero in BOTH
-    * engines), empty clusters keeping their previous centroid. */
-  private def ivfTrainCtes: String = {
+    * engines), empty clusters keeping their previous centroid. The
+    * `pre` prefix lets one oracle replay TWO index generations (the
+    * retrain row trains on the drift cohort AND the full corpus). */
+  private def ivfTrainChain(src: String, pre: String): String = {
     val init =
-      "ct0 AS (SELECT vec_id AS cent_id, v AS cent_v FROM e WHERE vec_id % 50 = 0)"
+      s"${pre}ct0 AS (SELECT vec_id AS cent_id, v AS cent_v FROM $src WHERE vec_id % 50 = 0)"
     val steps = (1 to TrainIters).map { i =>
-      s"""asg$i AS (
+      s"""${pre}asg$i AS (
          |  SELECT vec_id, v, cent_id AS cluster_id FROM (
          |    SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (
          |      PARTITION BY e.vec_id
          |      ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
-         |    FROM e, ct${i - 1} c) WHERE cr = 1),
-         |mu$i AS (
+         |    FROM $src e, ${pre}ct${i - 1} c) WHERE cr = 1),
+         |${pre}mu$i AS (
          |  -- + 0.0 maps IEEE -0.0 (DuckDB round is C-style) onto the
          |  -- +0.0 Spark's BigDecimal HALF_UP round always produces
          |  SELECT cluster_id, di.i, round(SUM(v[di.i]) / COUNT(*)) + 0.0 AS m
-         |  FROM asg$i, (SELECT unnest(range(1, ${Dims + 1})) AS i) di
+         |  FROM ${pre}asg$i, (SELECT unnest(range(1, ${Dims + 1})) AS i) di
          |  GROUP BY cluster_id, di.i),
-         |nc$i AS (
+         |${pre}nc$i AS (
          |  SELECT cluster_id AS cent_id, list(m ORDER BY i) AS cent_v
-         |  FROM mu$i GROUP BY cluster_id),
-         |ct$i AS (
+         |  FROM ${pre}mu$i GROUP BY cluster_id),
+         |${pre}ct$i AS (
          |  SELECT p.cent_id, COALESCE(n.cent_v, p.cent_v) AS cent_v
-         |  FROM ct${i - 1} p LEFT JOIN nc$i n ON n.cent_id = p.cent_id)""".stripMargin
+         |  FROM ${pre}ct${i - 1} p LEFT JOIN ${pre}nc$i n ON n.cent_id = p.cent_id)""".stripMargin
     }
     ((init +: steps) :+
-      s"c AS (SELECT cent_id, cent_v FROM ct$TrainIters)").mkString(",\n")
+      s"${pre}c AS (SELECT cent_id, cent_v FROM ${pre}ct$TrainIters)").mkString(",\n")
   }
+
+  private def ivfTrainCtes: String = ivfTrainChain("e", "")
 
   /** The id-pick init + K grouped-Lloyd training steps over a subvector
     * fan-out CTE `fanout(vec_id, sub, sv)`, all CTE names prefixed with

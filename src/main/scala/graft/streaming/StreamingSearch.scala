@@ -37,6 +37,33 @@ object StreamingSearch {
         sink(Similarity.pqAdcSearch(batch, codes, cb, k))
       }
 
+  /** One generation of a probe-pruned IVF-PQ index: the cell-assigned
+    * coded corpus, the trained codebook, and the trained centroids —
+    * everything [[Similarity.ivfPqSearch]] reads. A retrain produces a
+    * NEW generation (new centroids ⇒ new cell assignment) while the
+    * codebook may carry over. */
+  final case class IvfPqIndex(cellCodes: DataFrame, cb: DataFrame,
+      cents: DataFrame)
+
+  /** HOT-SWAPPABLE probe-pruned serving — [[servePrunedWriter]] with
+    * the index read through an AtomicReference each micro-batch: the
+    * zero-downtime index rollover a serving fleet performs after a
+    * retrain (`sim_index_retrain` produces the new generation; the
+    * operator calls `index.set(...)` and the NEXT batch probes it —
+    * in-flight batches finish on the generation they started with,
+    * so every answer is consistent with exactly one index). The swap
+    * spec pins pre-swap output ≡ the stale-index batch search and
+    * post-swap output ≡ the retrained-index batch search. */
+  def servePrunedSwappableWriter(queries: DataFrame,
+      index: java.util.concurrent.atomic.AtomicReference[IvfPqIndex],
+      nprobe: Int, k: Int)(sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ix = index.get()
+        sink(Similarity.ivfPqSearch(batch, ix.cellCodes, ix.cb, ix.cents,
+          nprobe, k))
+      }
+
   /** Probe-pruned serving — [[serveWriter]] with the full-corpus ADC
     * scan replaced by the composed IVF-PQ kernel
     * ([[Similarity.ivfPqSearch]]): each micro-batch's queries probe

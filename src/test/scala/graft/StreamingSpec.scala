@@ -883,6 +883,56 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe expected
   }
 
+  test("index hot-swap: pre-swap serves the stale generation, post-swap the retrained one") {
+    // the serving half of the drift → retrain loop (sim_index_drift
+    // measures the trigger, sim_index_retrain closes the fit gap): the
+    // SAME streaming query answers from the stale (drift-cohort) index
+    // until the operator swaps the AtomicReference, and from the
+    // retrained index afterwards — both phases pinned row-identical to
+    // their generation's batch search
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val SQ = graft.queries.SimilarityQueries
+    val qvecsDf = graft.ingest.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long").as("query_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val qvecs = qvecsDf.as[(Long, Seq[Double])].collect().toIndexedSeq
+    val cb = SQ.trainedCodebookFrame(spark, d)
+    val stale = graft.streaming.StreamingSearch.IvfPqIndex(
+      SQ.indexedCodesUnder(spark, d, SQ.cohortCentroids(spark, d))
+        .localCheckpoint(),
+      cb, SQ.cohortCentroids(spark, d))
+    val retrained = graft.streaming.StreamingSearch.IvfPqIndex(
+      SQ.indexedCodes(spark, d).localCheckpoint(), cb,
+      SQ.trainedCentroidsFrame(spark, d))
+    def batchOf(ix: graft.streaming.StreamingSearch.IvfPqIndex) =
+      graft.operators.Similarity.ivfPqSearch(
+          qvecsDf, ix.cellCodes, ix.cb, ix.cents, 3, 10)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val staleExpected = batchOf(stale)
+    val retrainedExpected = batchOf(retrained)
+    staleExpected should not be empty
+    retrainedExpected should not be empty
+
+    val ref = new java.util.concurrent.atomic.AtomicReference(stale)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingSearch.servePrunedSwappableWriter(
+        in.toDF().toDF("query_id", "qv"), ref, nprobe = 3, k = 10) { out =>
+        buf.synchronized { buf ++= out.as[(Long, Long, Long, Long)].collect() }
+      }
+      .option("checkpointLocation", tmp("ckpt-swap")).start()
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    val preSwap = buf.synchronized { val s = buf.toSet; buf.clear(); s }
+    ref.set(retrained) // THE SWAP — no restart, next batch probes gen 1
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    preSwap shouldBe staleExpected
+    buf.toSet shouldBe retrainedExpected
+  }
+
   test("streaming refined serving equals the batch IVFADC+R re-rank on the same query set") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
