@@ -970,7 +970,11 @@ object StreamBench {
       "media" -> (mediaSection(_, _, volumeFloor)),
       "curation" -> (curationSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)
-    try sections.flatMap { case (name, fn) =>
+    // ad-hoc profiling filter (the stream-side ProfileOne): run only the
+    // named sections — NEVER set in driver runs, which time the full board
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY").map(_.split(",").toSet)
+    try sections.filter { case (n, _) => only.forall(_.contains(n)) }
+      .flatMap { case (name, fn) =>
       try {
         // untimed ambient probe immediately before the section clock
         val cs = try Bench.calibrate(spark) catch { case _: Throwable => -1.0 }
@@ -985,5 +989,27 @@ object StreamBench {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       deleteTmpDirs()
     }
+  }
+
+  /** Ad-hoc stream-section profiler (the stream-side ProfileOne):
+    * `runMain graft.StreamBench`, honoring SPARK_GRAFT_SF_DIR /
+    * SPARK_GRAFT_CPUS / SPARK_GRAFT_STREAM_ONLY. One line per section;
+    * the OFFICIAL numbers come from [[graft.Bench]], which embeds the
+    * same [[run]]. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, sfDir).foreach { s =>
+      println(f"STREAM ${s.name}%-14s rows=${s.rows} sec=${s.sec}%.3f " +
+        f"rps=${s.rps}%.0f calib=${s.calibSec}%.3f")
+    }
+    spark.stop()
   }
 }

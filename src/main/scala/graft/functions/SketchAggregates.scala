@@ -1,0 +1,100 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.CatalystBridge
+import org.apache.spark.sql.types._
+
+/** Native sketch AGGREGATES — the step past the per-row expressions:
+  * a sketch is an aggregation whose state is the sketch itself, so the
+  * fastest plan accumulates the dense cell table directly in the
+  * aggregation buffer (one compiled update per DOCUMENT, map-side
+  * combined per partition, merged cell-wise) instead of exploding
+  * per-document cell rows through a hash aggregate. On a stream the
+  * serialized buffer IS the state-store value: constant rows×width
+  * int64 cells at any ingest volume.
+  */
+object SketchAggregates {
+
+  /** Count-min sketch of a token-array column as ONE typed imperative
+    * aggregate: `update` runs [[TextHashFunctions.cmsAccumulate]] over
+    * the row's tokens (hash60 once per occurrence, all `rows` affine
+    * cells bumped), `merge` adds cell tables — the mergeability that
+    * makes the sketch a per-partition/per-hour summary. Result is the
+    * dense rows×width cell array in row-major order; consumers
+    * posexplode + drop zero cells to recover the sparse (r, b, c)
+    * frame ([[graft.operators.Sketch.cmsSketch]]), bit-identical to
+    * the composable per-token explode form (spec-pinned). */
+  case class CmsSketchAgg(
+      child: Expression,
+      rows: Int,
+      width: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    require(rows >= 1 && rows <= 16, s"cms rows must be in [1,16], got $rows")
+    require(width >= 1, s"cms width must be positive, got $width")
+
+    override def children: Seq[Expression] = child :: Nil
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "cms_sketch_agg"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens, got ${t.sql}")
+    }
+
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](rows * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null)
+        TextHashFunctions.cmsAccumulate(buf, v.asInstanceOf[ArrayData],
+          rows, width)
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 8)
+      bb.asLongBuffer().put(buf)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val out = new Array[Long](bytes.length / 8)
+      ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): CmsSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CmsSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): CmsSketchAgg = copy(child = c.head)
+  }
+
+  /** [[CmsSketchAgg]] as an aggregate Column over a token-array column. */
+  def cmsSketchAgg(tokens: Column, rows: Int, width: Int): Column =
+    CatalystBridge.column(
+      CmsSketchAgg(CatalystBridge.expression(tokens), rows, width)
+        .toAggregateExpression())
+}

@@ -343,6 +343,86 @@ object TextHashFunctions {
         l: Expression, r: Expression): LmScoreBits = copy(left = l, right = r)
   }
 
+  /** Precomputed affine-family constants (the same "minhash-a/b-$i"
+    * seeds [[PortableHash.constantA]]/[[PortableHash.constantB]]
+    * derive) — computed once, not one MD5 per row per family member. */
+  private val AffA = Array.tabulate(16)(PortableHash.constantA)
+  private val AffB = Array.tabulate(16)(PortableHash.constantB)
+
+  /** Per-document sparse count-min partial: ONE compiled pass over the
+    * token array — hash60 each occurrence once, bump all `rows` affine
+    * cells in a dense local table, emit the nonzero cells as
+    * (r, b, c) structs in row-major order. Replaces the per-token
+    * `explode(array(rows structs))` + interpreted affine hashes (rows×
+    * tokens rows through the pipeline per document) with ≤ rows×width
+    * rows per DOCUMENT; bit-equivalent to the composable
+    * [[graft.operators.Sketch.cmsEntries]] form (spec-pinned). */
+  /** The CMS inner loop, shared by the per-document expression and the
+    * [[SketchAggregates.CmsSketchAgg]] buffer update: hash60 each
+    * occurrence once, bump all `rows` affine cells of the dense table. */
+  def cmsAccumulate(counts: Array[Long], tokens: ArrayData,
+      rows: Int, width: Int): Unit = {
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      // pre-reduce once: (h % P) * a + b stays < 2^62, same as affine()
+      val h = hash60(tokens.getUTF8String(i)) % PortableHash.P
+      var r = 0
+      while (r < rows) {
+        val b = ((h * AffA(r) + AffB(r)) % PortableHash.P % width).toInt
+        counts(r * width + b) += 1L
+        r += 1
+      }
+      i += 1
+    }
+  }
+
+  def cmsCellCounts(tokens: ArrayData, rows: Int, width: Int): ArrayData = {
+    require(rows >= 1 && rows <= 16, s"cms rows must be in [1,16], got $rows")
+    require(width >= 1, s"cms width must be positive, got $width")
+    val counts = new Array[Long](rows * width)
+    cmsAccumulate(counts, tokens, rows, width)
+    var nz = 0
+    var j = 0
+    while (j < counts.length) { if (counts(j) != 0L) nz += 1; j += 1 }
+    val out = new Array[AnyRef](nz)
+    var k = 0
+    j = 0
+    while (j < counts.length) {
+      if (counts(j) != 0L) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any]((j / width).toLong, (j % width).toLong, counts(j)))
+        k += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** [[cmsCellCounts]] as a native unary expression over the token
+    * array; `rows`/`width` are plan-time constants (the sketch
+    * geometry), so codegen is one static call. */
+  case class CmsCells(child: Expression, rows: Int, width: Int)
+      extends UnaryExpression {
+    override def prettyName: String = "cms_cells"
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("r", LongType, nullable = false),
+      StructField("b", LongType, nullable = false),
+      StructField("c", LongType, nullable = false))), containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens, got ${t.sql}")
+    }
+    override protected def nullSafeEval(t: Any): Any =
+      cmsCellCounts(t.asInstanceOf[ArrayData], rows, width)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, t =>
+        s"graft.functions.TextHashFunctions.cmsCellCounts($t, $rows, $width)")
+    override protected def withNewChildInternal(c: Expression): CmsCells =
+      copy(child = c)
+  }
+
   def shingleStrings(tokens: Column, n: Int): Column =
     CatalystBridge.column(ShingleStrings(CatalystBridge.expression(tokens), n))
   def hashedShingles60(tokens: Column, n: Int): Column =
@@ -351,6 +431,8 @@ object TextHashFunctions {
     CatalystBridge.column(MinHashSig(CatalystBridge.expression(hashed), k))
   def simhash16(tokens: Column): Column =
     CatalystBridge.column(SimHash16(CatalystBridge.expression(tokens)))
+  def cmsCells(tokens: Column, rows: Int, width: Int): Column =
+    CatalystBridge.column(CmsCells(CatalystBridge.expression(tokens), rows, width))
   def lmScoreBits(tokens: Column, grid: Column): Column =
     CatalystBridge.column(LmScoreBits(
       CatalystBridge.expression(tokens), CatalystBridge.expression(grid)))

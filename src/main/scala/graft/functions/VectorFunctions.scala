@@ -198,6 +198,7 @@ object VectorFunctions {
   *   minhash_sig(hashed, k)         k-slot MinHash signature
   *   simhash16(tokens)              16-bit SimHash fingerprint
   *   lm_score_bits(tokens, grid)    hashed-bigram LM score (quarter-bit)
+  *   cms_cells(tokens, rows, width) per-doc sparse count-min cell counts
   *   vec_argmin_d2(vec, entries)    nearest entry by exact squared L2
   *
   * Integer parameters (n, k) must be literals — they parameterize the
@@ -234,6 +235,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => T.SimHash16(c(0)) })
     ext.injectFunction(fn("lm_score_bits", classOf[T.LmScoreBits]) {
       c => T.LmScoreBits(c(0), c(1)) })
+    ext.injectFunction(fn("cms_cells", classOf[T.CmsCells]) {
+      c => T.CmsCells(c(0), intLit(c(1), "cms_cells"),
+        intLit(c(2), "cms_cells")) })
     ext.injectFunction(fn("vec_argmin_d2", classOf[VectorFunctions.ArgminD2]) {
       c => VectorFunctions.ArgminD2(c(0), c(1)) })
     ext.injectFunction(fn("morton_interleave16",

@@ -30,7 +30,10 @@ object Sketch {
 
   /** The per-token (r, b) cell tags: ONE map-only explode emitting
     * [[Rows]] structs per occurrence — the corpus is read once, not
-    * [[Rows]] times. */
+    * [[Rows]] times. The COMPOSABLE form: [[cmsSketch]] now rides the
+    * compiled [[graft.functions.TextHashFunctions.CmsCells]] partial
+    * instead (per-document, not per-token — SketchSpec pins the two
+    * bit-identical); this stays as the oracle-shaped reference. */
   def cmsEntries(tok: Column): Column = {
     val h = PortableHash.hash60(tok)
     explode(array((0 until Rows).map { i =>
@@ -38,16 +41,47 @@ object Sketch {
     }: _*))
   }
 
-  /** The full sketch of a (doc_id, text) frame: tokenize, tag, and ONE
-    * map-side-combined aggregation whose key space is the 1,024 cells.
-    * Works identically on a batch frame and a streaming frame — on a
-    * stream the cell counters ARE the aggregation state, so state size
-    * is Rows×Width regardless of ingest volume. */
-  def cmsSketch(docs: DataFrame): DataFrame =
+  /** [[cmsSketch]] built from the composable per-token tags — the
+    * equivalence spec's reference side. */
+  def cmsSketchComposable(docs: DataFrame): DataFrame =
     docs
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .select(cmsEntries(col("tok")).as("e"))
       .select(col("e.r").as("r"), col("e.b").as("b"))
       .groupBy(col("r"), col("b"))
       .agg(count(lit(1)).cast("long").as("c"))
+
+  /** Per-document sparse partial sketch
+    * ([[graft.functions.TextHashFunctions.CmsCells]]) — the
+    * intermediate form between the per-token tags and the full
+    * aggregate, kept for consumers that need per-document cell counts. */
+  def cmsSketchPerDoc(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.functions.TextHashFunctions.cmsCells(
+        TextAnalysis.tokens(col("text")), Rows, Width)).as("e"))
+      .select(col("e.r").as("r"), col("e.b").as("b"), col("e.c").as("pc"))
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("pc")).as("c"))
+
+  /** The full sketch of a (doc_id, text) frame: ONE typed imperative
+    * aggregation ([[graft.functions.SketchAggregates.CmsSketchAgg]])
+    * whose buffer IS the dense Rows×[[Width]] cell table — one
+    * compiled update per DOCUMENT (hash60 once per occurrence),
+    * map-side combined per partition, merged cell-wise; the sparse
+    * (r, b, c) frame is recovered by posexplode + zero-drop on the
+    * single 1,024-entry result row. No per-token or per-cell rows ever
+    * flow through a hash aggregate. Works identically on a batch frame
+    * and a streaming frame — on a stream the serialized buffer IS the
+    * aggregation state, so state size is Rows×Width regardless of
+    * ingest volume. */
+  def cmsSketch(docs: DataFrame): DataFrame =
+    docs
+      .agg(graft.functions.SketchAggregates.cmsSketchAgg(
+        TextAnalysis.tokens(col("text")), Rows, Width).as("cells"))
+      .select(posexplode(col("cells")).as(Seq("pos", "c")))
+      .filter(col("c") =!= 0L)
+      .select((col("pos") - pmod(col("pos"), lit(Width))).cast("long")
+          .divide(lit(Width)).cast("long").as("r"),
+        pmod(col("pos"), lit(Width)).cast("long").as("b"),
+        col("c"))
 }

@@ -130,6 +130,25 @@ class TextHashFunctionsSpec extends SparkSpec {
     diff.count() shouldBe 0L
   }
 
+  test("native cmsCells sketch == composable per-token explode sketch") {
+    // the one-pass compiled partial (hash60 once per occurrence, dense
+    // local cell table, sparse emit) must reproduce the composable
+    // explode(array(4 structs)) + affine pipeline cell for cell — the
+    // bit-equivalence pin behind rewiring Sketch.cmsSketch onto it
+    val docs = graft.ingest.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val aggForm = graft.operators.Sketch.cmsSketch(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    val perDoc = graft.operators.Sketch.cmsSketchPerDoc(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    val composable = graft.operators.Sketch.cmsSketchComposable(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    aggForm should not be empty
+    aggForm shouldBe composable
+    perDoc shouldBe composable
+  }
+
   test("malformed inputs fail loud: short LM grid, negative bucket hash") {
     // SQL-registered surface: a user-supplied grid of the wrong size or
     // a negative "hash" must throw, not index out of bounds and return
