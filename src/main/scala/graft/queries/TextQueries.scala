@@ -323,6 +323,7 @@ object TextQueries {
       d: String): Unit = {
     lmGrid(s, d)
     lmGridBg(s, d)
+    nbGrid(s, d)
     ()
   }
 
@@ -337,6 +338,154 @@ object TextQueries {
     * capstone, the streaming twin wiring, and the gate share one
     * constant pair. */
   private[graft] def lmRatioThreshold: (Long, Long) = (LmRatioNum, LmRatioDen)
+
+  /** [[LmScale]], package-visible so the streaming NB scorer centers
+    * with exactly the batch side's probability scale. */
+  private[graft] def lmProbScale: Long = LmScale
+
+  /** Multinomial Naive Bayes over hashed-BIGRAM buckets — the trained
+    * CLASSIFIER gate real curation recipes run beside the LM perplexity
+    * gate (the fastText-classifier role in CCNet-style pipelines). One
+    * add-one-smoothed conditional bigram grid PER CLASS (the exact
+    * [[lmGridOver]] formula restricted to each class's slice — per-
+    * context normalization cancels the class-size smoothing bias that
+    * makes unigram-bucket NB degenerate), class priors on the same
+    * [[LmScale]] quarter-bit staircase, scoring = |classes| native
+    * [[graft.functions.TextHashFunctions.LmScoreBits]] folds over ONE
+    * token array, argmax in pure integer comparison. Classes = the
+    * corpus languages; the grid is |classes|×65,536 rows — index
+    * metadata at any corpus size. */
+  private def nbGridPipeline(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ex = docs.select(col("lang").as("cls"),
+      explode(lmBigrams(col("text"))).as("g"))
+    val c12 = ex.groupBy(col("cls"), col("g")).agg(count(lit(1)).as("c12"))
+    val c1 = ex.select(col("cls"), expr(s"g DIV $LmB").as("b1"))
+      .groupBy(col("cls"), col("b1")).agg(count(lit(1)).as("c1"))
+    c12.select(col("cls")).distinct()
+      .crossJoin(broadcast(s.range(0, LmB.toLong * LmB).select(col("id").as("g"))))
+      .withColumn("b1", expr(s"g DIV $LmB"))
+      .join(c12, Seq("cls", "g"), "left")
+      .join(c1, Seq("cls", "b1"), "left")
+      .select(col("cls").as("lang"), col("g"),
+        coalesce(col("c12"), lit(0L)).as("c12"),
+        coalesce(col("c1"), lit(0L)).as("c1"),
+        expr(s"((coalesce(c12, 0L) + 1L) * $LmScale) " +
+          s"DIV (coalesce(c1, 0L) + $LmB)").as("x"))
+      .select(col("lang"), col("g"), col("c12"), col("c1"),
+        length(bin(col("x") * col("x") * col("x") * col("x")))
+          .cast("long").as("wbits"))
+  }
+
+  private def nbGrid(s: org.apache.spark.sql.SparkSession, d: String) =
+    FrameCache.memo(s, d, "nb_grid")(nbGridPipeline(s, d))
+
+  /** Driver-side class metadata off the trained grid — (lang, e4,
+    * 65,536-entry wbits array ordered by bigram code) per class,
+    * folded into serving plans as literals (the lmWeightArray
+    * doctrine). `e4` is the class's own mean training score in
+    * [[LmScale]]-scaled quarter-bits per bigram, computed FROM the
+    * grid itself (Σ c12·wbits / Σ c12 — the training occurrences
+    * re-scored by their trained weights, no extra corpus pass):
+    * the centering constant that makes scores comparable ACROSS
+    * classes. Raw likelihoods are not comparable — the majority
+    * class's contexts are less diluted by add-one smoothing, so it
+    * outscores every class on every document (measured: the uncentered
+    * model predicts en for 100 % of the corpus; balanced downsampling
+    * fixes the minority classes but guts the majority's coverage).
+    * Centered score = LmScale·lp − n·e4 ≈ how much better this
+    * document fits class c than class c's own training average — the
+    * per-class offset cancels exactly, in exact int64. */
+  private[graft] def nbClassMeta(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(String, Long, Seq[Long])] =
+    nbGrid(s, d).collect()
+      .groupBy(_.getAs[String]("lang")).toSeq.sortBy(_._1)
+      .map { case (lang, rows) =>
+        val wtot = rows.map(r =>
+          r.getAs[Long]("c12") * r.getAs[Long]("wbits")).sum
+        val ntot = rows.map(_.getAs[Long]("c12")).sum
+        require(ntot > 0, s"NB class $lang has no training bigrams")
+        (lang, LmScale * wtot / ntot,
+          rows.sortBy(_.getAs[Long]("g")).map(_.getAs[Long]("wbits")).toSeq)
+      }
+
+  /** The per-document NB prediction frame (doc_id, lang, n_bigrams,
+    * pred_lang, nb_cbits): |classes| compiled one-pass folds over the
+    * same token array, each centered by its class's e4, argmax via
+    * greatest(struct(score, lang)) — map-only, no shuffle touches
+    * the corpus after training (the DSIR/LM serving shape). */
+  private def nbScoreSpark(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val meta = nbClassMeta(s, d)
+    require(meta.size >= 2, "NB needs at least two classes")
+    val n = (size(col("toks")) - 1).cast("long")
+    val scored = meta.map { case (c, e4, wl) =>
+      struct((lit(LmScale) * graft.functions.TextHashFunctions.lmScoreBits(
+        col("toks"), typedlit(wl.toIndexedSeq)) - n * lit(e4)).as("s"),
+        lit(c).as("cls"))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        n.as("n_bigrams"),
+        greatest(scored: _*).as("best"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("best.cls").as("pred_lang"), col("best.s").as("nb_cbits"))
+  }
+
+  /** The NB score frame, package-visible for the streaming twin spec. */
+  private[graft] def nbScoreFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = nbScoreSpark(s, d)
+
+  /** NB oracle CTEs: per-class bigram counts, the trained grid
+    * (`nbgrid`), per-(doc, class) scores, and the argmax prediction
+    * frame (`nbscd`) — shared by the train report, the scorer, and the
+    * gate so the three oracles can never drift apart. Argmax tie-break
+    * is (score DESC, lang DESC), matching greatest(struct(s, lang)).
+    * Reuses [[lmCtes]]'s `lmg`/`lmex` bigram fan-out (same hashing). */
+  private def nbCtes: String = {
+    val x = s"((COALESCE(nbc12.c12, 0) + 1) * $LmScale " +
+      s"// (COALESCE(nbc1.c1, 0) + $LmB))"
+    s"""$lmCtes,
+       |nbc12 AS (SELECT lang AS cls, g, CAST(count(*) AS BIGINT) AS c12
+       |          FROM lmex GROUP BY 1, 2),
+       |nbc1 AS (SELECT lang AS cls, g // $LmB AS b1,
+       |           CAST(count(*) AS BIGINT) AS c1
+       |         FROM lmex GROUP BY 1, 2),
+       |nbgrid AS (
+       |  SELECT d.cls AS lang, gg.g,
+       |    CAST(COALESCE(nbc12.c12, 0) AS BIGINT) AS c12,
+       |    CAST(COALESCE(nbc1.c1, 0) AS BIGINT) AS c1,
+       |    CAST(length(bin($x * $x * $x * $x)) AS BIGINT) AS wbits
+       |  FROM (SELECT DISTINCT cls FROM nbc12) d
+       |  CROSS JOIN (SELECT CAST(t.m AS BIGINT) AS g
+       |              FROM UNNEST(generate_series(0, ${LmB * LmB - 1})) AS t(m)) gg
+       |  LEFT JOIN nbc12 ON nbc12.cls = d.cls AND nbc12.g = gg.g
+       |  LEFT JOIN nbc1 ON nbc1.cls = d.cls AND nbc1.b1 = gg.g // $LmB),
+       |nbe AS (
+       |  SELECT lang AS cls,
+       |    CAST(($LmScale * CAST(sum(c12 * wbits) AS BIGINT))
+       |      // CAST(sum(c12) AS BIGINT) AS BIGINT) AS e4
+       |  FROM nbgrid GROUP BY 1),
+       |nbsc AS (
+       |  SELECT e.doc_id, g.lang AS cls, CAST(sum(g.wbits) AS BIGINT) AS lp
+       |  FROM lmex e JOIN nbgrid g ON g.g = e.g
+       |  GROUP BY 1, 2),
+       |nbsp AS (
+       |  SELECT g2.doc_id, g2.lang, CAST(len(g2.gs) AS BIGINT) AS n_bigrams,
+       |    p.cls, CAST($LmScale * COALESCE(l.lp, 0)
+       |      - CAST(len(g2.gs) AS BIGINT) * p.e4 AS BIGINT) AS s
+       |  FROM lmg g2
+       |  CROSS JOIN nbe p
+       |  LEFT JOIN nbsc l ON l.doc_id = g2.doc_id AND l.cls = p.cls),
+       |nbscd AS (
+       |  SELECT doc_id, lang, n_bigrams, cls AS pred_lang, s AS nb_cbits
+       |  FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY s DESC, cls DESC) AS rn FROM nbsp) WHERE rn = 1)""".stripMargin
+  }
 
   /** Shared LM oracle CTEs: bigram codes (`lmg`/`lmex`), target counts,
     * and the full weight grid (`lmgrid`) — consumed by the train
@@ -1477,5 +1626,50 @@ object TextQueries {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
          |  CAST(count(CASE WHEN 4 * lp_bits >= $LmGateT4 * n_bigrams
          |             THEN 1 END) AS BIGINT) AS n_kept
-         |FROM lmsc GROUP BY lang""".stripMargin))
+         |FROM lmsc GROUP BY lang""".stripMargin),
+
+    // Multinomial NB training report: the observed-support rows of the
+    // per-class conditional bigram grids — (class, code, counts, prior
+    // bits, likelihood bits), every value an exact int64 off the
+    // quarter-bit staircase. The trained-classifier quality gate beside
+    // the LM perplexity gate (the fastText role in CCNet-style
+    // recipes); training is ONE class×code count aggregate over one
+    // corpus pass (the lmGridOver formula, per class).
+    "text_nb_train" -> QueryDef(
+      (s, d) => nbGrid(s, d).filter(col("c12") > 0),
+      s"""WITH $nbCtes
+         |SELECT lang, g, c12, c1, wbits
+         |FROM nbgrid WHERE c12 > 0""".stripMargin),
+
+    // NB scoring — the serving half: each document's argmax class and
+    // winning score from |classes| compiled lm_score_bits folds over
+    // one token array (the per-class grids fold in as literals —
+    // classes × 65,536 longs of index metadata). Map-only; prediction
+    // is a pure integer argmax with (score DESC, lang DESC) tie-break,
+    // replayed exactly by the oracle's row_number.
+    "text_nb_score" -> QueryDef(
+      (s, d) => nbScoreSpark(s, d),
+      s"""WITH $nbCtes
+         |SELECT doc_id, lang, n_bigrams, pred_lang, nb_cbits
+         |FROM nbscd""".stripMargin),
+
+    // The NB classifier AS the admission gate: keep documents the
+    // trained model classifies as the target class (en) — the
+    // integer-argmax admission a fastText-style quality classifier
+    // applies in CCNet-ish recipes. Per-language manifest; the
+    // measured contrast with curate_lm_ratio_gate (which admits 87 %
+    // en / 8–12 % others on mean ratio) is that the ARGMAX gate is
+    // winner-take-all: TextAnalysisSpec pins en's admission above
+    // every other language's under both gates and pins the two gates
+    // disagreeing on a measurable slice of documents.
+    "curate_nb_gate" -> QueryDef(
+      (s, d) => nbScoreSpark(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("pred_lang") === "en", 1)).as("n_kept")),
+      s"""WITH $nbCtes
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN pred_lang = 'en' THEN 1 END) AS BIGINT)
+         |    AS n_kept
+         |FROM nbscd GROUP BY lang""".stripMargin))
 }

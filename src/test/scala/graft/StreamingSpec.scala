@@ -1103,6 +1103,29 @@ class StreamingSpec extends SparkSpec {
       .toSet shouldBe expected
   }
 
+  test("streaming NB classification equals the batch argmax row-for-row") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("text_nb_score")(spark, d)
+      .as[(Long, String, Long, String, Long)].collect().toSet
+    expected should not be empty
+
+    val meta = graft.queries.TextQueries.nbClassMeta(spark, d)
+    val docs = graft.ingest.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect().toIndexedSeq
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingScore.nbScoreStream(
+        in.toDF().toDF("doc_id", "lang", "text"), meta)
+      .writeStream.format("memory").queryName("snb")
+      .outputMode("append").start()
+    docs.grouped(20).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+
+    spark.table("snb").as[(Long, String, Long, String, Long)].collect()
+      .toSet shouldBe expected
+  }
+
   test("sharded resampler decomposes into per-hash-slice global samplers") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingIntake

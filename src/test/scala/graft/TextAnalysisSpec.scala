@@ -161,6 +161,44 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("NB gate admits en at the top rate and disagrees with the ratio gate on a slice") {
+    val d = "/root/testdata/sf0.001"
+    // (1) the classifier-as-gate property: the argmax admission keeps
+    // en above every other language (the fastText-gate role)
+    val rows = SparkEntry.queries("curate_nb_gate")(spark, d)
+      .as[(String, Long, Long)].collect()
+    rows.map(_._1).toSet should contain("en")
+    val rates = rows.map { case (l, n, k) => l -> (k.toDouble / n) }.toMap
+    rates.filter(_._1 != "en").foreach { case (l, r) =>
+      withClue(s"en admission must beat $l: ") { rates("en") should be > r }
+    }
+    rows.map(_._3).sum should be > 0L
+    rows.map { case (_, n, k) => n - k }.sum should be > 0L
+    // (2) the NB argmax gate and the LM ratio gate are DIFFERENT
+    // filters, not restatements: they must disagree on at least one
+    // document (winner-take-all vs mean-threshold semantics)
+    val (num, den) = graft.queries.TextQueries.lmRatioThreshold
+    val ratioKept = SparkEntry.queries("text_lm_ratio_score")(spark, d)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .filter { case (_, _, n, t, bg) => den * (t - bg) >= num * n }
+      .map(_._1).toSet
+    val nbKept = SparkEntry.queries("text_nb_score")(spark, d)
+      .as[(Long, String, Long, String, Long)].collect()
+      .filter(_._4 == "en").map(_._1).toSet
+    withClue("NB argmax and LM ratio gates must disagree somewhere: ") {
+      (ratioKept != nbKept) shouldBe true
+    }
+    // (3) the classifier is a real classifier: overall argmax accuracy
+    // beats the 'always predict the majority class' baseline
+    val sc = SparkEntry.queries("text_nb_score")(spark, d)
+      .as[(Long, String, Long, String, Long)].collect()
+    val acc = sc.count(r => r._4 == r._2).toDouble / sc.length
+    val majority = sc.groupBy(_._2).values.map(_.length).max.toDouble / sc.length
+    withClue(s"NB accuracy $acc must beat majority baseline $majority: ") {
+      acc should be > majority
+    }
+  }
+
   test("LM weights are the quarter-bit staircase of the smoothed ratio") {
     // wbits = length(bin(x^4)) with x = (c12+1)*4096 div (c1+256):
     // monotone in c12 at fixed c1, anti-monotone in c1 at fixed c12,
