@@ -199,6 +199,43 @@ object Graph {
     trace
   }
 
+  /** One round of multi-source WEIGHTED shortest-path relaxation —
+    * [[bfsStep]]'s min-plus generalization: a neighbor's candidate is
+    * (dist + w, src) along the carried integer edge weight instead of
+    * (dist + 1, src), folded by the same order-isomorphic
+    * `min(struct(dist, src))` argmin (smallest source id on ties).
+    * These are synchronous Bellman–Ford rounds: after K of them the
+    * table holds exact shortest WEIGHTED distances over all paths of
+    * ≤ K edges, so with positive weights the iteration reaches its
+    * fixed point once K covers the longest minimal-path hop count —
+    * two equal consecutive rounds certify it. Same scale shape as
+    * [[bfsStep]]: ONE shuffle per round, map-side-combined argmin,
+    * state one row per reached node. */
+  def wspStep(edges: DataFrame, dists: DataFrame): DataFrame =
+    dists.withColumnRenamed("node", "v")
+      .join(edges, "v")
+      .select(col("u").as("node"), (col("dist") + col("w")).as("dist"),
+        col("src"))
+      .unionAll(dists.select(col("node"), col("dist"), col("src")))
+      .groupBy(col("node"))
+      .agg(min(struct(col("dist"), col("src"))).as("m"))
+      .select(col("node"), col("m.dist").as("dist"), col("m.src").as("src"))
+
+  /** Per-round distance frames of one multi-source weighted-shortest-
+    * path run, each eagerly checkpointed — [[bfsTrace]] with the
+    * min-plus relaxation. */
+  def wspTrace(edges: DataFrame, sources: DataFrame,
+      iters: Int): IndexedSeq[DataFrame] = {
+    val e = edges.persist()
+    val d0 = sources.select(col("node"), lit(0L).as("dist"),
+      col("node").as("src")).localCheckpoint(true)
+    val trace = (1 to iters).foldLeft(IndexedSeq(d0)) { (acc, _) =>
+      acc :+ wspStep(e, acc.last).localCheckpoint(true)
+    }
+    e.unpersist()
+    trace
+  }
+
   /** The reach audit of a BFS run: one row per round with the reached-
     * node count and the total hop distance — reach must grow
     * monotonically (a relaxation can only add nodes) and a broken

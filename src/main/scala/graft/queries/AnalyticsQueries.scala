@@ -223,6 +223,13 @@ object AnalyticsQueries {
   private val KcoreK = 2L
   private val KcoreIters = 6
 
+  /** Weighted-shortest-path Bellman–Ford rounds (same source hubs as
+    * the BFS): weighted minimal paths can use more hops than the
+    * hop-metric diameter, so the weighted run iterates deeper than
+    * [[BfsIters]]. GraphSpec pins the fixed point at the fixture SFs.
+    * MUST initialize before `defs`. */
+  private val WspIters = 10
+
   /** The symmetrized weighted co-purchase adjacency both LPA queries
     * run on — the SAME support ≥ 2 frame `graph_triangles` thresholds,
     * doubled into (u, v, w) both directions off the shared memoized
@@ -287,6 +294,29 @@ object AnalyticsQueries {
     (1 to BfsIters).foldLeft(IndexedSeq(d0)) { (acc, i) =>
       val prev = acc.last
       acc :+ FrameCache.memo(s, d, s"bfs_d$i")(Graph.bfsStep(edges, prev))
+    }
+  }
+
+  /** Per-round distance frames wd0..wd[[WspIters]] of ONE multi-source
+    * WEIGHTED shortest-path run (min-plus Bellman–Ford rounds over the
+    * carried co-purchase edge weights), memoized off the same source
+    * hubs as the hop-BFS — `graph_wsp_dists` reads the last frame and
+    * `graph_wsp_converge` derives its per-round counters from all of
+    * them (the [[bfsDistTrace]] doctrine). Weighted minimal paths may
+    * use more hops than the hop-metric diameter, so the weighted run
+    * iterates deeper; GraphSpec pins the fixed point (one extra round
+    * changes nothing) on the fixture graph. */
+  private def wspDistTrace(s: org.apache.spark.sql.SparkSession,
+      d: String): IndexedSeq[org.apache.spark.sql.DataFrame] = {
+    val edges = lpaEdges(s, d)
+    val srcs = bfsSourceFrame(s, d)
+    val d0 = FrameCache.memo(s, d, "wsp_d0") {
+      srcs.select(col("node"), org.apache.spark.sql.functions.lit(0L)
+        .as("dist"), col("node").as("src"))
+    }
+    (1 to WspIters).foldLeft(IndexedSeq(d0)) { (acc, i) =>
+      val prev = acc.last
+      acc :+ FrameCache.memo(s, d, s"wsp_d$i")(Graph.wspStep(edges, prev))
     }
   }
 
@@ -359,6 +389,37 @@ object AnalyticsQueries {
     }
     (base +: rounds).mkString(",\n")
   }
+
+  /** Unrolled weighted-shortest-path CTEs — [[bfsCtes]] with the
+    * min-plus relaxation (p.dist + e.w) and its own `wd` prefix;
+    * reuses the `srcs` hub CTE, so must appear AFTER [[bfsCtes]] in
+    * the WITH chain (or the srcs block is emitted here when used
+    * standalone via [[wspCtes]]). */
+  private def wspRoundCtes: String = {
+    val rounds = (1 to WspIters).map { t =>
+      s"""wd$t AS MATERIALIZED (
+         |  SELECT node, dist, src FROM (
+         |    SELECT node, dist, src, row_number() OVER (
+         |      PARTITION BY node ORDER BY dist ASC, src ASC) AS rn
+         |    FROM (
+         |      SELECT e.u AS node, p.dist + e.w AS dist, p.src
+         |      FROM wd${t - 1} p JOIN edges e ON e.v = p.node
+         |      UNION ALL
+         |      SELECT node, dist, src FROM wd${t - 1}))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    rounds.mkString(",\n")
+  }
+
+  /** Standalone WSP chain: the hub pick + wd0 + the rounds. */
+  private def wspCtes: String =
+    s"""srcs AS MATERIALIZED (
+       |  SELECT u AS node FROM edges GROUP BY u
+       |  ORDER BY SUM(w) DESC, u ASC LIMIT $BfsSources),
+       |wd0 AS MATERIALIZED (
+       |  SELECT node, CAST(0 AS BIGINT) AS dist, node AS src
+       |  FROM srcs),
+       |$wspRoundCtes""".stripMargin
 
   /** Unrolled synchronous-LPA CTEs: requires a preceding
     * `edges(u, v, w)` CTE (symmetric), defines `l0`..`l$LpaIters` —
@@ -765,6 +826,39 @@ object AnalyticsQueries {
              s"""SELECT CAST($i AS BIGINT) AS iter,
                 |  CAST(COUNT(*) AS BIGINT) AS n_reached,
                 |  CAST(SUM(dist) AS BIGINT) AS sum_dist FROM d$i"""
+               .stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin),
+
+    // Multi-source WEIGHTED shortest paths from the same bestseller
+    // hubs — bfs's min-plus generalization (Bellman–Ford rounds over
+    // the carried integer co-purchase weights): exact minimal total
+    // edge weight and the argmin hub per reached node, min-source
+    // tie-break. Weighted minimal paths may route around heavy edges
+    // through more hops, so the run iterates deeper than the hop-BFS
+    // and GraphSpec pins its fixed point (one more round changes
+    // nothing) plus a constructed weighted-beats-hops case.
+    "graph_wsp_dists" -> QueryDef(
+      (s, d) => wspDistTrace(s, d).last
+        .select(col("node").cast("long").as("node"),
+          col("dist").cast("long").as("dist"),
+          col("src").cast("long").as("src")),
+      s"""WITH $lpaEdgesSql,
+         |$wspCtes
+         |SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist,
+         |  CAST(src AS BIGINT) AS src FROM wd$WspIters""".stripMargin),
+
+    // The WSP convergence audit off the SAME memoized trace: per-round
+    // reached-node count and total weighted distance. Reach grows
+    // monotonically and total distance per node only ever falls; the
+    // final rounds repeating IS the Bellman–Ford convergence proof.
+    "graph_wsp_converge" -> QueryDef(
+      (s, d) => Graph.bfsReachedOf(wspDistTrace(s, d)),
+      s"""WITH $lpaEdgesSql,
+         |$wspCtes
+         |${(0 to WspIters).map(i =>
+             s"""SELECT CAST($i AS BIGINT) AS iter,
+                |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+                |  CAST(SUM(dist) AS BIGINT) AS sum_dist FROM wd$i"""
                .stripMargin)
            .mkString("\nUNION ALL\n")}""".stripMargin),
 

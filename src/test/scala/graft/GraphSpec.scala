@@ -190,6 +190,61 @@ class GraphSpec extends SparkSpec {
     core.map(_._2).sum shouldBe peel.last._3
   }
 
+  test("weighted shortest paths route around heavy edges through more hops") {
+    // 1—2 directly costs 10; 1—3—2 costs 2: the hop-BFS answer (1 hop)
+    // and the min-plus answer (2 hops, dist 2) must differ — the
+    // constructed case that proves the generalization is doing work
+    val edges = sym(Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 1L)))
+    val wsp = Graph.wspTrace(edges, Seq(1L).toDF("node"), 3).last
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    wsp(2L) shouldBe (2L, 1L) // via 3, total weight 2 — not the direct 10
+    wsp(3L) shouldBe (1L, 1L)
+    val bfs = Graph.bfsTrace(edges, Seq(1L).toDF("node"), 3).last
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    bfs(2L) shouldBe 1L // the hop metric takes the direct edge
+    // equidistant-by-weight node takes the smallest source id
+    val tied = sym(Seq((1L, 3L, 2L), (5L, 3L, 2L)))
+    val t = Graph.wspTrace(tied, Seq(1L, 5L).toDF("node"), 2).last
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    t(3L) shouldBe (2L, 1L)
+  }
+
+  test("WSP reaches its Bellman–Ford fixed point on real data (registry)") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("graph_wsp_converge")(spark, d)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reach grows monotonically...
+    rows.sliding(2).foreach { case Array((_, a, _), (_, b, _)) =>
+      b should be >= a
+    }
+    // ...and the last two rounds are EQUAL — with positive weights the
+    // min-plus iteration has provably converged (a round that improves
+    // nothing never will)
+    rows(rows.length - 1)._2 shouldBe rows(rows.length - 2)._2
+    rows(rows.length - 1)._3 shouldBe rows(rows.length - 2)._3
+    // the strong form: one more relaxation changes NO (node, dist, src)
+    val items = graft.ingest.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"),
+        col("w").cast("long").as("w"))
+    val edges = pairs.unionAll(
+      pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val fin = SparkEntry.queries("graph_wsp_dists")(spark, d)
+    val changed = Graph.wspStep(edges, fin)
+      .withColumnRenamed("dist", "dist2").withColumnRenamed("src", "src2")
+      .join(fin, Seq("node"), "full_outer")
+      .filter(col("dist2").isNull || col("dist").isNull ||
+        col("dist2") =!= col("dist") || col("src2") =!= col("src"))
+    changed.count() shouldBe 0L
+  }
+
   test("BFS relaxation never worsens a distance and reach grows monotonically") {
     val rows = SparkEntry.queries("graph_bfs_reach")(
         spark, "/root/testdata/sf0.001")
