@@ -1396,23 +1396,61 @@ object TextQueries {
     // cell-wise addition, exactly like the CMS. Deterministic — the
     // full cell frame hash-matches DuckDB cell for cell.
     "corpus_qhist" -> QueryDef(
-      (s, d) => {
-        val raw = size(TextAnalysis.tokens(col("text"))).cast("long")
-        // saturate at 55,108: the largest n whose n⁴ fits int64 — longer
-        // documents all land in the top (~63rd) bucket instead of a
-        // silent int64 wrap (Spark) / a raised overflow (DuckDB)
-        val n = least(raw, lit(55108L))
-        Tables.documents(s, d)
-          .select(length(bin(n * n * n * n)).cast("long").as("bucket"))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("cnt"))
-      },
+      (s, d) => graft.operators.Sketch.qhistSketch(Tables.documents(s, d)),
       s"""WITH t AS (
          |  SELECT LEAST(CAST(len(${tokens("text")}) AS BIGINT), 55108) AS n
          |  FROM documents)
          |SELECT CAST(length(bin(n * n * n * n)) AS BIGINT) AS bucket,
          |  COUNT(*) AS cnt
          |FROM t GROUP BY 1""".stripMargin),
+
+    // The MERGE LAW that makes the histogram a per-partition/per-hour
+    // sketch: the cell-wise SUM of the two half-corpus sketches must
+    // equal the independently-built full-corpus sketch on every cell.
+    // Graded, not assumed — `merge_exact` = 1 on every row unless the
+    // bucket function depends on corpus-level state (the property that
+    // dies first when someone "improves" the bucketing with a
+    // corpus-derived normalizer). Both sides are cell-count-sized
+    // aggregations; the join keys on ≤ ~128 bucket ids.
+    "corpus_qhist_merge" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bucket = graft.operators.Sketch.qhistBucket(
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+        val halves = docs
+          .select(bucket.as("bucket"), pmod(col("doc_id"), lit(2)).as("p"))
+          .groupBy(col("bucket"))
+          .agg(count(when(col("p") === 0, 1)).as("c_even"),
+            count(when(col("p") === 1, 1)).as("c_odd"))
+        val full = graft.operators.Sketch.qhistSketch(docs)
+          .withColumnRenamed("cnt", "c_full")
+        halves.join(full, "bucket")
+          .select(col("bucket"), col("c_even"), col("c_odd"),
+            (col("c_even") + col("c_odd")).as("c_merged"), col("c_full"),
+            when(col("c_even") + col("c_odd") === col("c_full"), 1L)
+              .otherwise(0L).as("merge_exact"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    LEAST(CAST(len(${tokens("text")}) AS BIGINT), 55108) AS n
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |        CAST(length(bin(n * n * n * n)) AS BIGINT) AS bucket
+         |      FROM t),
+         |halves AS (
+         |  SELECT bucket,
+         |    CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT)
+         |      AS c_even,
+         |    CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT)
+         |      AS c_odd
+         |  FROM b GROUP BY bucket),
+         |full_sk AS (
+         |  SELECT bucket, COUNT(*) AS c_full FROM b GROUP BY bucket)
+         |SELECT h.bucket, h.c_even, h.c_odd,
+         |  h.c_even + h.c_odd AS c_merged, f.c_full,
+         |  CAST(CASE WHEN h.c_even + h.c_odd = f.c_full
+         |    THEN 1 ELSE 0 END AS BIGINT) AS merge_exact
+         |FROM halves h JOIN full_sk f ON f.bucket = h.bucket""".stripMargin),
 
     // The quantile sketch's guarantee, measured (the corpus_cms_topk
     // doctrine): for each target quantile, the bucket the cumulative
@@ -1431,10 +1469,8 @@ object TextQueries {
     "corpus_qhist_quantiles" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        def bitlen4(c: org.apache.spark.sql.Column) = {
-          val m = least(c, lit(55108L)) // n⁴ int64 saturation guard
-          length(bin(m * m * m * m)).cast("long")
-        }
+        def bitlen4(c: org.apache.spark.sql.Column) =
+          graft.operators.Sketch.qhistBucket(c)
         val vhc = FrameCache.memo(s, d, "qhist_vhc") {
           val vh = Tables.documents(s, d)
             .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))

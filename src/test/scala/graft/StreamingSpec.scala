@@ -262,6 +262,32 @@ class StreamingSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("streaming quantile histogram equals the batch sketch after full replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // the ≤ ~128 quarter-bit buckets ARE the aggregation state and
+    // cell-wise addition is the merge (corpus_qhist_merge grades the
+    // law in batch) — a stream drained in chunks lands on exactly the
+    // batch histogram
+    val docs = graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Sketch.qhistSketch(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qhist_sketch")
+      .outputMode("complete").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("qhist_sketch").orderBy("bucket")
+      .as[(Long, Long)].collect().toSeq
+    val want = graft.operators.Sketch.qhistSketch(docs.toDF("doc_id", "text"))
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    got should not be empty
+    got shouldBe want
+  }
+
   test("streaming DQ gate routes rows to clean vs quarantine with check names") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.lang.Long, java.lang.Double, Timestamp)]
