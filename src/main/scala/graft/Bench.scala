@@ -358,9 +358,16 @@ object Bench {
     // same work in one process), and a single anomalously fast pass
     // under min halved normalized_rps in an otherwise healthy r10 run
     // — the median keeps the estimator robust to single-probe luck in
-    // BOTH directions.
-    val calibRatio =
-      passes.map(_.calibSec).sorted.apply(passes.size / 2) / ReferenceCalibSec
+    // BOTH directions. TRUE median: with the typical 2 passes,
+    // sorted(size/2) is the upper-middle element — i.e. the MAX of a
+    // bimodal probe, biasing calib_ratio (and normalized_rps) high
+    // under contention; even sizes average the two middle elements.
+    val sortedCalib = passes.map(_.calibSec).sorted
+    val calibMedian =
+      if (sortedCalib.size % 2 == 1) sortedCalib(sortedCalib.size / 2)
+      else (sortedCalib(sortedCalib.size / 2 - 1) +
+        sortedCalib(sortedCalib.size / 2)) / 2.0
+    val calibRatio = calibMedian / ReferenceCalibSec
     val normalizedRps = rps * calibRatio
     // Compact per-batch/per-query attribution for the headline stream
     // section ON the metric line (the r9 `pipeline` regression could not

@@ -62,9 +62,17 @@ object Similarity {
   /** Exact brute-force top-k cosine neighbors for each query row.
     * `queries` and `corpus` both need (`idCol`, `vecCol`); ties and
     * float-noise are broken by rounding the score to 9 decimals and then
-    * by neighbor id, so ranks are engine-stable. */
+    * by neighbor id, so ranks are engine-stable.
+    *
+    * `excludeSelfId` (default true) drops corpus rows whose id equals
+    * the query's — correct ONLY when queries are corpus members (the
+    * registry's self-query evaluations). A request stream with its own
+    * id space must pass false: an external request id that numerically
+    * collides with a corpus vec_id would otherwise silently lose that
+    * corpus vector from its candidates. */
   def knnBruteForce(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      excludeSelfId: Boolean = true): DataFrame = {
     // norms are per-vector, not per-pair: compute them once on each side
     // of the O(|Q|·|C|) join (3× fewer fused dot products in the hot loop;
     // values are bit-identical — same expression over the same vector).
@@ -72,7 +80,8 @@ object Similarity {
       norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
-    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+    val scored = q.join(c,
+      if (excludeSelfId) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("cos9",
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 9))
     val w = Window.partitionBy(col("query_id"))
@@ -247,10 +256,16 @@ object Similarity {
     * trained centroids for its `nprobe` nearest cells; candidates are
     * the probed cells' members of the pre-filtered frame; exact cosine
     * re-rank decides top-k. Per batch: one broadcast of k centroids +
-    * one cell-keyed equi-join — the corpus side never reshuffles. */
+    * one cell-keyed equi-join — the corpus side never reshuffles.
+    *
+    * `excludeSelfId` (default true) is correct only when queries ARE
+    * corpus members (the registry's self-query recall rows). External
+    * request streams with their own id space must pass false, or a
+    * request id that numerically collides with a corpus vec_id
+    * silently removes that corpus vector from its candidates. */
   def knnIvfFilteredQueries(queries: DataFrame, idCol: String,
       vecCol: String, k: Int, assignedNbrs: DataFrame, cents: DataFrame,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, excludeSelfId: Boolean = true): DataFrame = {
     val qd2 = dot(col("__qv"), col("__qv")) -
       lit(2.0) * dot(col("__qv"), col("cent_v")) +
       dot(col("cent_v"), col("cent_v"))
@@ -268,7 +283,8 @@ object Similarity {
     probes
       .join(assignedNbrs.select(col("__id").as("neighbor_id"),
         col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelfId) col("query_id") =!= col("neighbor_id")
+        else lit(true))
       .select("query_id", "neighbor_id", "__qv", "__cv")
       .distinct()
       .withColumn("cos9", round(

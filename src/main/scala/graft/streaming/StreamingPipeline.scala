@@ -281,33 +281,53 @@ object StreamingPipeline {
     enriched.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
+        val sc = batch.sparkSession.sparkContext
+        // Pool threads inherit Spark's thread-local job properties only
+        // at THREAD CREATION, so without an explicit group the second
+        // and later batches' view jobs would run under batch 0's stale
+        // group — StreamingQuery.stop() could not cancel them. Each
+        // future sets the current batch's group itself (interrupt-on-
+        // cancel), and the first failure cancels the sibling jobs via
+        // the group instead of letting them keep upserting into the KV
+        // sink after the batch has already failed.
+        val group = s"kv-views-$batchId"
         try {
           // No separate materialization job: the three concurrent view
           // jobs race to the cache, and the per-partition cache locks
           // ensure each partition is computed exactly once (the losers
           // block briefly, then read) — one fewer job per micro-batch.
           import scala.concurrent.{Await, Future}
-          import scala.concurrent.duration.Duration
+          import scala.concurrent.duration._
           implicit val ec = viewJobPool
+          def viewJob(body: => Unit): Future[Unit] = Future {
+            sc.setJobGroup(group, s"kv view jobs, micro-batch $batchId",
+              interruptOnCancel = true)
+            try body finally sc.clearJobGroup()
+          }
           val jobs = Seq(
-            Future(upsertAll(EngagementViews.leaderboard(b, topK)) { r =>
+            viewJob(upsertAll(EngagementViews.leaderboard(b, topK)) { r =>
               ("top_engagement", r.getAs[String]("member"),
                 r.getAs[java.math.BigDecimal]("score").toPlainString)
             }),
-            Future(upsertAll(EngagementViews.contentStats(b)) { r =>
+            viewJob(upsertAll(EngagementViews.contentStats(b)) { r =>
               ("content_stats", r.getAs[String]("content_id"),
                 Seq("latest_engagement", "content_type", "content_title",
                   "event_type", "device", "total_events")
                   .map(f => s"$f=${r.getAs[Any](f)}").mkString(","))
             }),
-            Future(upsertAll(EngagementViews.userContentLatest(b)) { r =>
+            viewJob(upsertAll(EngagementViews.userContentLatest(b)) { r =>
               ("user_engagement",
                 s"${r.getAs[String]("user_id")}:${r.getAs[String]("content_id")}",
                 r.getAs[java.math.BigDecimal]("engagement_pct").toPlainString)
             }))
-          Await.result(Future.sequence(jobs), Duration.Inf)
+          // bounded: a wedged view job fails the batch (and the retry
+          // machinery above it) instead of hanging foreachBatch forever
+          try Await.result(Future.sequence(jobs), 10.minutes)
+          catch {
+            case e: Throwable => sc.cancelJobGroup(group); throw e
+          }
         } finally b.unpersist()
         ()
       }
