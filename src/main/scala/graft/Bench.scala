@@ -33,6 +33,12 @@ object Bench {
     // The r10-final rotation swaps four mid-tier sim entries
     // (knn_lsh, knn_ivf, pq_adc, rp_search — all still timed in
     // bench_detail.json) for the round's four new flagships.
+    // The r11 rotation swaps three mid-tier entries (sim_svd_power,
+    // sim_ivfpq_residual, curate_sem_decontaminate — still timed in
+    // bench_detail.json) for the round's flagships: the retrain row
+    // that closes the drift loop, the NB classifier gate, and the
+    // weighted-shortest-path trace.
+    "sim_index_retrain", "curate_nb_gate", "graph_wsp_dists",
     "cdc_parse_roundtrip", "cdc_enrich", "cdc_leaderboard",
     "cdc_content_stats", "cdc_warehouse_hour",
     "rel_pricing_summary", "rel_window_funcs", "adv_grouping_sets",
@@ -42,14 +48,15 @@ object Bench {
     "op_funnel", "op_pps_sample", "curate_recipe", "curate_scorecard",
     "dedup_band_sweep", "sim_index_build",
     "sim_kmeans_train", "sim_kmeans_inertia", "text_bpe_train",
-    "sim_ivfpq_search", "sim_ivfpq_recall", "sim_ivfpq_residual",
-    "sim_ivfpq_rerank", "sim_sq8_search",
+    // sim_sq8_search rotated out in r11 to keep the metric line (which
+    // gained the nb_score stream section) inside the 1900-byte guard
+    "sim_ivfpq_search", "sim_ivfpq_recall", "sim_ivfpq_rerank",
     "graph_pagerank_train", "corpus_bm25",
     "curate_dsir_weights", "curate_dsir_resample",
-    "sim_svd_power", "sim_index_drift",
+    "sim_index_drift",
     "curate_semdedup", "curate_cluster_balance",
     "text_lm_train", "curate_lm_gate", "curate_pipeline",
-    "curate_sem_decontaminate", "sim_nprobe_sweep")
+    "sim_nprobe_sweep")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

@@ -396,6 +396,33 @@ object StreamBench {
 
   case class LmScoreIn(doc_id: Long, lang: String, text: String)
 
+  /** Streaming NB classification
+    * ([[graft.streaming.StreamingScore.nbScoreStream]]): arriving
+    * documents classified by |classes| compiled folds against the
+    * TRAINED per-class grids folded in as literals (classes ×
+    * 65,536-entry arrays — the heaviest literal plan on the board,
+    * built once per plan) — stateless, map-only; the grids train
+    * BEFORE the clock like every other trained-metadata section. */
+  private def nbScoreSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("lang").cast("string"),
+        col("text").cast("string"))
+      .as[LmScoreIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val docs = replicate(base, floor)((r, i) => r.copy(doc_id = r.doc_id + i * span))
+    val meta = graft.queries.TextQueries.nbClassMeta(spark, sfDir)
+    val in = MemoryStream[LmScoreIn]
+    val q = graft.streaming.StreamingScore.nbScoreStream(
+        in.toDF().toDF("doc_id", "lang", "text"), meta)
+      .writeStream.outputMode("append").format("noop")
+      .option("checkpointLocation", tmp("sb_nbscore")).start()
+    val (sec, batches) = drive[LmScoreIn](chunked(docs), in.addData(_), Seq(q))
+    Section("nb_score", docs.length.toLong, sec, batches)
+  }
+
   /** Streaming LM perplexity scoring
     * ([[graft.streaming.StreamingScore.lmScoreStream]]): arriving
     * documents scored against the TRAINED 65,536-entry hashed-bigram
@@ -967,6 +994,7 @@ object StreamBench {
       "cms" -> (cmsSection(_, _, volumeFloor)),
       "lm_score" -> (lmScoreSection(_, _, volumeFloor)),
       "lm_ratio" -> (lmRatioSection(_, _, volumeFloor)),
+      "nb_score" -> (nbScoreSection(_, _, volumeFloor)),
       "media" -> (mediaSection(_, _, volumeFloor)),
       "curation" -> (curationSection(_, _, volumeFloor)),
       "anomaly" -> anomalySection)

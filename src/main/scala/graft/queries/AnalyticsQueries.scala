@@ -125,6 +125,7 @@ object AnalyticsQueries {
     prRankTrace(s, d)
     lpaLabelTrace(s, d)
     bfsDistTrace(s, d)
+    wspDistTrace(s, d)
     kcoreSurvTrace(s, d)
     ()
   }

@@ -198,7 +198,17 @@ class PlanSpec extends SparkSpec {
       // r10-final bench entrants (top-5 rotation + the new flagships)
       "dedup_band_sweep" -> 21, // measured 20: 4 configs × (band join + full-outer count agg) + the sampled truth pair
       "sim_index_drift" -> 18, // measured 17: cohort k-means train (2 Lloyd iters) + broadcast argmin assign + cell rollup
-      "corpus_hybrid_rrf" -> 17) // measured 16: the BM25 chain + dense brute top-5 + one fusion outer join
+      "corpus_hybrid_rrf" -> 17, // measured 16: the BM25 chain + dense brute top-5 + one fusion outer join
+      // r11 flagships (new-query shapes locked on entry)
+      "sim_index_retrain" -> 6, // measured 5: two broadcast-centroid assignments off checkpoints + one 2-group agg
+      "curate_nb_gate" -> 2, // measured 1: map-only literal-grid folds + one per-lang rollup
+      "text_nb_score" -> 0, // map-only: |classes| compiled folds over one scan, grids as literals
+      "graph_wsp_dists" -> 0, // checkpointed Bellman–Ford trace: a pure scan
+      "graph_wsp_converge" -> 12, // measured 11: 11 per-round scalar aggs off the checkpointed trace
+      "corpus_qhist_merge" -> 4, // measured 3: halves agg + full agg + the cell-keyed join
+      "corpus_pmi" -> 6, // measured 5: bigram agg + unigram agg + vocab broadcast-back
+      "corpus_qhist_quantiles" -> 6, // measured 5: five 1-row conditional aggs off the windowed checkpoint
+      "graph_kcore_peel" -> 50) // measured 49: 7 peel rounds × (two restrictions + degree agg) + 1-row crosses
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

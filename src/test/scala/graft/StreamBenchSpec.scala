@@ -20,7 +20,8 @@ class StreamBenchSpec extends SparkSpec {
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
       "dedup", "intake", "index", "search", "fsearch", "pps_sample",
       "content_stats",
-      "score", "cms", "lm_score", "lm_ratio", "media", "curation", "anomaly")
+      "score", "cms", "lm_score", "lm_ratio", "nb_score", "media",
+      "curation", "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
         s.rows should be > 0L
@@ -39,7 +40,7 @@ class StreamBenchSpec extends SparkSpec {
     // scheduling-overhead-dominated rps this floor exists to fix
     for (n <- Seq("budget", "pack", "dedup", "intake", "index",
         "pps_sample", "content_stats", "score", "cms", "lm_score",
-        "lm_ratio", "media", "curation"))
+        "lm_ratio", "nb_score", "media", "curation"))
       withClue(s"section $n: ") {
         byName(n).rows should be >= floor.toLong
       }
