@@ -159,6 +159,144 @@ object DedupQueries {
        |    ON t.ta = c.ca AND t.tb = c.cb)""".stripMargin
   }.mkString(",\n")
 
+  /** The six-family pipeline capstone frame — exact dedup → quality
+    * quartile → CCNet RATIO gate (→ optional NB classifier gate) →
+    * SemDeDup drop → DSIR resample → split manifest. `classifierGate`
+    * composes the trained NB argmax admission (pred = en) beside the
+    * perplexity ratio — the full quality stack CCNet-style recipes
+    * run; both variants register as capstone rows. */
+  private def pipelineFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, classifierGate: Boolean): org.apache.spark.sql.DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.PortableHash
+        import graft.operators.PrefixSum
+        // stage 1: exact-dedup keepers
+        val keepers = Tables.documents(s, d)
+          .groupBy(md5(Dedup.normalize(col("text"))).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        // stage 2: per-source top-quartile quality gate over keepers
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("quality").desc, col("doc_id"))
+        val gated = Tables.documents(s, d)
+          .join(keepers, Seq("doc_id"), "left_semi")
+          .select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+          .withColumn("qt", ntile(4).over(w))
+          .filter(col("qt") === 1)
+          .select(col("source"), col("doc_id"), col("n_tokens"))
+        // stage 3: LM admission on the FULL CCNet discriminator — the
+        // target-vs-background perplexity ratio (the target-only
+        // threshold partially restated language ID; the ratio cancels
+        // the generic-probability term). Both grids are trained
+        // models served as broadcast arrays; the predicate is int64
+        // cross-multiplied.
+        val (rNum, rDen) = TextQueries.lmRatioThreshold
+        val lmPass = TextQueries.lmRatioScoreFrame(s, d)
+          .filter(lit(rDen) * (col("lp_t") - col("lp_bg")) >=
+            lit(rNum) * col("n_bigrams"))
+          .select(col("doc_id"))
+        // stage 4: semantic near-dup drop in the shared id space
+        val semDrops = SimilarityQueries.semDroppedIds(s, d)
+          .withColumnRenamed("vec_id", "doc_id")
+        val lmGated = gated.join(lmPass, Seq("doc_id"), "left_semi")
+        // stage 3b (the _cls variant): the trained NB classifier's
+        // argmax admission beside the perplexity ratio
+        val clsGated = if (classifierGate)
+          lmGated.join(TextQueries.nbAdmittedIds(s, d), Seq("doc_id"), "left_semi")
+        else lmGated
+        val clean = clsGated.join(semDrops, Seq("doc_id"), "left_anti")
+        // stage 5: DSIR importance resampling of the survivors
+        val rl = dsirWeightTable(s, d)
+          .agg(sort_array(collect_list(struct(col("b"), col("r"))))
+            .as("ws"))
+          .select(transform(col("ws"), x => x.getField("r")).as("rl"))
+        val h = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|dsir")))
+        val scored = Tables.documents(s, d)
+          .join(clean.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), Dedup.hashedShingles(col("text"), 2).as("gs"))
+          .crossJoin(broadcast(rl))
+          .select(col("doc_id"),
+            graft.functions.TextHashFunctions
+              .weightedBucketSum(col("gs"), col("rl")).as("wgt"),
+            (h % 64).as("bkt"), h.as("ord"))
+        val sampled = PrefixSum.bucketedRunningSum(scored, Seq.empty, "bkt",
+            Seq(col("ord"), col("doc_id")), "wgt", "cum_weight")
+          .filter(expr(s"cum_weight div $PipelineStep") >
+            expr(s"(cum_weight - wgt) div $PipelineStep"))
+          .select(col("doc_id"))
+        // stage 6: split tag + audit manifest
+        val b = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|split"))) % 100
+        val split = when(b < 80, "train").when(b < 90, "val")
+          .otherwise("test")
+        clean.join(sampled, Seq("doc_id"), "left_semi")
+          .groupBy(col("source"), split.as("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+  }
+
+  /** Oracle text for [[pipelineFrame]], with the nb* CTE blocks and
+    * the classifier predicate appended for the `_cls` variant (the
+    * nb* blocks read the SAME `lmex` bigram fan-out the ratio gate's
+    * CTEs define — one bigram pipeline feeds both gates). */
+  private def pipelineSql(classifierGate: Boolean): String = {
+        import graft.functions.PortableHash
+        def bucketSql(e: String) =
+          s"(${PortableHash.hash60Sql(s"CAST($e AS VARCHAR) || '|split'")} % 100)"
+        val hSql = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|dsir'")
+        val (rNum, rDen) = TextQueries.lmRatioThreshold
+        val nbBlocks =
+          if (classifierGate) s"${TextQueries.nbCtesBody},\n" else ""
+        s"""WITH ${TextQueries.lmRatioCtes},
+           |$nbBlocks${SimilarityQueries.semDropOracleCtes},
+           |$dsirCtes,
+           |xk AS (SELECT MIN(doc_id) AS doc_id FROM documents
+           |       GROUP BY md5(${normalize("text")})),
+           |pq0 AS (
+           |  SELECT d.source, d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+           |    ${TextQueries.qualitySql} AS quality
+           |  FROM (SELECT source, doc_id, text, ${tokens("text")} AS w
+           |        FROM documents) d
+           |  JOIN xk ON xk.doc_id = d.doc_id),
+           |pgated AS (
+           |  SELECT source, doc_id, n_tokens FROM (
+           |    SELECT *, ntile(4) OVER (PARTITION BY source
+           |      ORDER BY quality DESC, doc_id) AS qt
+           |    FROM pq0)
+           |  WHERE qt = 1),
+           |pclean AS (
+           |  SELECT g.* FROM pgated g
+           |  JOIN lmrsc ON lmrsc.doc_id = g.doc_id
+           |    AND $rDen * (lmrsc.lp_t - lmrsc.lp_bg) >=
+           |        $rNum * lmrsc.n_bigrams
+           |  WHERE g.doc_id NOT IN (SELECT vec_id FROM sdup)
+           |    ${if (classifierGate)
+                  "AND g.doc_id IN (SELECT doc_id FROM nbscd WHERE pred_lang = 'en')"
+                else ""}),
+           |psc AS (
+           |  SELECT gb.doc_id, CAST(sum(w.r) AS BIGINT) AS wgt
+           |  FROM gb JOIN w USING (b)
+           |  WHERE gb.doc_id IN (SELECT doc_id FROM pclean)
+           |  GROUP BY gb.doc_id),
+           |pt AS (SELECT doc_id, wgt, $hSql % 64 AS bkt, $hSql AS ord FROM psc),
+           |pcum AS (
+           |  SELECT doc_id, wgt,
+           |    CAST(SUM(wgt) OVER (ORDER BY bkt, ord, doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+           |  FROM pt),
+           |psel AS (SELECT doc_id FROM pcum
+           |  WHERE cw // $PipelineStep > (cw - wgt) // $PipelineStep)
+           |SELECT c.source,
+           |  CASE WHEN ${bucketSql("c.doc_id")} < 80 THEN 'train'
+           |       WHEN ${bucketSql("c.doc_id")} < 90 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs, CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
+           |FROM pclean c JOIN psel ON psel.doc_id = c.doc_id
+           |GROUP BY 1, 2""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: hash-groupBy on the 32-byte digest of normalized text
@@ -1025,121 +1163,18 @@ object DedupQueries {
     // digest aggregate, the per-source quartile, the resample cumsum,
     // and the final manifest — gates are map-only broadcasts.
     "curate_pipeline" -> QueryDef(
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        import graft.functions.PortableHash
-        import graft.operators.PrefixSum
-        // stage 1: exact-dedup keepers
-        val keepers = Tables.documents(s, d)
-          .groupBy(md5(Dedup.normalize(col("text"))).as("h"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"))
-        // stage 2: per-source top-quartile quality gate over keepers
-        val w = Window.partitionBy(col("source"))
-          .orderBy(col("quality").desc, col("doc_id"))
-        val gated = Tables.documents(s, d)
-          .join(keepers, Seq("doc_id"), "left_semi")
-          .select(col("source"), col("doc_id"),
-            TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-            TextAnalysis.qualityScore(col("text")).as("quality"))
-          .withColumn("qt", ntile(4).over(w))
-          .filter(col("qt") === 1)
-          .select(col("source"), col("doc_id"), col("n_tokens"))
-        // stage 3: LM admission on the FULL CCNet discriminator — the
-        // target-vs-background perplexity ratio (the target-only
-        // threshold partially restated language ID; the ratio cancels
-        // the generic-probability term). Both grids are trained
-        // models served as broadcast arrays; the predicate is int64
-        // cross-multiplied.
-        val (rNum, rDen) = TextQueries.lmRatioThreshold
-        val lmPass = TextQueries.lmRatioScoreFrame(s, d)
-          .filter(lit(rDen) * (col("lp_t") - col("lp_bg")) >=
-            lit(rNum) * col("n_bigrams"))
-          .select(col("doc_id"))
-        // stage 4: semantic near-dup drop in the shared id space
-        val semDrops = SimilarityQueries.semDroppedIds(s, d)
-          .withColumnRenamed("vec_id", "doc_id")
-        val clean = gated
-          .join(lmPass, Seq("doc_id"), "left_semi")
-          .join(semDrops, Seq("doc_id"), "left_anti")
-        // stage 5: DSIR importance resampling of the survivors
-        val rl = dsirWeightTable(s, d)
-          .agg(sort_array(collect_list(struct(col("b"), col("r"))))
-            .as("ws"))
-          .select(transform(col("ws"), x => x.getField("r")).as("rl"))
-        val h = PortableHash.hash60(
-          concat(col("doc_id").cast("string"), lit("|dsir")))
-        val scored = Tables.documents(s, d)
-          .join(clean.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), Dedup.hashedShingles(col("text"), 2).as("gs"))
-          .crossJoin(broadcast(rl))
-          .select(col("doc_id"),
-            graft.functions.TextHashFunctions
-              .weightedBucketSum(col("gs"), col("rl")).as("wgt"),
-            (h % 64).as("bkt"), h.as("ord"))
-        val sampled = PrefixSum.bucketedRunningSum(scored, Seq.empty, "bkt",
-            Seq(col("ord"), col("doc_id")), "wgt", "cum_weight")
-          .filter(expr(s"cum_weight div $PipelineStep") >
-            expr(s"(cum_weight - wgt) div $PipelineStep"))
-          .select(col("doc_id"))
-        // stage 6: split tag + audit manifest
-        val b = PortableHash.hash60(
-          concat(col("doc_id").cast("string"), lit("|split"))) % 100
-        val split = when(b < 80, "train").when(b < 90, "val")
-          .otherwise("test")
-        clean.join(sampled, Seq("doc_id"), "left_semi")
-          .groupBy(col("source"), split.as("split"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      }, {
-        import graft.functions.PortableHash
-        def bucketSql(e: String) =
-          s"(${PortableHash.hash60Sql(s"CAST($e AS VARCHAR) || '|split'")} % 100)"
-        val hSql = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|dsir'")
-        val (rNum, rDen) = TextQueries.lmRatioThreshold
-        s"""WITH ${TextQueries.lmRatioCtes},
-           |${SimilarityQueries.semDropOracleCtes},
-           |$dsirCtes,
-           |xk AS (SELECT MIN(doc_id) AS doc_id FROM documents
-           |       GROUP BY md5(${normalize("text")})),
-           |pq0 AS (
-           |  SELECT d.source, d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-           |    ${TextQueries.qualitySql} AS quality
-           |  FROM (SELECT source, doc_id, text, ${tokens("text")} AS w
-           |        FROM documents) d
-           |  JOIN xk ON xk.doc_id = d.doc_id),
-           |pgated AS (
-           |  SELECT source, doc_id, n_tokens FROM (
-           |    SELECT *, ntile(4) OVER (PARTITION BY source
-           |      ORDER BY quality DESC, doc_id) AS qt
-           |    FROM pq0)
-           |  WHERE qt = 1),
-           |pclean AS (
-           |  SELECT g.* FROM pgated g
-           |  JOIN lmrsc ON lmrsc.doc_id = g.doc_id
-           |    AND $rDen * (lmrsc.lp_t - lmrsc.lp_bg) >=
-           |        $rNum * lmrsc.n_bigrams
-           |  WHERE g.doc_id NOT IN (SELECT vec_id FROM sdup)),
-           |psc AS (
-           |  SELECT gb.doc_id, CAST(sum(w.r) AS BIGINT) AS wgt
-           |  FROM gb JOIN w USING (b)
-           |  WHERE gb.doc_id IN (SELECT doc_id FROM pclean)
-           |  GROUP BY gb.doc_id),
-           |pt AS (SELECT doc_id, wgt, $hSql % 64 AS bkt, $hSql AS ord FROM psc),
-           |pcum AS (
-           |  SELECT doc_id, wgt,
-           |    CAST(SUM(wgt) OVER (ORDER BY bkt, ord, doc_id
-           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
-           |  FROM pt),
-           |psel AS (SELECT doc_id FROM pcum
-           |  WHERE cw // $PipelineStep > (cw - wgt) // $PipelineStep)
-           |SELECT c.source,
-           |  CASE WHEN ${bucketSql("c.doc_id")} < 80 THEN 'train'
-           |       WHEN ${bucketSql("c.doc_id")} < 90 THEN 'val'
-           |       ELSE 'test' END AS split,
-           |  COUNT(*) AS n_docs, CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
-           |FROM pclean c JOIN psel ON psel.doc_id = c.doc_id
-           |GROUP BY 1, 2""".stripMargin
-      }),
+      (s, d) => pipelineFrame(s, d, classifierGate = false),
+      pipelineSql(classifierGate = false)),
+
+    // The capstone with the TRAINED-CLASSIFIER stage composed in —
+    // the full perplexity + classifier admission stack CCNet-style
+    // recipes actually run: stage 3 admits on the LM ratio AND the NB
+    // argmax (pred = en). Same six families plus the per-class NB
+    // grids; the oracle appends the nb* CTE blocks onto the shared
+    // lmCtes fan-out, so one bigram pipeline feeds both gates.
+    "curate_pipeline_cls" -> QueryDef(
+      (s, d) => pipelineFrame(s, d, classifierGate = true),
+      pipelineSql(classifierGate = true)),
 
     // Deterministic weighted source mixing — the training-data recipe
     // step: each source gets a sampling rate (here derived from a

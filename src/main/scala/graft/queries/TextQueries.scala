@@ -439,17 +439,29 @@ object TextQueries {
   private[graft] def nbScoreFrame(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = nbScoreSpark(s, d)
 
+  /** Ids the NB classifier admits (argmax = target class 'en') — the
+    * classifier-gate stage the pipeline capstone's `_cls` variant
+    * composes beside the LM ratio gate. */
+  private[queries] def nbAdmittedIds(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    nbScoreSpark(s, d).filter(col("pred_lang") === "en").select(col("doc_id"))
+
   /** NB oracle CTEs: per-class bigram counts, the trained grid
     * (`nbgrid`), per-(doc, class) scores, and the argmax prediction
     * frame (`nbscd`) — shared by the train report, the scorer, and the
     * gate so the three oracles can never drift apart. Argmax tie-break
     * is (score DESC, lang DESC), matching greatest(struct(s, lang)).
     * Reuses [[lmCtes]]'s `lmg`/`lmex` bigram fan-out (same hashing). */
-  private def nbCtes: String = {
+  private def nbCtes: String = s"$lmCtes,\n$nbCtesBody"
+
+  /** The nb* blocks alone (they read [[lmCtes]]'s `lmg`/`lmex` bigram
+    * fan-out) — consumers that already inline [[lmCtes]] (the pipeline
+    * capstone's oracle embeds [[lmRatioCtes]]) append just the body,
+    * avoiding duplicate CTE names. */
+  private[queries] def nbCtesBody: String = {
     val x = s"((COALESCE(nbc12.c12, 0) + 1) * $LmScale " +
       s"// (COALESCE(nbc1.c1, 0) + $LmB))"
-    s"""$lmCtes,
-       |nbc12 AS (SELECT lang AS cls, g, CAST(count(*) AS BIGINT) AS c12
+    s"""nbc12 AS (SELECT lang AS cls, g, CAST(count(*) AS BIGINT) AS c12
        |          FROM lmex GROUP BY 1, 2),
        |nbc1 AS (SELECT lang AS cls, g // $LmB AS b1,
        |           CAST(count(*) AS BIGINT) AS c1

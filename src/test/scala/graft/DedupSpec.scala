@@ -205,6 +205,26 @@ class DedupSpec extends SparkSpec {
     total should be < corpus / 4
   }
 
+  test("classifier-gated capstone restricts admission and changes the selection") {
+    // sf0.01: the scale where the NB stage rejects documents the ratio
+    // gate passed (at sf0.001 the two gates' rejections coincide)
+    val d = "/root/testdata/sf0.01"
+    def manifest(q: String) = graft.SparkEntry.queries(q)(spark, d)
+      .as[(String, String, Long, Long)].collect()
+    val base = manifest("curate_pipeline")
+    val cls = manifest("curate_pipeline_cls")
+    cls should not be empty
+    // the theorem: the cls survivor pool is a SUBSET of the base pool,
+    // and the systematic resampler's pick count is floor(W/step) —
+    // monotone in total surviving weight — so the composed gate can
+    // never ADMIT more documents than the base capstone
+    cls.map(_._3).sum should be <= base.map(_._3).sum
+    // ...and on this fixture it measurably changes the selection
+    // (different survivors -> different token totals), proving the
+    // composed stage is live, not a no-op restatement of stage 3
+    cls.map(_._4).sum should not be base.map(_._4).sum
+  }
+
   test("band sweep traces the LSH precision/recall frontier monotonically") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("dedup_band_sweep")(spark, d)

@@ -58,7 +58,8 @@ class PlanSpec extends SparkSpec {
       "corpus_hybrid_rrf", // dense branch is the brute query-sample broadcast cross
       "sim_centroid_confusion", // broadcast of the labels-sized centroid set
       "graph_kcore_peel", // per-round 1-row × 1-row scalar cross (survivors × induced edges)
-      "curate_pipeline") // DSIR weight-array + LM-grid 1-row broadcasts
+      "curate_pipeline", // DSIR weight-array + LM-grid 1-row broadcasts
+      "curate_pipeline_cls") // same broadcasts; the NB stage is map-only literal folds
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -188,6 +189,7 @@ class PlanSpec extends SparkSpec {
       "curate_semdedup" -> 5, // measured 4: in-cell pair join + manifest join off the checkpointed assignment
       "curate_cluster_balance" -> 4, // measured 3: cell counts + broadcast-back + manifest agg
       "curate_pipeline" -> 58, // measured 56 (r10: +6 for the background LM grid's counts+join in the ratio gate): six family subtrees, shared stages repeated in the tree string
+      "curate_pipeline_cls" -> 61, // measured 59: the capstone + the NB stage's left-semi (grids are map-only literal folds)
       "sim_nprobe_sweep" -> 50, // measured 48: three probe-width branches × (search + exact-baseline compare)
       // r10 bench top-2 entrants: the production-path serving-knob
       // sweeps each replay the rerank chain + exact baseline 3×
