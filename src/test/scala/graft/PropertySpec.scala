@@ -135,6 +135,52 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("cms accumulate: conservation, naive-reference equality, and the merge law") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextHashFunctions
+    val rows = 4; val width = 256
+    def arr(tokens: List[String]) =
+      new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+    def cms(tokens: List[String]): Array[Long] = {
+      val c = new Array[Long](rows * width)
+      TextHashFunctions.cmsAccumulate(c, arr(tokens), rows, width)
+      c
+    }
+    val gen = for {
+      xs <- Gen.listOf(Gen.asciiPrintableStr)
+      cut <- Gen.choose(0, xs.length)
+    } yield (xs, cut)
+    check(Prop.forAll(gen) { case (tokens, cut) =>
+      val cells = cms(tokens)
+      // conservation: every hash row receives exactly one bump per
+      // occurrence — Σ cells per row = |tokens| (the spec-pinned law
+      // behind Σcells = N in the oracle)
+      val perRow = (0 until rows).map(r =>
+        (0 until width).map(b => cells(r * width + b)).sum)
+      val conserved = perRow.forall(_ == tokens.length.toLong)
+      // naive reference: one affine evaluation per (token, row) via the
+      // public PortableHash constants — the aggregate's inner loop must
+      // agree cell for cell
+      val naive = new Array[Long](rows * width)
+      tokens.foreach { t =>
+        val h = TextHashFunctions.hash60(UTF8String.fromString(t)) %
+          PortableHash.P
+        (0 until rows).foreach { r =>
+          val b = ((h * PortableHash.constantA(r) + PortableHash.constantB(r))
+            % PortableHash.P % width).toInt
+          naive(r * width + b) += 1L
+        }
+      }
+      // merge law: accumulating a split's halves separately and adding
+      // cell-wise equals one pass — the property that makes the sketch
+      // a partition-safe aggregation buffer
+      val (l, r) = tokens.splitAt(cut)
+      val merged = cms(l).zip(cms(r)).map { case (a, b) => a + b }
+      conserved && cells.sameElements(naive) && cells.sameElements(merged)
+    })
+  }
+
   test("morton: interleave16 is a bijection on 16-bit pairs") {
     def despread(z: Long): Long = {
       var v = z & 0x5555555555555555L
