@@ -199,6 +199,8 @@ object VectorFunctions {
   *   simhash16(tokens)              16-bit SimHash fingerprint
   *   lm_score_bits(tokens, grid)    hashed-bigram LM score (quarter-bit)
   *   cms_cells(tokens, rows, width) per-doc sparse count-min cell counts
+  *   cms_sketch_agg(tokens, rows, width)  count-min sketch AGGREGATE
+  *                                  (dense rows×width cell array)
   *   vec_argmin_d2(vec, entries)    nearest entry by exact squared L2
   *
   * Integer parameters (n, k) must be literals — they parameterize the
@@ -238,6 +240,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("cms_cells", classOf[T.CmsCells]) {
       c => T.CmsCells(c(0), intLit(c(1), "cms_cells"),
         intLit(c(2), "cms_cells")) })
+    // aggregate functions register as their AggregateFunction — the
+    // registry wraps them in AggregateExpression at resolution
+    ext.injectFunction(fn("cms_sketch_agg",
+        classOf[graft.functions.SketchAggregates.CmsSketchAgg]) {
+      c => graft.functions.SketchAggregates.CmsSketchAgg(c(0),
+        intLit(c(1), "cms_sketch_agg"), intLit(c(2), "cms_sketch_agg")) })
     ext.injectFunction(fn("vec_argmin_d2", classOf[VectorFunctions.ArgminD2]) {
       c => VectorFunctions.ArgminD2(c(0), c(1)) })
     ext.injectFunction(fn("morton_interleave16",

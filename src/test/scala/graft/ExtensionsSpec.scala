@@ -63,6 +63,36 @@ class ExtensionsSpec extends SparkSpec {
     r.getLong(1) shouldBe 7L
   }
 
+  test("cms_cells / cms_sketch_agg from SQL") {
+    installed
+    // one token, rows=2, width=4: two sparse cells, count 1 each
+    val cells = spark.sql(
+      "SELECT cms_cells(array('a'), 2, 4) AS e").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    cells.length shouldBe 2
+    cells.map(_.getLong(0)) shouldBe Seq(0L, 1L) // one cell per hash row
+    cells.foreach(_.getLong(2) shouldBe 1L)
+    // the aggregate over two rows equals the merged per-row partials:
+    // dense 8-cell array summing to rows × total-occurrences = 2 × 3
+    val agg = spark.sql(
+      "SELECT cms_sketch_agg(t, 2, 4) AS s FROM VALUES " +
+        "(array('a','b')), (array('a')) AS v(t)").head().getSeq[Long](0)
+    agg.length shouldBe 8
+    agg.sum shouldBe 6L
+    // and matches the operator's full-width sketch on the same corpus
+    import spark.implicits._
+    val viaSql = spark.sql(
+      "SELECT cms_sketch_agg(t, 4, 256) AS s FROM VALUES " +
+        "(array('a','b')), (array('a')) AS v(t)").head().getSeq[Long](0)
+    val viaOp = graft.operators.Sketch.cmsSketch(
+        Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (r, b, c) => (r * 256 + b).toInt -> c }.toMap
+    viaSql.zipWithIndex.foreach { case (c, i) =>
+      c shouldBe viaOp.getOrElse(i, 0L)
+    }
+  }
+
   test("literal-parameter contract is enforced with a clear error") {
     installed
     val e = intercept[Exception] {
