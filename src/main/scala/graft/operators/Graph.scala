@@ -199,6 +199,56 @@ object Graph {
     trace
   }
 
+  /** One round of WEIGHTED personalized PageRank (random walk with
+    * restart) over the symmetric (u, v, w) adjacency: the teleport
+    * mass goes to the SEED set only — rank_next(v) = [v ∈ seeds]·
+    * [[BaseFp]] + floor([[Damping]] · Σ_u floor(rank(u)·w(u,v) /
+    * wdeg(u))) — so ranks measure random-walk proximity to the seeds
+    * (the classic recommendation/expansion score beside [[bfsStep]]'s
+    * hop metric and [[wspStep]]'s weighted-path metric). Shares are
+    * weight-proportional; every op is floor of one IEEE division /
+    * multiplication on exact integers (rank·w ≤ 2^53 by the mass
+    * bound), so rounds replay bit-for-bit in the oracle. The rank
+    * frame is SPARSE — only nodes with rank > 0 carry rows (unreached
+    * mass is honestly absent, the BFS doctrine), so state grows with
+    * the walk frontier, not the graph. Scale shape per round: one
+    * shuffle joining ranks onto edges, one map-side-combined in-mass
+    * sum, one full-outer join against the seed-sized base frame. */
+  def pprStep(edges: DataFrame, ranks: DataFrame,
+      seeds: DataFrame): DataFrame = {
+    val wdeg = edges.groupBy("u").agg(sum(col("w")).as("wdeg"))
+    val share = edges
+      .join(wdeg, "u")
+      .join(ranks.withColumnRenamed("node", "u"), "u")
+      .select(col("v"),
+        floor((col("rank_fp") * col("w")).cast("double") / col("wdeg"))
+          .cast("long").as("c"))
+    val sums = share.groupBy(col("v").as("node"))
+      .agg(sum(col("c")).as("in_mass"))
+    seeds.select(col("node"), lit(BaseFp).as("base"))
+      .join(sums, Seq("node"), "full_outer")
+      .select(col("node"),
+        (coalesce(col("base"), lit(0L)) +
+          floor(lit(Damping) * coalesce(col("in_mass"), lit(0L)))
+            .cast("long")).as("rank_fp"))
+      .filter(col("rank_fp") > 0)
+  }
+
+  /** Per-round rank frames p0 (seeds at [[RankOne]]) through p`iters`
+    * of one personalized-PageRank run, each eagerly checkpointed —
+    * the [[pagerankTrace]] shared-trace doctrine. */
+  def pprTrace(edges: DataFrame, seeds: DataFrame,
+      iters: Int): IndexedSeq[DataFrame] = {
+    val e = edges.persist()
+    val p0 = seeds.select(col("node"), lit(RankOne).as("rank_fp"))
+      .localCheckpoint(true)
+    val trace = (1 to iters).foldLeft(IndexedSeq(p0)) { (acc, _) =>
+      acc :+ pprStep(e, acc.last, seeds).localCheckpoint(true)
+    }
+    e.unpersist()
+    trace
+  }
+
   /** One round of multi-source WEIGHTED shortest-path relaxation —
     * [[bfsStep]]'s min-plus generalization: a neighbor's candidate is
     * (dist + w, src) along the carried integer edge weight instead of

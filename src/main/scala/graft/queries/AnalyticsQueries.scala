@@ -126,6 +126,7 @@ object AnalyticsQueries {
     lpaLabelTrace(s, d)
     bfsDistTrace(s, d)
     wspDistTrace(s, d)
+    pprRankTrace(s, d)
     kcoreSurvTrace(s, d)
     ()
   }
@@ -231,6 +232,11 @@ object AnalyticsQueries {
     * MUST initialize before `defs`. */
   private val WspIters = 10
 
+  /** Personalized-PageRank rounds from the same hubs — enough for the
+    * walk to spread past the hubs' 2-hop neighborhood while keeping
+    * the unrolled oracle readable. MUST initialize before `defs`. */
+  private val PprIters = 3
+
   /** The symmetrized weighted co-purchase adjacency both LPA queries
     * run on — the SAME support ≥ 2 frame `graph_triangles` thresholds,
     * doubled into (u, v, w) both directions off the shared memoized
@@ -318,6 +324,27 @@ object AnalyticsQueries {
     (1 to WspIters).foldLeft(IndexedSeq(d0)) { (acc, i) =>
       val prev = acc.last
       acc :+ FrameCache.memo(s, d, s"wsp_d$i")(Graph.wspStep(edges, prev))
+    }
+  }
+
+  /** Per-round rank frames p0..p[[PprIters]] of ONE weighted
+    * personalized-PageRank run from the same hubs as the BFS/WSP —
+    * random-walk proximity to the bestseller cluster, the third
+    * hub-proximity measure of the family. Memoized per the
+    * [[bfsDistTrace]] doctrine; `graph_ppr_train` reads the last
+    * frame, `graph_ppr_converge` the per-round reach/mass counters. */
+  private def pprRankTrace(s: org.apache.spark.sql.SparkSession,
+      d: String): IndexedSeq[org.apache.spark.sql.DataFrame] = {
+    val edges = lpaEdges(s, d)
+    val srcs = bfsSourceFrame(s, d)
+    val p0 = FrameCache.memo(s, d, "ppr_p0") {
+      srcs.select(col("node"),
+        org.apache.spark.sql.functions.lit(Graph.RankOne).as("rank_fp"))
+    }
+    (1 to PprIters).foldLeft(IndexedSeq(p0)) { (acc, i) =>
+      val prev = acc.last
+      acc :+ FrameCache.memo(s, d, s"ppr_p$i")(
+        Graph.pprStep(edges, prev, srcs))
     }
   }
 
@@ -421,6 +448,45 @@ object AnalyticsQueries {
        |  SELECT node, CAST(0 AS BIGINT) AS dist, node AS src
        |  FROM srcs),
        |$wspRoundCtes""".stripMargin
+
+  /** Unrolled weighted-PPR CTEs: requires a preceding `edges(u, v, w)`
+    * CTE (symmetric); defines `srcs` (the hub pick — shared form with
+    * [[wspCtes]]), `pwdeg`, and `p0`..`p$PprIters` — each round
+    * exactly [[Graph.pprStep]]'s arithmetic: weight-proportional
+    * integer shares (floor of one IEEE division on exact operands),
+    * damped in-mass (floor of one IEEE multiply), teleport to seeds
+    * only, zero-rank rows absent. */
+  private def pprCtes: String = {
+    val base =
+      s"""srcs AS MATERIALIZED (
+         |  SELECT u AS node FROM edges GROUP BY u
+         |  ORDER BY SUM(w) DESC, u ASC LIMIT $BfsSources),
+         |pwdeg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS wd
+         |          FROM edges GROUP BY u),
+         |p0 AS (SELECT node, CAST(${Graph.RankOne} AS BIGINT) AS rank_fp
+         |       FROM srcs)""".stripMargin
+    val steps = (1 to PprIters).map { i =>
+      s"""psh$i AS (
+         |  SELECT e.v,
+         |    CAST(FLOOR(CAST(r.rank_fp * e.w AS DOUBLE) / g.wd) AS BIGINT) AS c
+         |  FROM edges e
+         |  JOIN pwdeg g ON e.u = g.u
+         |  JOIN p${i - 1} r ON r.node = e.u),
+         |psm$i AS (SELECT v AS node, CAST(SUM(c) AS BIGINT) AS im
+         |          FROM psh$i GROUP BY v),
+         |p$i AS (
+         |  SELECT node, rank_fp FROM (
+         |    SELECT COALESCE(s.node, m.node) AS node,
+         |      CAST(COALESCE(s.base, 0) +
+         |           FLOOR(${Graph.Damping} * COALESCE(m.im, 0)) AS BIGINT)
+         |        AS rank_fp
+         |    FROM (SELECT node, CAST(${Graph.BaseFp} AS BIGINT) AS base
+         |          FROM srcs) s
+         |    FULL OUTER JOIN psm$i m ON m.node = s.node)
+         |  WHERE rank_fp > 0)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
 
   /** Unrolled synchronous-LPA CTEs: requires a preceding
     * `edges(u, v, w)` CTE (symmetric), defines `l0`..`l$LpaIters` —
@@ -860,6 +926,44 @@ object AnalyticsQueries {
              s"""SELECT CAST($i AS BIGINT) AS iter,
                 |  CAST(COUNT(*) AS BIGINT) AS n_reached,
                 |  CAST(SUM(dist) AS BIGINT) AS sum_dist FROM wd$i"""
+               .stripMargin)
+           .mkString("\nUNION ALL\n")}""".stripMargin),
+
+    // Weighted personalized PageRank from the same bestseller hubs —
+    // the random-walk proximity measure beside the hop metric (BFS)
+    // and the weighted-path metric (WSP): "which products does a walk
+    // starting at the bestseller cluster keep landing on", the classic
+    // recommendation-expansion score. Teleport mass goes to the seeds
+    // only; shares are weight-proportional integer fixed-point (floor
+    // of single IEEE ops on exact operands), zero-rank nodes honestly
+    // absent — so K rounds replay bit-for-bit as unrolled CTE blocks.
+    "graph_ppr_train" -> QueryDef(
+      (s, d) => pprRankTrace(s, d).last
+        .select(col("node").cast("long").as("node"),
+          col("rank_fp").cast("long").as("rank_fp")),
+      s"""WITH $lpaEdgesSql,
+         |$pprCtes
+         |SELECT CAST(node AS BIGINT) AS node,
+         |  CAST(rank_fp AS BIGINT) AS rank_fp FROM p$PprIters""".stripMargin),
+
+    // The PPR audit off the SAME memoized trace: per-round ranked-node
+    // count and total fixed-point mass. The walk's reach spreads from
+    // the seed set while total mass stays bounded by the damping
+    // geometric series — GraphSpec pins seeds ranked ≥ the teleport
+    // floor every round and the documented mass bound.
+    "graph_ppr_converge" -> QueryDef(
+      (s, d) => pprRankTrace(s, d).zipWithIndex.map { case (df, i) =>
+        df.agg(count(lit(1)).as("n_ranked"),
+            sum(col("rank_fp")).as("mass_fp"))
+          .select(lit(i.toLong).as("iter"), col("n_ranked"),
+            col("mass_fp").cast("long").as("mass_fp"))
+      }.reduce(_.union(_)),
+      s"""WITH $lpaEdgesSql,
+         |$pprCtes
+         |${(0 to PprIters).map(i =>
+             s"""SELECT CAST($i AS BIGINT) AS iter,
+                |  CAST(COUNT(*) AS BIGINT) AS n_ranked,
+                |  CAST(SUM(rank_fp) AS BIGINT) AS mass_fp FROM p$i"""
                .stripMargin)
            .mkString("\nUNION ALL\n")}""".stripMargin),
 

@@ -245,6 +245,64 @@ class GraphSpec extends SparkSpec {
     changed.count() shouldBe 0L
   }
 
+  test("personalized PageRank walks mass out from the seeds, hand-checked") {
+    // path 1—2—3 (unit weights), seed {1}: two rounds by hand.
+    // r1: node 2 gets floor(.85·1e6) = 850,000; seed keeps its 150,000
+    // teleport floor. r2: 2's mass splits over wdeg 2 —
+    // 1: 150,000 + floor(.85·425,000) = 511,250; 2: floor(.85·150,000)
+    // = 127,500; 3: floor(.85·425,000) = 361,250.
+    val edges = sym(Seq((1L, 2L, 1L), (2L, 3L, 1L)))
+    val t = Graph.pprTrace(edges, Seq(1L).toDF("node"), 2)
+    t(1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 150000L, 2L -> 850000L)
+    t(2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L)
+    // weights steer the walk: tripling 1—2's weight starves 3
+    val wEdges = sym(Seq((1L, 2L, 3L), (2L, 3L, 1L)))
+    val w2 = Graph.pprTrace(wEdges, Seq(1L).toDF("node"), 2)(2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    w2(1L) should be > t(2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap.apply(1L)
+    w2(3L) should be < 361250L
+  }
+
+  test("PPR registry audit: seeds stay ranked, mass conserved within floor loss") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("graph_ppr_converge")(spark, d)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the walk starts AT its fixed-point mass (|seeds|·RankOne =
+    // |seeds|·BaseFp / (1 − damping)), so per-round mass can only
+    // leak floor remainders — never grow, never lose more than a
+    // fraction of a percent on this graph
+    val m0 = rows.head._3
+    m0 % Graph.RankOne shouldBe 0L
+    rows.sliding(2).foreach { case Array((_, na, ma), (_, nb, mb)) =>
+      nb should be >= na // reach spreads outward
+      mb should be <= ma // floor-only losses
+    }
+    rows.last._3 should be > (m0 * 99L) / 100L
+    // every seed keeps at least its teleport floor in the final frame
+    val fin = SparkEntry.queries("graph_ppr_train")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val items = graft.ingest.Tables.lineitem(spark, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = items.as("a").join(items.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 2)
+    val edges = pairs.unionAll(
+      pairs.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val seeds = edges.groupBy(col("u").as("node"))
+      .agg(sum(col("w")).as("wd"))
+      .orderBy(col("wd").desc, col("node").asc).limit(4)
+      .collect().map(_.getLong(0))
+    seeds.foreach { s =>
+      withClue(s"seed $s: ") { fin(s) should be >= Graph.BaseFp }
+    }
+  }
+
   test("BFS relaxation never worsens a distance and reach grows monotonically") {
     val rows = SparkEntry.queries("graph_bfs_reach")(
         spark, "/root/testdata/sf0.001")

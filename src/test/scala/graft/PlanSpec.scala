@@ -206,6 +206,8 @@ class PlanSpec extends SparkSpec {
       "curate_nb_gate" -> 2, // measured 1: map-only literal-grid folds + one per-lang rollup
       "text_nb_score" -> 0, // map-only: |classes| compiled folds over one scan, grids as literals
       "graph_wsp_dists" -> 0, // checkpointed Bellman–Ford trace: a pure scan
+      "graph_ppr_train" -> 0, // checkpointed random-walk trace: a pure scan
+      "graph_ppr_converge" -> 5, // measured 4: 4 per-round scalar aggs off the checkpointed trace
       "graph_wsp_converge" -> 12, // measured 11: 11 per-round scalar aggs off the checkpointed trace
       "corpus_qhist_merge" -> 4, // measured 3: halves agg + full agg + the cell-keyed join
       "corpus_pmi" -> 6, // measured 5: bigram agg + unigram agg + vocab broadcast-back
