@@ -153,6 +153,30 @@ class StateStoreProviderSpec extends SparkSpec {
     try body finally spark.conf.unset(ProviderConf)
   }
 
+  /** Two-batch count-min stream: the custom typed imperative
+    * aggregate's buffer serializes into the state store between
+    * batches, so this exercises [[graft.functions.SketchAggregates
+    * .CmsSketchAgg]]'s serialize/deserialize/merge roundtrip through
+    * BOTH providers (the memory-backed store and RocksDB keep state
+    * rows in different encodings). */
+  private def runCmsSketch(): Seq[(Long, Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val name = uniq("ssp_cms_")
+    val q = graft.operators.Sketch.cmsSketch(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    in.addData((1L, "alpha beta gamma"), (2L, "alpha delta"))
+    q.processAllAvailable()
+    in.addData((3L, "beta beta epsilon"), (4L, "alpha"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).orderBy("r", "b")
+      .as[(Long, Long, Long)].collect().toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
   test("token-budget state is provider-invariant (default vs RocksDB)") {
     val default = runBudget()
     val rocks = onRocksDb(runBudget())
@@ -173,6 +197,22 @@ class StateStoreProviderSpec extends SparkSpec {
     // 3 dropped (within-horizon dup), 5 readmitted (state evicted),
     // 6 dropped (gamma still inside the horizon)
     default shouldBe Seq(1L, 2L, 4L, 5L)
+    rocks shouldBe default
+  }
+
+  test("count-min aggregate state is provider-invariant (default vs RocksDB)") {
+    val default = runCmsSketch()
+    val rocks = onRocksDb(runCmsSketch())
+    default should not be empty
+    // the drained stream equals a one-shot batch sketch of the same
+    // corpus — the cross-batch buffer roundtrip lost nothing...
+    import spark.implicits._
+    val batch = graft.operators.Sketch.cmsSketch(
+        Seq((1L, "alpha beta gamma"), (2L, "alpha delta"),
+          (3L, "beta beta epsilon"), (4L, "alpha")).toDF("doc_id", "text"))
+      .orderBy("r", "b").as[(Long, Long, Long)].collect().toSeq
+    default shouldBe batch
+    // ...under either provider
     rocks shouldBe default
   }
 
