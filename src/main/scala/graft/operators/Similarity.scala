@@ -80,8 +80,13 @@ object Similarity {
       norm(col(vecCol)).as("__qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       norm(col(vecCol)).as("__cn"))
-    val scored = q.join(c,
-      if (excludeSelfId) col("query_id") =!= col("neighbor_id") else lit(true))
+    // both arms are all-pairs by design (this IS brute force); the
+    // external-id-space arm additionally hints the query side broadcast —
+    // a request batch is small by construction, and without the hint an
+    // unconditioned join could plan as a shuffled nested loop
+    val scored = (if (excludeSelfId) q.join(c,
+        col("query_id") =!= col("neighbor_id"))
+      else broadcast(q).join(c, lit(true)))
       .withColumn("cos9",
         round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 9))
     val w = Window.partitionBy(col("query_id"))

@@ -550,4 +550,43 @@ class SimilaritySpec extends SparkSpec {
       acc("train") should be > acc("heldout") + 0.1
     }
   }
+
+  test("external-id-space serving: excludeSelfId=false keeps colliding ids") {
+    // a request stream has its OWN id space: request id 3 numerically
+    // collides with corpus vec_id 3 but is a different vector — the
+    // self-exclusion arm would silently drop corpus vector 3 from its
+    // candidates, the external arm must keep it
+    val corpus = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(2.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(-1.0, 0.0))).toDF("vec_id", "v")
+    val requests = Seq((3L, Seq(0.0, 2.0))).toDF("vec_id", "v")
+
+    val ext = Similarity.knnBruteForce(requests, corpus, "vec_id", "v", 4,
+      excludeSelfId = false)
+    // the colliding corpus id IS served — rank 1, exact cosine 1.0
+    val top = ext.orderBy("rank").collect()
+    top.length shouldBe 4
+    top(0).getAs[Long]("neighbor_id") shouldBe 3L
+    top(0).getAs[Double]("cos9") shouldBe 1.0
+    // and the self-query arm would have lost it (the bug the knob fixes)
+    Similarity.knnBruteForce(requests, corpus, "vec_id", "v", 4)
+      .filter(col("neighbor_id") === 3L).count() shouldBe 0L
+    // the external arm's all-pairs join rides the broadcast hint — the
+    // request batch broadcasts, the corpus never reshuffles
+    val plan = ext.queryExecution.executedPlan.toString
+    withClue(plan) { plan should include("BroadcastNestedLoopJoin") }
+
+    // same contract on the pre-assigned IVF serving kernel
+    val cents = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)))
+      .toDF("cent_id", "cent_v")
+    val (assigned, _) = Similarity.ivfAssignCentroids(
+      corpus, "vec_id", "v", cents, nprobe = 1)
+    val served = Similarity.knnIvfFilteredQueries(requests, "vec_id", "v",
+      k = 4, assignedNbrs = assigned, cents = cents, nprobe = 2,
+      excludeSelfId = false)
+    served.filter(col("neighbor_id") === 3L).count() shouldBe 1L
+    Similarity.knnIvfFilteredQueries(requests, "vec_id", "v",
+        k = 4, assignedNbrs = assigned, cents = cents, nprobe = 2)
+      .filter(col("neighbor_id") === 3L).count() shouldBe 0L
+  }
 }
