@@ -79,6 +79,12 @@ object SketchAggregates {
     }
 
     override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      // fail-loud doctrine: a truncated/foreign state-store row must not
+      // become a short buffer that merge() then over-indexes (or a long
+      // one that silently carries extra cells)
+      require(bytes.length == rows * width * 8,
+        s"cms state geometry mismatch: got ${bytes.length} bytes, " +
+          s"expected rows=$rows x width=$width x 8 = ${rows * width * 8}")
       val out = new Array[Long](bytes.length / 8)
       ByteBuffer.wrap(bytes).asLongBuffer().get(out)
       out
@@ -96,5 +102,107 @@ object SketchAggregates {
   def cmsSketchAgg(tokens: Column, rows: Int, width: Int): Column =
     CatalystBridge.column(
       CmsSketchAgg(CatalystBridge.expression(tokens), rows, width)
+        .toAggregateExpression())
+
+  /** HyperLogLog register table of a token-array column as ONE typed
+    * imperative aggregate — the CARDINALITY member of the sketch family
+    * next to [[CmsSketchAgg]]'s frequencies and the quantile histogram:
+    * `update` hashes each occurrence once
+    * ([[TextHashFunctions.hash60]] — the engine-portable MD5 family,
+    * so the register table replays bit-for-bit in the DuckDB oracle),
+    * routes it to register `h & (m-1)` and keeps the MAX first-set-bit
+    * rank of the remaining bits; `merge` is register-wise max — the
+    * max-merge law (vs the CMS's sum-merge) that makes the sketch a
+    * per-partition/per-hour summary. Result: the dense m-register long
+    * array (0 = never touched). On a stream the serialized buffer IS
+    * the state-store value — constant m cells at any ingest volume.
+    *
+    * Geometry: m must be a power of two in [16, 65536]; with the
+    * 60-bit hash the rank field has 60-log2(m) bits, so registers lie
+    * in [1, 61-log2(m)]. Duplicates are free by construction (max is
+    * idempotent) — cardinality needs no distinct shuffle anywhere.
+    */
+  case class HllSketchAgg(
+      child: Expression,
+      m: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+    require(m >= 16 && m <= 65536 && (m & (m - 1)) == 0,
+      s"hll m must be a power of two in [16, 65536], got $m")
+
+    private val bucketBits = java.lang.Integer.numberOfTrailingZeros(m)
+    private val maxRho = 60 - bucketBits + 1
+
+    override def children: Seq[Expression] = child :: Nil
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "hll_sketch_agg"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens, got ${t.sql}")
+    }
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](m)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val toks = v.asInstanceOf[ArrayData]
+        val n = toks.numElements()
+        var i = 0
+        while (i < n) {
+          val h = TextHashFunctions.hash60(toks.getUTF8String(i))
+          val b = (h & (m - 1)).toInt
+          val w = h >>> bucketBits
+          // bit-length of w is 64 - nlz; w == 0 (all rank bits zero)
+          // maps to the field-width rank maxRho
+          val rho = maxRho - (64 - java.lang.Long.numberOfLeadingZeros(w))
+          if (rho > buf(b)) buf(b) = rho
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.length * 8)
+      bb.asLongBuffer().put(buf)
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      // same fail-loud geometry check as the CMS aggregate
+      require(bytes.length == m * 8,
+        s"hll state geometry mismatch: got ${bytes.length} bytes, " +
+          s"expected m=$m x 8 = ${m * 8}")
+      val out = new Array[Long](bytes.length / 8)
+      ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+      out
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): HllSketchAgg = copy(child = c.head)
+  }
+
+  /** [[HllSketchAgg]] as an aggregate Column over a token-array column. */
+  def hllSketchAgg(tokens: Column, m: Int): Column =
+    CatalystBridge.column(
+      HllSketchAgg(CatalystBridge.expression(tokens), m)
         .toAggregateExpression())
 }

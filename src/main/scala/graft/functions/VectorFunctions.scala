@@ -201,6 +201,8 @@ object VectorFunctions {
   *   cms_cells(tokens, rows, width) per-doc sparse count-min cell counts
   *   cms_sketch_agg(tokens, rows, width)  count-min sketch AGGREGATE
   *                                  (dense rows×width cell array)
+  *   hll_sketch_agg(tokens, m)      HyperLogLog register AGGREGATE
+  *                                  (dense m-register array, max-merge)
   *   vec_argmin_d2(vec, entries)    nearest entry by exact squared L2
   *
   * Integer parameters (n, k) must be literals — they parameterize the
@@ -246,6 +248,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.SketchAggregates.CmsSketchAgg]) {
       c => graft.functions.SketchAggregates.CmsSketchAgg(c(0),
         intLit(c(1), "cms_sketch_agg"), intLit(c(2), "cms_sketch_agg")) })
+    ext.injectFunction(fn("hll_sketch_agg",
+        classOf[graft.functions.SketchAggregates.HllSketchAgg]) {
+      c => graft.functions.SketchAggregates.HllSketchAgg(c(0),
+        intLit(c(1), "hll_sketch_agg")) })
     ext.injectFunction(fn("vec_argmin_d2", classOf[VectorFunctions.ArgminD2]) {
       c => VectorFunctions.ArgminD2(c(0), c(1)) })
     ext.injectFunction(fn("morton_interleave16",

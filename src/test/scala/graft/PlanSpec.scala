@@ -59,7 +59,9 @@ class PlanSpec extends SparkSpec {
       "sim_centroid_confusion", // broadcast of the labels-sized centroid set
       "graph_kcore_peel", // per-round 1-row × 1-row scalar cross (survivors × induced edges)
       "curate_pipeline", // DSIR weight-array + LM-grid 1-row broadcasts
-      "curate_pipeline_cls") // same broadcasts; the NB stage is map-only literal folds
+      "curate_pipeline_cls", // same broadcasts; the NB stage is map-only literal folds
+      "corpus_hll_card", // 1-row × 1-row scalar cross (sketch estimate × exact count)
+      "corpus_hll_langs") // same 1-row scalar cross (three sketches × exact set sizes)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

@@ -181,6 +181,54 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("hll update: naive-reference equality, idempotence, and the max-merge law") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{SketchAggregates, TextHashFunctions}
+    val m = 64
+    val agg = SketchAggregates.HllSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType), nullable = true), m)
+    def regs(tokens: List[String]): Array[Long] = {
+      // drive the buffer through the public update path via an input row
+      val buf = agg.createAggregationBuffer()
+      val arr = new GenericArrayData(
+        tokens.map(UTF8String.fromString).toArray[Any])
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](arr))
+      agg.update(buf, row)
+      buf
+    }
+    val gen = for {
+      xs <- Gen.listOf(Gen.asciiPrintableStr)
+      cut <- Gen.choose(0, xs.length)
+    } yield (xs, cut)
+    check(Prop.forAll(gen) { case (tokens, cut) =>
+      val r = regs(tokens)
+      // naive reference: bucket = low 6 bits of hash60, rank = 55 -
+      // bitlen of the remaining 54 bits (all-zero word → 55), register
+      // keeps the max
+      val naive = new Array[Long](m)
+      tokens.foreach { t =>
+        val h = TextHashFunctions.hash60(UTF8String.fromString(t))
+        val b = (h & (m - 1)).toInt
+        val w = h >>> 6
+        val rho = 55L - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > naive(b)) naive(b) = rho
+      }
+      // idempotence: feeding the list twice changes nothing (the
+      // property that makes duplicates free and replays safe)
+      val twice = regs(tokens ++ tokens)
+      // max-merge law: splitting at any point and merging register-wise
+      // equals the single pass — the partition-safety property
+      val merged = agg.merge(regs(tokens.take(cut)), regs(tokens.drop(cut)))
+      r.sameElements(naive) && twice.sameElements(r) &&
+        merged.sameElements(r) &&
+        r.forall(v => v >= 0L && v <= 55L)
+    })
+  }
+
   test("morton: interleave16 is a bijection on 16-bit pairs") {
     def despread(z: Long): Long = {
       var v = z & 0x5555555555555555L

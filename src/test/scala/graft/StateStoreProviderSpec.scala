@@ -200,6 +200,34 @@ class StateStoreProviderSpec extends SparkSpec {
     rocks shouldBe default
   }
 
+  /** Two-batch HLL stream — same roundtrip coverage as [[runCmsSketch]]
+    * for [[graft.functions.SketchAggregates.HllSketchAgg]]'s
+    * serialize/deserialize/max-merge through both providers. */
+  private def runHllSketch(): Seq[(Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val name = uniq("ssp_hll_")
+    val q = graft.operators.Sketch.hllRegisters(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    in.addData((1L, "alpha beta gamma delta"), (2L, "alpha delta epsilon zeta"))
+    q.processAllAvailable()
+    in.addData((3L, "beta beta epsilon eta theta"), (4L, "alpha iota kappa"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).orderBy("bucket")
+      .as[(Long, Long)].collect().toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  test("hll aggregate state is provider-invariant (default vs RocksDB)") {
+    val default = runHllSketch()
+    val rocks = onRocksDb(runHllSketch())
+    default should not be empty
+    rocks shouldBe default
+  }
+
   test("count-min aggregate state is provider-invariant (default vs RocksDB)") {
     val default = runCmsSketch()
     val rocks = onRocksDb(runCmsSketch())
@@ -214,6 +242,23 @@ class StateStoreProviderSpec extends SparkSpec {
     default shouldBe batch
     // ...under either provider
     rocks shouldBe default
+  }
+
+  test("count-min aggregate deserialize rejects mismatched state geometry") {
+    // a truncated or foreign state-store row must fail loud at
+    // deserialize, not surface as an AIOOBE inside merge() (short
+    // buffer) or silently carry extra cells (long buffer)
+    val agg = graft.functions.SketchAggregates.CmsSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), 4, 256)
+    val ok = agg.serialize(agg.createAggregationBuffer())
+    agg.deserialize(ok).length shouldBe 4 * 256
+    val short = intercept[IllegalArgumentException] {
+      agg.deserialize(ok.take(ok.length - 8))
+    }
+    short.getMessage should include("geometry mismatch")
+    intercept[IllegalArgumentException] {
+      agg.deserialize(ok ++ Array.fill[Byte](8)(0))
+    }
   }
 
   test("windowed aggregation is provider-invariant (default vs RocksDB)") {

@@ -262,6 +262,33 @@ class StreamingSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("streaming HLL register table equals the batch sketch after full replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // the 256 registers ARE the aggregation state (constant at any
+    // ingest volume) and register-wise MAX is the merge — idempotent,
+    // so a stream drained in chunks (or replaying duplicates) lands on
+    // exactly the batch register table
+    val docs = graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Sketch.hllRegisters(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("hll_sketch")
+      .outputMode("complete").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    // re-feed a duplicate slice: max-merge must absorb it with no drift
+    in.addData(b2 ++ b1.take(3)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hll_sketch").orderBy("bucket")
+      .as[(Long, Long)].collect().toSeq
+    val want = graft.operators.Sketch.hllRegisters(docs.toDF("doc_id", "text"))
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    got should not be empty
+    got shouldBe want
+  }
+
   test("streaming quantile histogram equals the batch sketch after full replay") {
     implicit val sqlCtx = spark.sqlContext
     // the ≤ ~128 quarter-bit buckets ARE the aggregation state and

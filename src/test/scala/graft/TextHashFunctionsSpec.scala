@@ -149,6 +149,27 @@ class TextHashFunctionsSpec extends SparkSpec {
     perDoc shouldBe composable
   }
 
+  test("native hllRegisters == composable explode/groupBy register table") {
+    // the typed imperative aggregate (hash once per occurrence, dense
+    // register buffer, max-merge) must reproduce the composable
+    // explode + hash60 + groupBy-max register table cell for cell —
+    // the bit-equivalence pin behind corpus_hll_build riding it
+    val docs = graft.ingest.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val aggForm = graft.operators.Sketch.hllRegisters(docs)
+      .as[(Long, Long)].collect().toSet
+    val composable = graft.operators.Sketch.hllRegistersComposable(docs)
+      .as[(Long, Long)].collect().toSet
+    aggForm should not be empty
+    aggForm shouldBe composable
+    // registers stay inside the 60-bit hash's rank range
+    aggForm.foreach { case (b, r) =>
+      b should (be >= 0L and be < graft.operators.Sketch.HllM.toLong)
+      r should (be >= 1L and be <= graft.operators.Sketch.HllMaxRho.toLong)
+    }
+  }
+
   test("malformed inputs fail loud: short LM grid, negative bucket hash") {
     // SQL-registered surface: a user-supplied grid of the wrong size or
     // a negative "hash" must throw, not index out of bounds and return
