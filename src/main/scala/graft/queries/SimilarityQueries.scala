@@ -656,6 +656,71 @@ object SimilarityQueries {
          |    / (d2_trained / n_trained)) AS BIGINT) AS gap_bp
          |FROM agg""".stripMargin),
 
+    // Serving BETWEEN retrains — the missing third beat of the index
+    // lifecycle (drift measures the trigger, retrain closes the gap;
+    // this row proves nothing is lost WHILE you wait): the base index
+    // is built offline on the training-time corpus (evens, assigned to
+    // the gen-0 cohort centroids), arrivals since (odds) are ADMITTED
+    // by the same stateless broadcast-argmin assignment (the
+    // StreamingIndex ADD path — no retrain, no state, no corpus
+    // reshuffle), and queries are served over base ∪ delta with the
+    // pre-assigned probe/re-rank kernel. `from_delta` tags neighbors
+    // that exist only because the ADD path ran — the measured proof
+    // that admitted vectors are immediately searchable under the stale
+    // generation. SimilaritySpec additionally pins union-serving
+    // row-identical to rebuilding the whole index on base+delta (the
+    // assignment is per-vector, so offline-build + stateless-admit ≡
+    // full rebuild under the SAME centroids — exactly why the ADD path
+    // needs no retrain). Scale shape: two broadcast-centroid
+    // assignments + one cell-keyed equi-join; vectors shuffle once.
+    "sim_index_serve_delta" -> QueryDef(
+      (s, d) => {
+        val cents = cohortCentroids(s, d)
+        val e = quantized(s, d)
+        val (baseAsg, _) = Similarity.ivfAssignCentroids(
+          e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "qv",
+          cents, nprobe = 1)
+        val (deltaAsg, _) = Similarity.ivfAssignCentroids(
+          e.filter(pmod(col("vec_id"), lit(2)) =!= 0), "vec_id", "qv",
+          cents, nprobe = 1)
+        val queries = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        Similarity.knnIvfFilteredQueries(queries, "vec_id", "qv", K,
+            assignedNbrs = baseAsg.unionByName(deltaAsg), cents = cents,
+            nprobe = 3)
+          .withColumn("rank", col("rank").cast("long"))
+          .withColumn("from_delta", pmod(col("neighbor_id"), lit(2)))
+      },
+      s"""WITH ef AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+         |e AS (SELECT vec_id, v FROM ef WHERE vec_id % 2 = 0),
+         |${ivfTrainChain("e", "")},
+         |scored AS (
+         |  SELECT ef.vec_id AS id, ef.v, c.cent_id,
+         |    ${d2Sql("ef.v", "c.cent_v", Dims)} AS d2
+         |  FROM ef, c),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY id ORDER BY d2 ASC, cent_id ASC) AS cr
+         |  FROM scored),
+         |assigned AS (SELECT id, v, cent_id AS cell_id FROM ranked WHERE cr = 1),
+         |probes AS (
+         |  SELECT id AS query_id, v AS qv, cent_id AS cell_id
+         |  FROM ranked WHERE cr <= 3 AND id % 10 = 0),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, p.qv, a.id AS neighbor_id, a.v AS cv
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell_id = p.cell_id AND a.id <> p.query_id),
+         |s2 AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(${cosine("qv", "cv", Dims)}, 9) AS cos9
+         |  FROM cand)
+         |SELECT query_id, neighbor_id, rank, cos9,
+         |  CAST(neighbor_id % 2 AS BIGINT) AS from_delta
+         |FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos9 DESC, neighbor_id) AS rank
+         |  FROM s2)
+         |WHERE rank <= $K""".stripMargin),
+
     // Coreset by cell quota — DIVERSITY sampling for training subsets:
     // a uniform sample over-represents dense regions of embedding
     // space; capping each IVF cell at a fixed quota keeps every region

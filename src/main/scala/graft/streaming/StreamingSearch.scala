@@ -120,4 +120,32 @@ object StreamingSearch {
         sink(Similarity.knnIvfFilteredQueries(
           batch, "query_id", "qv", k, assignedNbrs, cents, nprobe))
       }
+
+  /** Serving over base ∪ admitted-delta BETWEEN retrains — the third
+    * beat of the index lifecycle next to the retrain hot-swap
+    * ([[servePrunedSwappableWriter]]): the searchable side (the
+    * assigned `(__id, __v, cell_id)` corpus) is read through an
+    * AtomicReference per micro-batch, and the ADD path grows it
+    * WITHOUT a retrain — [[graft.operators.Similarity
+    * .ivfAssignCentroids]] assigns a batch of new vectors against the
+    * SAME (stale-generation) centroids, the operator sets the
+    * reference to base ∪ delta, and the NEXT query batch searches the
+    * admitted vectors. Because assignment is per-vector under fixed
+    * centroids, offline-build + stateless-admit is row-identical to
+    * rebuilding on base+delta (the batch `sim_index_serve_delta` row
+    * grades exactly this) — so admits are cheap, immediate, and lose
+    * nothing; the queries keep the external-id-space contract
+    * (`excludeSelfId = false`). StreamingSpec pins pre-admit serving
+    * ≡ the batch kernel over base and post-admit ≡ over the union,
+    * with a delta-only neighbor appearing only after the admit. */
+  def serveAssignedSwappableWriter(queries: DataFrame,
+      assigned: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      cents: DataFrame, nprobe: Int, k: Int)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(Similarity.knnIvfFilteredQueries(
+          batch, "query_id", "qv", k, assigned.get(), cents, nprobe,
+          excludeSelfId = false))
+      }
 }

@@ -61,7 +61,8 @@ class PlanSpec extends SparkSpec {
       "curate_pipeline", // DSIR weight-array + LM-grid 1-row broadcasts
       "curate_pipeline_cls", // same broadcasts; the NB stage is map-only literal folds
       "corpus_hll_card", // 1-row × 1-row scalar cross (sketch estimate × exact count)
-      "corpus_hll_langs") // same 1-row scalar cross (three sketches × exact set sizes)
+      "corpus_hll_langs", // same 1-row scalar cross (three sketches × exact set sizes)
+      "sim_index_serve_delta") // broadcast centroid assignments + probe (k-sized, linear)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>

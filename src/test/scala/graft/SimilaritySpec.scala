@@ -551,6 +551,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("serve-delta: offline base + stateless admit == full rebuild, delta served") {
+    val d = "/root/testdata/sf0.001"
+    val served = SparkEntry.queries("sim_index_serve_delta")(spark, d)
+    val rows = served.as[(Long, Long, Long, Double, Long)].collect()
+    rows should not be empty
+    // the admitted (odd-id) cohort actually surfaces in answers — the
+    // measured proof the ADD path makes arrivals searchable pre-retrain
+    rows.count(_._5 == 1L) should be > 0
+    // and union-serving loses NOTHING vs rebuilding the whole index on
+    // base+delta under the same gen-0 centroids: assignment is
+    // per-vector under fixed centroids, so the two are row-identical
+    val cents = graft.queries.SimilarityQueries.cohortCentroids(spark, d)
+    val e = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val rebuilt = Similarity.knnIvfCentroids(e, "vec_id", "qv", 10,
+        cents = cents, nprobe = 3,
+        queryFilter = pmod(col("__id"), lit(10)) === 0)
+      .as[(Long, Long, Int, Double)].collect()
+      .map { case (q, n, r, c) => (q, n, r.toLong, c) }.toSet
+    rows.map { case (q, n, r, c, _) => (q, n, r, c) }.toSet shouldBe rebuilt
+  }
+
   test("external-id-space serving: excludeSelfId=false keeps colliding ids") {
     // a request stream has its OWN id space: request id 3 numerically
     // collides with corpus vec_id 3 but is a different vector — the

@@ -986,6 +986,64 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe retrainedExpected
   }
 
+  test("index ADD path: admitted delta is searchable next batch, zero downtime") {
+    // the lifecycle beat BETWEEN retrains: the serving query keeps
+    // answering from the offline-built base while the ADD path assigns
+    // arrivals against the SAME stale-generation centroids and swaps
+    // base ∪ delta in — the next batch searches the admitted vectors,
+    // both phases pinned row-identical to their searchable-side's
+    // batch kernel (the batch twin sim_index_serve_delta grades the
+    // union against a full rebuild)
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val cents = graft.queries.SimilarityQueries.cohortCentroids(spark, d)
+      .localCheckpoint()
+    val e = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val (baseAsg, _) = graft.operators.Similarity.ivfAssignCentroids(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "qv", cents, 1)
+    val (deltaAsg, _) = graft.operators.Similarity.ivfAssignCentroids(
+      e.filter(col("vec_id") % 2 =!= 0), "vec_id", "qv", cents, 1)
+    val base = baseAsg.localCheckpoint()
+    val union = base.unionByName(deltaAsg.localCheckpoint())
+    val qvecsDf = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val qvecs = qvecsDf.as[(Long, Seq[Double])].collect().toIndexedSeq
+    def batchOf(asg: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.knnIvfFilteredQueries(qvecsDf,
+          "query_id", "qv", 10, asg, cents, nprobe = 3,
+          excludeSelfId = false)
+        .as[(Long, Long, Int, Double)].collect()
+        .map { case (q, n, r, c) => (q, n, r.toLong, c) }.toSet
+    val preExpected = batchOf(base)
+    val postExpected = batchOf(union)
+    preExpected should not be empty
+    // the admit must CHANGE answers (delta neighbors enter shortlists)
+    postExpected should not be preExpected
+
+    val ref = new java.util.concurrent.atomic.AtomicReference(base)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingSearch.serveAssignedSwappableWriter(
+        in.toDF().toDF("query_id", "qv"), ref, cents,
+        nprobe = 3, k = 10) { out =>
+        buf.synchronized {
+          buf ++= out.as[(Long, Long, Int, Double)].collect()
+            .map { case (qi, n, r, c) => (qi, n, r.toLong, c) }
+        }
+      }
+      .option("checkpointLocation", tmp("ckpt-admit")).start()
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    val preAdmit = buf.synchronized { val s = buf.toSet; buf.clear(); s }
+    ref.set(union) // THE ADMIT — no restart, next batch sees the delta
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    preAdmit shouldBe preExpected
+    buf.toSet shouldBe postExpected
+  }
+
   test("streaming refined serving equals the batch IVFADC+R re-rank on the same query set") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
