@@ -343,6 +343,139 @@ object TextHashFunctions {
         l: Expression, r: Expression): LmScoreBits = copy(left = l, right = r)
   }
 
+  /** Multi-class NB argmax in ONE compiled pass: bucket each token
+    * ONCE (one MD5 per occurrence — the composable |classes|-fold form
+    * pays |classes| full hash passes over the same token array), then
+    * fold every class grid over the shared bucket sequence and keep
+    * the best centered score inline. `meta` is the whole trained
+    * classifier as one literal — array<struct<cls, e4, grid[65536]>>,
+    * sorted however the caller likes (ordering cannot matter: the
+    * tie-break below is order-free). Score_c = scale·Σ grid_c[b1·256+b2]
+    * − n_bigrams·e4_c, exactly the composable
+    * `greatest(struct(score, cls))` over per-class [[lmScoreBits]]
+    * folds — including the empty/one-token document (fold sum 0,
+    * n_bigrams = |tokens|−1 UNclamped) and the tie rule (equal scores
+    * fall to the binary-greatest class string, which is how Spark
+    * orders struct(s, cls)). Pinned bit-identical by
+    * TextHashFunctionsSpec. */
+  /** The classifier metadata decoded to primitive arrays. The meta
+    * argument is a plan LITERAL in every caller, so its `ArrayData` is
+    * the SAME object for every row a thread scores — decode it once
+    * per thread (identity-keyed, one-slot) instead of paying a boxed
+    * `GenericArrayData.getLong` per grid cell per bigram per class
+    * (measured: the boxed folds cost as much as the hash pass they
+    * follow). A non-literal meta simply misses the cache every row —
+    * slower, never wrong. */
+  private final class NbMeta(val source: ArrayData) {
+    val k: Int = source.numElements()
+    // fail loud, not garbage: the SQL-registered form accepts any
+    // array; a one-class "classifier" is a constant, not a prediction
+    if (k < 2)
+      throw new IllegalArgumentException(
+        s"nb_argmax_bits needs at least two classes, got $k")
+    val cls = new Array[UTF8String](k)
+    val e4 = new Array[Long](k)
+    // grids INTERLEAVED by bigram code — inter(g·k + c) = class c's
+    // weight for code g — so one bigram's k lookups land in one or two
+    // cache lines instead of k random lines across k separate 512 KB
+    // tables (per-class layout measured memory-bound: 5 classes ≈
+    // 2.6 MB working set, one miss per class per bigram)
+    val inter = new Array[Long](k * 65536)
+    locally {
+      var c = 0
+      while (c < k) {
+        val m = source.getStruct(c, 3)
+        // copy: the struct's strings must outlive any reused row buffer
+        cls(c) = m.getUTF8String(0).clone()
+        e4(c) = m.getLong(1)
+        val g = m.getArray(2)
+        if (g.numElements() != 65536)
+          throw new IllegalArgumentException(
+            s"nb_argmax_bits grid for class ${cls(c)} must have 65,536 " +
+              s"entries (256×256 bigram codes), got ${g.numElements()}")
+        var j = 0
+        while (j < 65536) { inter(j * k + c) = g.getLong(j); j += 1 }
+        c += 1
+      }
+    }
+  }
+
+  private val nbMetaCache = new ThreadLocal[NbMeta]
+
+  def nbArgmaxBits(tokens: ArrayData, meta: ArrayData,
+      scale: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    var mm = nbMetaCache.get()
+    if (mm == null || (mm.source ne meta)) {
+      mm = new NbMeta(meta)
+      nbMetaCache.set(mm)
+    }
+    val k = mm.k
+    val n = tokens.numElements()
+    val nbg = n - 1L
+    val inter = mm.inter
+    val sums = new Array[Long](k)
+    var prev = if (n > 0)
+      (hash60(tokens.getUTF8String(0)) % 256L).toInt else 0
+    var i = 1
+    while (i < n) {
+      val b = (hash60(tokens.getUTF8String(i)) % 256L).toInt
+      val base = (prev * 256 + b) * k
+      var c = 0
+      while (c < k) { sums(c) += inter(base + c); c += 1 }
+      prev = b
+      i += 1
+    }
+    var bestS = 0L
+    var bestC = -1
+    var c = 0
+    while (c < k) {
+      val s = scale * sums(c) - nbg * mm.e4(c)
+      if (bestC < 0 || s > bestS ||
+          (s == bestS && mm.cls(c).compareTo(mm.cls(bestC)) > 0)) {
+        bestS = s
+        bestC = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestS, mm.cls(bestC)))
+  }
+
+  /** [[nbArgmaxBits]] as a native binary expression: left = the token
+    * array, right = the per-class metadata array (a literal — the
+    * trained classifier ships in the plan, the [[LmScoreBits]]
+    * doctrine). `scale` is a plan-time constant like [[CmsCells]]'s
+    * geometry. Returns struct(s: bigint, cls: string) — drop-in for
+    * the composable `greatest(struct(score, cls))`. */
+  case class NbArgmaxBits(left: Expression, right: Expression, scale: Long)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def prettyName: String = "nb_argmax_bits"
+    override val dataType: DataType = StructType(Seq(
+      StructField("s", LongType, nullable = false),
+      StructField("cls", StringType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _),
+            ArrayType(StructType(Array(
+              StructField(_, StringType, _, _),
+              StructField(_, LongType, _, _),
+              StructField(_, ArrayType(LongType, _), _, _))), _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, " +
+            s"array<struct<string, bigint, array<bigint>>>), " +
+            s"got (${l.sql}, ${r.sql})")
+      }
+    override protected def nullSafeEval(t: Any, m: Any): Any =
+      nbArgmaxBits(t.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData], scale)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, m) =>
+        s"graft.functions.TextHashFunctions.nbArgmaxBits($t, $m, ${scale}L)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): NbArgmaxBits =
+      copy(left = l, right = r)
+  }
+
   /** Precomputed affine-family constants (the same "minhash-a/b-$i"
     * seeds [[PortableHash.constantA]]/[[PortableHash.constantB]]
     * derive) — computed once, not one MD5 per row per family member. */
@@ -439,4 +572,7 @@ object TextHashFunctions {
   def weightedBucketSum(hashed: Column, weights: Column): Column =
     CatalystBridge.column(WeightedBucketSum(
       CatalystBridge.expression(hashed), CatalystBridge.expression(weights)))
+  def nbArgmaxBits(tokens: Column, meta: Column, scale: Long): Column =
+    CatalystBridge.column(NbArgmaxBits(
+      CatalystBridge.expression(tokens), CatalystBridge.expression(meta), scale))
 }

@@ -217,6 +217,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal integer parameter, got $other")
   }
 
+  private def longLit(e: Expression, fn: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal integer parameter, got $other")
+  }
+
   private def fn(name: String, clazz: Class[_])(
       builder: Seq[Expression] => Expression) = (
     FunctionIdentifier(name),
@@ -239,6 +246,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => T.SimHash16(c(0)) })
     ext.injectFunction(fn("lm_score_bits", classOf[T.LmScoreBits]) {
       c => T.LmScoreBits(c(0), c(1)) })
+    ext.injectFunction(fn("nb_argmax_bits", classOf[T.NbArgmaxBits]) {
+      c => T.NbArgmaxBits(c(0), c(1), longLit(c(2), "nb_argmax_bits")) })
     ext.injectFunction(fn("cms_cells", classOf[T.CmsCells]) {
       c => T.CmsCells(c(0), intLit(c(1), "cms_cells"),
         intLit(c(2), "cms_cells")) })

@@ -411,26 +411,28 @@ object TextQueries {
       }
 
   /** The per-document NB prediction frame (doc_id, lang, n_bigrams,
-    * pred_lang, nb_cbits): |classes| compiled one-pass folds over the
-    * same token array, each centered by its class's e4, argmax via
-    * greatest(struct(score, lang)) — map-only, no shuffle touches
-    * the corpus after training (the DSIR/LM serving shape). */
+    * pred_lang, nb_cbits): ONE native [[graft.functions
+    * .TextHashFunctions.NbArgmaxBits]] pass over the token array —
+    * every token occurrence is hashed once and all class grids fold
+    * over the shared bucket sequence, argmax inline (the composable
+    * |classes| × `lm_score_bits` + `greatest(struct)` form pays
+    * |classes| full MD5 passes per document; bit-identical, pinned by
+    * TextHashFunctionsSpec). The whole trained classifier ships as one
+    * plan literal — map-only, no shuffle touches the corpus after
+    * training (the DSIR/LM serving shape). */
   private def nbScoreSpark(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val meta = nbClassMeta(s, d)
     require(meta.size >= 2, "NB needs at least two classes")
-    val n = (size(col("toks")) - 1).cast("long")
-    val scored = meta.map { case (c, e4, wl) =>
-      struct((lit(LmScale) * graft.functions.TextHashFunctions.lmScoreBits(
-        col("toks"), typedlit(wl.toIndexedSeq)) - n * lit(e4)).as("s"),
-        lit(c).as("cls"))
-    }
+    val metaLit = typedlit(meta.map { case (c, e4, wl) =>
+      (c, e4, wl.toIndexedSeq) }.toIndexedSeq)
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
-        n.as("n_bigrams"),
-        greatest(scored: _*).as("best"))
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        graft.functions.TextHashFunctions.nbArgmaxBits(
+          col("toks"), metaLit, LmScale).as("best"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         col("best.cls").as("pred_lang"), col("best.s").as("nb_cbits"))
   }

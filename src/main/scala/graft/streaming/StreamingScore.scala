@@ -72,16 +72,18 @@ object StreamingScore {
 
   /** Streaming NB classification — the serving half of
     * `text_nb_score`/`curate_nb_gate` (the trained-classifier quality
-    * gate): every arriving document gets |classes| compiled
-    * `lm_score_bits` folds over one token array, each centered by its
-    * class's trained mean (`e4`), and the integer argmax picks the
-    * class — stateless map-only like the LM scorers; the gate
-    * downstream is one string equality.
+    * gate): every arriving document gets ONE native `nb_argmax_bits`
+    * pass — each token occurrence hashed once, all class grids folded
+    * over the shared bucket sequence, centered argmax inline —
+    * stateless map-only like the LM scorers; the gate downstream is
+    * one string equality.
     *
     * `classMeta`: (lang, e4, 65,536-entry wbits grid) per class,
-    * sorted by lang ([[graft.queries.TextQueries.nbClassMeta]]). Emits
-    * (doc_id, lang, n_bigrams, pred_lang, nb_cbits) — the batch
-    * query's schema; StreamingSpec pins it row-for-row. */
+    * sorted by lang ([[graft.queries.TextQueries.nbClassMeta]]),
+    * folded into the plan as ONE literal (the whole trained
+    * classifier as index metadata). Emits (doc_id, lang, n_bigrams,
+    * pred_lang, nb_cbits) — the batch query's schema; StreamingSpec
+    * pins it row-for-row. */
   def nbScoreStream(docs: DataFrame,
       classMeta: Seq[(String, Long, Seq[Long])]): DataFrame = {
     require(classMeta.size >= 2,
@@ -90,18 +92,15 @@ object StreamingScore {
       require(wl.length == 65536,
         s"NB grid for class $c must have 65,536 entries, got ${wl.length}")
     }
+    val metaLit = typedlit(classMeta.map { case (c, e4, wl) =>
+      (c, e4, wl.toIndexedSeq) }.toIndexedSeq)
     val toks = split(Dedup.normalize(col("text")), " ")
-    val n = (size(col("toks")) - 1).cast("long")
-    val scored = classMeta.map { case (c, e4, wl) =>
-      struct((lit(graft.queries.TextQueries.lmProbScale) *
-        graft.functions.TextHashFunctions.lmScoreBits(
-        col("toks"), typedlit(wl.toIndexedSeq)) - n * lit(e4)).as("s"),
-        lit(c).as("cls"))
-    }
     docs
       .select(col("doc_id"), col("lang"), toks.as("toks"))
-      .select(col("doc_id"), col("lang"), n.as("n_bigrams"),
-        greatest(scored: _*).as("best"))
+      .select(col("doc_id"), col("lang"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        graft.functions.TextHashFunctions.nbArgmaxBits(col("toks"), metaLit,
+          graft.queries.TextQueries.lmProbScale).as("best"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
         col("best.cls").as("pred_lang"), col("best.s").as("nb_cbits"))
   }

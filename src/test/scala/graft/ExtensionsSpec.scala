@@ -63,6 +63,18 @@ class ExtensionsSpec extends SparkSpec {
     r.getLong(1) shouldBe 7L
   }
 
+  test("nb_argmax_bits from SQL") {
+    // two bigrams; class p scores every grid cell 5 (fold 10), class q
+    // scores 3 (fold 6) but q's e4 bonus on n_bigrams=2 flips the
+    // argmax: scale 4 -> p = 4*10 - 2*0 = 40, q = 4*6 - 2*(-10) = 44
+    val r = sql1("SELECT nb_argmax_bits(array('a','b','c'), array(" +
+      "named_struct('cls', 'p', 'e4', 0L, 'grid', array_repeat(5L, 65536)), " +
+      "named_struct('cls', 'q', 'e4', -10L, 'grid', array_repeat(3L, 65536))" +
+      "), 4L) AS b").getStruct(0)
+    r.getLong(0) shouldBe 44L
+    r.getString(1) shouldBe "q"
+  }
+
   test("cms_cells / cms_sketch_agg from SQL") {
     installed
     // one token, rows=2, width=4: two sparse cells, count 1 each

@@ -130,6 +130,66 @@ class TextHashFunctionsSpec extends SparkSpec {
     diff.count() shouldBe 0L
   }
 
+  test("native nbArgmaxBits == per-class lmScoreBits folds + greatest(struct)") {
+    // the one-pass multi-class scorer (hash each token ONCE, fold all
+    // grids over the shared bucket sequence, argmax inline) must
+    // reproduce the composable form — |classes| separate lmScoreBits
+    // folds centered by e4, argmax via greatest(struct(s, cls)) — on
+    // real corpus docs, edge docs, and ENGINEERED ties (duplicate
+    // grid+e4 classes), where greatest(struct) falls to the
+    // binary-greatest class string
+    val gridA = (0 until 65536).map(g => (g % 7 + 1).toLong)
+    val gridB = (0 until 65536).map(g => (g % 5 + 2).toLong)
+    val zero = (0 until 65536).map(_ => 0L)
+    // m1/m2 share grid AND e4 — every document ties between them;
+    // zz's zero grid makes short docs tie against real classes too
+    val metas: Seq[(String, Long, Seq[Long])] = Seq(
+      ("aa", 3L, gridA), ("bb", 10L, gridB), ("m1", 7L, gridA),
+      ("m2", 7L, gridA), ("zz", 0L, zero))
+    val scale = 4096L
+    val fsize = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.size(c)
+    val texts = Seq("", "one", "a a a a", "the quick brown fox jumps",
+      "x y x y x", "punctuated, text! with? tokens.")
+    val toks = split(Dedup.normalize(col("t")), " ")
+    val n = (fsize(toks) - 1).cast("long")
+    val scored = metas.map { case (c, e4, wl) =>
+      struct((lit(scale) * TextHashFunctions.lmScoreBits(
+        toks, typedlit(wl.toIndexedSeq)) - n * lit(e4)).as("s"),
+        lit(c).as("cls"))
+    }
+    val metaLit = typedlit(metas)
+    val diff = (texts.toDF("t") union
+        graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+          .select(col("text").as("t")))
+      .select(TextHashFunctions.nbArgmaxBits(toks, metaLit, scale).as("native"),
+        greatest(scored: _*).as("classic"))
+      .filter(col("native.s") =!= col("classic.s") ||
+        col("native.cls") =!= col("classic.cls"))
+    diff.count() shouldBe 0L
+    // the m1/m2 tie really resolves to the greater class string
+    val tieMeta: Seq[(String, Long, Seq[Long])] =
+      Seq(("m1", 7L, gridA), ("m2", 7L, gridA))
+    Seq("t u v").toDF("t")
+      .select(TextHashFunctions.nbArgmaxBits(toks, typedlit(tieMeta), scale)
+        .as("best"))
+      .select(col("best.cls")).as[String].head() shouldBe "m2"
+    // fail loud, not garbage: one-class meta, wrong-size grid
+    val oneClass: Seq[(String, Long, Seq[Long])] = Seq(("aa", 3L, gridA))
+    intercept[Exception] {
+      Seq("a b").toDF("t")
+        .select(TextHashFunctions.nbArgmaxBits(toks, typedlit(oneClass), scale))
+        .collect()
+    }.getMessage should include("two classes")
+    val shortMeta: Seq[(String, Long, Seq[Long])] =
+      Seq(("aa", 3L, (0 until 100).map(_.toLong)), ("bb", 0L, zero))
+    intercept[Exception] {
+      Seq("a b").toDF("t")
+        .select(TextHashFunctions.nbArgmaxBits(toks, typedlit(shortMeta), scale))
+        .collect()
+    }.getMessage should include("65,536")
+  }
+
   test("native cmsCells sketch == composable per-token explode sketch") {
     // the one-pass compiled partial (hash60 once per occurrence, dense
     // local cell table, sparse emit) must reproduce the composable
