@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Tables
-import graft.operators.{BloomJoin, Graph, TextAnalysis}
+import graft.operators.{BloomJoin, Graph, Similarity, TextAnalysis}
 
 /** Product-analytics and corpus-index operators layered on the engine
   * (SURVEY.md §2 extensions, round 3): graph authority ranking, dense
@@ -346,6 +346,49 @@ object AnalyticsQueries {
       acc :+ FrameCache.memo(s, d, s"ppr_p$i")(
         Graph.pprStep(edges, prev, srcs))
     }
+  }
+
+  /** The symmetric co-purchase adjacency and the converged PPR rank
+    * frame, package-visible so the streaming recommendation twin can
+    * checkpoint exactly the frames the batch `corpus_graph_rrf` reads
+    * (the LexIndex doctrine — serving probes static, once-built
+    * index structures). */
+  private[graft] def coPurchaseEdgesFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = lpaEdges(s, d)
+  private[graft] def pprFinalFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = pprRankTrace(s, d).last
+
+  /** The graph branch of recommendation fusion — the ONE
+    * implementation shared by the batch `corpus_graph_rrf` and the
+    * streaming serving writer so the two can never drift (the
+    * [[TextQueries.rrfFuse]]/[[TextQueries.bm25Serve]] doctrine):
+    * candidates for each query item are its 1-hop co-purchase
+    * neighbors ("bought together"), ranked by behavioral strength ×
+    * hub authority — gscore = w · (rank_fp + 1), the edge's support
+    * weight times the neighbor's converged personalized-PageRank mass
+    * from the bestseller hubs, +1 so neighbors the walk never reached
+    * still order by co-purchase support. All-int64 (w ≤ basket
+    * support counts, rank_fp ≤ the damped mass bound ≈ 4·10⁶ μ-units
+    * — the product stays far under 2⁶³), row_number top-5 with
+    * doc-ascending tie-break. Scale shape: the query batch broadcasts
+    * onto the edge list (one equi-join — the corpus-sized adjacency
+    * never reshuffles), the PPR frame is a sparse rank table joined by
+    * node, and the output is ≤ 5·|batch| rows. */
+  private[graft] def graphAuthorityServe(qs: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame,
+      ppr: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val gw = Window.partitionBy(col("query_doc"))
+      .orderBy(col("gscore").desc, col("doc_id").asc)
+    edges.select(col("u"), col("v").as("doc_id"), col("w"))
+      .join(broadcast(qs.select(col("query_doc"))),
+        col("u") === col("query_doc"))
+      .join(ppr.select(col("node"), col("rank_fp")),
+        col("doc_id") === col("node"), "left")
+      .select(col("query_doc"), col("doc_id"),
+        (col("w") * (coalesce(col("rank_fp"), lit(0L)) + 1L)).as("gscore"))
+      .withColumn("rk", row_number().over(gw).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("query_doc"), col("doc_id"), col("rk").as("lex_rk"))
   }
 
   /** Per-round survivor frames s0..s[[KcoreIters]] of ONE synchronous
@@ -966,6 +1009,91 @@ object AnalyticsQueries {
                 |  CAST(SUM(rank_fp) AS BIGINT) AS mass_fp FROM p$i"""
                .stripMargin)
            .mkString("\nUNION ALL\n")}""".stripMargin),
+
+    // Graph-augmented retrieval — the "recommendations = content
+    // similarity × graph proximity" capstone every production
+    // recommender runs, composed ENTIRELY from already-oracle-green
+    // kernels: the dense branch is the hybrid row's exact
+    // content-similarity top-5 (quantized cosine kNN over the item
+    // embeddings), the graph branch is graphAuthorityServe (1-hop
+    // co-purchase neighbors ranked by support × converged PPR hub
+    // authority), and the fusion is the ONE shared rrfFuse kernel —
+    // rank-capped LCM arithmetic, full outer join, so a co-purchased
+    // item with no embedding still wins on behavior alone and a
+    // content-similar item never bought together still wins on
+    // content (both single-branch shapes occur in the fixture:
+    // graph_rk = 0 or dense_rk = 0 rows in the output). Item id
+    // space: embeddings vec_id ⊂ part ids — the one-catalog contract
+    // a production store has. Scale shape: both branches broadcast
+    // only the query batch; the adjacency, the PPR table, and the
+    // vector corpus never reshuffle; fusion outer-joins two
+    // ≤ 5·|Q|-row frames.
+    "corpus_graph_rrf" -> QueryDef(
+      (s, d) => {
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000)).as("qv"))
+        val den = Similarity.knnBruteForce(
+            e.filter(pmod(col("vec_id"), lit(100)) === 0), e,
+            "vec_id", "qv", 5)
+          .select(col("query_id").as("query_doc"),
+            col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dense_rk"))
+        val qs = Tables.embeddings(s, d)
+          .filter(pmod(col("vec_id"), lit(100)) === 0)
+          .select(col("vec_id").as("query_doc"))
+        val graph = graphAuthorityServe(qs, lpaEdges(s, d),
+          pprRankTrace(s, d).last)
+        TextQueries.rrfFuse(graph, den)
+          .withColumnRenamed("lex_rk", "graph_rk")
+      },
+      s"""WITH $lpaEdgesSql,
+         |$pprCtes,
+         |e AS (SELECT vec_id, ${OracleSql.quantVec("embedding")} AS v
+         |      FROM embeddings),
+         |denr AS (
+         |  SELECT query_doc, doc_id, rank FROM (
+         |    SELECT eq.vec_id AS query_doc, ec.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY eq.vec_id
+         |        ORDER BY round(${OracleSql.cosine("eq.v", "ec.v", 64)}, 9) DESC,
+         |          ec.vec_id ASC) AS rank
+         |    FROM e eq, e ec
+         |    WHERE eq.vec_id % 100 = 0 AND ec.vec_id <> eq.vec_id)
+         |  WHERE rank <= 5),
+         |gcand AS (
+         |  SELECT eg.u AS query_doc, eg.v AS doc_id,
+         |    CAST(eg.w * (COALESCE(p.rank_fp, 0) + 1) AS BIGINT) AS gscore
+         |  FROM edges eg
+         |  JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0) q
+         |    ON eg.u = q.vec_id
+         |  LEFT JOIN p$PprIters p ON p.node = eg.v),
+         |gr AS (
+         |  SELECT query_doc, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_doc
+         |      ORDER BY gscore DESC, doc_id ASC) AS rk FROM gcand)
+         |  WHERE rk <= 5),
+         |fused AS (
+         |  SELECT COALESCE(l.query_doc, r.query_doc) AS query_doc,
+         |    COALESCE(l.doc_id, r.doc_id) AS doc_id,
+         |    CAST(COALESCE(l.rk, 0) AS BIGINT) AS graph_rk,
+         |    CAST(COALESCE(r.rank, 0) AS BIGINT) AS dense_rk
+         |  FROM gr l
+         |  FULL OUTER JOIN denr r
+         |    ON r.query_doc = l.query_doc AND r.doc_id = l.doc_id),
+         |sc AS (
+         |  SELECT query_doc, doc_id, graph_rk, dense_rk,
+         |    CAST((CASE WHEN graph_rk > 0
+         |            THEN ${TextQueries.RrfLcm} // (60 + graph_rk) ELSE 0 END)
+         |       + (CASE WHEN dense_rk > 0
+         |            THEN ${TextQueries.RrfLcm} // (60 + dense_rk) ELSE 0 END)
+         |      AS BIGINT) AS rrf
+         |  FROM fused)
+         |SELECT query_doc, CAST(rk AS BIGINT) AS rk, doc_id,
+         |  graph_rk, dense_rk, rrf
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_doc
+         |    ORDER BY rrf DESC, doc_id ASC) AS rk FROM sc)
+         |WHERE rk <= 5""".stripMargin),
 
     // The 2-core of the co-purchase graph — iterative degeneracy
     // peeling to its fixed point (see graft.operators.Graph.kcoreStep):

@@ -681,7 +681,7 @@ object TextQueries {
     * contribution LCM/(60+rank) is an exact integer, so the fused
     * score is int64 arithmetic with no fraction summation (the
     * engine-portability doctrine every ranked query here follows). */
-  private val RrfLcm = 495593280L
+  private[graft] val RrfLcm = 495593280L
 
   /** RRF fusion of a lexical ranking `(query_doc, doc_id, lex_rk)` and
     * a dense ranking `(query_doc, doc_id, dense_rk)` — the ONE fusion

@@ -58,4 +58,35 @@ object StreamingHybrid {
             col("rank").cast("long").as("dense_rk"))
         sink(TextQueries.rrfFuse(lex, den))
       }
+
+  /** Graph-augmented recommendation serving — the streaming twin of
+    * the batch `corpus_graph_rrf`: each arriving query item `(query_doc
+    * long, qv array<double>)` is answered by content-similarity kNN
+    * against the static vector corpus fused (same [[TextQueries
+    * .rrfFuse]] kernel) with its 1-hop co-purchase neighbors ranked by
+    * support × converged PPR hub authority ([[graft.queries
+    * .AnalyticsQueries.graphAuthorityServe]] — the ONE graph-branch
+    * implementation, so serving can never drift from the oracle-checked
+    * ranking). `edges`/`ppr` are the once-built static graph structures
+    * (checkpointed by the caller, the LexIndex doctrine). Per batch at
+    * scale: both branches broadcast only the query batch — the
+    * adjacency, the rank table, and the vector corpus never reshuffle.
+    * StreamingSpec pins streamed results row-identical to the batch
+    * query on the same query set. */
+  def serveGraphRrfWriter(queries: DataFrame, edges: DataFrame,
+      ppr: DataFrame, corpusVecs: DataFrame, k: Int = 5)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val den = Similarity.knnBruteForce(
+            batch.select(col("query_doc").as("vec_id"), col("qv")),
+            corpusVecs, "vec_id", "qv", k)
+          .select(col("query_id").as("query_doc"),
+            col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dense_rk"))
+        val graph = graft.queries.AnalyticsQueries.graphAuthorityServe(
+          batch.select(col("query_doc")), edges, ppr)
+        sink(TextQueries.rrfFuse(graph, den)
+          .withColumnRenamed("lex_rk", "graph_rk"))
+      }
 }

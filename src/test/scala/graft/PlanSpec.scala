@@ -62,7 +62,8 @@ class PlanSpec extends SparkSpec {
       "curate_pipeline_cls", // same broadcasts; the NB stage is map-only literal folds
       "corpus_hll_card", // 1-row × 1-row scalar cross (sketch estimate × exact count)
       "corpus_hll_langs", // same 1-row scalar cross (three sketches × exact set sizes)
-      "sim_index_serve_delta") // broadcast centroid assignments + probe (k-sized, linear)
+      "sim_index_serve_delta", // broadcast centroid assignments + probe (k-sized, linear)
+      "corpus_graph_rrf") // dense branch is the hybrid row's brute query-sample broadcast cross
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -215,7 +216,14 @@ class PlanSpec extends SparkSpec {
       "corpus_qhist_merge" -> 4, // measured 3: halves agg + full agg + the cell-keyed join
       "corpus_pmi" -> 6, // measured 5: bigram agg + unigram agg + vocab broadcast-back
       "corpus_qhist_quantiles" -> 6, // measured 5: five 1-row conditional aggs off the windowed checkpoint
-      "graph_kcore_peel" -> 50) // measured 49: 7 peel rounds × (two restrictions + degree agg) + 1-row crosses
+      "graph_kcore_peel" -> 50, // measured 49: 7 peel rounds × (two restrictions + degree agg) + 1-row crosses
+      // r12 entrants (new-query shapes locked on entry)
+      "sim_index_serve_delta" -> 11, // measured 10: two broadcast-centroid assignments + probe + re-rank top-k
+      "corpus_graph_rrf" -> 10, // measured 9: dense brute top-5 + edge/PPR probe + one fusion outer join
+      "corpus_hll_build" -> 1, // measured 1: one map-side-combined register aggregation
+      "corpus_hll_merge" -> 1, // measured 1: one grouped register aggregation (halves in one pass)
+      "corpus_hll_card" -> 5, // measured 4: sketch agg + exact count + the 1-row scalar cross
+      "corpus_hll_langs" -> 6) // measured 5: per-cohort sketch aggs + exact set sizes + scalar cross
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

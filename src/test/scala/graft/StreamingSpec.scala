@@ -1139,6 +1139,44 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe expected
   }
 
+  test("streaming graph-RRF recommendation equals the batch fusion on the same query set") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("corpus_graph_rrf")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    expected should not be empty
+    // both single-branch shapes must occur for the pin to mean much
+    expected.count(_._4 == 0L) should be > 0 // dense-only survivors
+    expected.count(_._5 == 0L) should be > 0 // graph-only survivors
+
+    // static once-built serving structures, checkpointed (LexIndex
+    // doctrine): the adjacency, the converged PPR table, the corpus
+    val edges = graft.queries.AnalyticsQueries
+      .coPurchaseEdgesFrame(spark, d).localCheckpoint()
+    val ppr = graft.queries.AnalyticsQueries
+      .pprFinalFrame(spark, d).localCheckpoint()
+    val corpusVecs = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv")).localCheckpoint()
+    val qvecs = corpusVecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_doc"), col("qv"))
+      .as[(Long, Seq[Double])].collect().toIndexedSeq
+    val buf =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingHybrid.serveGraphRrfWriter(
+        in.toDF().toDF("query_doc", "qv"), edges, ppr, corpusVecs) { out =>
+        buf.synchronized {
+          buf ++= out.as[(Long, Long, Long, Long, Long, Long)].collect()
+        }
+      }
+      .option("checkpointLocation", tmp("ckpt-grrf")).start()
+    qvecs.grouped(2).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    buf.toSet shouldBe expected
+  }
+
   test("streaming DSIR scoring equals the batch importance weights row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
