@@ -1095,6 +1095,46 @@ object AnalyticsQueries {
          |    ORDER BY rrf DESC, doc_id ASC) AS rk FROM sc)
          |WHERE rk <= 5""".stripMargin),
 
+    // The graph-family skew audit as a MEASURED artifact: every
+    // PPR/WSP/pagerank round shuffles the edge list on `u`, and on a
+    // power-law co-purchase graph the hub nodes are the skew hazard —
+    // at 1000× one hub key can dominate a shuffle partition the way
+    // the Skew family handles for aggregates (adv_skew_salted). This
+    // row computes the number AQE's skew-join detection acts on: each
+    // top-10 hub's share of the shuffled join input in basis points,
+    // flagged when it exceeds 5× the even per-partition share at the
+    // bench's 32 shuffle partitions (the skewedPartitionFactor
+    // analog — a flagged hub is one AQE would split, and one a salting
+    // strategy would target first). All-int64 (counts, one integer
+    // division), top-10 with node-ascending tie-break. Scale shape:
+    // one map-side-combined degree aggregation + a 1-row total
+    // broadcast + TakeOrderedAndProject — the audit itself never
+    // shuffles more than the degree table.
+    "graph_skew_audit" -> QueryDef(
+      (s, d) => {
+        val deg = lpaEdges(s, d).groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("key_rows"))
+        val tot = deg.agg(sum(col("key_rows")).cast("long").as("total_rows"))
+        deg.crossJoin(broadcast(tot))
+          .select(col("node"), col("key_rows"), col("total_rows"),
+            expr("key_rows * 10000 DIV total_rows").as("share_bp"))
+          .withColumn("aqe_flag",
+            (col("share_bp") > lit(5 * (10000 / 32))).cast("long"))
+          .orderBy(col("key_rows").desc, col("node").asc)
+          .limit(10)
+      },
+      s"""WITH $lpaEdgesSql,
+         |deg AS (
+         |  SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS key_rows
+         |  FROM edges GROUP BY u),
+         |tot AS (SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows FROM deg)
+         |SELECT node, key_rows, total_rows,
+         |  CAST(key_rows * 10000 // total_rows AS BIGINT) AS share_bp,
+         |  CAST(CASE WHEN key_rows * 10000 // total_rows > 5 * (10000 // 32)
+         |       THEN 1 ELSE 0 END AS BIGINT) AS aqe_flag
+         |FROM deg, tot
+         |ORDER BY key_rows DESC, node ASC LIMIT 10""".stripMargin),
+
     // The 2-core of the co-purchase graph — iterative degeneracy
     // peeling to its fixed point (see graft.operators.Graph.kcoreStep):
     // keep products that co-sell with other co-selling products, drop

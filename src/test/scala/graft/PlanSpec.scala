@@ -63,7 +63,8 @@ class PlanSpec extends SparkSpec {
       "corpus_hll_card", // 1-row × 1-row scalar cross (sketch estimate × exact count)
       "corpus_hll_langs", // same 1-row scalar cross (three sketches × exact set sizes)
       "sim_index_serve_delta", // broadcast centroid assignments + probe (k-sized, linear)
-      "corpus_graph_rrf") // dense branch is the hybrid row's brute query-sample broadcast cross
+      "corpus_graph_rrf", // dense branch is the hybrid row's brute query-sample broadcast cross
+      "graph_skew_audit") // 1-row scalar cross (degree table × its own total)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
