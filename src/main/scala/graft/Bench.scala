@@ -38,21 +38,28 @@ object Bench {
     // bench_detail.json) for the round's flagships: the retrain row
     // that closes the drift loop, the NB classifier gate, and the
     // weighted-shortest-path trace.
+    // The r12 rotation swaps four mid-tier entries (rel_window_funcs,
+    // adv_grouping_sets, sim_kmeans_inertia, curate_dsir_weights — all
+    // still timed in bench_detail.json) for the round's three
+    // flagships (the graph-RRF recommender fusion, the index ADD-path
+    // serving row, the HLL cardinality estimate) and the new `hll`
+    // stream section's bytes on the metric line.
     "sim_index_retrain", "curate_nb_gate", "graph_wsp_dists",
+    "corpus_graph_rrf", "sim_index_serve_delta", "corpus_hll_card",
     "cdc_parse_roundtrip", "cdc_enrich", "cdc_leaderboard",
     "cdc_content_stats", "cdc_warehouse_hour",
-    "rel_pricing_summary", "rel_window_funcs", "adv_grouping_sets",
+    "rel_pricing_summary",
     "dedup_exact", "dedup_minhash_pairs", "dedup_embedding_cosine",
     "curate_corpus",
     "sim_knn_brute", "corpus_hybrid_rrf", "sim_filtered_recall",
     "op_funnel", "op_pps_sample", "curate_recipe", "curate_scorecard",
     "dedup_band_sweep", "sim_index_build",
-    "sim_kmeans_train", "sim_kmeans_inertia", "text_bpe_train",
+    "sim_kmeans_train", "text_bpe_train",
     // sim_sq8_search rotated out in r11 to keep the metric line (which
     // gained the nb_score stream section) inside the 1900-byte guard
     "sim_ivfpq_search", "sim_ivfpq_recall", "sim_ivfpq_rerank",
     "graph_pagerank_train", "corpus_bm25",
-    "curate_dsir_weights", "curate_dsir_resample",
+    "curate_dsir_resample",
     "sim_index_drift",
     "curate_semdedup", "curate_cluster_balance",
     "text_lm_train", "curate_lm_gate", "curate_pipeline",

@@ -394,15 +394,42 @@ object StreamBench {
     Section("cms", docs.length.toLong, sec, batches)
   }
 
+  /** Streaming HLL cardinality sketch over the 3-gram shingle space —
+    * the third constant-state sketch section beside [[cmsSection]]
+    * (frequencies) and the qhist twin (quantiles): the 256-register
+    * table IS the aggregation state (max-merge, so duplicate
+    * re-delivery is free — at-least-once ingest needs no dedup pass),
+    * regardless of ingest volume. Update mode emits only changed
+    * registers per batch; StreamingSpec pins the completed stream
+    * equal to the batch register table with duplicates re-fed. */
+  private def hllSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[ScoreIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val docs = replicate(base, floor)((r, i) => r.copy(doc_id = r.doc_id + i * span))
+    val in = MemoryStream[ScoreIn]
+    val q = graft.operators.Sketch.hllRegisters(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", tmp("sb_hll")).start()
+    val (sec, batches) = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
+    Section("hll", docs.length.toLong, sec, batches)
+  }
+
   case class LmScoreIn(doc_id: Long, lang: String, text: String)
 
   /** Streaming NB classification
     * ([[graft.streaming.StreamingScore.nbScoreStream]]): arriving
-    * documents classified by |classes| compiled folds against the
-    * TRAINED per-class grids folded in as literals (classes ×
-    * 65,536-entry arrays — the heaviest literal plan on the board,
-    * built once per plan) — stateless, map-only; the grids train
-    * BEFORE the clock like every other trained-metadata section. */
+    * documents classified by ONE native `nb_argmax_bits` pass against
+    * the TRAINED classifier folded in as one literal (classes ×
+    * 65,536-entry grids — still the heaviest literal plan on the
+    * board, built once per plan; each token hashed once, all grids
+    * folded over the shared bucket sequence) — stateless, map-only;
+    * the grids train BEFORE the clock like every other
+    * trained-metadata section. */
   private def nbScoreSection(spark: SparkSession, sfDir: String,
       floor: Int): Section = {
     import spark.implicits._
@@ -992,6 +1019,7 @@ object StreamBench {
       "content_stats" -> (contentStatsSection(_, _, volumeFloor)),
       "score" -> (scoreSection(_, _, volumeFloor)),
       "cms" -> (cmsSection(_, _, volumeFloor)),
+      "hll" -> (hllSection(_, _, volumeFloor)),
       "lm_score" -> (lmScoreSection(_, _, volumeFloor)),
       "lm_ratio" -> (lmRatioSection(_, _, volumeFloor)),
       "nb_score" -> (nbScoreSection(_, _, volumeFloor)),
