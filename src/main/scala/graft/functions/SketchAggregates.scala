@@ -205,4 +205,115 @@ object SketchAggregates {
     CatalystBridge.column(
       HllSketchAgg(CatalystBridge.expression(tokens), m)
         .toAggregateExpression())
+
+  /** K-minimum-values sketch of a token-array column as ONE typed
+    * imperative aggregate — the SECOND cardinality sketch beside
+    * [[HllSketchAgg]], kept because its state is a SAMPLE of the
+    * distinct hash space, not a lossy projection of it: the k smallest
+    * distinct [[TextHashFunctions.hash60]] values. That buys what
+    * registers cannot — direct set-overlap estimation (the fraction of
+    * the merged sketch present in both operand sketches IS a Jaccard
+    * estimator, all-integer — where HLL intersection needs
+    * inclusion–exclusion whose error is relative to the UNION), plus
+    * an order-statistic estimate (k−1)·2⁶⁰/h₍ₖ₎ graded by
+    * `corpus_kmv_estimate`. Duplicates are free (set semantics — the
+    * TreeSet ignores re-inserts), so at-least-once delivery needs no
+    * dedup pass; merge = union-then-trim, the min-k mergeability that
+    * makes it a per-partition/per-cohort summary. Result: the ≤ k
+    * minima as an ASCENDING long array. On a stream the serialized
+    * buffer IS the state-store value — ≤ k·8 bytes at any ingest
+    * volume. Deterministic (portable MD5, integer order), so the full
+    * value list replays bit-for-bit in the DuckDB oracle. */
+  case class KmvSketchAgg(
+      child: Expression,
+      k: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+    require(k >= 2 && k <= 65536, s"kmv k must be in [2, 65536], got $k")
+
+    override def children: Seq[Expression] = child :: Nil
+    override def nullable: Boolean = false
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "kmv_sketch_agg"
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> tokens, got ${t.sql}")
+    }
+
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+
+    private def offer(buf: java.util.TreeSet[java.lang.Long], h: Long): Unit =
+      if (buf.size < k) { buf.add(h); () }
+      else if (h < buf.last()) {
+        if (buf.add(h)) { buf.remove(buf.last()); () }
+      }
+
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val toks = v.asInstanceOf[ArrayData]
+        val n = toks.numElements()
+        var i = 0
+        while (i < n) {
+          offer(buf, TextHashFunctions.hash60(toks.getUTF8String(i)))
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: java.util.TreeSet[java.lang.Long],
+        b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      val it = b2.iterator()
+      while (it.hasNext) offer(b1, it.next())
+      b1
+    }
+
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(buf.size * 8)
+      val lb = bb.asLongBuffer()
+      val it = buf.iterator()
+      while (it.hasNext) lb.put(it.next())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      // fail-loud doctrine: a truncated/foreign state-store row must
+      // not silently become a smaller-or-larger sketch
+      require(bytes.length % 8 == 0 && bytes.length / 8 <= k,
+        s"kmv state geometry mismatch: got ${bytes.length} bytes, " +
+          s"expected a multiple of 8 holding at most k=$k values")
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      val lb = ByteBuffer.wrap(bytes).asLongBuffer()
+      while (lb.hasRemaining) buf.add(lb.get())
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        c: IndexedSeq[Expression]): KmvSketchAgg = copy(child = c.head)
+  }
+
+  /** [[KmvSketchAgg]] as an aggregate Column over a token-array column. */
+  def kmvSketchAgg(tokens: Column, k: Int): Column =
+    CatalystBridge.column(
+      KmvSketchAgg(CatalystBridge.expression(tokens), k)
+        .toAggregateExpression())
 }

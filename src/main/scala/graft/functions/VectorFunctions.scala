@@ -203,6 +203,9 @@ object VectorFunctions {
   *                                  (dense rows×width cell array)
   *   hll_sketch_agg(tokens, m)      HyperLogLog register AGGREGATE
   *                                  (dense m-register array, max-merge)
+  *   kmv_sketch_agg(tokens, k)      k-minimum-values AGGREGATE (the k
+  *                                  smallest distinct hash60 values,
+  *                                  ascending; union-merge)
   *   vec_argmin_d2(vec, entries)    nearest entry by exact squared L2
   *
   * Integer parameters (n, k) must be literals — they parameterize the
@@ -261,6 +264,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.SketchAggregates.HllSketchAgg]) {
       c => graft.functions.SketchAggregates.HllSketchAgg(c(0),
         intLit(c(1), "hll_sketch_agg")) })
+    ext.injectFunction(fn("kmv_sketch_agg",
+        classOf[graft.functions.SketchAggregates.KmvSketchAgg]) {
+      c => graft.functions.SketchAggregates.KmvSketchAgg(c(0),
+        intLit(c(1), "kmv_sketch_agg")) })
     ext.injectFunction(fn("vec_argmin_d2", classOf[VectorFunctions.ArgminD2]) {
       c => VectorFunctions.ArgminD2(c(0), c(1)) })
     ext.injectFunction(fn("morton_interleave16",

@@ -215,4 +215,70 @@ object Sketch {
       B.expression(lit(1L)),
       B.expression((lit(HllMaxRho.toLong) - r).cast("int"))))
   }
+
+  // ---------------------------------------------------------------------
+  // K-minimum-values — the second cardinality sketch, kept beside HLL
+  // because its state is a SAMPLE of the distinct hash space rather
+  // than a lossy projection: the k smallest distinct hash60 values.
+  // That buys direct set-overlap estimation (the fraction of the
+  // merged sketch present in both operand sketches IS a Jaccard
+  // estimator, all-integer — `corpus_kmv_jaccard`), where HLL
+  // intersection needs inclusion–exclusion whose error is relative to
+  // the UNION (useless for small overlaps — exactly the
+  // decontamination question "how much of the benchmark leaked into
+  // my corpus"). Merge = union-then-trim (`corpus_kmv_merge`);
+  // duplicates are free (set semantics). Deterministic, so the full
+  // value list replays bit-for-bit in the DuckDB oracle.
+  // ---------------------------------------------------------------------
+
+  /** KMV sketch size. Relative standard error of the order-statistic
+    * cardinality estimate ≈ 1/√(k−2) ≈ 6.3 % — deliberately matched to
+    * [[HllM]]'s ±6.5 % so `corpus_kmv_estimate` and `corpus_hll_card`
+    * grade comparable sketches, at 8× the state (256 int64 values vs
+    * 256 registers ≤ 6 bits each would pack). The Jaccard estimator's
+    * error is ±√(J(1−J)/k) ≈ ±3 pp at J = 0.5. */
+  val KmvK = 256
+
+  /** The (rk, h) frame of the corpus sketch — the k smallest distinct
+    * hash60 values over the [[HllShingleN]]-gram shingle space,
+    * rank-ascending: ONE typed imperative aggregation
+    * ([[graft.functions.SketchAggregates.KmvSketchAgg]] — the buffer
+    * is the value set, map-side combined, union-merged), positions
+    * recovered by posexplode. No distinct shuffle and no global sort
+    * exist anywhere: every partition's partial is already ≤ k values. */
+  def kmvMins(docs: DataFrame): DataFrame =
+    docs
+      .agg(graft.functions.SketchAggregates.kmvSketchAgg(
+        Dedup.shingles(col("text"), HllShingleN), KmvK).as("mins"))
+      .select(posexplode(col("mins")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("long").as("rk"), col("h"))
+
+  /** [[kmvMins]] from composable built-ins (explode + hash60 +
+    * distinct + ascending take-k) — the aggregate's semantic
+    * reference, spec-pinned bit-identical; also the shape the oracle
+    * SQL replays. The `limit` after an ascending sort plans as
+    * TakeOrderedAndProject (per-partition top-k, merged) — correct at
+    * any scale, but still pays the distinct shuffle the aggregate
+    * form never does. */
+  def kmvMinsComposable(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(explode(Dedup.shingles(col("text"), HllShingleN)).as("sh"))
+      .select(graft.functions.PortableHash.hash60(col("sh")).as("h"))
+      .distinct()
+      .orderBy(col("h").asc)
+      .limit(KmvK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("h").asc)).cast("long"))
+      .select(col("rk"), col("h"))
+  }
+
+  /** The order-statistic cardinality estimate off the sketch's k-th
+    * (largest) value: (k−1) · 2⁶⁰ / h₍ₖ₎ — the k-th smallest of N
+    * uniform draws on [0, 2⁶⁰) sits near k/N of the range. Both
+    * operands are exactly representable doubles ((k−1)·2⁶⁰ has a
+    * 9-bit mantissa for k = 256), so the single IEEE division is
+    * engine-identical. */
+  def kmvEstimate(hK: Column): Column =
+    lit((KmvK - 1).toDouble * math.pow(2.0, 60)) / hK.cast("double")
 }

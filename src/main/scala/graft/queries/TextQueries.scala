@@ -1782,6 +1782,193 @@ object TextQueries {
            |FROM sk, ex""".stripMargin
       }),
 
+    // K-minimum-values sketch — the SECOND cardinality sketch, kept
+    // beside HLL because its state is a SAMPLE of the distinct hash
+    // space (the k smallest distinct hash60 values over the same
+    // 3-gram shingle space), not a lossy projection of it. One typed
+    // imperative aggregation whose buffer is the value set (map-side
+    // combined, union-merged, duplicates free by set semantics — no
+    // distinct shuffle, no global sort anywhere); deterministic
+    // portable hashing, so all 256 values replay bit-for-bit in the
+    // DuckDB oracle.
+    "corpus_kmv_build" -> QueryDef(
+      (s, d) => graft.operators.Sketch.kmvMins(Tables.documents(s, d)),
+      s"""WITH tok AS (SELECT unnest(${shingles(tokens("text"), graft.operators.Sketch.HllShingleN)}) AS tok FROM documents),
+         |hd AS (SELECT DISTINCT ${graft.functions.PortableHash.hash60Sql("tok")} AS h
+         |       FROM tok),
+         |mins AS (SELECT h FROM hd ORDER BY h LIMIT ${graft.operators.Sketch.KmvK})
+         |SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS rk, h
+         |FROM mins""".stripMargin),
+
+    // The min-k MERGE LAW (the corpus_hll_merge doctrine with
+    // union-then-trim instead of register max): the k smallest of the
+    // UNION of the two half-corpus sketches must equal the
+    // independently-built full sketch value-for-value — the property
+    // that makes KMV a per-partition/per-shard summary. One corpus
+    // pass builds all three sketches as conditional aggregates; the
+    // merge itself is pure array arithmetic on two ≤ k-value rows.
+    "corpus_kmv_merge" -> QueryDef(
+      (s, d) => {
+        val K = graft.operators.Sketch.KmvK
+        val t = Tables.documents(s, d)
+          .select(pmod(col("doc_id"), lit(2)).as("p"),
+            graft.operators.Dedup.shingles(col("text"),
+              graft.operators.Sketch.HllShingleN).as("sh"))
+        val merged = slice(array_sort(array_distinct(
+          concat(col("e"), col("o")))), 1, K)
+        t.agg(
+            graft.functions.SketchAggregates.kmvSketchAgg(
+              when(col("p") === 0, col("sh")), K).as("e"),
+            graft.functions.SketchAggregates.kmvSketchAgg(
+              when(col("p") === 1, col("sh")), K).as("o"),
+            graft.functions.SketchAggregates.kmvSketchAgg(col("sh"), K)
+              .as("full"))
+          .select(posexplode(zip_with(merged, col("full"), (a, b) =>
+            struct(a.as("h_merged"), b.as("h_full")))).as(Seq("pos", "z")))
+          .select((col("pos") + 1).cast("long").as("rk"),
+            col("z.h_merged").as("h_merged"), col("z.h_full").as("h_full"),
+            when(col("z.h_merged") === col("z.h_full"), 1L).otherwise(0L)
+              .as("merge_exact"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id % 2 AS p, unnest(${shingles(tokens("text"), graft.operators.Sketch.HllShingleN)}) AS tok
+         |  FROM documents),
+         |hh AS (SELECT p, ${graft.functions.PortableHash.hash60Sql("tok")} AS h
+         |       FROM t),
+         |me AS (SELECT h FROM (SELECT DISTINCT h FROM hh WHERE p = 0)
+         |       ORDER BY h LIMIT ${graft.operators.Sketch.KmvK}),
+         |mo AS (SELECT h FROM (SELECT DISTINCT h FROM hh WHERE p = 1)
+         |       ORDER BY h LIMIT ${graft.operators.Sketch.KmvK}),
+         |mm AS (SELECT h FROM (SELECT h FROM me UNION SELECT h FROM mo)
+         |       ORDER BY h LIMIT ${graft.operators.Sketch.KmvK}),
+         |mf AS (SELECT h FROM (SELECT DISTINCT h FROM hh)
+         |       ORDER BY h LIMIT ${graft.operators.Sketch.KmvK}),
+         |rm AS (SELECT row_number() OVER (ORDER BY h) AS rk, h FROM mm),
+         |rf AS (SELECT row_number() OVER (ORDER BY h) AS rk, h FROM mf)
+         |SELECT CAST(rm.rk AS BIGINT) AS rk, rm.h AS h_merged,
+         |  rf.h AS h_full,
+         |  CAST(CASE WHEN rm.h = rf.h THEN 1 ELSE 0 END AS BIGINT)
+         |    AS merge_exact
+         |FROM rm JOIN rf ON rm.rk = rf.rk""".stripMargin),
+
+    // The order-statistic estimate GRADED against the exact distinct
+    // count (the corpus_hll_card doctrine): the k-th smallest of N
+    // uniform draws on [0, 2^60) sits near k/N of the range, so
+    // est = (k−1)·2⁶⁰/h₍ₖ₎ — both operands exactly-representable
+    // doubles, ONE IEEE division, engine-identical. ±1/√(k−2) ≈ 6.3 %
+    // standard error at k = 256, deliberately comparable to
+    // corpus_hll_card's m = 256.
+    "corpus_kmv_estimate" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sk = graft.operators.Sketch.kmvMins(docs)
+          .agg(count(lit(1)).as("k_filled"), max(col("h")).as("h_k"))
+        val exact = docs
+          .select(explode(graft.operators.Dedup.shingles(col("text"),
+            graft.operators.Sketch.HllShingleN)).as("sh"))
+          .agg(countDistinct(col("sh")).as("n_exact"))
+        val est = graft.operators.Sketch.kmvEstimate(col("h_k"))
+        // 1-row × 1-row scalar pair — the registered wh_dq_checks shape
+        sk.crossJoin(broadcast(exact))
+          .select(col("k_filled"), col("h_k"), est.as("est"), col("n_exact"),
+            floor(lit(10000.0) * est / col("n_exact").cast("double"))
+              .as("err_bp"))
+      },
+      s"""WITH tok AS (SELECT unnest(${shingles(tokens("text"), graft.operators.Sketch.HllShingleN)}) AS tok FROM documents),
+         |hd AS (SELECT DISTINCT ${graft.functions.PortableHash.hash60Sql("tok")} AS h
+         |       FROM tok),
+         |sk AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k_filled, MAX(h) AS h_k
+         |  FROM (SELECT h FROM hd ORDER BY h LIMIT ${graft.operators.Sketch.KmvK})),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hd)
+         |SELECT k_filled, h_k,
+         |  ${(graft.operators.Sketch.KmvK - 1).toDouble * math.pow(2.0, 60)}
+         |    / CAST(h_k AS DOUBLE) AS est,
+         |  n_exact,
+         |  CAST(FLOOR(10000.0 *
+         |    (${(graft.operators.Sketch.KmvK - 1).toDouble * math.pow(2.0, 60)}
+         |     / CAST(h_k AS DOUBLE)) / CAST(n_exact AS DOUBLE)) AS BIGINT)
+         |    AS err_bp
+         |FROM sk, ex""".stripMargin),
+
+    // KMV SET OVERLAP — what the value-sample state buys beyond one
+    // count, and the reason this sketch earns its place beside HLL:
+    // the fraction of the MERGED sketch present in BOTH cohort
+    // sketches is a direct, all-integer Jaccard estimator
+    // (±√(J(1−J)/k) ≈ 3 pp at k = 256), where corpus_hll_langs'
+    // intersection must go through inclusion–exclusion whose error is
+    // relative to the UNION — useless for small overlaps, which is
+    // exactly the decontamination question ("how much of the
+    // benchmark leaked into my corpus"). Same en / non-en cohorts as
+    // the HLL row, graded against the exact Jaccard; one corpus pass
+    // builds both sketches, the estimator is array arithmetic on two
+    // 256-value rows.
+    "corpus_kmv_jaccard" -> QueryDef(
+      (s, d) => {
+        val K = graft.operators.Sketch.KmvK
+        val t = Tables.documents(s, d)
+          .select((col("lang") === "en").as("is_en"),
+            graft.operators.Dedup.shingles(col("text"),
+              graft.operators.Sketch.HllShingleN).as("sh"))
+        val merged = slice(array_sort(array_distinct(
+          concat(col("a"), col("b")))), 1, K)
+        val sk = t.agg(
+            graft.functions.SketchAggregates.kmvSketchAgg(
+              when(col("is_en"), col("sh")), K).as("a"),
+            graft.functions.SketchAggregates.kmvSketchAgg(
+              when(!col("is_en"), col("sh")), K).as("b"))
+          .select(
+            size(merged).cast("long").as("k_m"),
+            size(array_intersect(array_intersect(merged, col("a")),
+              col("b"))).cast("long").as("overlap"))
+          .select(col("k_m"), col("overlap"),
+            expr("overlap * 10000 DIV k_m").as("jac_est_bp"))
+        val exact = Tables.documents(s, d)
+          .select((col("lang") === "en").as("is_en"),
+            explode(graft.operators.Dedup.shingles(col("text"),
+              graft.operators.Sketch.HllShingleN)).as("sh"))
+          .groupBy(col("sh"))
+          .agg(max(when(col("is_en"), 1L).otherwise(0L)).as("in_en"),
+            max(when(!col("is_en"), 1L).otherwise(0L)).as("in_other"))
+          .agg(count(lit(1)).as("exact_union"),
+            sum(col("in_en") * col("in_other")).cast("long")
+              .as("exact_inter"))
+        // 1-row × 1-row scalar pair — the registered wh_dq_checks shape
+        sk.crossJoin(broadcast(exact))
+          .select(col("k_m"), col("overlap"), col("jac_est_bp"),
+            col("exact_union"), col("exact_inter"),
+            expr("exact_inter * 10000 DIV exact_union").as("jac_exact_bp"))
+      },
+      s"""WITH t AS (
+         |  SELECT lang = 'en' AS is_en, unnest(${shingles(tokens("text"), graft.operators.Sketch.HllShingleN)}) AS tok
+         |  FROM documents),
+         |hh AS (SELECT is_en, ${graft.functions.PortableHash.hash60Sql("tok")} AS h
+         |       FROM t),
+         |ma AS (SELECT h FROM (SELECT DISTINCT h FROM hh WHERE is_en)
+         |       ORDER BY h LIMIT ${graft.operators.Sketch.KmvK}),
+         |mb AS (SELECT h FROM (SELECT DISTINCT h FROM hh WHERE NOT is_en)
+         |       ORDER BY h LIMIT ${graft.operators.Sketch.KmvK}),
+         |mm AS (SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb)
+         |       ORDER BY h LIMIT ${graft.operators.Sketch.KmvK}),
+         |sk AS (
+         |  SELECT CAST((SELECT COUNT(*) FROM mm) AS BIGINT) AS k_m,
+         |    CAST((SELECT COUNT(*) FROM mm
+         |          WHERE h IN (SELECT h FROM ma)
+         |            AND h IN (SELECT h FROM mb)) AS BIGINT) AS overlap),
+         |ex AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+         |    CAST(SUM(in_en * in_other) AS BIGINT) AS exact_inter
+         |  FROM (
+         |    SELECT MAX(CASE WHEN is_en THEN 1 ELSE 0 END) AS in_en,
+         |      MAX(CASE WHEN NOT is_en THEN 1 ELSE 0 END) AS in_other
+         |    FROM hh GROUP BY h))
+         |SELECT k_m, overlap,
+         |  CAST(overlap * 10000 // k_m AS BIGINT) AS jac_est_bp,
+         |  exact_union, exact_inter,
+         |  CAST(exact_inter * 10000 // exact_union AS BIGINT)
+         |    AS jac_exact_bp
+         |FROM sk, ex""".stripMargin),
+
     // N-gram novelty score: the fraction of a document's distinct
     // 3-gram shingles that appear NOWHERE else in the corpus — the
     // self-contained-content signal a curation recipe uses alongside

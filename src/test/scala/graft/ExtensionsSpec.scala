@@ -127,6 +127,28 @@ class ExtensionsSpec extends SparkSpec {
     ex.getMessage should include("power of two")
   }
 
+  test("kmv_sketch_agg from SQL") {
+    installed
+    // the k smallest DISTINCT hash values, ascending; union-merge with
+    // set semantics means feeding a duplicate row changes nothing
+    val agg = spark.sql(
+      "SELECT kmv_sketch_agg(t, 2) AS s FROM VALUES " +
+        "(array('a','b','c')), (array('a','d')) AS v(t)").head().getSeq[Long](0)
+    agg.length shouldBe 2
+    agg.sorted shouldBe agg
+    val dup = spark.sql(
+      "SELECT kmv_sketch_agg(t, 2) AS s FROM VALUES " +
+        "(array('a','b','c')), (array('a','d')), (array('c','a')) AS v(t)")
+      .head().getSeq[Long](0)
+    dup shouldBe agg
+    // a one-value "sketch" cannot estimate anything — fail loud
+    val ex = intercept[Exception] {
+      spark.sql("SELECT kmv_sketch_agg(t, 1) AS s " +
+        "FROM VALUES (array('a')) AS v(t)").head()
+    }
+    ex.getMessage should include("kmv k")
+  }
+
   test("literal-parameter contract is enforced with a clear error") {
     installed
     val e = intercept[Exception] {

@@ -64,7 +64,9 @@ class PlanSpec extends SparkSpec {
       "corpus_hll_langs", // same 1-row scalar cross (three sketches × exact set sizes)
       "sim_index_serve_delta", // broadcast centroid assignments + probe (k-sized, linear)
       "corpus_graph_rrf", // dense branch is the hybrid row's brute query-sample broadcast cross
-      "graph_skew_audit") // 1-row scalar cross (degree table × its own total)
+      "graph_skew_audit", // 1-row scalar cross (degree table × its own total)
+      "corpus_kmv_estimate", // 1-row scalar cross (sketch estimate × exact count)
+      "corpus_kmv_jaccard") // same 1-row scalar cross (two sketches × exact overlap)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -162,7 +164,7 @@ class PlanSpec extends SparkSpec {
       "analytics_basket_pairs" -> 7, // measured 6: pairs agg + freq joins + lift agg
       "dedup_components" -> 0, // checkpointed label frame: a pure scan
       "dedup_keeper_election" -> 7, // measured 6: quality join + argmax two-phase
-      "graph_pagerank_step" -> 20, // measured 19: fixed rounds × (join + agg)
+      "graph_pagerank_step" -> 14, // measured 13 (r12: edges built straight off the events scan — the fact repartition is gone)
       "rel_pricing_summary" -> 1, // TPC-H Q1: single two-phase aggregation
       "mm_knn" -> 2, // measured 1 + slack: quadratic-by-design baseline
       "op_pps_sample" -> 5, // measured 4: bucketed window + offsets agg/window + broadcast
@@ -224,7 +226,12 @@ class PlanSpec extends SparkSpec {
       "corpus_hll_build" -> 1, // measured 1: one map-side-combined register aggregation
       "corpus_hll_merge" -> 1, // measured 1: one grouped register aggregation (halves in one pass)
       "corpus_hll_card" -> 5, // measured 4: sketch agg + exact count + the 1-row scalar cross
-      "corpus_hll_langs" -> 6) // measured 5: per-cohort sketch aggs + exact set sizes + scalar cross
+      "corpus_hll_langs" -> 6, // measured 5: per-cohort sketch aggs + exact set sizes + scalar cross
+      "graph_skew_audit" -> 5, // measured 4: degree agg + 1-row total broadcast + top-10
+      "corpus_kmv_build" -> 1, // measured 1: one map-side-combined value-set aggregation
+      "corpus_kmv_merge" -> 1, // measured 1: three conditional sketches in one aggregation
+      "corpus_kmv_estimate" -> 5, // measured 4: sketch agg + exact count + the 1-row scalar cross
+      "corpus_kmv_jaccard" -> 5) // measured 4: two conditional sketches + exact overlap + scalar cross
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

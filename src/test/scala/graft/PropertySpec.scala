@@ -229,6 +229,52 @@ class PropertySpec extends AnyFunSuite with Matchers {
     })
   }
 
+  test("kmv update: naive-reference equality, idempotence, and the union-merge law") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{SketchAggregates, TextHashFunctions}
+    val k = 8
+    val agg = SketchAggregates.KmvSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(0,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType), nullable = true), k)
+    def mins(tokens: List[String]): java.util.TreeSet[java.lang.Long] = {
+      val buf = agg.createAggregationBuffer()
+      val arr = new GenericArrayData(
+        tokens.map(UTF8String.fromString).toArray[Any])
+      val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](arr))
+      agg.update(buf, row)
+      buf
+    }
+    def toSeq(b: java.util.TreeSet[java.lang.Long]): Seq[Long] = {
+      val sb = Seq.newBuilder[Long]
+      val it = b.iterator()
+      while (it.hasNext) sb += it.next()
+      sb.result()
+    }
+    val gen = for {
+      xs <- Gen.listOf(Gen.asciiPrintableStr)
+      cut <- Gen.choose(0, xs.length)
+    } yield (xs, cut)
+    check(Prop.forAll(gen) { case (tokens, cut) =>
+      val r = toSeq(mins(tokens))
+      // naive reference: the k smallest DISTINCT hash60 values, ascending
+      val naive = tokens
+        .map(t => TextHashFunctions.hash60(UTF8String.fromString(t)))
+        .distinct.sorted.take(k)
+      // idempotence: duplicates are free by set semantics (the property
+      // that makes at-least-once replays safe)
+      val twice = toSeq(mins(tokens ++ tokens))
+      // union-merge law: splitting at any point and merging equals the
+      // single pass — the partition-safety property
+      val merged = toSeq(agg.merge(mins(tokens.take(cut)),
+        mins(tokens.drop(cut))))
+      r == naive && twice == r && merged == r &&
+        r.sliding(2).forall(p => p.length < 2 || p(0) < p(1))
+    })
+  }
+
   test("morton: interleave16 is a bijection on 16-bit pairs") {
     def despread(z: Long): Long = {
       var v = z & 0x5555555555555555L

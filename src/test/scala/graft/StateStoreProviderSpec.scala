@@ -244,6 +244,54 @@ class StateStoreProviderSpec extends SparkSpec {
     rocks shouldBe default
   }
 
+  /** Two-batch KMV stream — same roundtrip coverage as [[runCmsSketch]]
+    * for [[graft.functions.SketchAggregates.KmvSketchAgg]]'s
+    * serialize/deserialize/union-merge through both providers. */
+  private def runKmvSketch(): Seq[(Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val name = uniq("ssp_kmv_")
+    val q = graft.operators.Sketch.kmvMins(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    in.addData((1L, "alpha beta gamma delta"), (2L, "alpha delta epsilon zeta"))
+    q.processAllAvailable()
+    in.addData((3L, "beta beta epsilon eta theta"), (4L, "alpha iota kappa"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name).orderBy("rk")
+      .as[(Long, Long)].collect().toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  test("kmv aggregate state is provider-invariant (default vs RocksDB)") {
+    val default = runKmvSketch()
+    val rocks = onRocksDb(runKmvSketch())
+    default should not be empty
+    rocks shouldBe default
+  }
+
+  test("kmv aggregate deserialize rejects mismatched state geometry") {
+    // a foreign/truncated state-store row must fail loud: a byte count
+    // that is not a multiple of 8, or more than k values, is not a KMV
+    // buffer
+    val agg = graft.functions.SketchAggregates.KmvSketchAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(null), 4)
+    val buf = agg.createAggregationBuffer()
+    Seq(5L, 1L, 3L).foreach(h => buf.add(h))
+    val ok = agg.serialize(buf)
+    val back = agg.deserialize(ok)
+    back.size shouldBe 3
+    back.first() shouldBe 1L
+    intercept[IllegalArgumentException] {
+      agg.deserialize(ok.take(ok.length - 3))
+    }.getMessage should include("geometry mismatch")
+    intercept[IllegalArgumentException] {
+      agg.deserialize(ok ++ Array.fill[Byte](16)(0))
+    }
+  }
+
   test("count-min aggregate deserialize rejects mismatched state geometry") {
     // a truncated or foreign state-store row must fail loud at
     // deserialize, not surface as an AIOOBE inside merge() (short

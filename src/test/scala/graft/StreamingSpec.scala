@@ -289,6 +289,33 @@ class StreamingSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("streaming KMV minima equal the batch sketch after full replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // the ≤ k-value set IS the aggregation state (constant at any
+    // ingest volume) and union-then-trim is the merge — set semantics,
+    // so a stream drained in chunks (or replaying duplicates) lands on
+    // exactly the batch value list
+    val docs = graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Sketch.kmvMins(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("kmv_sketch")
+      .outputMode("complete").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    // re-feed a duplicate slice: set semantics must absorb it, no drift
+    in.addData(b2 ++ b1.take(3)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kmv_sketch").orderBy("rk")
+      .as[(Long, Long)].collect().toSeq
+    val want = graft.operators.Sketch.kmvMins(docs.toDF("doc_id", "text"))
+      .orderBy("rk").as[(Long, Long)].collect().toSeq
+    got should not be empty
+    got shouldBe want
+  }
+
   test("streaming quantile histogram equals the batch sketch after full replay") {
     implicit val sqlCtx = spark.sqlContext
     // the ≤ ~128 quarter-bit buckets ARE the aggregation state and

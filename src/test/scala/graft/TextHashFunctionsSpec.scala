@@ -230,6 +230,28 @@ class TextHashFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native kmvMins == composable distinct/sort/take-k minima") {
+    // the typed imperative aggregate (value-set buffer, union merge)
+    // must reproduce the composable explode + hash60 + distinct +
+    // ascending take-k value-for-value — the bit-equivalence pin
+    // behind corpus_kmv_build riding it
+    val docs = graft.ingest.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    val aggForm = graft.operators.Sketch.kmvMins(docs)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val composable = graft.operators.Sketch.kmvMinsComposable(docs)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    aggForm should not be empty
+    aggForm shouldBe composable
+    // ranks are 1..k and values strictly ascend with rank
+    aggForm.map(_._1) shouldBe (1L to aggForm.length.toLong)
+    aggForm.map(_._2).sliding(2).foreach {
+      case Seq(a, b) => a should be < b
+      case _ => ()
+    }
+  }
+
   test("malformed inputs fail loud: short LM grid, negative bucket hash") {
     // SQL-registered surface: a user-supplied grid of the wrong size or
     // a negative "hash" must throw, not index out of bounds and return
