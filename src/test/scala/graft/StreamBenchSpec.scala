@@ -20,7 +20,7 @@ class StreamBenchSpec extends SparkSpec {
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
       "dedup", "intake", "index", "search", "fsearch", "pps_sample",
       "content_stats",
-      "score", "cms", "lm_score", "lm_ratio", "nb_score", "media",
+      "score", "cms", "hll", "lm_score", "lm_ratio", "nb_score", "media",
       "curation", "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
