@@ -967,6 +967,110 @@ object DedupQueries {
            |GROUP BY t""".stripMargin
       }),
 
+    // Sketch-based decontamination PRE-CHECK — what a 100 TB pipeline
+    // runs BEFORE curate_decontaminate's candidate join: per-split KMV
+    // sketches of the 8-GRAM shingle space (long n-grams are the
+    // standard contamination signal — shared 8-grams mean copied
+    // passages, where 3-grams only measure vocabulary sharing) answer
+    // "did the holdout leak into train, roughly how much" from two
+    // k-value sketches alone, no cross-shard join. This is exactly the
+    // regime that justifies KMV over HLL: the true overlap is ~1.6 %
+    // of the union at sf0.01, far below inclusion–exclusion's
+    // union-relative error floor, while KMV's direct estimator (the
+    // fraction of the merged sketch present in BOTH split sketches)
+    // grades within its ±√(J/k) resolution — k = 1,024 here (8 KB of
+    // state per split; per-shard sketches union-merge by the graded
+    // min-k law). est_inter is the KMV intersection-cardinality
+    // estimate J·Û (exact-operand IEEE ops in pinned order);
+    // needs_scan is the operational output — the bit that gates the
+    // expensive exact scan, flagged at ≥ 50 bp estimated Jaccard.
+    // Exact sides computed only to GRADE (the corpus_hll_card
+    // doctrine); one corpus pass builds both sketches as conditional
+    // aggregates.
+    "curate_kmv_decontam" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        val K = 1024
+        val n = 8
+        val two60 = math.pow(2.0, 60)
+        val bucket = PortableHash.hash60(
+          concat(col("doc_id").cast("string"), lit("|split"))) % 100
+        val t = Tables.documents(s, d)
+          .select((bucket < 80).as("is_train"),
+            Dedup.shingles(col("text"), n).as("sh"))
+        val merged = slice(array_sort(array_distinct(
+          concat(col("a"), col("b")))), 1, K)
+        val sk = t.agg(
+            graft.functions.SketchAggregates.kmvSketchAgg(
+              when(col("is_train"), col("sh")), K).as("a"),
+            graft.functions.SketchAggregates.kmvSketchAgg(
+              when(!col("is_train"), col("sh")), K).as("b"))
+          .select(size(merged).cast("long").as("k_m"),
+            size(array_intersect(array_intersect(merged, col("a")),
+              col("b"))).cast("long").as("overlap"),
+            element_at(merged, -1).as("h_k"))
+          .select(col("k_m"), col("overlap"),
+            expr("overlap * 10000 DIV k_m").as("jac_est_bp"),
+            (col("overlap").cast("double") *
+              ((col("k_m") - 1).cast("double") * lit(two60)
+                / col("h_k").cast("double"))
+              / col("k_m").cast("double")).as("est_inter"))
+        val ex = Tables.documents(s, d)
+          .select((bucket < 80).as("is_train"),
+            explode(Dedup.shingles(col("text"), n)).as("sh"))
+          .groupBy(col("sh"))
+          .agg(max(when(col("is_train"), 1L).otherwise(0L)).as("in_tr"),
+            max(when(!col("is_train"), 1L).otherwise(0L)).as("in_ho"))
+          .agg(count(lit(1)).as("exact_union"),
+            sum(col("in_tr") * col("in_ho")).cast("long").as("exact_inter"))
+        // 1-row × 1-row scalar pair — the registered wh_dq_checks shape
+        sk.crossJoin(broadcast(ex))
+          .select(col("k_m"), col("overlap"), col("jac_est_bp"),
+            col("est_inter"), col("exact_union"), col("exact_inter"),
+            expr("exact_inter * 10000 DIV exact_union").as("jac_exact_bp"),
+            when(col("jac_est_bp") >= 50, 1L).otherwise(0L).as("needs_scan"))
+      }, {
+        import graft.functions.PortableHash
+        val bucketSql =
+          s"(${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|split'")} % 100)"
+        s"""WITH t AS (
+           |  SELECT $bucketSql < 80 AS is_train,
+           |    unnest(${shingles(tokens("text"), 8)}) AS tok
+           |  FROM documents),
+           |hh AS (SELECT is_train, ${PortableHash.hash60Sql("tok")} AS h
+           |       FROM t),
+           |ma AS (SELECT h FROM (SELECT DISTINCT h FROM hh WHERE is_train)
+           |       ORDER BY h LIMIT 1024),
+           |mb AS (SELECT h FROM (SELECT DISTINCT h FROM hh WHERE NOT is_train)
+           |       ORDER BY h LIMIT 1024),
+           |mm AS (SELECT h FROM (SELECT h FROM ma UNION SELECT h FROM mb)
+           |       ORDER BY h LIMIT 1024),
+           |sk AS (
+           |  SELECT CAST((SELECT COUNT(*) FROM mm) AS BIGINT) AS k_m,
+           |    CAST((SELECT COUNT(*) FROM mm
+           |          WHERE h IN (SELECT h FROM ma)
+           |            AND h IN (SELECT h FROM mb)) AS BIGINT) AS overlap,
+           |    (SELECT MAX(h) FROM mm) AS h_k),
+           |ex AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+           |    CAST(SUM(in_tr * in_ho) AS BIGINT) AS exact_inter
+           |  FROM (
+           |    SELECT MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_tr,
+           |      MAX(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS in_ho
+           |    FROM hh GROUP BY h))
+           |SELECT k_m, overlap,
+           |  CAST(overlap * 10000 // k_m AS BIGINT) AS jac_est_bp,
+           |  CAST(overlap AS DOUBLE) *
+           |    (CAST(k_m - 1 AS DOUBLE) * ${math.pow(2.0, 60)}
+           |     / CAST(h_k AS DOUBLE)) / CAST(k_m AS DOUBLE) AS est_inter,
+           |  exact_union, exact_inter,
+           |  CAST(exact_inter * 10000 // exact_union AS BIGINT)
+           |    AS jac_exact_bp,
+           |  CAST(CASE WHEN overlap * 10000 // k_m >= 50 THEN 1 ELSE 0 END
+           |    AS BIGINT) AS needs_scan
+           |FROM sk, ex""".stripMargin
+      }),
+
     // Context-window chunk packing — how pretraining data is actually
     // laid out: concatenate documents in a deterministic pseudo-random
     // order per source and split the token stream into fixed-size

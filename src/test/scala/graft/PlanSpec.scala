@@ -66,7 +66,8 @@ class PlanSpec extends SparkSpec {
       "corpus_graph_rrf", // dense branch is the hybrid row's brute query-sample broadcast cross
       "graph_skew_audit", // 1-row scalar cross (degree table × its own total)
       "corpus_kmv_estimate", // 1-row scalar cross (sketch estimate × exact count)
-      "corpus_kmv_jaccard") // same 1-row scalar cross (two sketches × exact overlap)
+      "corpus_kmv_jaccard", // same 1-row scalar cross (two sketches × exact overlap)
+      "curate_kmv_decontam") // same 1-row scalar cross (split sketches × exact leak count)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -231,7 +232,8 @@ class PlanSpec extends SparkSpec {
       "corpus_kmv_build" -> 1, // measured 1: one map-side-combined value-set aggregation
       "corpus_kmv_merge" -> 1, // measured 1: three conditional sketches in one aggregation
       "corpus_kmv_estimate" -> 5, // measured 4: sketch agg + exact count + the 1-row scalar cross
-      "corpus_kmv_jaccard" -> 5) // measured 4: two conditional sketches + exact overlap + scalar cross
+      "corpus_kmv_jaccard" -> 5, // measured 4: two conditional sketches + exact overlap + scalar cross
+      "curate_kmv_decontam" -> 5) // measured 4: two split sketches + exact leak count + scalar cross
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
