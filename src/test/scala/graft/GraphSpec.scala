@@ -336,4 +336,28 @@ class GraphSpec extends SparkSpec {
       .filter(col("dist2") =!= col("dist") || col("src2") =!= col("src"))
     changed.count() shouldBe 0L
   }
+
+  test("skew audit: shares, flag threshold, and ordering are internally consistent") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("graph_skew_audit")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    rows should not be empty
+    rows.length should be <= 10
+    val total = rows.head._3
+    rows.foreach { case (_, keyRows, tot, shareBp, flag) =>
+      // one total for the whole audit, shares derived from it exactly,
+      // and the flag is precisely the 5x-even-share threshold (the AQE
+      // skewedPartitionFactor analog at 32 shuffle partitions)
+      tot shouldBe total
+      shareBp shouldBe keyRows * 10000 / tot
+      flag shouldBe (if (shareBp > 5 * (10000 / 32)) 1L else 0L)
+    }
+    // top-10 really is the top: descending key_rows, node-asc tie-break
+    rows.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._1 < b._1),
+          s"audit ordering violated: $a before $b")
+      case _ => ()
+    }
+  }
 }
