@@ -359,13 +359,17 @@ object TextHashFunctions {
     * orders struct(s, cls)). Pinned bit-identical by
     * TextHashFunctionsSpec. */
   /** The classifier metadata decoded to primitive arrays. The meta
-    * argument is a plan LITERAL in every caller, so its `ArrayData` is
-    * the SAME object for every row a thread scores — decode it once
-    * per thread (identity-keyed, one-slot) instead of paying a boxed
-    * `GenericArrayData.getLong` per grid cell per bigram per class
-    * (measured: the boxed folds cost as much as the hash pass they
-    * follow). A non-literal meta simply misses the cache every row —
-    * slower, never wrong. */
+    * argument is REQUIRED foldable (enforced by `checkInputDataTypes`),
+    * so its `ArrayData` is the SAME object for every row a thread
+    * scores — decode it once per thread (identity-keyed, one-slot)
+    * instead of paying a boxed `GenericArrayData.getLong` per grid cell
+    * per bigram per class (measured: the boxed folds cost as much as
+    * the hash pass they follow). Foldability is what makes the
+    * identity-keyed cache SOUND, not just fast: a non-literal meta
+    * could hand the expression the same ArrayData object over mutated
+    * backing bytes (engines reuse row buffers), which the identity key
+    * cannot distinguish from the cached classifier — so the literal
+    * contract is enforced at analysis time rather than relied on. */
   private final class NbMeta(val source: ArrayData) {
     val k: Int = source.numElements()
     // fail loud, not garbage: the SQL-registered form accepts any
@@ -460,7 +464,17 @@ object TextHashFunctions {
               StructField(_, StringType, _, _),
               StructField(_, LongType, _, _),
               StructField(_, ArrayType(LongType, _), _, _))), _)) =>
-          TypeCheckResult.TypeCheckSuccess
+          // the per-thread NbMeta cache is keyed on the meta ArrayData's
+          // OBJECT IDENTITY — sound only if the object's contents never
+          // change, i.e. the classifier is a plan constant. Every real
+          // caller passes a literal; enforce it so an engine path that
+          // reuses one array object over mutated backing bytes can't
+          // silently score rows with a stale classifier.
+          if (right.foldable) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires the class metadata to be foldable " +
+              "(a literal/constant classifier — the per-thread decode " +
+              "cache is keyed on its object identity)")
         case (l, r) => TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires (array<string>, " +
             s"array<struct<string, bigint, array<bigint>>>), " +

@@ -273,12 +273,19 @@ object Sketch {
       .select(col("rk"), col("h"))
   }
 
-  /** The order-statistic cardinality estimate off the sketch's k-th
-    * (largest) value: (k−1) · 2⁶⁰ / h₍ₖ₎ — the k-th smallest of N
-    * uniform draws on [0, 2⁶⁰) sits near k/N of the range. Both
+  /** The order-statistic cardinality estimate: when the sketch is FULL
+    * (kFilled = [[KmvK]]), (k−1) · 2⁶⁰ / h₍ₖ₎ — the k-th smallest of N
+    * uniform draws on [0, 2⁶⁰) sits near k/N of the range; both
     * operands are exactly representable doubles ((k−1)·2⁶⁰ has a
     * 9-bit mantissa for k = 256), so the single IEEE division is
-    * engine-identical. */
-  def kmvEstimate(hK: Column): Column =
-    lit((KmvK - 1).toDouble * math.pow(2.0, 60)) / hK.cast("double")
+    * engine-identical. When the sketch is UNDERFILLED (kFilled < k,
+    * i.e. the distinct count is below the sketch size) the sketch
+    * holds EVERY distinct hash and the exact answer is kFilled itself
+    * — the order-statistic numerator (k−1)·2⁶⁰ would badly
+    * overestimate there, so the estimator branches instead of relying
+    * on callers to know the full-sketch precondition. */
+  def kmvEstimate(kFilled: Column, hK: Column): Column =
+    when(kFilled < KmvK, kFilled.cast("double"))
+      .otherwise(
+        lit((KmvK - 1).toDouble * math.pow(2.0, 60)) / hK.cast("double"))
 }

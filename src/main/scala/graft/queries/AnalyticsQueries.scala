@@ -1127,8 +1127,12 @@ object AnalyticsQueries {
         deg.crossJoin(broadcast(tot))
           .select(col("node"), col("key_rows"), col("total_rows"),
             expr("key_rows * 10000 DIV total_rows").as("share_bp"))
+          // flag iff key share > 5× the even per-partition share, i.e.
+          // key_rows/total > 5/32 ⟺ key_rows·32 > 5·total — exact
+          // integer cross-multiplication, no intermediate truncation
+          // (5·(10000 DIV 32) would floor the 1562.5 bp line to 1560)
           .withColumn("aqe_flag",
-            (col("share_bp") > lit(5 * (10000 / 32))).cast("long"))
+            (col("key_rows") * 32 > col("total_rows") * 5).cast("long"))
           .orderBy(col("key_rows").desc, col("node").asc)
           .limit(10)
       },
@@ -1139,7 +1143,7 @@ object AnalyticsQueries {
          |tot AS (SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows FROM deg)
          |SELECT node, key_rows, total_rows,
          |  CAST(key_rows * 10000 // total_rows AS BIGINT) AS share_bp,
-         |  CAST(CASE WHEN key_rows * 10000 // total_rows > 5 * (10000 // 32)
+         |  CAST(CASE WHEN key_rows * 32 > total_rows * 5
          |       THEN 1 ELSE 0 END AS BIGINT) AS aqe_flag
          |FROM deg, tot
          |ORDER BY key_rows DESC, node ASC LIMIT 10""".stripMargin),

@@ -1857,7 +1857,11 @@ object TextQueries {
     // est = (k−1)·2⁶⁰/h₍ₖ₎ — both operands exactly-representable
     // doubles, ONE IEEE division, engine-identical. ±1/√(k−2) ≈ 6.3 %
     // standard error at k = 256, deliberately comparable to
-    // corpus_hll_card's m = 256.
+    // corpus_hll_card's m = 256. An UNDERFILLED sketch (k_filled < k)
+    // holds every distinct hash, so the estimator returns k_filled
+    // exactly there (both engines branch identically) instead of the
+    // order-statistic formula, whose fixed (k−1)·2⁶⁰ numerator badly
+    // overestimates small cardinalities.
     "corpus_kmv_estimate" -> QueryDef(
       (s, d) => {
         val docs = Tables.documents(s, d)
@@ -1867,7 +1871,8 @@ object TextQueries {
           .select(explode(graft.operators.Dedup.shingles(col("text"),
             graft.operators.Sketch.HllShingleN)).as("sh"))
           .agg(countDistinct(col("sh")).as("n_exact"))
-        val est = graft.operators.Sketch.kmvEstimate(col("h_k"))
+        val est = graft.operators.Sketch.kmvEstimate(col("k_filled"),
+          col("h_k"))
         // 1-row × 1-row scalar pair — the registered wh_dq_checks shape
         sk.crossJoin(broadcast(exact))
           .select(col("k_filled"), col("h_k"), est.as("est"), col("n_exact"),
@@ -1880,16 +1885,18 @@ object TextQueries {
          |sk AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS k_filled, MAX(h) AS h_k
          |  FROM (SELECT h FROM hd ORDER BY h LIMIT ${graft.operators.Sketch.KmvK})),
-         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hd)
-         |SELECT k_filled, h_k,
-         |  ${(graft.operators.Sketch.KmvK - 1).toDouble * math.pow(2.0, 60)}
-         |    / CAST(h_k AS DOUBLE) AS est,
-         |  n_exact,
-         |  CAST(FLOOR(10000.0 *
-         |    (${(graft.operators.Sketch.KmvK - 1).toDouble * math.pow(2.0, 60)}
-         |     / CAST(h_k AS DOUBLE)) / CAST(n_exact AS DOUBLE)) AS BIGINT)
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hd),
+         |es AS (
+         |  SELECT k_filled, h_k,
+         |    CASE WHEN k_filled < ${graft.operators.Sketch.KmvK}
+         |      THEN CAST(k_filled AS DOUBLE)
+         |      ELSE ${(graft.operators.Sketch.KmvK - 1).toDouble * math.pow(2.0, 60)}
+         |        / CAST(h_k AS DOUBLE) END AS est
+         |  FROM sk)
+         |SELECT k_filled, h_k, est, n_exact,
+         |  CAST(FLOOR(10000.0 * est / CAST(n_exact AS DOUBLE)) AS BIGINT)
          |    AS err_bp
-         |FROM sk, ex""".stripMargin),
+         |FROM es, ex""".stripMargin),
 
     // KMV SET OVERLAP — what the value-sample state buys beyond one
     // count, and the reason this sketch earns its place beside HLL:

@@ -350,7 +350,9 @@ class GraphSpec extends SparkSpec {
       // skewedPartitionFactor analog at 32 shuffle partitions)
       tot shouldBe total
       shareBp shouldBe keyRows * 10000 / tot
-      flag shouldBe (if (shareBp > 5 * (10000 / 32)) 1L else 0L)
+      // exact cross-multiplied 5x-even-share line (1562.5 bp at 32
+      // partitions) — not the truncated 5*(10000/32) = 1560 bp form
+      flag shouldBe (if (keyRows * 32 > tot * 5) 1L else 0L)
     }
     // top-10 really is the top: descending key_rows, node-asc tie-break
     rows.sliding(2).foreach {
