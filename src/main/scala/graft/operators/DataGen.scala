@@ -80,6 +80,23 @@ object DataGen {
     concat(base, extras, lit("}"))
   }
 
+  /** Synthetic POWER-LAW edge fixture — the graph on which
+    * `graph_skew_audit`'s flag genuinely fires (the fixture co-purchase
+    * graph is benign: its top hub holds ~18 bp of the shuffled join
+    * input, an order of magnitude under the 1562.5 bp line, so the
+    * flag path — and the [[Graph.skewSplitJoin]] mitigation behind
+    * it — would otherwise only ever run against empty hub sets).
+    * src = bit-length of the event id: key k carries the 2^(k−1) ids
+    * of that bit width, so the top key holds up to HALF the edges
+    * (4096 bp at the sf0.01 id span) — a deterministic geometric hub
+    * ladder with no RNG, replayable in the oracle as
+    * `length(bin(event_id))` (both engines render minimal-width
+    * binary). Map-only over the events scan; the id span (and with it
+    * the hub ladder's depth) scales with SF. */
+  def powerLawEdges(events: DataFrame): DataFrame =
+    events.select(length(bin(col("event_id"))).cast("long").as("src"),
+      pmod(col("event_id"), lit(997)).cast("long").as("dst"))
+
   /** The full generated event stream over ids drawn from a driving
     * DataFrame column (map-only; at 100 TB this is `spark.range(n)`
     * across executors with zero shuffle). */

@@ -51,6 +51,73 @@ object Graph {
           .cast("long").as("rank_fp"))
   }
 
+  /** Hub-split inner equi-join — the MITIGATION for the hazard
+    * `graph_skew_audit` measures. An iterative graph round joins a
+    * per-node dimension (ranks, labels, distances) onto the edge list
+    * keyed by the source node; on a power-law graph the hub nodes
+    * concentrate the shuffle — one hot key lands on one reducer, and at
+    * 1000× that reducer IS the round's wall clock. AQE's skew-join
+    * split cannot help here: it re-plans one shuffle's runtime stats,
+    * while an iterative self-join re-materializes per round under
+    * `localCheckpoint`, so the split must be part of the LOGICAL plan.
+    *
+    * The split: `hotKeys` (the audit's flagged hubs — a metadata-sized
+    * key list) broadcasts; fact rows of hot keys take a broadcast-hash
+    * branch against the hot slice of the dimension (per-node dimension
+    * ⇒ the hot slice is ≤ |hotKeys| rows — broadcastable by
+    * construction), so they NEVER enter the key-hashed shuffle; the
+    * cold tail takes the normal shuffle join with the hubs removed.
+    * Union of the two branches is row-identical (as a multiset) to the
+    * plain inner join: hot/cold partition the fact side, and a cold
+    * fact row can only match a cold dimension row. Inner join only —
+    * an outer join's unmatched-row channels would need dedup across
+    * branches (see [[SkewJoin.salted]] for the same restriction).
+    *
+    * Cost model: the fact side is read twice (one broadcast-semi pass
+    * per branch — map-side, no shuffle), the dimension once plus one
+    * ≤|hotKeys|-row broadcast. What it buys: the per-partition maximum
+    * of the shuffled join input drops from the top hub's share to the
+    * cold tail's — `graph_skew_mitigated` reports exactly that number
+    * before/after on a fixture where the audit genuinely fires. */
+  def skewSplitJoin(facts: DataFrame, dim: DataFrame, key: String,
+      hotKeys: DataFrame): DataFrame = {
+    val hot = broadcast(hotKeys.select(col(key)).distinct())
+    val hotFacts = facts.join(hot, Seq(key), "left_semi")
+    val coldFacts = facts.join(hot, Seq(key), "left_anti")
+    val hotDim = broadcast(dim.join(hot, Seq(key), "left_semi"))
+    hotFacts.join(hotDim, Seq(key))
+      .unionAll(coldFacts.join(dim, Seq(key)))
+  }
+
+  /** [[pagerankStep]] with the rank-onto-edges join routed through
+    * [[skewSplitJoin]]: the per-node (deg, rank) dimension joins the
+    * edge list with the `hotKeys` hubs on the broadcast branch and the
+    * cold tail on the normal shuffle. Bit-identical to [[pagerankStep]]
+    * by construction — the share arithmetic is unchanged and the
+    * in-mass sum is an order-free integer aggregation over the same
+    * multiset of rows (GraphSpec pins row identity on both a benign
+    * fixture, where `hotKeys` is empty and the hot branch carries
+    * nothing, and a power-law fixture where the audit's flagged hubs
+    * carry ~3/4 of the edges). Callers gate `hotKeys` on
+    * `graph_skew_audit`'s exact 5×-even-share threshold, so the benign
+    * graph pays only the two metadata-sized broadcast probes. */
+  def pagerankStepSkewSplit(edges: DataFrame, ranks: DataFrame,
+      hotKeys: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val dim = deg.join(ranks.withColumnRenamed("node", "src"), "src")
+    val share = skewSplitJoin(edges, dim, "src", hotKeys)
+      .select(col("dst"),
+        floor(col("rank_fp").cast("double") / col("deg")).cast("long").as("c"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val sums = share.groupBy(col("dst").as("node"))
+      .agg(sum(col("c")).as("in_mass"))
+    nodes.join(sums, Seq("node"), "left")
+      .select(col("node"),
+        (lit(BaseFp) + floor(lit(Damping) * coalesce(col("in_mass"), lit(0L))))
+          .cast("long").as("rank_fp"))
+  }
+
   /** The full per-round trace of a training run — r0 (uniform start)
     * through r`iters`, each eagerly `localCheckpoint`ed. Exposing the
     * trace (not just the final frame) lets every consumer of the run —

@@ -1148,6 +1148,139 @@ object AnalyticsQueries {
          |FROM deg, tot
          |ORDER BY key_rows DESC, node ASC LIMIT 10""".stripMargin),
 
+    // The skew MITIGATION, measured — the audit's answer made
+    // operational. On the synthetic power-law fixture (src = bit-length
+    // of the event id — DataGen.powerLawEdges; the top key carries
+    // ~41 % of the edges at sf0.01, so the audit's exact 5×-even-share
+    // flag genuinely fires, unlike on the benign co-purchase graph) the
+    // flagged hubs route through Graph.skewSplitJoin's broadcast branch
+    // while the cold tail shuffles. This row reports the number that
+    // mitigation exists to move: the MAXIMUM per-partition share of the
+    // shuffled join input, under the same deterministic partition model
+    // both engines can replay (portable hash of the key mod 32 — the
+    // bench's shuffle width), BEFORE (every key shuffles) and AFTER
+    // (flagged hubs broadcast). All-int64; the 'after' row also carries
+    // how many keys/rows left the shuffle for the broadcast branch.
+    // max_share_bp's denominator is the WHOLE edge set (bcast_rows +
+    // shuffle_rows, identical both stages) — the straggler wall-clock
+    // is the absolute max-partition row count, so the ratio must not
+    // flatter itself by shrinking its denominator along with the
+    // shuffle (committed sf0.01: 4096 bp before → 1024 bp after, a 4×
+    // drop in the worst reducer's load; sf0.1: 3446 → 820).
+    "graph_skew_mitigated" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        val e = graft.operators.DataGen.powerLawEdges(Tables.events(s, d))
+        val deg = e.groupBy("src").agg(count(lit(1)).as("key_rows"))
+        val tot = deg.agg(sum(col("key_rows")).cast("long").as("total_rows"))
+        // ≤ ~20-row key table: per-key rows, the audit's exact hub flag,
+        // and the modeled shuffle partition of the key
+        val keyed = deg.crossJoin(broadcast(tot))
+          .select(col("src"), col("key_rows"),
+            (col("key_rows") * 32 > col("total_rows") * 5).as("hot"),
+            pmod(PortableHash.hash60(concat(col("src").cast("string"),
+              lit("|part"))), lit(32)).as("part"))
+        def partMax(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("part")).agg(sum(col("key_rows")).as("p_rows"))
+            .agg(max(col("p_rows")).as("max_part_rows"),
+              sum(col("p_rows")).cast("long").as("shuffle_rows"))
+        val before = partMax(keyed)
+          .select(lit("before").as("stage"), lit(0L).as("n_hot_keys"),
+            lit(0L).as("bcast_rows"), col("shuffle_rows"),
+            col("max_part_rows"),
+            // before's whole-set denominator IS shuffle_rows (bcast = 0)
+            expr("max_part_rows * 10000 DIV shuffle_rows")
+              .as("max_share_bp"))
+        val hotAgg = keyed.filter(col("hot"))
+          .agg(count(lit(1)).as("n_hot_keys"),
+            sum(col("key_rows")).cast("long").as("bcast_rows"))
+        // 1-row × 1-row scalar pair — the registered wh_dq_checks shape
+        val after = partMax(keyed.filter(!col("hot")))
+          .crossJoin(broadcast(hotAgg))
+          .select(lit("after").as("stage"), col("n_hot_keys"),
+            col("bcast_rows"), col("shuffle_rows"), col("max_part_rows"),
+            expr("max_part_rows * 10000 DIV (bcast_rows + shuffle_rows)")
+              .as("max_share_bp"))
+        before.unionAll(after)
+      }, {
+        import graft.functions.PortableHash
+        s"""WITH pl AS (
+           |  SELECT CAST(length(bin(event_id)) AS BIGINT) AS src,
+           |    CAST(event_id % 997 AS BIGINT) AS dst FROM events),
+           |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS key_rows
+           |        FROM pl GROUP BY src),
+           |tot AS (SELECT CAST(SUM(key_rows) AS BIGINT) AS total_rows FROM deg),
+           |keyed AS (
+           |  SELECT src, key_rows, key_rows * 32 > total_rows * 5 AS hot,
+           |    (${PortableHash.hash60Sql("CAST(src AS VARCHAR) || '|part'")} % 32)
+           |      AS part
+           |  FROM deg, tot),
+           |agg_all AS (
+           |  SELECT CAST(MAX(p_rows) AS BIGINT) AS max_part_rows,
+           |    CAST(SUM(p_rows) AS BIGINT) AS shuffle_rows
+           |  FROM (SELECT part, SUM(key_rows) AS p_rows FROM keyed
+           |        GROUP BY part)),
+           |agg_cold AS (
+           |  SELECT CAST(MAX(p_rows) AS BIGINT) AS max_part_rows,
+           |    CAST(SUM(p_rows) AS BIGINT) AS shuffle_rows
+           |  FROM (SELECT part, SUM(key_rows) AS p_rows FROM keyed
+           |        WHERE NOT hot GROUP BY part)),
+           |hotagg AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_keys,
+           |    CAST(COALESCE(SUM(key_rows), 0) AS BIGINT) AS bcast_rows
+           |  FROM keyed WHERE hot)
+           |SELECT 'before' AS stage, CAST(0 AS BIGINT) AS n_hot_keys,
+           |  CAST(0 AS BIGINT) AS bcast_rows, shuffle_rows, max_part_rows,
+           |  CAST(max_part_rows * 10000 // shuffle_rows AS BIGINT)
+           |    AS max_share_bp
+           |FROM agg_all
+           |UNION ALL
+           |SELECT 'after', n_hot_keys, bcast_rows, shuffle_rows,
+           |  max_part_rows,
+           |  CAST(max_part_rows * 10000 // (bcast_rows + shuffle_rows)
+           |    AS BIGINT)
+           |FROM agg_cold, hotagg""".stripMargin
+      }),
+
+    // One pagerank power-iteration round RUNNING THROUGH the skew-split
+    // kernel, gated on the audit's exact threshold: the flagged hubs of
+    // the power-law fixture take Graph.skewSplitJoin's broadcast branch,
+    // the cold tail the normal shuffle. The oracle replays the PLAIN
+    // step arithmetic — row-identical output IS the kernel's
+    // correctness statement at the query level (GraphSpec additionally
+    // pins step-vs-step identity on both fixtures and the branch plan
+    // shape under a disabled auto-broadcast threshold).
+    "graph_skew_step" -> QueryDef(
+      (s, d) => {
+        val e = graft.operators.DataGen.powerLawEdges(Tables.events(s, d))
+        val deg = e.groupBy("src").agg(count(lit(1)).as("key_rows"))
+        val tot = deg.agg(sum(col("key_rows")).cast("long").as("total_rows"))
+        val hubs = deg.crossJoin(broadcast(tot))
+          .filter(col("key_rows") * 32 > col("total_rows") * 5)
+          .select(col("src"))
+        val r0 = e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .withColumn("rank_fp", lit(Graph.RankOne))
+        Graph.pagerankStepSkewSplit(e, r0, hubs)
+          .select(col("node").cast("long").as("node"),
+            col("rank_fp").cast("long").as("rank_fp"))
+      },
+      s"""WITH pl AS (
+         |  SELECT CAST(length(bin(event_id)) AS BIGINT) AS src,
+         |    CAST(event_id % 997 AS BIGINT) AS dst FROM events),
+         |deg AS (SELECT src, COUNT(*) AS d FROM pl GROUP BY src),
+         |nodes AS (SELECT src AS node FROM pl UNION SELECT dst FROM pl),
+         |sh AS (
+         |  SELECT e.dst,
+         |    CAST(FLOOR(CAST(${Graph.RankOne} AS DOUBLE) / g.d) AS BIGINT) AS c
+         |  FROM pl e JOIN deg g ON e.src = g.src),
+         |sm AS (SELECT dst AS node, SUM(c) AS in_mass FROM sh GROUP BY dst)
+         |SELECT CAST(n.node AS BIGINT) AS node,
+         |  CAST(${Graph.BaseFp} +
+         |       FLOOR(${Graph.Damping} * COALESCE(s.in_mass, 0))
+         |       AS BIGINT) AS rank_fp
+         |FROM nodes n LEFT JOIN sm s ON n.node = s.node""".stripMargin),
+
     // The 2-core of the co-purchase graph — iterative degeneracy
     // peeling to its fixed point (see graft.operators.Graph.kcoreStep):
     // keep products that co-sell with other co-selling products, drop

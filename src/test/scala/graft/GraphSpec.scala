@@ -362,4 +362,95 @@ class GraphSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  /** The audit's exact hub flag over an edge frame — the same
+    * 5×-even-share cross-multiplication the registered queries gate on. */
+  private def hubsOf(e: org.apache.spark.sql.DataFrame) = {
+    val deg = e.groupBy("src").agg(count(lit(1)).as("key_rows"))
+    val tot = deg.agg(sum(col("key_rows")).cast("long").as("total_rows"))
+    deg.crossJoin(broadcast(tot))
+      .filter(col("key_rows") * 32 > col("total_rows") * 5)
+      .select(col("src"))
+  }
+
+  private def powerLawFixture = graft.operators.DataGen.powerLawEdges(
+    graft.ingest.Tables.events(spark, "/root/testdata/sf0.001"))
+
+  // every src appears 20× in 1,000 rows (200 bp ≪ the 1562.5 bp line):
+  // the audit flags nothing, so the hot branch must carry nothing
+  private def benignFixture = spark.range(1000)
+    .select(pmod(col("id"), lit(50)).as("src"),
+      pmod(col("id") * 7, lit(50)).as("dst"))
+
+  test("skewSplitJoin is row-identical to the plain inner join, hot set full or empty") {
+    val pl = powerLawFixture
+    val hubs = hubsOf(pl)
+    hubs.count() should be > 0L // the fixture genuinely fires the flag
+    val dim = pl.groupBy("src").agg(count(lit(1)).as("deg"))
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val plain = sortedRows(pl.join(dim, "src"))
+    sortedRows(Graph.skewSplitJoin(pl, dim, "src", hubs)) shouldBe plain
+    // empty hub set: the broadcast branch carries nothing, identity holds
+    sortedRows(Graph.skewSplitJoin(pl, dim, "src",
+      hubs.filter(lit(false)))) shouldBe plain
+  }
+
+  test("pagerankStepSkewSplit == pagerankStep on benign and power-law graphs") {
+    val pl = powerLawFixture
+    val benign = benignFixture
+    hubsOf(benign).count() shouldBe 0L
+    hubsOf(pl).count() should be > 0L
+    for (e <- Seq(benign, pl)) {
+      val ranks = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .withColumn("rank_fp", lit(Graph.RankOne))
+      val plain = Graph.pagerankStep(e, ranks).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val split = Graph.pagerankStepSkewSplit(e, ranks, hubsOf(e)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      split shouldBe plain
+    }
+  }
+
+  test("skew-split plan: hot branch broadcasts, cold branch keeps the shuffle") {
+    // with auto-broadcast disabled the split's plan shape is forced by
+    // the kernel's own hints: the hot branch (and the semi/anti hub
+    // probes) must be BroadcastHashJoin — hub rows never enter a
+    // key-hashed exchange — while the cold tail takes the ordinary
+    // shuffled join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pl = powerLawFixture
+      val dim = pl.groupBy("src").agg(count(lit(1)).as("deg"))
+      val plan = Graph.skewSplitJoin(pl, dim, "src", hubsOf(pl))
+        .queryExecution.executedPlan.toString
+      plan should include("BroadcastHashJoin")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cold branch must take the shuffled join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("graph_skew_mitigated: the flag fires and the worst reducer's load drops") {
+    val rows = SparkEntry.queries("graph_skew_mitigated")(
+        spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val before = rows.find(_._1 == "before").get
+    val after = rows.find(_._1 == "after").get
+    // before: everything shuffles
+    before._2 shouldBe 0L
+    before._3 shouldBe 0L
+    // the fixture fires the audit (hubs actually routed to broadcast)
+    after._2 should be > 0L
+    after._3 should be > 0L
+    // conservation: bcast + shuffle after == the whole edge set
+    (after._3 + after._4) shouldBe before._4
+    // the audit fired ⟹ before's worst partition holds a >5/32 key
+    (before._5 * 32) should be > (before._4 * 5)
+    // the mitigation: worst reducer's absolute load AND whole-set share drop
+    after._5 should be < before._5
+    after._6 should be < before._6
+  }
 }

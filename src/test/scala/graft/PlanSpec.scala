@@ -67,7 +67,9 @@ class PlanSpec extends SparkSpec {
       "graph_skew_audit", // 1-row scalar cross (degree table × its own total)
       "corpus_kmv_estimate", // 1-row scalar cross (sketch estimate × exact count)
       "corpus_kmv_jaccard", // same 1-row scalar cross (two sketches × exact overlap)
-      "curate_kmv_decontam") // same 1-row scalar cross (split sketches × exact leak count)
+      "curate_kmv_decontam", // same 1-row scalar cross (split sketches × exact leak count)
+      "graph_skew_mitigated", // 1-row scalar crosses (key table × its total, cold stats × hot stats)
+      "graph_skew_step") // same 1-row total cross gating the hub set
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -233,7 +235,12 @@ class PlanSpec extends SparkSpec {
       "corpus_kmv_merge" -> 1, // measured 1: three conditional sketches in one aggregation
       "corpus_kmv_estimate" -> 5, // measured 4: sketch agg + exact count + the 1-row scalar cross
       "corpus_kmv_jaccard" -> 5, // measured 4: two conditional sketches + exact overlap + scalar cross
-      "curate_kmv_decontam" -> 5) // measured 4: two split sketches + exact leak count + scalar cross
+      "curate_kmv_decontam" -> 5, // measured 4: two split sketches + exact leak count + scalar cross
+      // r13 entrants (new-query shapes locked on entry; tree-string
+      // counts repeat the shared deg/tot subtrees per consumer — the
+      // physical plan reuses those exchanges)
+      "graph_skew_mitigated" -> 18, // measured 17: degree agg + total cross + two stage summaries
+      "graph_skew_step" -> 27) // measured 26: deg/hub gate + split-join branches + in-mass agg (deg subtree repeated per branch)
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
