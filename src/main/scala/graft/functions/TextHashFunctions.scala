@@ -370,6 +370,72 @@ object TextHashFunctions {
     * backing bytes (engines reuse row buffers), which the identity key
     * cannot distinguish from the cached classifier — so the literal
     * contract is enforced at analysis time rather than relied on. */
+  /** k 65,536-entry weight grids INTERLEAVED by bigram code —
+    * slot(g·k + c) = grid c's weight for code g — so one bigram's k
+    * lookups land in one or two cache lines instead of k random lines
+    * across k separate 512 KB tables. BYTE-packed when every weight
+    * fits [0, 127], which every grid the engine trains does (weights
+    * are the quarter-bit staircase `length(bin(x⁴))` ≤ 64): the 5-class
+    * working set drops 2.6 MB → 320 KB — inside L2, where the
+    * long-interleaved layout still missed once per bigram (the measured
+    * residue between `nb_score` and the one-grid `lm_score`). Arbitrary
+    * SQL-supplied grids outside the byte range keep the widened long
+    * table — same values, just the original footprint. */
+  private final class InterleavedGrids(val k: Int) {
+    private val tmp = new Array[Long](k * 65536)
+    private var fitsByte = true
+    /** Stage grid `c`'s weight for bigram code `code`. */
+    def put(code: Int, c: Int, v: Long): Unit = {
+      tmp(code * k + c) = v
+      if (v < 0L || v > 127L) fitsByte = false
+    }
+    var bytes: Array[Byte] = null
+    var longs: Array[Long] = null
+    def seal(): Unit =
+      if (fitsByte) {
+        bytes = new Array[Byte](tmp.length)
+        var i = 0
+        while (i < tmp.length) { bytes(i) = tmp(i).toByte; i += 1 }
+      } else longs = tmp
+  }
+
+  /** One hash pass over the token array accumulating ALL k grid fold
+    * sums into `sums` (zeroed here): each token occurrence is MD5'd
+    * once, each bigram probes one interleaved slot group. Returns the
+    * bigram count (|tokens| − 1, unclamped — the callers' centering
+    * arithmetic needs the raw value). */
+  private def foldGrids(tokens: ArrayData, grids: InterleavedGrids,
+      sums: Array[Long]): Long = {
+    val k = grids.k
+    java.util.Arrays.fill(sums, 0L)
+    val n = tokens.numElements()
+    var prev = if (n > 0)
+      (hash60(tokens.getUTF8String(0)) % 256L).toInt else 0
+    var i = 1
+    val bts = grids.bytes
+    if (bts != null) {
+      while (i < n) {
+        val b = (hash60(tokens.getUTF8String(i)) % 256L).toInt
+        val base = (prev * 256 + b) * k
+        var c = 0
+        while (c < k) { sums(c) += bts(base + c); c += 1 }
+        prev = b
+        i += 1
+      }
+    } else {
+      val lgs = grids.longs
+      while (i < n) {
+        val b = (hash60(tokens.getUTF8String(i)) % 256L).toInt
+        val base = (prev * 256 + b) * k
+        var c = 0
+        while (c < k) { sums(c) += lgs(base + c); c += 1 }
+        prev = b
+        i += 1
+      }
+    }
+    n - 1L
+  }
+
   private final class NbMeta(val source: ArrayData) {
     val k: Int = source.numElements()
     // fail loud, not garbage: the SQL-registered form accepts any
@@ -379,12 +445,10 @@ object TextHashFunctions {
         s"nb_argmax_bits needs at least two classes, got $k")
     val cls = new Array[UTF8String](k)
     val e4 = new Array[Long](k)
-    // grids INTERLEAVED by bigram code — inter(g·k + c) = class c's
-    // weight for code g — so one bigram's k lookups land in one or two
-    // cache lines instead of k random lines across k separate 512 KB
-    // tables (per-class layout measured memory-bound: 5 classes ≈
-    // 2.6 MB working set, one miss per class per bigram)
-    val inter = new Array[Long](k * 65536)
+    val grids = new InterleavedGrids(k)
+    // per-row fold scratch — safe to reuse: NbMeta lives in a
+    // ThreadLocal, so exactly one row's fold is in flight per instance
+    val sums = new Array[Long](k)
     locally {
       var c = 0
       while (c < k) {
@@ -398,9 +462,10 @@ object TextHashFunctions {
             s"nb_argmax_bits grid for class ${cls(c)} must have 65,536 " +
               s"entries (256×256 bigram codes), got ${g.numElements()}")
         var j = 0
-        while (j < 65536) { inter(j * k + c) = g.getLong(j); j += 1 }
+        while (j < 65536) { grids.put(j, c, g.getLong(j)); j += 1 }
         c += 1
       }
+      grids.seal()
     }
   }
 
@@ -414,21 +479,8 @@ object TextHashFunctions {
       nbMetaCache.set(mm)
     }
     val k = mm.k
-    val n = tokens.numElements()
-    val nbg = n - 1L
-    val inter = mm.inter
-    val sums = new Array[Long](k)
-    var prev = if (n > 0)
-      (hash60(tokens.getUTF8String(0)) % 256L).toInt else 0
-    var i = 1
-    while (i < n) {
-      val b = (hash60(tokens.getUTF8String(i)) % 256L).toInt
-      val base = (prev * 256 + b) * k
-      var c = 0
-      while (c < k) { sums(c) += inter(base + c); c += 1 }
-      prev = b
-      i += 1
-    }
+    val sums = mm.sums
+    val nbg = foldGrids(tokens, mm.grids, sums)
     var bestS = 0L
     var bestC = -1
     var c = 0
@@ -488,6 +540,134 @@ object TextHashFunctions {
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): NbArgmaxBits =
       copy(left = l, right = r)
+  }
+
+  /** The CO-RESIDENT scorers' fused metadata: the two LM ratio grids
+    * (target, background) and the k NB class grids decoded into ONE
+    * (2+k)-wide interleaved table — a document that must pass BOTH the
+    * CCNet ratio gate and the NB classifier gate (the `_cls` capstone's
+    * admission stack) pays ONE tokenize+hash pass instead of two, and
+    * one bigram probe touches all 2+k weights in a cache line. Cache
+    * keyed on BOTH sources' object identity (each required foldable by
+    * the expression, the [[NbMeta]] soundness argument). */
+  private final class FusedMeta(val gridsSrc: ArrayData, val metaSrc: ArrayData) {
+    val k: Int = metaSrc.numElements()
+    if (k < 2)
+      throw new IllegalArgumentException(
+        s"lm_nb_fused_bits needs at least two NB classes, got $k")
+    if (gridsSrc.numElements() != 2)
+      throw new IllegalArgumentException(
+        "lm_nb_fused_bits needs exactly two LM grids (target, " +
+          s"background), got ${gridsSrc.numElements()}")
+    val cls = new Array[UTF8String](k)
+    val e4 = new Array[Long](k)
+    val grids = new InterleavedGrids(2 + k)
+    val sums = new Array[Long](2 + k) // per-thread fold scratch
+    locally {
+      var t = 0
+      while (t < 2) {
+        val g = gridsSrc.getArray(t)
+        if (g.numElements() != 65536)
+          throw new IllegalArgumentException(
+            s"lm_nb_fused_bits LM grid $t must have 65,536 entries, " +
+              s"got ${g.numElements()}")
+        var j = 0
+        while (j < 65536) { grids.put(j, t, g.getLong(j)); j += 1 }
+        t += 1
+      }
+      var c = 0
+      while (c < k) {
+        val m = metaSrc.getStruct(c, 3)
+        cls(c) = m.getUTF8String(0).clone()
+        e4(c) = m.getLong(1)
+        val g = m.getArray(2)
+        if (g.numElements() != 65536)
+          throw new IllegalArgumentException(
+            s"lm_nb_fused_bits NB grid for class ${cls(c)} must have " +
+              s"65,536 entries, got ${g.numElements()}")
+        var j = 0
+        while (j < 65536) { grids.put(j, 2 + c, g.getLong(j)); j += 1 }
+        c += 1
+      }
+      grids.seal()
+    }
+  }
+
+  private val fusedMetaCache = new ThreadLocal[FusedMeta]
+
+  /** One token pass → (lp_t, lp_bg, nb best score, nb best class):
+    * bit-identical to two separate [[lmScoreBits]] folds plus one
+    * [[nbArgmaxBits]] over the same array (spec-pinned), at the hash
+    * cost of ONE of them. */
+  def lmNbFusedBits(tokens: ArrayData, grids: ArrayData, meta: ArrayData,
+      scale: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    var mm = fusedMetaCache.get()
+    if (mm == null || (mm.gridsSrc ne grids) || (mm.metaSrc ne meta)) {
+      mm = new FusedMeta(grids, meta)
+      fusedMetaCache.set(mm)
+    }
+    val k = mm.k
+    val sums = mm.sums
+    val nbg = foldGrids(tokens, mm.grids, sums)
+    var bestS = 0L
+    var bestC = -1
+    var c = 0
+    while (c < k) {
+      val s = scale * sums(2 + c) - nbg * mm.e4(c)
+      if (bestC < 0 || s > bestS ||
+          (s == bestS && mm.cls(c).compareTo(mm.cls(bestC)) > 0)) {
+        bestS = s
+        bestC = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sums(0), sums(1), bestS, mm.cls(bestC)))
+  }
+
+  /** [[lmNbFusedBits]] as a native ternary expression: (token array,
+    * the two LM grids as one array<array<bigint>> literal, the NB class
+    * metadata literal). Both metadata children are required foldable
+    * (the identity-keyed decode cache's soundness contract, as in
+    * [[NbArgmaxBits]]). Returns struct(lp_t, lp_bg, s, cls) — drop-in
+    * for the pair of LmScoreBits columns plus the NbArgmaxBits struct. */
+  case class LmNbFusedBits(first: Expression, second: Expression,
+      third: Expression, scale: Long)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def prettyName: String = "lm_nb_fused_bits"
+    override val dataType: DataType = StructType(Seq(
+      StructField("lp_t", LongType, nullable = false),
+      StructField("lp_bg", LongType, nullable = false),
+      StructField("s", LongType, nullable = false),
+      StructField("cls", StringType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      (first.dataType, second.dataType, third.dataType) match {
+        case (ArrayType(StringType, _),
+            ArrayType(ArrayType(LongType, _), _),
+            ArrayType(StructType(Array(
+              StructField(_, StringType, _, _),
+              StructField(_, LongType, _, _),
+              StructField(_, ArrayType(LongType, _), _, _))), _)) =>
+          if (second.foldable && third.foldable)
+            TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires the LM grids and NB metadata to be " +
+              "foldable (literal trained models — the per-thread decode " +
+              "cache is keyed on their object identity)")
+        case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, array<array<bigint>>, " +
+            s"array<struct<string, bigint, array<bigint>>>), " +
+            s"got (${a.sql}, ${b.sql}, ${c.sql})")
+      }
+    override protected def nullSafeEval(t: Any, g: Any, m: Any): Any =
+      lmNbFusedBits(t.asInstanceOf[ArrayData], g.asInstanceOf[ArrayData],
+        m.asInstanceOf[ArrayData], scale)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, g, m) =>
+        s"graft.functions.TextHashFunctions.lmNbFusedBits($t, $g, $m, ${scale}L)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): LmNbFusedBits =
+      copy(first = f, second = s, third = t)
   }
 
   /** Precomputed affine-family constants (the same "minhash-a/b-$i"
@@ -589,4 +769,9 @@ object TextHashFunctions {
   def nbArgmaxBits(tokens: Column, meta: Column, scale: Long): Column =
     CatalystBridge.column(NbArgmaxBits(
       CatalystBridge.expression(tokens), CatalystBridge.expression(meta), scale))
+  def lmNbFusedBits(tokens: Column, grids: Column, meta: Column,
+      scale: Long): Column =
+    CatalystBridge.column(LmNbFusedBits(
+      CatalystBridge.expression(tokens), CatalystBridge.expression(grids),
+      CatalystBridge.expression(meta), scale))
 }

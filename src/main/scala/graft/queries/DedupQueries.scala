@@ -193,19 +193,24 @@ object DedupQueries {
         // models served as broadcast arrays; the predicate is int64
         // cross-multiplied.
         val (rNum, rDen) = TextQueries.lmRatioThreshold
-        val lmPass = TextQueries.lmRatioScoreFrame(s, d)
-          .filter(lit(rDen) * (col("lp_t") - col("lp_bg")) >=
-            lit(rNum) * col("n_bigrams"))
-          .select(col("doc_id"))
         // stage 4: semantic near-dup drop in the shared id space
         val semDrops = SimilarityQueries.semDroppedIds(s, d)
           .withColumnRenamed("vec_id", "doc_id")
-        val lmGated = gated.join(lmPass, Seq("doc_id"), "left_semi")
-        // stage 3b (the _cls variant): the trained NB classifier's
-        // argmax admission beside the perplexity ratio
+        // stage 3(+3b): the _cls variant runs the ratio gate AND the NB
+        // classifier gate as ONE fused corpus pass (each token hashed
+        // once, all three trained grids folded together —
+        // TextQueries.lmNbFusedAdmittedIds; the two-pass form paid a
+        // second full tokenize+MD5 sweep for the classifier); the plain
+        // variant keeps the ratio-only score frame
         val clsGated = if (classifierGate)
-          lmGated.join(TextQueries.nbAdmittedIds(s, d), Seq("doc_id"), "left_semi")
-        else lmGated
+          gated.join(TextQueries.lmNbFusedAdmittedIds(s, d),
+            Seq("doc_id"), "left_semi")
+        else gated.join(
+          TextQueries.lmRatioScoreFrame(s, d)
+            .filter(lit(rDen) * (col("lp_t") - col("lp_bg")) >=
+              lit(rNum) * col("n_bigrams"))
+            .select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
         val clean = clsGated.join(semDrops, Seq("doc_id"), "left_anti")
         // stage 5: DSIR importance resampling of the survivors
         val rl = dsirWeightTable(s, d)

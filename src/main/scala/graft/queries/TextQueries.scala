@@ -448,6 +448,40 @@ object TextQueries {
       d: String): org.apache.spark.sql.DataFrame =
     nbScoreSpark(s, d).filter(col("pred_lang") === "en").select(col("doc_id"))
 
+  /** Ids admitted by BOTH text gates — the CCNet perplexity RATIO
+    * (rDen·(lp_t − lp_bg) ≥ rNum·n_bigrams) AND the NB classifier
+    * argmax (pred = 'en') — from ONE fused corpus pass
+    * ([[graft.functions.TextHashFunctions.LmNbFusedBits]]): each token
+    * occurrence is MD5-hashed once and all 2+|classes| trained grids
+    * fold over the shared bucket sequence in a byte-interleaved table.
+    * The separate forms ([[lmRatioScoreFrame]] + [[nbAdmittedIds]])
+    * each re-tokenize and re-hash the same documents — the measured
+    * residue the `_cls` capstone paid for running the two gates as two
+    * corpus passes. All three trained models ship as plan literals (the
+    * streaming-scorer doctrine); map-only, bit-identical admission set
+    * (the fused expression is spec-pinned against the separate folds). */
+  private[queries] def lmNbFusedAdmittedIds(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val meta = nbClassMeta(s, d)
+    require(meta.size >= 2, "NB needs at least two classes")
+    val metaLit = typedlit(meta.map { case (c, e4, wl) =>
+      (c, e4, wl.toIndexedSeq) }.toIndexedSeq)
+    val gridsLit = typedlit(IndexedSeq(
+      lmWeightArray(s, d).toIndexedSeq, lmBgWeightArray(s, d).toIndexedSeq))
+    val (rNum, rDen) = lmRatioThreshold
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        graft.functions.TextHashFunctions.lmNbFusedBits(
+          col("toks"), gridsLit, metaLit, LmScale).as("f"))
+      .filter(lit(rDen) * (col("f.lp_t") - col("f.lp_bg")) >=
+        lit(rNum) * col("n_bigrams"))
+      .filter(col("f.cls") === "en")
+      .select(col("doc_id"))
+  }
+
   /** NB oracle CTEs: per-class bigram counts, the trained grid
     * (`nbgrid`), per-(doc, class) scores, and the argmax prediction
     * frame (`nbscd`) — shared by the train report, the scorer, and the

@@ -75,6 +75,22 @@ class ExtensionsSpec extends SparkSpec {
     r.getString(1) shouldBe "q"
   }
 
+  test("lm_nb_fused_bits from SQL") {
+    // two bigrams; target grid 7 per cell (fold 14), background 2 (fold
+    // 4); NB classes as in the nb_argmax_bits case: scale 4 -> q wins
+    // at 44 over p's 40 — the fused struct carries both LM folds AND
+    // the same argmax the separate expressions produce
+    val r = sql1("SELECT lm_nb_fused_bits(array('a','b','c'), " +
+      "array(array_repeat(7L, 65536), array_repeat(2L, 65536)), array(" +
+      "named_struct('cls', 'p', 'e4', 0L, 'grid', array_repeat(5L, 65536)), " +
+      "named_struct('cls', 'q', 'e4', -10L, 'grid', array_repeat(3L, 65536))" +
+      "), 4L) AS f").getStruct(0)
+    r.getLong(0) shouldBe 14L
+    r.getLong(1) shouldBe 4L
+    r.getLong(2) shouldBe 44L
+    r.getString(3) shouldBe "q"
+  }
+
   test("cms_cells / cms_sketch_agg from SQL") {
     installed
     // one token, rows=2, width=4: two sparse cells, count 1 each

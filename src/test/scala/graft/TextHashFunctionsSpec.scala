@@ -190,6 +190,87 @@ class TextHashFunctionsSpec extends SparkSpec {
     }.getMessage should include("65,536")
   }
 
+  test("fused lmNbFusedBits == two lmScoreBits folds + nbArgmaxBits, byte and long grid paths") {
+    // the co-resident-scorer fusion (one tokenize+hash pass feeding the
+    // target fold, the background fold, and the multi-class argmax) must
+    // reproduce the three separate expressions bit-for-bit — on real
+    // corpus docs, edge docs, engineered ties, AND on grids outside the
+    // byte-packable range (weights > 127 force the widened long table,
+    // so both layouts of the interleaved cache are exercised)
+    val gridA = (0 until 65536).map(g => (g % 7 + 1).toLong)
+    val gridB = (0 until 65536).map(g => (g % 5 + 2).toLong)
+    val zero = (0 until 65536).map(_ => 0L)
+    val big = (0 until 65536).map(g => (g % 1000 + 500).toLong) // > 127
+    val scale = 4096L
+    val fsize = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.size(c)
+    val texts = Seq("", "one", "a a a a", "the quick brown fox jumps",
+      "x y x y x", "punctuated, text! with? tokens.")
+    val toks = split(Dedup.normalize(col("t")), " ")
+    val n = (fsize(toks) - 1).cast("long")
+    val docs = texts.toDF("t") union
+      graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("text").as("t"))
+    for (metas <- Seq(
+        // byte path: every weight <= 127 (m1/m2 tie, zz zero grid)
+        Seq(("aa", 3L, gridA), ("bb", 10L, gridB), ("m1", 7L, gridA),
+          ("m2", 7L, gridA), ("zz", 0L, zero)),
+        // long path: one class grid outside the byte range
+        Seq(("aa", 3L, gridA), ("big", 99L, big)))) {
+      val lmT = gridB
+      val lmBg = if (metas.size == 2) big else gridA // cover both layouts
+      val gridsLit = typedlit(IndexedSeq(lmT.toIndexedSeq, lmBg.toIndexedSeq))
+      val metaLit = typedlit(metas.map { case (c, e, w) =>
+        (c, e, w.toIndexedSeq) }.toIndexedSeq)
+      val classic = metas.map { case (c, e4, wl) =>
+        struct((lit(scale) * TextHashFunctions.lmScoreBits(
+          toks, typedlit(wl.toIndexedSeq)) - n * lit(e4)).as("s"),
+          lit(c).as("cls"))
+      }
+      val diff = docs
+        .select(TextHashFunctions.lmNbFusedBits(toks, gridsLit, metaLit,
+            scale).as("f"),
+          TextHashFunctions.lmScoreBits(toks, typedlit(lmT.toIndexedSeq))
+            .as("lt"),
+          TextHashFunctions.lmScoreBits(toks, typedlit(lmBg.toIndexedSeq))
+            .as("lb"),
+          greatest(classic: _*).as("best"))
+        .filter(col("f.lp_t") =!= col("lt") || col("f.lp_bg") =!= col("lb") ||
+          col("f.s") =!= col("best.s") || col("f.cls") =!= col("best.cls"))
+      diff.count() shouldBe 0L
+    }
+    // fail loud: wrong LM grid count / short grid / one-class meta
+    val twoCls: Seq[(String, Long, Seq[Long])] =
+      Seq(("aa", 3L, gridA), ("bb", 0L, gridB))
+    intercept[Exception] {
+      Seq("a b").toDF("t").select(TextHashFunctions.lmNbFusedBits(toks,
+        typedlit(IndexedSeq(gridA.toIndexedSeq)), typedlit(twoCls), scale))
+        .collect()
+    }.getMessage should include("two LM grids")
+    intercept[Exception] {
+      Seq("a b").toDF("t").select(TextHashFunctions.lmNbFusedBits(toks,
+        typedlit(IndexedSeq(gridA.toIndexedSeq,
+          (0 until 9).map(_.toLong).toIndexedSeq)),
+        typedlit(twoCls), scale)).collect()
+    }.getMessage should include("65,536")
+    intercept[Exception] {
+      Seq("a b").toDF("t").select(TextHashFunctions.lmNbFusedBits(toks,
+        typedlit(IndexedSeq(gridA.toIndexedSeq, gridB.toIndexedSeq)),
+        typedlit(Seq(("aa", 3L, gridA.toIndexedSeq))), scale)).collect()
+    }.getMessage should include("two NB classes")
+    // non-foldable metadata is an ANALYSIS error, not a wrong answer:
+    // the identity-keyed decode cache requires literal trained models
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.limit(1)
+        .select(array(array(lit(1L))).as("g"),
+          typedlit(twoCls.map { case (c, e, w) =>
+            (c, e, w.toIndexedSeq) }).as("m"), toks.as("tk"))
+        .select(TextHashFunctions.lmNbFusedBits(col("tk"), col("g"),
+          col("m"), scale))
+        .collect()
+    }
+  }
+
   test("native cmsCells sketch == composable per-token explode sketch") {
     // the one-pass compiled partial (hash60 once per occurrence, dense
     // local cell table, sparse emit) must reproduce the composable
