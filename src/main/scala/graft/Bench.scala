@@ -44,6 +44,11 @@ object Bench {
     // flagships (the graph-RRF recommender fusion, the index ADD-path
     // serving row, the HLL cardinality estimate) and the new `hll`
     // stream section's bytes on the metric line.
+    // The r13 rotation swaps two mid-tier entries (sim_nprobe_sweep,
+    // sim_ivfpq_rerank — both still timed in bench_detail.json) for the
+    // round's flagships (the skew mitigation row, the cross-modal
+    // fusion row) and the new `decontam` stream section's bytes.
+    "graph_skew_mitigated", "mm_hybrid_rrf",
     "sim_index_retrain", "curate_nb_gate", "graph_wsp_dists",
     "corpus_graph_rrf", "sim_index_serve_delta", "corpus_hll_card",
     "cdc_parse_roundtrip", "cdc_enrich", "cdc_leaderboard",
@@ -57,13 +62,12 @@ object Bench {
     "sim_kmeans_train", "text_bpe_train",
     // sim_sq8_search rotated out in r11 to keep the metric line (which
     // gained the nb_score stream section) inside the 1900-byte guard
-    "sim_ivfpq_search", "sim_ivfpq_recall", "sim_ivfpq_rerank",
+    "sim_ivfpq_search", "sim_ivfpq_recall",
     "graph_pagerank_train", "corpus_bm25",
     "curate_dsir_resample",
     "sim_index_drift",
     "curate_semdedup", "curate_cluster_balance",
-    "text_lm_train", "curate_lm_gate", "curate_pipeline",
-    "sim_nprobe_sweep")
+    "text_lm_train", "curate_lm_gate", "curate_pipeline")
 
   /** How many of the slowest queries get their formatted plan dumped to
     * bench_plans.txt, so a reviewer can audit the expensive plans from the

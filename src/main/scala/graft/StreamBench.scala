@@ -419,6 +419,31 @@ object StreamBench {
     Section("hll", docs.length.toLong, sec, batches)
   }
 
+  /** Streaming decontamination monitor ([[graft.operators.Sketch
+    * .kmvDecontam]] — the same kernel the batch `curate_kmv_decontam`
+    * row grades): per-split train/holdout KMV sketches of the 8-gram
+    * shingle space ARE the aggregation state (2 × ≤ 8 KB at any ingest
+    * volume — the fourth constant-state sketch section beside cms /
+    * hll / the qhist twin), and every micro-batch emits the refreshed
+    * leak estimate + needs_scan gate bit. Fresh replica ids rotate the
+    * split buckets; the per-row cost is the 8-gram shingle hash pass. */
+  private def decontamSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[ScoreIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val docs = replicate(base, floor)((r, i) => r.copy(doc_id = r.doc_id + i * span))
+    val in = MemoryStream[ScoreIn]
+    val q = graft.operators.Sketch.kmvDecontam(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", tmp("sb_dec")).start()
+    val (sec, batches) = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
+    Section("decontam", docs.length.toLong, sec, batches)
+  }
+
   case class LmScoreIn(doc_id: Long, lang: String, text: String)
 
   /** Streaming NB classification
@@ -1020,6 +1045,7 @@ object StreamBench {
       "score" -> (scoreSection(_, _, volumeFloor)),
       "cms" -> (cmsSection(_, _, volumeFloor)),
       "hll" -> (hllSection(_, _, volumeFloor)),
+      "decontam" -> (decontamSection(_, _, volumeFloor)),
       "lm_score" -> (lmScoreSection(_, _, volumeFloor)),
       "lm_ratio" -> (lmRatioSection(_, _, volumeFloor)),
       "nb_score" -> (nbScoreSection(_, _, volumeFloor)),

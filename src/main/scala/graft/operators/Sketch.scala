@@ -273,6 +273,60 @@ object Sketch {
       .select(col("rk"), col("h"))
   }
 
+  /** Default geometry of the decontamination monitor: k = 1,024 minima
+    * (8 KB per split sketch) over the 8-GRAM shingle space — long
+    * n-grams are the contamination signal (shared 8-grams mean copied
+    * passages; 3-grams only measure vocabulary sharing). */
+  val DecontamK = 1024
+  val DecontamShingleN = 8
+
+  /** Sketch-gated decontamination monitor — the ONE kernel behind the
+    * batch `curate_kmv_decontam` row AND its streaming twin (the
+    * serve-twin doctrine: the two can never drift). Works on a batch OR
+    * streaming (doc_id, text) frame: per-split (train / holdout by the
+    * batch manifest's "|split" hash buckets) KMV sketches of the
+    * [[DecontamShingleN]]-gram shingle space are ONE conditional
+    * two-sketch aggregation — on a stream the two ≤ k·8-byte buffers
+    * ARE the aggregation state (constant regardless of ingest volume,
+    * the [[hllRegisters]]/[[cmsSketch]] doctrine), duplicates and
+    * at-least-once re-delivery are free (set semantics), and every
+    * micro-batch emits the refreshed leak row in update/complete mode.
+    * Emits (k_m, overlap, jac_est_bp, est_inter, needs_scan):
+    * `jac_est_bp` is the merged-sketch Jaccard estimate in basis
+    * points, `est_inter` the intersection-cardinality estimate J·Û
+    * (exact-operand IEEE ops in pinned order — the full-sketch
+    * order-statistic union estimate, the regime the fixture and any
+    * 100 TB corpus sit in), and `needs_scan` the operational bit that
+    * gates the expensive exact cross-shard scan, flagged at ≥ 50 bp. */
+  def kmvDecontam(docs: DataFrame, k: Int = DecontamK,
+      n: Int = DecontamShingleN): DataFrame = {
+    import graft.functions.PortableHash
+    val two60 = math.pow(2.0, 60)
+    val bucket = PortableHash.hash60(
+      concat(col("doc_id").cast("string"), lit("|split"))) % 100
+    val t = docs.select((bucket < 80).as("is_train"),
+      Dedup.shingles(col("text"), n).as("sh"))
+    val merged = slice(array_sort(array_distinct(
+      concat(col("a"), col("b")))), 1, k)
+    t.agg(
+        graft.functions.SketchAggregates.kmvSketchAgg(
+          when(col("is_train"), col("sh")), k).as("a"),
+        graft.functions.SketchAggregates.kmvSketchAgg(
+          when(!col("is_train"), col("sh")), k).as("b"))
+      .select(size(merged).cast("long").as("k_m"),
+        size(array_intersect(array_intersect(merged, col("a")),
+          col("b"))).cast("long").as("overlap"),
+        element_at(merged, -1).as("h_k"))
+      .select(col("k_m"), col("overlap"),
+        expr("overlap * 10000 DIV k_m").as("jac_est_bp"),
+        (col("overlap").cast("double") *
+          ((col("k_m") - 1).cast("double") * lit(two60)
+            / col("h_k").cast("double"))
+          / col("k_m").cast("double")).as("est_inter"))
+      .withColumn("needs_scan",
+        when(col("jac_est_bp") >= 50, 1L).otherwise(0L))
+  }
+
   /** The order-statistic cardinality estimate: when the sketch is FULL
     * (kFilled = [[KmvK]]), (k−1) · 2⁶⁰ / h₍ₖ₎ — the k-th smallest of N
     * uniform draws on [0, 2⁶⁰) sits near k/N of the range; both

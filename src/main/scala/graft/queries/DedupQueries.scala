@@ -995,34 +995,18 @@ object DedupQueries {
     "curate_kmv_decontam" -> QueryDef(
       (s, d) => {
         import graft.functions.PortableHash
-        val K = 1024
-        val n = 8
-        val two60 = math.pow(2.0, 60)
+        // the sketch half IS the shared kernel the streaming twin runs
+        // (graft.operators.Sketch.kmvDecontam — the serve-twin doctrine,
+        // so batch row and per-micro-batch monitor can never drift);
+        // the exact sides exist only to GRADE it (corpus_hll_card
+        // doctrine) and stay batch-only by nature.
+        val sk = graft.operators.Sketch.kmvDecontam(Tables.documents(s, d))
         val bucket = PortableHash.hash60(
           concat(col("doc_id").cast("string"), lit("|split"))) % 100
-        val t = Tables.documents(s, d)
-          .select((bucket < 80).as("is_train"),
-            Dedup.shingles(col("text"), n).as("sh"))
-        val merged = slice(array_sort(array_distinct(
-          concat(col("a"), col("b")))), 1, K)
-        val sk = t.agg(
-            graft.functions.SketchAggregates.kmvSketchAgg(
-              when(col("is_train"), col("sh")), K).as("a"),
-            graft.functions.SketchAggregates.kmvSketchAgg(
-              when(!col("is_train"), col("sh")), K).as("b"))
-          .select(size(merged).cast("long").as("k_m"),
-            size(array_intersect(array_intersect(merged, col("a")),
-              col("b"))).cast("long").as("overlap"),
-            element_at(merged, -1).as("h_k"))
-          .select(col("k_m"), col("overlap"),
-            expr("overlap * 10000 DIV k_m").as("jac_est_bp"),
-            (col("overlap").cast("double") *
-              ((col("k_m") - 1).cast("double") * lit(two60)
-                / col("h_k").cast("double"))
-              / col("k_m").cast("double")).as("est_inter"))
         val ex = Tables.documents(s, d)
           .select((bucket < 80).as("is_train"),
-            explode(Dedup.shingles(col("text"), n)).as("sh"))
+            explode(Dedup.shingles(col("text"),
+              graft.operators.Sketch.DecontamShingleN)).as("sh"))
           .groupBy(col("sh"))
           .agg(max(when(col("is_train"), 1L).otherwise(0L)).as("in_tr"),
             max(when(!col("is_train"), 1L).otherwise(0L)).as("in_ho"))
@@ -1033,7 +1017,7 @@ object DedupQueries {
           .select(col("k_m"), col("overlap"), col("jac_est_bp"),
             col("est_inter"), col("exact_union"), col("exact_inter"),
             expr("exact_inter * 10000 DIV exact_union").as("jac_exact_bp"),
-            when(col("jac_est_bp") >= 50, 1L).otherwise(0L).as("needs_scan"))
+            col("needs_scan"))
       }, {
         import graft.functions.PortableHash
         val bucketSql =

@@ -272,6 +272,37 @@ class StateStoreProviderSpec extends SparkSpec {
     rocks shouldBe default
   }
 
+  /** Two-batch decontamination-monitor stream: the TWO conditional
+    * per-split KMV buffers (train / holdout) roundtrip the state store
+    * per batch, including null inputs on the off-split rows of each
+    * conditional aggregate and the post-aggregation merged-sketch
+    * arithmetic. */
+  private def runDecontam(): Seq[(Long, Long, Long, Double, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val name = uniq("ssp_dec_")
+    val q = graft.operators.Sketch.kmvDecontam(
+        in.toDF().toDF("doc_id", "text"), k = 8, n = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    in.addData((1L, "alpha beta gamma delta"), (2L, "alpha delta epsilon zeta"))
+    q.processAllAvailable()
+    in.addData((3L, "beta beta epsilon eta theta"), (4L, "alpha iota kappa"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table(name)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    spark.catalog.dropTempView(name)
+    rows
+  }
+
+  test("decontamination monitor is provider-invariant (default vs RocksDB)") {
+    val default = runDecontam()
+    val rocks = onRocksDb(runDecontam())
+    default.length shouldBe 1
+    rocks shouldBe default
+  }
+
   test("kmv aggregate deserialize rejects mismatched state geometry") {
     // a foreign/truncated state-store row must fail loud: a byte count
     // that is not a multiple of 8, or more than k values, is not a KMV

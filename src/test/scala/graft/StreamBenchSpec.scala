@@ -20,8 +20,8 @@ class StreamBenchSpec extends SparkSpec {
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
       "dedup", "intake", "index", "search", "fsearch", "pps_sample",
       "content_stats",
-      "score", "cms", "hll", "lm_score", "lm_ratio", "nb_score", "media",
-      "curation", "anomaly")
+      "score", "cms", "hll", "decontam", "lm_score", "lm_ratio", "nb_score",
+      "media", "curation", "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
         s.rows should be > 0L
@@ -39,8 +39,8 @@ class StreamBenchSpec extends SparkSpec {
     // quietly falling back to the raw fixture would reintroduce the
     // scheduling-overhead-dominated rps this floor exists to fix
     for (n <- Seq("budget", "pack", "dedup", "intake", "index",
-        "pps_sample", "content_stats", "score", "cms", "lm_score",
-        "lm_ratio", "nb_score", "media", "curation"))
+        "pps_sample", "content_stats", "score", "cms", "decontam",
+        "lm_score", "lm_ratio", "nb_score", "media", "curation"))
       withClue(s"section $n: ") {
         byName(n).rows should be >= floor.toLong
       }

@@ -316,6 +316,48 @@ class StreamingSpec extends SparkSpec {
     got shouldBe want
   }
 
+  test("streaming decontamination monitor equals the batch leak row after chunked replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // the twin of curate_kmv_decontam's sketch half, running the SAME
+    // Sketch.kmvDecontam kernel: two per-split KMV sketches ARE the
+    // aggregation state (2 × ≤8 KB at any ingest volume); every
+    // micro-batch emits the refreshed leak estimate, and after the full
+    // corpus has streamed through — in chunks, with a duplicate slice
+    // re-fed (at-least-once delivery is free under set semantics) —
+    // the final row equals the batch kernel on the same documents,
+    // column for column including the needs_scan gate bit.
+    val docs = graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = graft.operators.Sketch.kmvDecontam(
+        in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("kmv_decontam")
+      .outputMode("complete").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    in.addData(b1); q.processAllAvailable()
+    // mid-stream the monitor already serves a well-formed row
+    spark.table("kmv_decontam").count() shouldBe 1L
+    in.addData(b2 ++ b1.take(3)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("kmv_decontam")
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    val want = graft.operators.Sketch.kmvDecontam(
+        docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    got.length shouldBe 1
+    got shouldBe want
+    // and the batch registered row's sketch half is this same kernel:
+    // its (k_m, overlap, jac_est_bp, est_inter, needs_scan) columns
+    // must match the twin's final row verbatim
+    val reg = SparkEntry.queries("curate_kmv_decontam")(
+        spark, "/root/testdata/sf0.001")
+      .select(col("k_m"), col("overlap"), col("jac_est_bp"),
+        col("est_inter"), col("needs_scan"))
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    reg shouldBe got
+  }
+
   test("streaming quantile histogram equals the batch sketch after full replay") {
     implicit val sqlCtx = spark.sqlContext
     // the ≤ ~128 quarter-bit buckets ARE the aggregation state and
