@@ -66,6 +66,50 @@ object MultimodalQueries {
        |WHERE rank <= 5""".stripMargin
   }
 
+  /** mm_hybrid_rrf oracle: the BM25 chain (TextQueries.bm25CtesFor with
+    * mm_knn's % 25 query set) fused with the feature-space kNN chain
+    * (the mm_knn oracle's CTEs) by the same exact-int64 RRF arithmetic
+    * as corpus_hybrid_rrf. */
+  private def mmHybridOracle: String = {
+    val v = (0 until 8).map(d => s"round(f$d * 1000)").mkString("[", ", ", "]")
+    val lcm = TextQueries.RrfLcm
+    s"""WITH ${TextQueries.bm25CtesFor("tf.doc_id % 25 = 0")},
+       |$featuresCtes,
+       |feats AS ($featuresSelect),
+       |e AS (SELECT media_id, $v AS v FROM feats),
+       |denr AS (
+       |  SELECT query_doc, doc_id, rank FROM (
+       |    SELECT qe.media_id AS query_doc, ce.media_id AS doc_id,
+       |      row_number() OVER (PARTITION BY qe.media_id
+       |        ORDER BY round(${OracleSql.cosine("qe.v", "ce.v", 8)}, 9) DESC,
+       |          ce.media_id ASC) AS rank
+       |    FROM e qe, e ce
+       |    WHERE qe.media_id % 25 = 0 AND ce.media_id <> qe.media_id)
+       |  WHERE rank <= 5),
+       |fused AS (
+       |  SELECT COALESCE(l.query_doc, r.query_doc) AS query_doc,
+       |    COALESCE(l.doc_id, r.doc_id) AS doc_id,
+       |    CAST(COALESCE(l.rk, 0) AS BIGINT) AS lex_rk,
+       |    CAST(COALESCE(r.rank, 0) AS BIGINT) AS feat_rk
+       |  FROM lexr l
+       |  FULL OUTER JOIN denr r
+       |    ON r.query_doc = l.query_doc AND r.doc_id = l.doc_id),
+       |sc2 AS (
+       |  SELECT query_doc, doc_id, lex_rk, feat_rk,
+       |    CAST((CASE WHEN lex_rk > 0
+       |            THEN $lcm // (60 + lex_rk) ELSE 0 END)
+       |       + (CASE WHEN feat_rk > 0
+       |            THEN $lcm // (60 + feat_rk) ELSE 0 END)
+       |      AS BIGINT) AS rrf
+       |  FROM fused)
+       |SELECT query_doc, CAST(rk AS BIGINT) AS rk, doc_id,
+       |  lex_rk, feat_rk, rrf
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_doc
+       |    ORDER BY rrf DESC, doc_id ASC) AS rk FROM sc2)
+       |WHERE rk <= 5""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Opaque-binary metadata surface: byte length + content digest.
@@ -140,6 +184,50 @@ object MultimodalQueries {
           .withColumn("rank", col("rank").cast("long"))
       },
       knnOracle),
+
+    // CROSS-MODAL retrieval capstone — media-to-text joint retrieval,
+    // the multimodal-curation shape: for each query media item, its
+    // FEATURE-SPACE neighbors (mm_knn's brute cosine top-5 over the
+    // decoded 8-dim signatures — "looks/sounds like") fused with the
+    // TEXT-SIDE BM25 ranking of its document's terms against the corpus
+    // lexical index ("reads like"), through the ONE shared
+    // TextQueries.rrfFuse kernel — rank-capped LCM arithmetic, full
+    // outer join, so an item similar only in feature space still
+    // surfaces (lex_rk = 0) and one similar only lexically too
+    // (feat_rk = 0); both single-branch shapes occur in the fixture.
+    // Query set = mm_knn's media_id % 25 picks; media_id ≡ doc_id (the
+    // one-catalog contract, as the graph row's vec_id ⊂ part ids).
+    // Scale shape: the lexical branch broadcasts only the query-term
+    // frame onto the tf index, the feature branch broadcasts only the
+    // query vectors; fusion outer-joins two ≤ 5·|Q|-row frames —
+    // nothing corpus-sized moves.
+    "mm_hybrid_rrf" -> QueryDef(
+      (s, d) => {
+        import graft.operators.TextAnalysis
+        val ix = TextQueries.lexIndex(s, d)
+        val qtf = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(25)) === 0)
+          .select(col("doc_id").as("query_doc"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("query_doc"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val lex = TextQueries.bm25Serve(qtf, ix)
+        val feats = Multimodal.extractFeatures(
+          Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)),
+          new Multimodal.FakeDecoder(8)).toDF()
+          .select(col("media_id"),
+            transform(col("features"),
+              x => round(x.cast("double") * 1000)).as("qv"))
+        val den = graft.operators.Similarity.knnBruteForce(
+            feats.filter(pmod(col("media_id"), lit(25)) === 0), feats,
+            "media_id", "qv", 5)
+          .select(col("query_id").as("query_doc"),
+            col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dense_rk"))
+        TextQueries.rrfFuse(lex, den)
+          .withColumnRenamed("dense_rk", "feat_rk")
+      },
+      mmHybridOracle),
 
     // Image/media near-dup via perceptual blockhash — the pHash-family
     // dedup a multimodal training pipeline runs before any embedding

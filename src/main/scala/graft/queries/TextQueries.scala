@@ -666,9 +666,15 @@ object TextQueries {
   }
 
   /** The `corpus_bm25` CTE chain through `lexr` (the rk ≤ 5 ranked
-    * frame) — shared verbatim by the BM25 oracle and the hybrid
-    * fusion oracle. */
-  private def bm25Ctes: String =
+    * frame) — shared verbatim by the BM25 oracle, the hybrid fusion
+    * oracle, and (with its own query-set predicate) the cross-modal
+    * fusion oracle in [[MultimodalQueries]]. */
+  private def bm25Ctes: String = bm25CtesFor("tf.doc_id % 100 = 0")
+
+  /** [[bm25Ctes]] parametrized on the query-set predicate (the `q`
+    * CTE's WHERE) — the text queries pick doc_id % 100, the cross-modal
+    * row uses mm_knn's % 25 query set. */
+  private[queries] def bm25CtesFor(qWhere: String): String =
     s"""toks AS (
        |  SELECT doc_id, unnest(${tokens("text")}) AS term FROM documents),
        |tf AS (
@@ -690,7 +696,7 @@ object TextQueries {
        |      row_number() OVER (PARTITION BY tf.doc_id
        |        ORDER BY tf.tf * n.n / df.df DESC, tf.term ASC) AS qrk
        |    FROM tf JOIN df USING (term), n
-       |    WHERE tf.doc_id % 100 = 0)
+       |    WHERE $qWhere)
        |  WHERE qrk <= 3),
        |cand AS (
        |  SELECT q.query_doc, tf.doc_id,

@@ -59,6 +59,41 @@ object StreamingHybrid {
         sink(TextQueries.rrfFuse(lex, den))
       }
 
+  /** Cross-modal retrieval serving — the streaming twin of the batch
+    * `mm_hybrid_rrf`: each arriving media query carries its document
+    * TEXT and its decoded FEATURE vector `(query_doc long, text string,
+    * qv array<double>)`, and a micro-batch is answered by the BM25
+    * lexical ranking of the text against the once-built corpus index
+    * fused (same [[TextQueries.rrfFuse]] kernel) with exact
+    * feature-space cosine kNN against the static signature corpus —
+    * batch kernels verbatim, so serving can never drift from the
+    * oracle-checked ranking. `ix` / `featCorpus` are the once-built
+    * static structures (checkpointed by the caller, the LexIndex
+    * doctrine). Per batch at scale: the query-term frame and the query
+    * vectors broadcast; the tf index and signature corpus never
+    * reshuffle. StreamingSpec pins streamed results row-identical to
+    * the batch query on the same query set. */
+  def serveMediaRrfWriter(queries: DataFrame, ix: TextQueries.LexIndex,
+      featCorpus: DataFrame, k: Int = 5)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val qtf = batch
+          .select(col("query_doc"),
+            explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy(col("query_doc"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val lex = TextQueries.bm25Serve(qtf, ix)
+        val den = Similarity.knnBruteForce(
+            batch.select(col("query_doc").as("vec_id"), col("qv")),
+            featCorpus, "vec_id", "qv", k)
+          .select(col("query_id").as("query_doc"),
+            col("neighbor_id").as("doc_id"),
+            col("rank").cast("long").as("dense_rk"))
+        sink(TextQueries.rrfFuse(lex, den)
+          .withColumnRenamed("dense_rk", "feat_rk"))
+      }
+
   /** Graph-augmented recommendation serving — the streaming twin of
     * the batch `corpus_graph_rrf`: each arriving query item `(query_doc
     * long, qv array<double>)` is answered by content-similarity kNN

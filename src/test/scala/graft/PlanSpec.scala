@@ -69,7 +69,8 @@ class PlanSpec extends SparkSpec {
       "corpus_kmv_jaccard", // same 1-row scalar cross (two sketches × exact overlap)
       "curate_kmv_decontam", // same 1-row scalar cross (split sketches × exact leak count)
       "graph_skew_mitigated", // 1-row scalar crosses (key table × its total, cold stats × hot stats)
-      "graph_skew_step") // same 1-row total cross gating the hub set
+      "graph_skew_step", // same 1-row total cross gating the hub set
+      "mm_hybrid_rrf") // feature branch embeds mm_knn's brute query-sample broadcast cross
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -240,7 +241,8 @@ class PlanSpec extends SparkSpec {
       // counts repeat the shared deg/tot subtrees per consumer — the
       // physical plan reuses those exchanges)
       "graph_skew_mitigated" -> 18, // measured 17: degree agg + total cross + two stage summaries
-      "graph_skew_step" -> 27) // measured 26: deg/hub gate + split-join branches + in-mass agg (deg subtree repeated per branch)
+      "graph_skew_step" -> 27, // measured 26: deg/hub gate + split-join branches + in-mass agg (deg subtree repeated per branch)
+      "mm_hybrid_rrf" -> 17) // measured 16: BM25 chain (qterms broadcast) + feature brute top-5 + one fusion outer join
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

@@ -1246,6 +1246,51 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe expected
   }
 
+  test("streaming cross-modal serving equals the batch mm fusion on the same query set") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("mm_hybrid_rrf")(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    expected should not be empty
+    // both single-branch shapes must occur for the pin to mean much
+    expected.count(_._4 == 0L) should be > 0 // feature-only survivors
+    expected.count(_._5 == 0L) should be > 0 // lexical-only survivors
+
+    // static once-built serving structures, checkpointed (LexIndex
+    // doctrine): the lexical index and the decoded signature corpus
+    val ix0 = graft.queries.TextQueries.lexIndex(spark, d)
+    val ix = ix0.copy(tf = ix0.tf.localCheckpoint(),
+      df = ix0.df.localCheckpoint(), dl = ix0.dl.localCheckpoint())
+    val featCorpus = graft.operators.Multimodal.extractFeatures(
+        graft.operators.Multimodal.fakeMediaFromDocuments(
+          graft.ingest.Tables.documents(spark, d)),
+        new graft.operators.Multimodal.FakeDecoder(8)).toDF()
+      .select(col("media_id").as("vec_id"),
+        transform(col("features"), x => round(x.cast("double") * 1000))
+          .as("qv")).localCheckpoint()
+    // each arriving query carries its document text AND its decoded
+    // feature vector — the media item as the serving path sees it
+    val qdocs = graft.ingest.Tables.documents(spark, d)
+      .filter(col("doc_id") % 25 === 0)
+      .join(featCorpus.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("qv"))
+      .as[(Long, String, Seq[Double])].collect().toIndexedSeq
+    qdocs should not be empty
+    val buf =
+      scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, String, Seq[Double])]
+    val q = graft.streaming.StreamingHybrid.serveMediaRrfWriter(
+        in.toDF().toDF("query_doc", "text", "qv"), ix, featCorpus) { out =>
+        buf.synchronized {
+          buf ++= out.as[(Long, Long, Long, Long, Long, Long)].collect()
+        }
+      }
+      .option("checkpointLocation", tmp("ckpt-mmrrf")).start()
+    qdocs.grouped(2).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    buf.toSet shouldBe expected
+  }
+
   test("streaming DSIR scoring equals the batch importance weights row-for-row") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
