@@ -1028,6 +1028,18 @@ object StreamBench {
     // stop paying 4× the commit schedule.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // No-data (watermark-advance) micro-batches OFF section-wide, for
+    // the same reason pipelineSection disables them locally: under the
+    // drained-after-each-chunk protocol every data batch was followed
+    // by a ~0.3 s zero-row batch paying a full state-store commit cycle
+    // (measured: ~1/3 of the intake section's wall clock) — pure
+    // contention here, since the watermarked operators emit admitted
+    // rows in the data batch itself and eviction just waits for the
+    // next one. StreamingSpec's semantics pins run under the session
+    // default, where eviction timing matters.
+    val prevNoData = spark.conf.get(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val sections = Seq[(String, (SparkSession, String) => Section)](
       "pipeline" -> pipelineSection,
       "enrich_state" -> enrichSection,
@@ -1069,6 +1081,8 @@ object StreamBench {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        prevNoData)
       deleteTmpDirs()
     }
   }

@@ -625,6 +625,80 @@ object TextHashFunctions {
       Array[Any](sums(0), sums(1), bestS, mm.cls(bestC)))
   }
 
+  /** N-grid metadata for [[LmMultiScoreBits]]: the grids array decoded
+    * into one interleaved table (identity-keyed per-thread cache — the
+    * [[NbMeta]] soundness contract, enforced by the expression's
+    * foldable requirement). */
+  private final class MultiMeta(val source: ArrayData) {
+    val k: Int = source.numElements()
+    if (k < 1)
+      throw new IllegalArgumentException(
+        "lm_multi_score_bits needs at least one grid")
+    val grids = new InterleavedGrids(k)
+    val sums = new Array[Long](k) // per-thread fold scratch
+    locally {
+      var c = 0
+      while (c < k) {
+        val g = source.getArray(c)
+        if (g.numElements() != 65536)
+          throw new IllegalArgumentException(
+            s"lm_multi_score_bits grid $c must have 65,536 entries " +
+              s"(256×256 bigram codes), got ${g.numElements()}")
+        var j = 0
+        while (j < 65536) { grids.put(j, c, g.getLong(j)); j += 1 }
+        c += 1
+      }
+      grids.seal()
+    }
+  }
+
+  private val multiMetaCache = new ThreadLocal[MultiMeta]
+
+  /** ALL N grid fold sums of a token array from ONE tokenize+hash pass
+    * — sums(c) ≡ [[lmScoreBits]](tokens, grids(c)) bit-for-bit
+    * (spec-pinned). The CCNet RATIO gate is the N = 2 case: target and
+    * background previously paid two full MD5 passes over the same
+    * tokens. */
+  def lmMultiScoreBits(tokens: ArrayData, grids: ArrayData): ArrayData = {
+    var mm = multiMetaCache.get()
+    if (mm == null || (mm.source ne grids)) {
+      mm = new MultiMeta(grids)
+      multiMetaCache.set(mm)
+    }
+    foldGrids(tokens, mm.grids, mm.sums)
+    new GenericArrayData(java.util.Arrays.copyOf(mm.sums, mm.k))
+  }
+
+  /** [[lmMultiScoreBits]] as a native binary expression: left = the
+    * token array, right = the grids as one array<array<bigint>> literal
+    * (required foldable — the identity-keyed decode cache's soundness
+    * contract). Returns array<bigint> of the N fold sums. */
+  case class LmMultiScoreBits(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def prettyName: String = "lm_multi_score_bits"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(ArrayType(LongType, _), _)) =>
+          if (right.foldable) TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires the grids to be foldable (literal " +
+              "trained models — the per-thread decode cache is keyed " +
+              "on their object identity)")
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<string>, array<array<bigint>>), " +
+            s"got (${l.sql}, ${r.sql})")
+      }
+    override protected def nullSafeEval(t: Any, g: Any): Any =
+      lmMultiScoreBits(t.asInstanceOf[ArrayData], g.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, g) =>
+        s"graft.functions.TextHashFunctions.lmMultiScoreBits($t, $g)")
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): LmMultiScoreBits =
+      copy(left = l, right = r)
+  }
+
   /** [[lmNbFusedBits]] as a native ternary expression: (token array,
     * the two LM grids as one array<array<bigint>> literal, the NB class
     * metadata literal). Both metadata children are required foldable
@@ -774,4 +848,7 @@ object TextHashFunctions {
     CatalystBridge.column(LmNbFusedBits(
       CatalystBridge.expression(tokens), CatalystBridge.expression(grids),
       CatalystBridge.expression(meta), scale))
+  def lmMultiScoreBits(tokens: Column, grids: Column): Column =
+    CatalystBridge.column(LmMultiScoreBits(
+      CatalystBridge.expression(tokens), CatalystBridge.expression(grids)))
 }

@@ -253,6 +253,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       c => T.NbArgmaxBits(c(0), c(1), longLit(c(2), "nb_argmax_bits")) })
     ext.injectFunction(fn("lm_nb_fused_bits", classOf[T.LmNbFusedBits]) {
       c => T.LmNbFusedBits(c(0), c(1), c(2), longLit(c(3), "lm_nb_fused_bits")) })
+    ext.injectFunction(fn("lm_multi_score_bits", classOf[T.LmMultiScoreBits]) {
+      c => T.LmMultiScoreBits(c(0), c(1)) })
     ext.injectFunction(fn("cms_cells", classOf[T.CmsCells]) {
       c => T.CmsCells(c(0), intLit(c(1), "cms_cells"),
         intLit(c(2), "cms_cells")) })

@@ -269,19 +269,23 @@ object TextQueries {
     * generic-probability term. */
   private def lmRatioScoreSpark(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val wlT = gridArray(lmGrid(s, d), "wl_t")
-    val wlB = gridArray(lmGridBg(s, d), "wl_b")
+    // both trained grids ship as ONE plan literal and fold in ONE
+    // token-hash pass (lm_multi_score_bits — the two-expression form
+    // paid two full MD5 passes over the same token array; bit-identical
+    // values, spec-pinned). This also drops the two 1-row grid
+    // broadcasts the previous shape cross-joined in.
+    val glit = typedlit(IndexedSeq(
+      lmWeightArray(s, d).toIndexedSeq, lmBgWeightArray(s, d).toIndexedSeq))
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("toks"))
-      .crossJoin(broadcast(wlT))
-      .crossJoin(broadcast(wlB))
       .select(col("doc_id"), col("lang"),
         (size(col("toks")) - 1).cast("long").as("n_bigrams"),
-        graft.functions.TextHashFunctions.lmScoreBits(col("toks"), col("wl_t"))
-          .as("lp_t"),
-        graft.functions.TextHashFunctions.lmScoreBits(col("toks"), col("wl_b"))
-          .as("lp_bg"))
+        graft.functions.TextHashFunctions.lmMultiScoreBits(col("toks"), glit)
+          .as("lps"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        element_at(col("lps"), 1).as("lp_t"),
+        element_at(col("lps"), 2).as("lp_bg"))
   }
 
   /** The composable form of the LM scorer — buckets, sliced bigrams,

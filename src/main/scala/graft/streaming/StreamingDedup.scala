@@ -37,4 +37,19 @@ object StreamingDedup {
       .withColumn("text_hash", md5(Dedup.normalize(col("text"))))
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** [[dedupStream]] for callers that computed the `text_hash` digest
+    * (and every other per-document value they need) in a map-side
+    * projection BEFORE the gate — the admission decision reads only
+    * the digest, so upstream can DROP the text payload before the
+    * digest-keyed shuffle. At 100 TB the payload dominates the shuffle
+    * volume of a naive gate (the state row was always digest-sized;
+    * the in-flight exchange was not) — [[StreamingIntake]]'s composed
+    * pipelines all take this form. Same watermark eviction, same
+    * first-arrival-wins semantics. */
+  def dedupStreamPreHashed(docs: DataFrame, tsCol: String,
+      delay: String): DataFrame =
+    docs
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("text_hash")
 }

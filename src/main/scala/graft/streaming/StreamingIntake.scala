@@ -31,13 +31,26 @@ import graft.operators.TextAnalysis
 object StreamingIntake {
 
   /** `docs` must have (source: string, doc_id: long, text: string,
-    * `tsCol`: timestamp). */
+    * `tsCol`: timestamp).
+    *
+    * Shuffle discipline (the r13 headroom fix): everything the pipeline
+    * needs past the gate — the dedup digest and the token count — is
+    * computed in ONE map-side projection and the text payload is
+    * DROPPED before the digest-keyed shuffle, so both stateful
+    * exchanges carry ~60-byte scalar rows instead of the document
+    * bytes. Values are identical by construction (the digest and
+    * tokenCount are pure per-row functions of the text), so the
+    * composition spec's pins are unchanged; what changes is that at
+    * 100 TB the intake's shuffle volume is manifest-sized, not
+    * corpus-sized. */
   def intakeStream(docs: DataFrame, tsCol: String, delay: String,
       ctx: Long): Dataset[StreamingPack.Placement] =
     StreamingPack.packStream(
-      StreamingDedup.dedupStream(docs, tsCol, delay)
-        .select(col("source"), col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+      StreamingDedup.dedupStreamPreHashed(
+        docs.select(col("source"), col("doc_id"), col(tsCol),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          md5(graft.operators.Dedup.normalize(col("text"))).as("text_hash")),
+        tsCol, delay),
       ctx)
 
   /** Per-source quality-admission cutoffs for [[recipeStream]] — the
@@ -83,16 +96,21 @@ object StreamingIntake {
     * keep-first-per-digest → split) on a replayed fixture slice. */
   def recipeStream(docs: DataFrame, cutoffs: DataFrame, tsCol: String,
       delay: String): DataFrame = {
+    // same shuffle discipline as [[pipelineStream]] stage 0: quality,
+    // token count and the dedup digest come from one map-side
+    // projection and the payload never reaches the digest shuffle
     val gated = docs
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .select(col("source"), col("doc_id"), col(tsCol),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        md5(graft.operators.Dedup.normalize(col("text"))).as("text_hash"))
       .join(broadcast(cutoffs), Seq("source"))
       .filter(col("quality") > col("qcut") ||
         (col("quality") === col("qcut") && col("doc_id") <= col("dcut")))
-    val admitted = StreamingDedup.dedupStream(gated, tsCol, delay)
+    val admitted = StreamingDedup.dedupStreamPreHashed(gated, tsCol, delay)
     val bucket = PortableHash.hash60(
       concat(col("doc_id").cast("string"), lit("|split"))) % 100
-    admitted.select(col("source"), col("doc_id"),
-      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+    admitted.select(col("source"), col("doc_id"), col("n_tokens"),
       when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))
   }
@@ -158,8 +176,28 @@ object StreamingIntake {
       s"resampleShards must be >= 1, got $resampleShards")
     val spark = docs.sparkSession
     import spark.implicits._
-    // stage 1: exact-dedup gate (stateful, watermark-bounded)
-    val deduped = StreamingDedup.dedupStream(docs, tsCol, delay)
+    // stage 0 (shuffle/compute discipline, the r13 headroom fix): the
+    // CHEAP per-document scalars every early gate reads — the dedup
+    // digest, the quality score, the token/bigram counts — come from
+    // ONE map-side projection whose normalize/tokenize subtrees codegen
+    // CSE shares (they previously re-ran per stage). The text column
+    // itself must survive into the dedup gate: dedup-first semantics
+    // are load-bearing (a duplicate of a gate-failing keeper dies HERE,
+    // and pre-scoring the expensive gates would pay the LM folds on the
+    // 3/4 of rows the quality quartile drops), so the one exchange that
+    // carries the payload is the digest shuffle — everything after the
+    // quality gate is scored once and the resampler shuffle is
+    // payload-free scalars.
+    val toks0 = split(graft.operators.Dedup.normalize(col("text")), " ")
+    val scored0 = docs.select(col("source"), col("doc_id"), col(tsCol),
+      col("text"),
+      md5(graft.operators.Dedup.normalize(col("text"))).as("text_hash"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      size(toks0).cast("long").as("n_tokens"),
+      (size(toks0) - 1).cast("long").as("n_bigrams"))
+    // stage 1: exact-dedup gate (stateful, watermark-bounded) on the
+    // precomputed digest
+    val deduped = StreamingDedup.dedupStreamPreHashed(scored0, tsCol, delay)
     // stage 2: quality admission against broadcast cutoffs. LEFT join +
     // assert: a document whose source has no trained cutoff row (a new
     // source appearing at serving time) must FAIL the batch, not be
@@ -171,38 +209,47 @@ object StreamingIntake {
         lit("' has no trained quality cutoff — retrain qualityCutoffs " +
           "over a corpus that includes it")))
     val gated = deduped
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .join(broadcast(cutoffs), Seq("source"), "left")
       .filter(cutoffPresent.isNull &&
         (col("quality") > col("qcut") ||
           (col("quality") === col("qcut") && col("doc_id") <= col("dcut"))))
-    // stage 3: CCNet ratio admission (BOTH trained grids as ArrayType
-    // literals, each scored by the native one-pass LmScoreBits
-    // expression over the same token array; int64 cross-multiplied)
-    val wlT = typedlit(lmTarget.toIndexedSeq)
-    val wlB = typedlit(lmBackground.toIndexedSeq)
+    // stages 3+5a in ONE post-quality projection: the expensive scores
+    // (both LM folds AND the DSIR importance) come from a single shared
+    // tokenization of the quality survivors, and the payload is DROPPED
+    // here — the previous shape re-tokenized the text four times across
+    // three operators (two LM folds, tokenCount, hashedShingles), each
+    // outside the others' codegen CSE scope. The two LM grids fold in
+    // ONE token-hash pass (lm_multi_score_bits — each fold previously
+    // re-MD5'd every token).
+    val glit = typedlit(IndexedSeq(
+      lmTarget.toIndexedSeq, lmBackground.toIndexedSeq))
+    val rl = array(dsirWeights.map(lit(_)): _*)
     val toks = split(graft.operators.Dedup.normalize(col("text")), " ")
-    val lmPassed = gated
+    val scored = gated.select(col("source"), col("doc_id"),
+      col("n_tokens"), col("n_bigrams"),
+      graft.functions.TextHashFunctions.lmMultiScoreBits(toks, glit)
+        .as("lps"),
+      graft.functions.TextHashFunctions.weightedBucketSum(
+        graft.functions.TextHashFunctions.hashedShingles60(toks, 2), rl)
+        .as("w"))
+    // stage 3: CCNet ratio admission (int64 cross-multiplied)
+    val lmPassed = scored
       .filter(lit(lmRatioDen) *
-        (graft.functions.TextHashFunctions.lmScoreBits(toks, wlT) -
-          graft.functions.TextHashFunctions.lmScoreBits(toks, wlB)) >=
-        lit(lmRatioNum) * (size(toks) - 1).cast("long"))
+          (element_at(col("lps"), 1) - element_at(col("lps"), 2)) >=
+        lit(lmRatioNum) * col("n_bigrams"))
     // stage 4: semantic drop list (broadcast; missing vector = pass)
     val cleaned = lmPassed
       .join(broadcast(semDrops.select(col("vec_id").as("doc_id"),
         lit(1L).as("__semdrop"))), Seq("doc_id"), "left_outer")
       .filter(col("__semdrop").isNull)
-    // stage 5: DSIR importance + systematic resampling, sharded by
-    // `resampleShards` (see the scaladoc trade; one long of running
-    // weight per shard). shards=1 keeps the batch capstone's exact
-    // global phase — its within-batch sort is then the capstone's full
-    // (bucket, hash, id) order; shards>1 stratify it, each shard
+    // stage 5: systematic resampling on the precomputed DSIR importance,
+    // sharded by `resampleShards` (see the scaladoc trade; one long of
+    // running weight per shard). shards=1 keeps the batch capstone's
+    // exact global phase — its within-batch sort is then the capstone's
+    // full (bucket, hash, id) order; shards>1 stratify it, each shard
     // crossing its own phase in the same within-shard order.
-    val rl = array(dsirWeights.map(lit(_)): _*)
     val weighted = cleaned.select(col("source"), col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
-        graft.functions.TextHashFunctions.weightedBucketSum(
-          graft.operators.Dedup.hashedShingles(col("text"), 2), rl).as("w"))
+        col("n_tokens"), col("w"))
       .as[PipeDoc]
     val picked = resampleStream(weighted, step, resampleShards)
     // stage 6: split tag (same "|split" buckets as the batch manifest)

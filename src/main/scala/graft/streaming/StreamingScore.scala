@@ -120,16 +120,21 @@ object StreamingScore {
       s"target LM grid must have 65,536 entries, got ${target.length}")
     require(background.length == 65536,
       s"background LM grid must have 65,536 entries, got ${background.length}")
-    val wlT = typedlit(target.toIndexedSeq)
-    val wlB = typedlit(background.toIndexedSeq)
+    // both grids fold in ONE token-hash pass (lm_multi_score_bits) —
+    // the two-expression form paid two full MD5 passes over the same
+    // token array; values are bit-identical (spec-pinned), so the
+    // batch-equality pin is unchanged
+    val glit = typedlit(IndexedSeq(
+      target.toIndexedSeq, background.toIndexedSeq))
     val toks = split(Dedup.normalize(col("text")), " ")
     docs
       .select(col("doc_id"), col("lang"), toks.as("toks"))
       .select(col("doc_id"), col("lang"),
         (size(col("toks")) - 1).cast("long").as("n_bigrams"),
-        graft.functions.TextHashFunctions.lmScoreBits(col("toks"), wlT)
-          .as("lp_t"),
-        graft.functions.TextHashFunctions.lmScoreBits(col("toks"), wlB)
-          .as("lp_bg"))
+        graft.functions.TextHashFunctions.lmMultiScoreBits(col("toks"), glit)
+          .as("lps"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        element_at(col("lps"), 1).as("lp_t"),
+        element_at(col("lps"), 2).as("lp_bg"))
   }
 }

@@ -91,6 +91,14 @@ class ExtensionsSpec extends SparkSpec {
     r.getString(3) shouldBe "q"
   }
 
+  test("lm_multi_score_bits from SQL") {
+    // two bigrams; grid of 7s folds to 14, grid of 2s to 4 — one pass
+    val r = sql1("SELECT lm_multi_score_bits(array('a','b','c'), " +
+      "array(array_repeat(7L, 65536), array_repeat(2L, 65536))) AS m")
+      .getSeq[Long](0)
+    r shouldBe Seq(14L, 4L)
+  }
+
   test("cms_cells / cms_sketch_agg from SQL") {
     installed
     // one token, rows=2, width=4: two sparse cells, count 1 each

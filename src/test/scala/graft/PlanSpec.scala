@@ -199,7 +199,7 @@ class PlanSpec extends SparkSpec {
       "curate_lm_gate" -> 4, // measured 3: the score shape + per-lang rollup
       "curate_semdedup" -> 5, // measured 4: in-cell pair join + manifest join off the checkpointed assignment
       "curate_cluster_balance" -> 4, // measured 3: cell counts + broadcast-back + manifest agg
-      "curate_pipeline" -> 58, // measured 56 (r10: +6 for the background LM grid's counts+join in the ratio gate): six family subtrees, shared stages repeated in the tree string
+      "curate_pipeline" -> 45, // measured 44 (r13: the ratio gate's two grid-collapse broadcasts replaced by one literal-grid one-pass fold)
       "curate_pipeline_cls" -> 45, // measured 44 (r13: the ratio + NB gates fused into ONE corpus pass / one left-semi — was 59 as two passes)
       "sim_nprobe_sweep" -> 50, // measured 48: three probe-width branches × (search + exact-baseline compare)
       // r10 bench top-2 entrants: the production-path serving-knob

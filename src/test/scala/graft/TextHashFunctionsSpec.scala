@@ -271,6 +271,46 @@ class TextHashFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("lmMultiScoreBits == per-grid lmScoreBits folds, byte and long paths") {
+    // the N-grid one-pass fold must reproduce N separate lmScoreBits
+    // expressions bit-for-bit on corpus + edge docs — including a grid
+    // set outside the byte-packable range (widened long table)
+    val gridA = (0 until 65536).map(g => (g % 7 + 1).toLong)
+    val gridB = (0 until 65536).map(g => (g % 5 + 2).toLong)
+    val big = (0 until 65536).map(g => (g % 1000 + 500).toLong)
+    val texts = Seq("", "one", "a a a a", "the quick brown fox jumps")
+    val toks = split(Dedup.normalize(col("t")), " ")
+    val docs = texts.toDF("t") union
+      graft.ingest.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("text").as("t"))
+    for (grids <- Seq(Seq(gridA, gridB, gridA), Seq(gridB, big))) {
+      val glit = typedlit(grids.map(_.toIndexedSeq).toIndexedSeq)
+      val singles = grids.zipWithIndex.map { case (g, i) =>
+        TextHashFunctions.lmScoreBits(toks, typedlit(g.toIndexedSeq))
+          .as(s"s$i")
+      }
+      val diff = docs
+        .select((TextHashFunctions.lmMultiScoreBits(toks, glit).as("m") +:
+          singles): _*)
+        .filter(grids.indices.map(i =>
+          element_at(col("m"), i + 1) =!= col(s"s$i")).reduce(_ || _))
+      diff.count() shouldBe 0L
+    }
+    // fail loud: short grid; non-foldable grids are an analysis error
+    intercept[Exception] {
+      Seq("a b").toDF("t").select(TextHashFunctions.lmMultiScoreBits(toks,
+        typedlit(IndexedSeq((0 until 9).map(_.toLong).toIndexedSeq))))
+        .collect()
+    }.getMessage should include("65,536")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.limit(1)
+        .select(array(array(org.apache.spark.sql.functions.size(toks)
+          .cast("long"))).as("g"), toks.as("tk"))
+        .select(TextHashFunctions.lmMultiScoreBits(col("tk"), col("g")))
+        .collect()
+    }
+  }
+
   test("native cmsCells sketch == composable per-token explode sketch") {
     // the one-pass compiled partial (hash60 once per occurrence, dense
     // local cell table, sparse emit) must reproduce the composable
