@@ -319,8 +319,16 @@ object Bench {
           s""","chunk_sec":${secArr(s.chunkSec)}""" +
             (if (qb.nonEmpty) s""","query_batch_sec":{$qb}""" else "")
         }
+      // rps_norm: the section's ambient-normalized throughput (measured
+      // rps × its own immediately-preceding probe / the idle pin — the
+      // stream_rps derivation, per section). The q/s serving sections
+      // (search/fsearch) previously had NO normalized floor recorded
+      // anywhere; docs/SCALE.md states the floors this field grounds.
+      val rpsNorm =
+        if (s.calibSec > 0) s.rps * (s.calibSec / ReferenceCalibSec) else 0.0
       s"""{"name":"${s.name}","rows":${s.rows},"sec":${sec3(s.sec)},""" +
         s""""batches":${s.batches},"rps":${s.rps.round},""" +
+        s""""rps_norm":${rpsNorm.round},""" +
         s""""batch_sec":${sec3(if (s.batches > 0) s.sec / s.batches else 0.0)},""" +
         s""""calib_sec":${sec3(s.calibSec)}""" +
         detail + "}"
