@@ -649,4 +649,85 @@ object Similarity {
       .filter(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select(col("a"), col("b"))
   }
+
+  /** Bounded-degree nearest-neighbor GRAPH over IVF-probed cells — the
+    * index structure of graph-traversal ANN (DiskANN / HNSW base
+    * layer), built relationally: candidate pairs are vectors sharing
+    * ANY of their top-`nprobe` cells (the 2nd-closest cell supplies
+    * the cross-cell "bridge" edges pure Voronoi membership lacks),
+    * exact-scored, and capped at `degree` out-edges per node by
+    * (d2 asc, dst asc). At 100 TB each piece stays bounded: the probe
+    * is a broadcast-centroid argmin (map-only), the pair join is
+    * equi-keyed on cell_id with per-cell candidate counts capped by
+    * cell size, and the degree cap makes the edge list O(n·degree) —
+    * the serving structure a traversal touches is rows-per-hop, never
+    * the corpus.
+    *
+    * `probes`: (id, cell_id) — one row per (vector, probed cell).
+    * `vecs`: (vec_id, v). Returns (src, dst, erank, d2). */
+  def nnGraph(probes: DataFrame, vecs: DataFrame, degree: Int): DataFrame = {
+    val pairs = probes.select(col("id").as("src"), col("cell_id"))
+      .join(probes.select(col("id").as("dst"), col("cell_id")), Seq("cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val scored = pairs
+      .join(vecs.select(col("vec_id").as("src"), col("v").as("__sv")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("v").as("__dv")), Seq("dst"))
+      .withColumn("d2", (dot(col("__sv"), col("__sv"))
+        - lit(2.0) * dot(col("__sv"), col("__dv"))
+        + dot(col("__dv"), col("__dv"))).cast("long"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    scored.withColumn("erank", row_number().over(w).cast("long"))
+      .filter(col("erank") <= degree)
+      .select(col("src"), col("dst"), col("erank"), col("d2"))
+  }
+
+  /** Beam search over a bounded-degree neighbor graph, unrolled to a
+    * FIXED hop count — the relational form of DiskANN's greedy search.
+    * Each hop expands the current beam's out-edges (an equi-join on
+    * `src` against the O(n·degree) edge list), exact-scores the new
+    * candidates against the query, and keeps the `beam` best of
+    * everything visited; the final cut is top-`k` of the full visited
+    * set. Per-query work is ≤ |entry| + hops·beam·degree scored rows —
+    * independent of corpus size, which is what lets a traversal index
+    * serve where a cell scan can't. Bounded rounds (not
+    * convergence-looped) keep the plan static and oracle-replayable.
+    *
+    * `queries`: (query_id, qv). `entry`: (query_id, cand, d2) — the
+    * seed candidates, typically the query's nearest cell's members.
+    * `edges`: (src, dst, ...). `vecs`: (vec_id, v).
+    * Returns (query_id, neighbor_id, rank, d2). */
+  def graphBeamSearch(queries: DataFrame, entry: DataFrame, edges: DataFrame,
+      vecs: DataFrame, hops: Int, beam: Int, k: Int): DataFrame = {
+    val bw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand").asc)
+    var visited = entry.select("query_id", "cand", "d2")
+    for (_ <- 1 to hops) {
+      val beamF = visited.withColumn("__r", row_number().over(bw))
+        .filter(col("__r") <= beam).select(col("query_id"), col("cand"))
+      val expanded = beamF
+        .join(edges.select(col("src").as("cand"), col("dst")), Seq("cand"))
+        .filter(col("dst") =!= col("query_id"))
+        .select(col("query_id"), col("dst").as("cand")).distinct()
+      val scored = expanded
+        .join(queries, Seq("query_id"))
+        .join(vecs.select(col("vec_id").as("cand"), col("v").as("__cv")),
+          Seq("cand"))
+        .withColumn("d2", (dot(col("qv"), col("qv"))
+          - lit(2.0) * dot(col("qv"), col("__cv"))
+          + dot(col("__cv"), col("__cv"))).cast("long"))
+        .select("query_id", "cand", "d2")
+      // eager checkpoint per hop (the mmrDiversify pattern): the visited
+      // set is hops·beam·degree-bounded per query, and materializing it
+      // keeps the next hop's plan a checkpoint scan instead of a
+      // re-planned copy of every prior hop's subtree
+      visited = visited.unionByName(scored)
+        .select("query_id", "cand", "d2").distinct().localCheckpoint(true)
+    }
+    visited.withColumn("rank", row_number().over(bw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"),
+        col("rank"), col("d2"))
+  }
 }

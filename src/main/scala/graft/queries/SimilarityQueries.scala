@@ -88,6 +88,18 @@ object SimilarityQueries {
     * Init-before-`defs` rule applies. */
   private val SvdScale = 100L
 
+  /** Graph-ANN family: out-degree of the bounded-degree neighbor
+    * graph, beam width and UNROLLED hop count of the traversal search.
+    * Degree 6 over top-2-cell candidate pairs keeps the edge list
+    * O(6n) while the 2nd-cell probes supply the cross-cell bridge
+    * edges pure Voronoi membership lacks; 2 hops × beam 10 bound
+    * per-query traversal work at |entry cell| + 2·10·6 scored rows
+    * regardless of corpus size. Init-before-`defs` rule applies (see
+    * [[TrainIters]]). */
+  private val GraphDeg = 6
+  private val GraphBeam = 10
+  private val GraphHops = 2
+
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
@@ -1287,6 +1299,51 @@ object SimilarityQueries {
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          |GROUP BY b.query_id""".stripMargin),
 
+    // Graph-traversal ANN, the build half: a bounded-degree neighbor
+    // graph (the DiskANN / HNSW-base-layer structure) assembled
+    // relationally — candidate pairs share any of their top-2 trained
+    // cells (the 2nd-closest cell supplies the cross-cell bridge edges
+    // pure Voronoi membership lacks), exact-scored, capped at
+    // [[GraphDeg]] out-edges per node. The missing rung of the ANN
+    // ladder: IVF/PQ/SQ/RP/LSH scan CELLS per query; a traversal walks
+    // EDGES — per-query serve cost bounded by hops·beam·degree,
+    // independent of how many vectors a cell holds. At 100 TB the
+    // probe is a broadcast-centroid argmin (map-only), pair generation
+    // is equi-keyed on cell_id with per-cell counts bounded by cell
+    // size, and the degree cap makes the served structure O(n·degree).
+    "sim_nn_graph" -> QueryDef(
+      (s, d) => nnGraphEdges(s, d),
+      s"WITH $nnGraphCtes\nSELECT src, dst, erank, d2 FROM gedges"),
+
+    // The serve half: 2-hop beam search over the neighbor graph.
+    // Entry = the query's nearest cell's members (exactly what IVF
+    // nprobe=1 scans), then each unrolled hop expands the current
+    // top-[[GraphBeam]] beam's out-edges and re-ranks everything
+    // visited; the final cut is top-K of the visited set. Bounded
+    // rounds (not convergence-looped) keep the plan static and the
+    // oracle an exact unrolled replay; the expansion is an equi-join
+    // on the checkpointed edge list, so per-query work is
+    // |entry| + hops·beam·degree scored rows whether the corpus is 2k
+    // vectors or 20 B.
+    "sim_graph_search" -> QueryDef(
+      (s, d) => graphSearchAt(s, d, GraphHops),
+      s"WITH $graphSearchCtes\n" +
+        "SELECT query_id, neighbor_id, rank, d2 FROM gsearch"),
+
+    // Measured recall@10 of the graph traversal against the exact-L2
+    // baseline — the ladder row that says what the bounded-work search
+    // actually buys. Hops only ADD candidates past the entry-cell
+    // scan, so recall ≥ the nprobe=1 floor by construction
+    // (SimilaritySpec pins the monotonicity); how far past is a
+    // property of the fixture's geometry and must be measured.
+    "sim_graph_recall" -> QueryDef(
+      (s, d) => recallAgainstExactL2(s, d,
+        graphSearchAt(s, d, GraphHops)
+          .select(col("query_id"), col("neighbor_id"))),
+      recallAgainstExactL2Sql(
+        s"WITH $graphSearchCtes\n" +
+          "SELECT query_id, neighbor_id AS vec_id FROM gsearch")),
+
     // The nprobe frontier — recall@10 of the composed IVF-PQ search at
     // probe widths 1/3/5, each against the exact-L2 baseline: the
     // MEASURED recall-vs-work curve for the index's one serving-time
@@ -2254,6 +2311,131 @@ object SimilarityQueries {
        |LEFT JOIN approx a
        |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
        |GROUP BY e.query_id""".stripMargin
+
+  /** Spec bridge: [[recallAgainstExactL2]] over an arbitrary approx
+    * frame carrying (query_id, neighbor_id, …). */
+  private[graft] def recallOfApprox(s: org.apache.spark.sql.SparkSession,
+      d: String,
+      approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    recallAgainstExactL2(s, d,
+      approx.select(col("query_id"), col("neighbor_id")))
+
+  /** The bounded-degree neighbor graph (src, dst, erank, d2) — an
+    * INDEX: built once per (session, sf) off the trained centroids'
+    * top-2 cell probes ([[Similarity.nnGraph]]), checkpointed, then
+    * served read-only to every traversal. */
+  private[graft] def nnGraphEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // resolve the centroid memo BEFORE entering our own (computeIfAbsent
+    // must not re-enter the cache)
+    val cents = trainedCentroids(s, d)
+    FrameCache.memo(s, d, "nn_graph_edges") {
+      val e = quantized(s, d)
+      val (_, probes) = Similarity.ivfAssignCentroids(
+        e, "vec_id", "qv", cents, nprobe = 2)
+      Similarity.nnGraph(
+        probes.select(col("query_id").as("id"), col("cell_id")),
+        e.select(col("vec_id"), col("qv").as("v")), GraphDeg)
+    }
+  }
+
+  /** Beam-search serve over [[nnGraphEdges]] at `hops` unrolled
+    * expansion rounds: entry = the query's own (nearest-cell) members,
+    * then each hop expands the current beam's out-edges and re-ranks
+    * everything visited. hops = 0 degenerates to the entry-cell scan
+    * (IVF nprobe = 1) — the spec's monotonicity baseline. */
+  private[graft] def graphSearchAt(s: org.apache.spark.sql.SparkSession,
+      d: String, hops: Int): org.apache.spark.sql.DataFrame = {
+    val e = quantized(s, d)
+    val (assigned, _) = Similarity.ivfAssignCentroids(
+      e, "vec_id", "qv", trainedCentroids(s, d), nprobe = 1)
+    val q = assigned.filter(pmod(col("__id"), lit(50)) === 0)
+      .select(col("__id").as("query_id"), col("__v").as("qv"),
+        col("cell_id"))
+    val entry = q
+      .join(assigned.select(col("__id").as("cand"),
+        col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("d2", (Similarity.dot(col("qv"), col("qv"))
+        - lit(2.0) * Similarity.dot(col("qv"), col("__cv"))
+        + Similarity.dot(col("__cv"), col("__cv"))).cast("long"))
+      .select("query_id", "cand", "d2")
+    Similarity.graphBeamSearch(
+      q.select("query_id", "qv"), entry, nnGraphEdges(s, d),
+      e.select(col("vec_id"), col("qv").as("v")),
+      hops = hops, beam = GraphBeam, k = K)
+  }
+
+  /** Shared oracle CTEs of the graph-ANN family: quantized vectors,
+    * the trained centroids, the top-2 cell probes, and the
+    * degree-capped edge list `gedges` — must stay in lockstep with
+    * [[nnGraphEdges]]. */
+  private def nnGraphCtes: String =
+    s"""e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |$ivfTrainCtes,
+       |gcs AS (
+       |  SELECT e.vec_id AS id, e.v, c.cent_id, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
+       |  FROM e, c),
+       |gp AS (SELECT id, cent_id AS cell_id FROM gcs WHERE cr <= 2),
+       |gpair AS (
+       |  SELECT DISTINCT a.id AS src, b.id AS dst
+       |  FROM gp a JOIN gp b ON a.cell_id = b.cell_id AND a.id <> b.id),
+       |gsc AS (
+       |  SELECT p.src, p.dst,
+       |    CAST(${d2Sql("sv.v", "dv.v", Dims)} AS BIGINT) AS d2
+       |  FROM gpair p
+       |  JOIN e sv ON sv.vec_id = p.src
+       |  JOIN e dv ON dv.vec_id = p.dst),
+       |gedges AS (
+       |  SELECT src, dst, erank, d2 FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY src ORDER BY d2 ASC, dst ASC) AS erank
+       |    FROM gsc)
+       |  WHERE erank <= $GraphDeg)""".stripMargin
+
+  /** [[nnGraphCtes]] + the unrolled beam search, ending in
+    * `gsearch(query_id, neighbor_id, rank, d2)` — lockstep with
+    * [[graphSearchAt]] at [[GraphHops]]. */
+  private def graphSearchCtes: String = {
+    val hops = (1 to GraphHops).map { i =>
+      s"""gb$i AS (
+         |  SELECT query_id, cand FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY d2 ASC, cand ASC) AS r
+         |    FROM gv${i - 1}) WHERE r <= $GraphBeam),
+         |gx$i AS (
+         |  SELECT DISTINCT b.query_id, g.dst AS cand
+         |  FROM gb$i b JOIN gedges g ON g.src = b.cand
+         |  WHERE g.dst <> b.query_id),
+         |gs$i AS (
+         |  SELECT x.query_id, x.cand,
+         |    CAST(${d2Sql("q.qv", "cv.v", Dims)} AS BIGINT) AS d2
+         |  FROM gx$i x
+         |  JOIN gq q ON q.query_id = x.query_id
+         |  JOIN e cv ON cv.vec_id = x.cand),
+         |gv$i AS (
+         |  SELECT DISTINCT query_id, cand, d2 FROM (
+         |    SELECT * FROM gv${i - 1} UNION ALL SELECT * FROM gs$i))""".stripMargin
+    }.mkString(",\n")
+    s"""$nnGraphCtes,
+       |gq AS (
+       |  SELECT id AS query_id, v AS qv, cent_id AS cell_id
+       |  FROM gcs WHERE cr = 1 AND id % 50 = 0),
+       |gasg AS (SELECT id, v, cent_id AS cell_id FROM gcs WHERE cr = 1),
+       |gv0 AS (
+       |  SELECT q.query_id, m.id AS cand,
+       |    CAST(${d2Sql("q.qv", "m.v", Dims)} AS BIGINT) AS d2
+       |  FROM gq q JOIN gasg m
+       |    ON m.cell_id = q.cell_id AND m.id <> q.query_id),
+       |$hops,
+       |gsearch AS (
+       |  SELECT query_id, cand AS neighbor_id, rank, d2 FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY d2 ASC, cand ASC) AS rank
+       |    FROM gv$GraphHops) WHERE rank <= $K)""".stripMargin
+  }
 
   /** The PQ-coded corpus (vec_id, sub, code) — the batch ADC query's
     * static side, also served to the streaming search twin. */

@@ -71,6 +71,9 @@ class PlanSpec extends SparkSpec {
       "graph_skew_mitigated", // 1-row scalar crosses (key table × its total, cold stats × hot stats)
       "graph_skew_step", // same 1-row total cross gating the hub set
       "mm_hybrid_rrf") // feature branch embeds mm_knn's brute query-sample broadcast cross
+      // (the graph-ANN rows' centroid-probe broadcast crosses live inside
+      // their eagerly-checkpointed index builds — the SERVED plans are
+      // clean, so they are deliberately NOT registered here)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -242,7 +245,12 @@ class PlanSpec extends SparkSpec {
       // physical plan reuses those exchanges)
       "graph_skew_mitigated" -> 18, // measured 17: degree agg + total cross + two stage summaries
       "graph_skew_step" -> 27, // measured 26: deg/hub gate + split-join branches + in-mass agg (deg subtree repeated per branch)
-      "mm_hybrid_rrf" -> 17) // measured 16: BM25 chain (qterms broadcast) + feature brute top-5 + one fusion outer join
+      "mm_hybrid_rrf" -> 17, // measured 16: BM25 chain (qterms broadcast) + feature brute top-5 + one fusion outer join
+      // graph-ANN rows (serve plans read eagerly-checkpointed indexes;
+      // the builds' centroid broadcasts land before the measured plan)
+      "sim_nn_graph" -> 1, // measured 0: a pure scan of the checkpointed edge list
+      "sim_graph_search" -> 2, // measured 1: final top-K window over the checkpointed visited set
+      "sim_graph_recall" -> 5) // measured 4: exact-baseline join + per-query recall agg
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

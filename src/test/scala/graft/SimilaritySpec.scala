@@ -613,4 +613,62 @@ class SimilaritySpec extends SparkSpec {
         k = 4, assignedNbrs = assigned, cents = cents, nprobe = 2)
       .filter(col("neighbor_id") === 3L).count() shouldBe 0L
   }
+
+  test("neighbor graph: degree-capped, contiguous ranks, exact symmetric scores") {
+    val d = "/root/testdata/sf0.001"
+    val edges = graft.queries.SimilarityQueries.nnGraphEdges(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    edges should not be empty
+    val bySrc = edges.groupBy(_._1)
+    // the out-degree cap IS the serving-cost bound — never exceeded
+    bySrc.values.foreach(_.length should be <= 6)
+    // per-src ranks are contiguous from 1 in (d2 asc, dst asc) order
+    bySrc.values.foreach { es =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      sorted.map(_._3).toSeq shouldBe (1L to es.length)
+    }
+    // d2 is a metric of the PAIR: any reverse edge carries the same d2
+    val fwd = edges.map(e => (e._1, e._2) -> e._4).toMap
+    edges.foreach { e =>
+      fwd.get((e._2, e._1)).foreach(_ shouldBe e._4)
+    }
+  }
+
+  test("graph beam search: ≤K contiguous ranks, hops strictly refine the entry scan") {
+    val d = "/root/testdata/sf0.001"
+    val hop0 = graft.queries.SimilarityQueries.graphSearchAt(spark, d, 0)
+      .as[(Long, Long, Long, Long)].collect()
+    val hop2 = graft.queries.SimilarityQueries.graphSearchAt(spark, d, 2)
+      .as[(Long, Long, Long, Long)].collect()
+    hop2 should not be empty
+    val byQ2 = hop2.groupBy(_._1)
+    byQ2.values.foreach { rs =>
+      rs.length should be <= 10
+      rs.sortBy(r => (r._4, r._2)).map(_._3).toSeq shouldBe (1L to rs.length)
+    }
+    // hops only ADD candidates, so every query's summed top-K distance
+    // is monotonically non-increasing vs the entry-cell (nprobe=1) scan
+    val sum0 = hop0.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._4).sum }
+    byQ2.foreach { case (q, rs) =>
+      rs.map(_._4).sum should be <= sum0(q)
+    }
+    // and on this fixture the traversal genuinely reaches past the
+    // entry cell: at least one served neighbor is a hop discovery
+    val e0 = hop0.map(r => (r._1, r._2)).toSet
+    hop2.count(r => !e0.contains((r._1, r._2))) should be > 0
+  }
+
+  test("graph recall beats zero and never loses to the entry-cell floor") {
+    val d = "/root/testdata/sf0.001"
+    def mean(rows: Array[(Long, Long, Long, Double)]) =
+      rows.map(_._4).sum / rows.length
+    val floor = graft.queries.SimilarityQueries.recallOfApprox(spark, d,
+      graft.queries.SimilarityQueries.graphSearchAt(spark, d, 0))
+      .as[(Long, Long, Long, Double)].collect()
+    val got = SparkEntry.queries("sim_graph_recall")(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    got should not be empty
+    mean(got) should be > 0.0
+    mean(got) should be >= mean(floor)
+  }
 }
