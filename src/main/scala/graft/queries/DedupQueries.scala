@@ -211,7 +211,17 @@ object DedupQueries {
               lit(rNum) * col("n_bigrams"))
             .select(col("doc_id")),
           Seq("doc_id"), "left_semi")
+        // The survivors' manifest (source, doc_id, n_tokens — kilobytes)
+        // feeds TWO consumers: the DSIR scoring pass and the final split
+        // join. Eagerly checkpointing it makes the expensive upstream —
+        // the dedup agg, the quality window, and above all the gate scan
+        // whose trained grids ride the plan as multi-MB literals — run
+        // and PLAN once; un-checkpointed, both consumers re-executed the
+        // literal-grid scan and the optimizer re-walked megabyte
+        // constants through every rule (measured 8.8 → 3.4 s at sf0.1
+        // for the _cls variant).
         val clean = clsGated.join(semDrops, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
         // stage 5: DSIR importance resampling of the survivors
         val rl = dsirWeightTable(s, d)
           .agg(sort_array(collect_list(struct(col("b"), col("r"))))

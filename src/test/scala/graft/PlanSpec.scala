@@ -202,8 +202,8 @@ class PlanSpec extends SparkSpec {
       "curate_lm_gate" -> 4, // measured 3: the score shape + per-lang rollup
       "curate_semdedup" -> 5, // measured 4: in-cell pair join + manifest join off the checkpointed assignment
       "curate_cluster_balance" -> 4, // measured 3: cell counts + broadcast-back + manifest agg
-      "curate_pipeline" -> 45, // measured 44 (r13: the ratio gate's two grid-collapse broadcasts replaced by one literal-grid one-pass fold)
-      "curate_pipeline_cls" -> 45, // measured 44 (r13: the ratio + NB gates fused into ONE corpus pass / one left-semi — was 59 as two passes)
+      "curate_pipeline" -> 24, // measured 20 (r13: survivors' manifest eagerly checkpointed — the literal-grid gate scan runs and plans ONCE; was 44)
+      "curate_pipeline_cls" -> 24, // measured 20 (r13: same checkpoint; the fused-gate scan's megabyte literals stopped re-planning per consumer — was 44, and 59 as two passes)
       "sim_nprobe_sweep" -> 50, // measured 48: three probe-width branches × (search + exact-baseline compare)
       // r10 bench top-2 entrants: the production-path serving-knob
       // sweeps each replay the rerank chain + exact baseline 3×
@@ -250,7 +250,8 @@ class PlanSpec extends SparkSpec {
       // the builds' centroid broadcasts land before the measured plan)
       "sim_nn_graph" -> 1, // measured 0: a pure scan of the checkpointed edge list
       "sim_graph_search" -> 2, // measured 1: final top-K window over the checkpointed visited set
-      "sim_graph_recall" -> 5) // measured 4: exact-baseline join + per-query recall agg
+      "sim_graph_recall" -> 5, // measured 4: exact-baseline join + per-query recall agg
+      "curate_gate_agreement" -> 3) // measured 2: one fused literal-grid pass + the 1-row contingency agg
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

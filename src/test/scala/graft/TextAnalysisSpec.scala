@@ -284,4 +284,32 @@ class TextAnalysisSpec extends SparkSpec {
       r.getAs[Double]("lift9") shouldBe lift +- 1e-9
     }
   }
+
+  test("gate agreement: cells partition the corpus, marginals match the gates, kappa is exact") {
+    val d = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("curate_gate_agreement")(spark, d).collect()(0)
+    val (n, lmK, nbK) = (r.getAs[Long]("n_docs"),
+      r.getAs[Long]("lm_kept"), r.getAs[Long]("nb_kept"))
+    val (a, b, c, dd) = (r.getAs[Long]("both_keep"), r.getAs[Long]("lm_only"),
+      r.getAs[Long]("nb_only"), r.getAs[Long]("neither"))
+    // the four cells partition the corpus and the marginals are sums
+    a + b + c + dd shouldBe n
+    lmK shouldBe a + b
+    nbK shouldBe a + c
+    // marginals equal the standalone gate manifests' totals — the
+    // fused pass admits exactly what the separate gates admit
+    def keptTotal(q: String) =
+      SparkEntry.queries(q)(spark, d).agg(sum(col("n_kept"))).collect()(0).getLong(0)
+    keptTotal("curate_lm_ratio_gate") shouldBe lmK
+    keptTotal("curate_nb_gate") shouldBe nbK
+    // kappa recomputed from the cells — the row's double is the single
+    // IEEE division of the two exact int64 polynomials
+    val x = (a + b) * (a + c) + (c + dd) * (b + dd)
+    r.getAs[Double]("kappa") shouldBe
+      (n * (a + dd) - x).toDouble / (n * n - x).toDouble
+    r.getAs[Long]("agree_bp") shouldBe 10000L * (a + dd) / n
+    // on this fixture the gates genuinely agree beyond chance but are
+    // NOT redundant — the audit's reason to exist
+    r.getAs[Double]("kappa") should (be > 0.0 and be < 1.0)
+  }
 }
