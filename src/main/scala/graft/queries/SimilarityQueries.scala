@@ -1344,6 +1344,34 @@ object SimilarityQueries {
         s"WITH $graphSearchCtes\n" +
           "SELECT query_id, neighbor_id AS vec_id FROM gsearch")),
 
+    // The traversal's serving-knob frontier — recall@10 at hop depths
+    // 0/1/2 (the nprobe-sweep doctrine applied to the graph index):
+    // hop 0 IS the entry-cell scan (IVF nprobe = 1), each deeper hop
+    // adds ≤ beam·degree scored rows per query, and the measured curve
+    // says what each increment of bounded work buys. Measured at
+    // sf0.01: 0.82 → 0.87 → 0.88 (0.83 → 0.88 → 0.88 at sf0.1) — a
+    // SHALLOW curve, because this fixture's entry cells hold ~5·K
+    // members, so the floor is already high and the hops buy the
+    // cross-cell tail; the flattening at hop 2 says deeper traversal
+    // buys nothing at degree 6. On a corpus with small cells the same
+    // curve starts low and rises steeply — which is why the frontier
+    // must be measured per corpus, not assumed from the index shape.
+    "sim_graph_hop_sweep" -> QueryDef(
+      (s, d) => Seq(0, 1, 2).map { h =>
+        recallAgainstExactL2(s, d,
+          graphSearchAt(s, d, h)
+            .select(col("query_id"), col("neighbor_id")))
+          .select(lit(h.toLong).as("hops"), col("query_id"),
+            col("n_exact"), col("n_hit"), col("recall_at_k"))
+      }.reduce(_ unionAll _),
+      Seq(0, 1, 2).map(h =>
+        s"SELECT CAST($h AS BIGINT) AS hops, r.* FROM (\n" +
+          recallAgainstExactL2Sql(
+            s"WITH ${graphSearchCtesAt(h)}\n" +
+              "SELECT query_id, neighbor_id AS vec_id FROM gsearch") +
+          ") r")
+        .mkString("\nUNION ALL\n")),
+
     // The nprobe frontier — recall@10 of the composed IVF-PQ search at
     // probe widths 1/3/5, each against the exact-L2 baseline: the
     // MEASURED recall-vs-work curve for the index's one serving-time
@@ -2398,8 +2426,13 @@ object SimilarityQueries {
   /** [[nnGraphCtes]] + the unrolled beam search, ending in
     * `gsearch(query_id, neighbor_id, rank, d2)` — lockstep with
     * [[graphSearchAt]] at [[GraphHops]]. */
-  private def graphSearchCtes: String = {
-    val hops = (1 to GraphHops).map { i =>
+  private def graphSearchCtes: String = graphSearchCtesAt(GraphHops)
+
+  /** [[graphSearchCtes]] parametrized on the unrolled hop count — the
+    * hop-sweep oracle replays the chain once per width (the nprobe
+    * sweep pattern); h = 0 degenerates to the entry-cell scan. */
+  private def graphSearchCtesAt(h: Int): String = {
+    val hops = (1 to h).map { i =>
       s"""gb$i AS (
          |  SELECT query_id, cand FROM (
          |    SELECT *, row_number() OVER (
@@ -2429,12 +2462,11 @@ object SimilarityQueries {
        |    CAST(${d2Sql("q.qv", "m.v", Dims)} AS BIGINT) AS d2
        |  FROM gq q JOIN gasg m
        |    ON m.cell_id = q.cell_id AND m.id <> q.query_id),
-       |$hops,
-       |gsearch AS (
+       |${if (h > 0) hops + ",\n" else ""}gsearch AS (
        |  SELECT query_id, cand AS neighbor_id, rank, d2 FROM (
        |    SELECT *, row_number() OVER (
        |      PARTITION BY query_id ORDER BY d2 ASC, cand ASC) AS rank
-       |    FROM gv$GraphHops) WHERE rank <= $K)""".stripMargin
+       |    FROM gv$h) WHERE rank <= $K)""".stripMargin
   }
 
   /** The PQ-coded corpus (vec_id, sub, code) — the batch ADC query's

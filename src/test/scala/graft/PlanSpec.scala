@@ -70,10 +70,11 @@ class PlanSpec extends SparkSpec {
       "curate_kmv_decontam", // same 1-row scalar cross (split sketches × exact leak count)
       "graph_skew_mitigated", // 1-row scalar crosses (key table × its total, cold stats × hot stats)
       "graph_skew_step", // same 1-row total cross gating the hub set
-      "mm_hybrid_rrf") // feature branch embeds mm_knn's brute query-sample broadcast cross
-      // (the graph-ANN rows' centroid-probe broadcast crosses live inside
-      // their eagerly-checkpointed index builds — the SERVED plans are
-      // clean, so they are deliberately NOT registered here)
+      "mm_hybrid_rrf", // feature branch embeds mm_knn's brute query-sample broadcast cross
+      // (the graph-ANN serve/recall rows' centroid-probe broadcast crosses
+      // live inside their eagerly-checkpointed index builds — those SERVED
+      // plans are clean, so they are deliberately NOT registered here)
+      "sim_graph_hop_sweep") // the hop-0 branch IS the raw entry-cell scan: its k-sized centroid-probe broadcast is in the plan by design
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -251,7 +252,9 @@ class PlanSpec extends SparkSpec {
       "sim_nn_graph" -> 1, // measured 0: a pure scan of the checkpointed edge list
       "sim_graph_search" -> 2, // measured 1: final top-K window over the checkpointed visited set
       "sim_graph_recall" -> 5, // measured 4: exact-baseline join + per-query recall agg
-      "curate_gate_agreement" -> 3) // measured 2: one fused literal-grid pass + the 1-row contingency agg
+      "curate_gate_agreement" -> 3, // measured 2: one fused literal-grid pass + the 1-row contingency agg
+      "sim_graph_hop_sweep" -> 35, // measured 32: 3 × (search branch + exact-baseline compare); the hop-0 branch plans the raw entry scan
+      "curate_nb_bands" -> 3) // measured 2: map-only fixed banding + one ≤21-group aggregate
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

@@ -658,6 +658,23 @@ class SimilaritySpec extends SparkSpec {
     hop2.count(r => !e0.contains((r._1, r._2))) should be > 0
   }
 
+  test("hop sweep: recall monotone in depth, hop-2 branch equals the standalone gate") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sim_graph_hop_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    rows should not be empty
+    val mean = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    // hops only add candidates — mean recall can never fall with depth
+    mean(0L) should be <= mean(1L)
+    mean(1L) should be <= mean(2L)
+    // the hops=2 branch must be the standalone recall row, row for row
+    // (a drifted sweep would grade a different search than it claims)
+    val gate = SparkEntry.queries("sim_graph_recall")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    rows.filter(_._1 == 2L).map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe gate
+  }
+
   test("graph recall beats zero and never loses to the entry-cell floor") {
     val d = "/root/testdata/sf0.001"
     def mean(rows: Array[(Long, Long, Long, Double)]) =

@@ -312,4 +312,31 @@ class TextAnalysisSpec extends SparkSpec {
     // NOT redundant — the audit's reason to exist
     r.getAs[Double]("kappa") should (be > 0.0 and be < 1.0)
   }
+
+  test("NB score bands partition the admitted set and carry exact precision") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("curate_nb_bands")(spark, d).collect()
+    rows should not be empty
+    var total = 0L
+    rows.foreach { r =>
+      val (band, n, t) = (r.getAs[Long]("band"),
+        r.getAs[Long]("n_admitted"), r.getAs[Long]("n_true_en"))
+      band should (be >= 0L and be <= 20L)
+      t should be <= n
+      r.getAs[Double]("precision") shouldBe t.toDouble / n.toDouble
+      total += n
+    }
+    // the bands cover the admitted set exactly — nothing dropped by the
+    // map-only banding
+    val admitted = SparkEntry.queries("text_nb_score")(spark, d)
+      .filter(col("pred_lang") === "en" && col("n_bigrams") > 0).count()
+    total shouldBe admitted
+    // the precision CURVE carries signal on this fixture: some band
+    // beats the pooled admission precision, so score thresholding is a
+    // real knob (the row's reason to exist)
+    val pooled = rows.map(_.getAs[Long]("n_true_en")).sum.toDouble /
+      rows.map(_.getAs[Long]("n_admitted")).sum.toDouble
+    rows.filter(_.getAs[Long]("n_admitted") >= 20)
+      .map(_.getAs[Double]("precision")).max should be > pooled
+  }
 }
