@@ -683,6 +683,49 @@ object Similarity {
       .select(col("src"), col("dst"), col("erank"), col("d2"))
   }
 
+  /** [[graphBeamSearch]] for an ARRIVING query frame — the serving
+    * form: each query finds its entry cell by the same broadcast
+    * centroid argmin every IVF consumer uses (nprobe = 1), scans that
+    * cell's members off the checkpointed `assigned` corpus as the
+    * seed beam, then traverses the checkpointed edge list. Per query
+    * batch nothing but the batch-sized probe frame moves — the
+    * corpus, the assignment, and the O(n·degree) edge list are the
+    * static sides. Because cell assignment is per-vector under fixed
+    * centroids, a corpus-member query gets exactly the cell the batch
+    * search derived from its own assignment row — which is what makes
+    * the streaming twin row-identical to `sim_graph_search`
+    * (StreamingSpec pins it).
+    *
+    * `queries`: (query_id, qv). `cents`: (cent_id, cent_v).
+    * `assigned`: (__id, __v, cell_id) — the cr = 1 corpus assignment.
+    * `edges`: (src, dst, …). Returns (query_id, neighbor_id, rank, d2). */
+  def graphSearchQueries(queries: DataFrame, cents: DataFrame,
+      assigned: DataFrame, edges: DataFrame,
+      hops: Int, beam: Int, k: Int): DataFrame = {
+    val qd2 = dot(col("qv"), col("qv")) -
+      lit(2.0) * dot(col("qv"), col("cent_v")) +
+      dot(col("cent_v"), col("cent_v"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qd2").asc, col("cent_id").asc)
+    val probes = queries.select(col("query_id"), col("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__qd2", qd2)
+      .withColumn("__pr", row_number().over(pw))
+      .filter(col("__pr") === 1)
+      .select(col("query_id"), col("qv"), col("cent_id").as("cell_id"))
+    val entry = probes
+      .join(assigned.select(col("__id").as("cand"),
+        col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("d2", (dot(col("qv"), col("qv"))
+        - lit(2.0) * dot(col("qv"), col("__cv"))
+        + dot(col("__cv"), col("__cv"))).cast("long"))
+      .select("query_id", "cand", "d2")
+    graphBeamSearch(probes.select(col("query_id"), col("qv")), entry,
+      edges, assigned.select(col("__id").as("vec_id"), col("__v").as("v")),
+      hops = hops, beam = beam, k = k)
+  }
+
   /** Beam search over a bounded-degree neighbor graph, unrolled to a
     * FIXED hop count — the relational form of DiskANN's greedy search.
     * Each hop expands the current beam's out-edges (an equi-join on

@@ -148,4 +148,26 @@ object StreamingSearch {
           batch, "query_id", "qv", k, assigned.get(), cents, nprobe,
           excludeSelfId = false))
       }
+
+  /** GRAPH-TRAVERSAL serving — the streaming twin of the batch
+    * `sim_graph_search` row: each arriving query batch enters at its
+    * nearest cell (broadcast centroid argmin), seeds the beam with
+    * that cell's members off the checkpointed assignment, and runs
+    * the SAME bounded [[Similarity.graphBeamSearch]] hops over the
+    * checkpointed O(n·degree) edge list — per query the traversal
+    * touches |entry| + hops·beam·degree rows no matter how large the
+    * corpus is, which is the property that makes this the
+    * lowest-cost-per-query serving shape on the board. Reusing the
+    * batch kernels verbatim is the correctness argument:
+    * StreamingSpec pins streamed results row-identical to the batch
+    * query on the same query set. */
+  def serveGraphWriter(queries: DataFrame, cents: DataFrame,
+      assigned: DataFrame, edges: DataFrame,
+      hops: Int, beam: Int, k: Int)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(Similarity.graphSearchQueries(
+          batch, cents, assigned, edges, hops, beam, k))
+      }
 }

@@ -1173,6 +1173,45 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe expected
   }
 
+  test("streaming graph-traversal serving equals the batch beam search on the same query set") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("sim_graph_search")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    expected should not be empty
+
+    val qvecs = graft.ingest.Tables.embeddings(spark, d)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+      .as[(Long, Seq[Double])].collect().toIndexedSeq
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val e = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val (assigned, _) = graft.operators.Similarity.ivfAssignCentroids(
+      e, "vec_id", "qv", cents, nprobe = 1)
+    val asg = assigned.localCheckpoint()
+    val edges = graft.queries.SimilarityQueries.nnGraphEdges(spark, d)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingSearch.serveGraphWriter(
+        in.toDF().toDF("query_id", "qv"), cents, asg, edges,
+        hops = 2, beam = 10, k = 10) { out =>
+        buf.synchronized { buf ++= out.as[(Long, Long, Long, Long)].collect() }
+      }
+      .option("checkpointLocation", tmp("ckpt-graph")).start()
+    // two chunks: the second batch proves the static sides (assignment,
+    // edge list) serve every arrival batch identically
+    qvecs.grouped(math.max(1, qvecs.length / 2 + 1)).foreach { c =>
+      in.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    buf.toSet shouldBe expected
+  }
+
   test("streaming hybrid serving equals the batch RRF fusion on the same query set") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
