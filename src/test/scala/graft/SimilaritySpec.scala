@@ -675,6 +675,36 @@ class SimilaritySpec extends SparkSpec {
     rows.filter(_._1 == 2L).map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe gate
   }
 
+  test("graph serving answers external queries: a copied vector finds its original at rank 1") {
+    val d = "/root/testdata/sf0.001"
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val e = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val (assigned, _) = Similarity.ivfAssignCentroids(
+      e, "vec_id", "qv", cents, nprobe = 1)
+    val edges = graft.queries.SimilarityQueries.nnGraphEdges(spark, d)
+    // an EXTERNAL query: corpus vector 17's coordinates under a fresh id
+    // outside the corpus id space — the serving path must not depend on
+    // the query having an assignment row of its own
+    val v17 = e.filter(col("vec_id") === 17L)
+      .select(col("qv")).as[Seq[Double]].collect()(0)
+    val ext = Seq((999999L, v17)).toDF("query_id", "qv")
+    val got = Similarity.graphSearchQueries(
+        ext, cents, assigned.localCheckpoint(), edges,
+        hops = 2, beam = 10, k = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    got should not be empty
+    got.map(_._3).toSeq shouldBe (1L to got.length)
+    // the original is the exact-match nearest neighbor: rank 1, d2 = 0
+    got.head._2 shouldBe 17L
+    got.head._4 shouldBe 0L
+    // every served neighbor is a real corpus member
+    val ids = e.select(col("vec_id")).as[Long].collect().toSet
+    got.foreach(r => ids should contain(r._2))
+  }
+
   test("graph recall beats zero and never loses to the entry-cell floor") {
     val d = "/root/testdata/sf0.001"
     def mean(rows: Array[(Long, Long, Long, Double)]) =
