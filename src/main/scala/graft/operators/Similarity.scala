@@ -696,12 +696,23 @@ object Similarity {
     * the streaming twin row-identical to `sim_graph_search`
     * (StreamingSpec pins it).
     *
+    * `excludeSelfId` mirrors [[knnIvfFilteredQueries]]: `true` (the
+    * default) drops any corpus candidate whose id equals the query's
+    * id — correct when queries ARE corpus members (the batch twin,
+    * recall grading). EXTERNAL serving whose query-id space may
+    * collide with corpus vec_ids must pass `false`, else a colliding
+    * id silently drops that corpus vector — possibly the true nearest
+    * neighbor — from its results (the codebase's external-serving
+    * contract, see [[graft.streaming.StreamingSearch
+    * .serveAssignedSwappableWriter]]).
+    *
     * `queries`: (query_id, qv). `cents`: (cent_id, cent_v).
     * `assigned`: (__id, __v, cell_id) — the cr = 1 corpus assignment.
     * `edges`: (src, dst, …). Returns (query_id, neighbor_id, rank, d2). */
   def graphSearchQueries(queries: DataFrame, cents: DataFrame,
       assigned: DataFrame, edges: DataFrame,
-      hops: Int, beam: Int, k: Int): DataFrame = {
+      hops: Int, beam: Int, k: Int,
+      excludeSelfId: Boolean = true): DataFrame = {
     val qd2 = dot(col("qv"), col("qv")) -
       lit(2.0) * dot(col("qv"), col("cent_v")) +
       dot(col("cent_v"), col("cent_v"))
@@ -713,17 +724,18 @@ object Similarity {
       .withColumn("__pr", row_number().over(pw))
       .filter(col("__pr") === 1)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell_id"))
-    val entry = probes
+    val entry0 = probes
       .join(assigned.select(col("__id").as("cand"),
         col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
-      .filter(col("cand") =!= col("query_id"))
+    val entry = (if (excludeSelfId)
+        entry0.filter(col("cand") =!= col("query_id")) else entry0)
       .withColumn("d2", (dot(col("qv"), col("qv"))
         - lit(2.0) * dot(col("qv"), col("__cv"))
         + dot(col("__cv"), col("__cv"))).cast("long"))
       .select("query_id", "cand", "d2")
     graphBeamSearch(probes.select(col("query_id"), col("qv")), entry,
       edges, assigned.select(col("__id").as("vec_id"), col("__v").as("v")),
-      hops = hops, beam = beam, k = k)
+      hops = hops, beam = beam, k = k, excludeSelfId = excludeSelfId)
   }
 
   /** Beam search over a bounded-degree neighbor graph, unrolled to a
@@ -742,16 +754,18 @@ object Similarity {
     * `edges`: (src, dst, ...). `vecs`: (vec_id, v).
     * Returns (query_id, neighbor_id, rank, d2). */
   def graphBeamSearch(queries: DataFrame, entry: DataFrame, edges: DataFrame,
-      vecs: DataFrame, hops: Int, beam: Int, k: Int): DataFrame = {
+      vecs: DataFrame, hops: Int, beam: Int, k: Int,
+      excludeSelfId: Boolean = true): DataFrame = {
     val bw = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("cand").asc)
     var visited = entry.select("query_id", "cand", "d2")
     for (_ <- 1 to hops) {
       val beamF = visited.withColumn("__r", row_number().over(bw))
         .filter(col("__r") <= beam).select(col("query_id"), col("cand"))
-      val expanded = beamF
+      val expanded0 = beamF
         .join(edges.select(col("src").as("cand"), col("dst")), Seq("cand"))
-        .filter(col("dst") =!= col("query_id"))
+      val expanded = (if (excludeSelfId)
+          expanded0.filter(col("dst") =!= col("query_id")) else expanded0)
         .select(col("query_id"), col("dst").as("cand")).distinct()
       val scored = expanded
         .join(queries, Seq("query_id"))

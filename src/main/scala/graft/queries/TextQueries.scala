@@ -247,13 +247,16 @@ object TextQueries {
     // the composable bucket/zip_with/aggregate fold, which walks the
     // token array five times through interpreted lambdas
     // (TextHashFunctionsSpec pins the equivalence; n_bigrams =
-    // |tokens| − 1 ≡ the fold's |zip_with| length, tokens ≥ 1 always)
+    // max(|tokens| − 1, 0) ≡ the fold's |zip_with| length — the
+    // greatest(·, 0) matches the oracle's len(gs), which is 0 (never
+    // −1) for a zero-token document; with the negative ratio-gate
+    // numerator an unclamped −1 flipped the lm verdict on empty docs)
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .crossJoin(broadcast(wl))
       .select(col("doc_id"), col("lang"),
-        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n_bigrams"),
         graft.functions.TextHashFunctions.lmScoreBits(col("toks"), col("wl"))
           .as("lp_bits"))
   }
@@ -280,7 +283,7 @@ object TextQueries {
       .select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
-        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n_bigrams"),
         graft.functions.TextHashFunctions.lmMultiScoreBits(col("toks"), glit)
           .as("lps"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
@@ -434,7 +437,7 @@ object TextQueries {
       .select(col("doc_id"), col("lang"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"),
-        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n_bigrams"),
         graft.functions.TextHashFunctions.nbArgmaxBits(
           col("toks"), metaLit, LmScale).as("best"))
       .select(col("doc_id"), col("lang"), col("n_bigrams"),
@@ -492,7 +495,7 @@ object TextQueries {
     Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        greatest(size(col("toks")) - 1, lit(0)).cast("long").as("n_bigrams"),
         graft.functions.TextHashFunctions.lmNbFusedBits(
           col("toks"), gridsLit, metaLit, LmScale).as("f"))
   }

@@ -160,14 +160,24 @@ object StreamingSearch {
     * lowest-cost-per-query serving shape on the board. Reusing the
     * batch kernels verbatim is the correctness argument:
     * StreamingSpec pins streamed results row-identical to the batch
-    * query on the same query set. */
+    * query on the same query set.
+    *
+    * `excludeSelfId` defaults to `true` ONLY for that batch-twin
+    * parity contract, where the streamed queries ARE corpus members.
+    * A deployment serving genuinely external queries whose id space
+    * may collide with corpus vec_ids must pass `false` (the
+    * external-serving contract of [[serveAssignedSwappableWriter]]),
+    * else a colliding query id silently drops that corpus vector from
+    * its own results. */
   def serveGraphWriter(queries: DataFrame, cents: DataFrame,
       assigned: DataFrame, edges: DataFrame,
-      hops: Int, beam: Int, k: Int)(
+      hops: Int, beam: Int, k: Int,
+      excludeSelfId: Boolean = true)(
       sink: DataFrame => Unit): DataStreamWriter[Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(Similarity.graphSearchQueries(
-          batch, cents, assigned, edges, hops, beam, k))
+          batch, cents, assigned, edges, hops, beam, k,
+          excludeSelfId = excludeSelfId))
       }
 }

@@ -685,15 +685,19 @@ class SimilaritySpec extends SparkSpec {
     val (assigned, _) = Similarity.ivfAssignCentroids(
       e, "vec_id", "qv", cents, nprobe = 1)
     val edges = graft.queries.SimilarityQueries.nnGraphEdges(spark, d)
-    // an EXTERNAL query: corpus vector 17's coordinates under a fresh id
-    // outside the corpus id space — the serving path must not depend on
-    // the query having an assignment row of its own
+    // EXTERNAL queries under the external-serving contract
+    // (excludeSelfId = false): corpus vector 17's coordinates once
+    // under a fresh id outside the corpus id space, and once under an
+    // id that COLLIDES with an unrelated corpus vec_id — the serving
+    // path must neither depend on the query having an assignment row
+    // of its own nor drop the colliding corpus vector from results
     val v17 = e.filter(col("vec_id") === 17L)
       .select(col("qv")).as[Seq[Double]].collect()(0)
+    val asgCkpt = assigned.localCheckpoint()
     val ext = Seq((999999L, v17)).toDF("query_id", "qv")
     val got = Similarity.graphSearchQueries(
-        ext, cents, assigned.localCheckpoint(), edges,
-        hops = 2, beam = 10, k = 10)
+        ext, cents, asgCkpt, edges,
+        hops = 2, beam = 10, k = 10, excludeSelfId = false)
       .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
     got should not be empty
     got.map(_._3).toSeq shouldBe (1L to got.length)
@@ -703,6 +707,22 @@ class SimilaritySpec extends SparkSpec {
     // every served neighbor is a real corpus member
     val ids = e.select(col("vec_id")).as[Long].collect().toSet
     got.foreach(r => ids should contain(r._2))
+    // id COLLISION: the same coordinates under query_id 17 (an existing
+    // corpus id) — with excludeSelfId = false the colliding vector 17
+    // is still returned at rank 1 (the r13-advice failure mode: the
+    // old hard-coded exclusion silently dropped it)
+    val coll = Similarity.graphSearchQueries(
+        Seq((17L, v17)).toDF("query_id", "qv"), cents, asgCkpt, edges,
+        hops = 2, beam = 10, k = 10, excludeSelfId = false)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    coll.head._2 shouldBe 17L
+    coll.head._4 shouldBe 0L
+    // and the default (corpus-member twin contract) still excludes it
+    val selfEx = Similarity.graphSearchQueries(
+        Seq((17L, v17)).toDF("query_id", "qv"), cents, asgCkpt, edges,
+        hops = 2, beam = 10, k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    selfEx.map(_._2) should not contain 17L
   }
 
   test("graph recall beats zero and never loses to the entry-cell floor") {

@@ -128,6 +128,14 @@ class TextHashFunctionsSpec extends SparkSpec {
       .filter(col("native") =!= col("classic") ||
         col("n_native") =!= col("n_classic"))
     diff.count() shouldBe 0L
+    // the gates' clamped n_bigrams (r13 advice): greatest(|toks|−1, 0)
+    // must equal the oracle's len(gs) on every edge doc — never −1,
+    // which would flip the negative-numerator ratio gate's verdict
+    val clampDiff = texts.toDF("t")
+      .select(greatest(fsize(toks) - 1, lit(0)).cast("long").as("nb"),
+        fsize(gs).cast("long").as("ng"))
+      .filter(col("nb") =!= col("ng") || col("nb") < 0)
+    clampDiff.count() shouldBe 0L
   }
 
   test("native nbArgmaxBits == per-class lmScoreBits folds + greatest(struct)") {
