@@ -312,6 +312,66 @@ object DedupQueries {
            |GROUP BY 1, 2""".stripMargin
   }
 
+  /** Substring-span dedup parameters. Gram size 8 with min span 10
+    * tokens: the fixture plants repeated paragraphs of 10–99 tokens
+    * (measured at sf0.01/sf0.1), and an 8-gram over the 31-word
+    * vocabulary is long enough that chance collisions contribute no
+    * spurious islands. occCap 32 is the deterministic bound on the
+    * per-gram candidate list (the banded+capped doctrine —
+    * [[Dedup.candidatePairs]]'s bucketCap): measured max gram
+    * frequency is 6 at sf0.1, so NOTHING is dropped at fixture scale,
+    * while at 100 TB a boilerplate gram hotter than the cap pairs
+    * only its first 32 occurrences — bounded work, and the
+    * neighboring rarer grams of any real span still pair it. */
+  private val SpanK = 8
+  private val SpanMinLen = 10
+  private val SpanOccCap = 32
+
+  /** The maximal-repeated-span manifest, shared by the manifest row
+    * and the cleaned-corpus row (one gram-index build, not two). */
+  private def substringSpans(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.memo(s, d, "substring_spans") {
+      graft.operators.SpanDedup.repeatedSpans(Tables.documents(s, d),
+        "doc_id", "text", k = SpanK, minLen = SpanMinLen,
+        occCap = SpanOccCap)
+    }
+
+  /** Oracle CTEs replaying the span pipeline gram-for-gram: positional
+    * k-gram index (same hash60), the deterministic per-gram cap, the
+    * ordered occurrence self-join, and offset-minus-rank island
+    * merging — `sspan` is the maximal-span manifest. */
+  private def substringCtes: String = {
+    val k = SpanK
+    s"""sst AS (SELECT doc_id, ${tokens("text")} AS toks FROM documents),
+       |ssg0 AS (
+       |  SELECT doc_id, u.i AS off,
+       |    ${graft.functions.PortableHash.hash60Sql(
+             s"array_to_string(toks[u.i:u.i+${k - 1}], ' ')")}
+       |      AS gram
+       |  FROM sst, LATERAL unnest(CASE WHEN len(toks) >= $k
+       |    THEN range(1, len(toks) - $k + 2) ELSE [] END) AS u(i)),
+       |ssgc AS (SELECT doc_id, off, gram, row_number() OVER (
+       |    PARTITION BY gram ORDER BY doc_id, off) AS r FROM ssg0),
+       |ssg AS (SELECT doc_id, off, gram FROM ssgc WHERE r <= $SpanOccCap),
+       |sshit AS (
+       |  SELECT a.doc_id AS da, a.off AS oa, b.doc_id AS db, b.off AS ob
+       |  FROM ssg a JOIN ssg b ON a.gram = b.gram
+       |    AND (a.doc_id < b.doc_id
+       |      OR (a.doc_id = b.doc_id AND a.off < b.off))),
+       |ssisl AS (SELECT da, db, oa - ob AS diag, oa,
+       |    oa - row_number() OVER (
+       |      PARTITION BY da, db, oa - ob ORDER BY oa) AS grp
+       |  FROM sshit),
+       |sspan AS (
+       |  SELECT da AS doc_a, min(oa) AS a_start, db AS doc_b,
+       |    min(oa) - diag AS b_start,
+       |    max(oa) + ${k - 1} - min(oa) + 1 AS span_toks
+       |  FROM ssisl GROUP BY da, db, diag, grp
+       |  HAVING max(oa) + ${k - 1} - min(oa) + 1 >= $SpanMinLen)"""
+      .stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // Exact dedup: hash-groupBy on the 32-byte digest of normalized text
@@ -379,6 +439,58 @@ object DedupQueries {
          |  COALESCE(string_agg(span, ' ' ORDER BY idx)
          |    FILTER (WHERE rn = 1), '') AS text_dedup
          |FROM flagged GROUP BY doc_id, source""".stripMargin),
+
+    // Substring-level exact dedup (suffix-array-style repeated-span
+    // removal, relationally): positional k-gram index → ONE capped
+    // hash aggregation on the gram generating occurrence pairs in
+    // compiled group-local code (no self-join of the index) →
+    // offset-minus-rank island merge on (doc pair, diagonal) into
+    // MAXIMAL spans ≥ 10 tokens. Unlike dedup_spans' fixed 8-token
+    // TILING (which misses repeats straddling tile boundaries and
+    // reports tile-granular matches), this finds every repeated span
+    // at token granularity and reports each exactly once, maximal.
+    "curate_substring_spans" -> QueryDef(
+      (s, d) => substringSpans(s, d),
+      s"""WITH $substringCtes
+         |SELECT doc_a, a_start, doc_b, b_start, span_toks
+         |FROM sspan""".stripMargin),
+
+    // The cleaned corpus: the LATER occurrence of every repeated span
+    // is stripped, the first kept (within- and cross-document). The
+    // per-doc removal intervals merge under a running-max window
+    // (manifest-scale), aggregate to one array per affected doc, and
+    // the corpus-side strip is one equi-join + a compiled higher-order
+    // filter — the corpus moves once, map-only after the join.
+    "curate_substring_strip" -> QueryDef(
+      (s, d) => graft.operators.SpanDedup.stripSpans(
+        Tables.documents(s, d), "doc_id", "text", substringSpans(s, d)),
+      s"""WITH $substringCtes,
+         |ssiv0 AS (SELECT DISTINCT doc_b AS doc_id, b_start AS s,
+         |    b_start + span_toks - 1 AS e FROM sspan),
+         |ssivw AS (SELECT doc_id, s, e, max(e) OVER (
+         |    PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM ssiv0),
+         |ssivg AS (SELECT doc_id, s, e,
+         |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e
+         |        ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM ssivw),
+         |ssivm AS (SELECT doc_id, min(s) AS ms, max(e) AS me
+         |  FROM ssivg GROUP BY doc_id, grp),
+         |sspos AS (SELECT doc_id, u.i AS pos, toks[u.i] AS tok,
+         |    len(toks) AS n_toks
+         |  FROM sst, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
+         |sscov AS (SELECT DISTINCT p.doc_id, p.pos
+         |  FROM sspos p JOIN ssivm v
+         |  ON p.doc_id = v.doc_id AND p.pos BETWEEN v.ms AND v.me)
+         |SELECT p.doc_id, CAST(max(p.n_toks) AS BIGINT) AS n_toks,
+         |  CAST(count(c.pos) AS BIGINT) AS n_removed,
+         |  COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN p.tok END,
+         |    ' ' ORDER BY p.pos), '') AS clean_text
+         |FROM sspos p LEFT JOIN sscov c
+         |  ON p.doc_id = c.doc_id AND p.pos = c.pos
+         |GROUP BY p.doc_id""".stripMargin),
 
     // MinHash + LSH banding near-dup: map-only signatures, equi-join on
     // band keys, exact Jaccard verification on candidates only — over

@@ -254,7 +254,10 @@ class PlanSpec extends SparkSpec {
       "sim_graph_recall" -> 5, // measured 4: exact-baseline join + per-query recall agg
       "curate_gate_agreement" -> 3, // measured 2: one fused literal-grid pass + the 1-row contingency agg
       "sim_graph_hop_sweep" -> 35, // measured 32: 3 × (search branch + exact-baseline compare); the hop-0 branch plans the raw entry scan
-      "curate_nb_bands" -> 3) // measured 2: map-only fixed banding + one ≤21-group aggregate
+      "curate_nb_bands" -> 3, // measured 2: map-only fixed banding + one ≤21-group aggregate
+      // r14 entrants (new-query shapes locked on entry)
+      "curate_substring_spans" -> 0, // checkpointed span manifest: a pure scan
+      "curate_substring_strip" -> 4) // measured 3: interval merge window + per-doc agg + the corpus-side broadcast join
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SpanDedup
+
+/** Substring-span dedup semantics on engineered corpora: a planted
+  * repeated paragraph is found exactly once (maximal, token-exact
+  * offsets), stripped from the later occurrence only, overlapping
+  * removal intervals merge without double-counting, the per-gram cap
+  * is deterministic, and short/empty documents pass through. */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def uniq(tag: String, n: Int): Seq[String] =
+    (1 to n).map(i => s"$tag$i")
+  private val span12 = uniq("p", 12) // the planted 12-token paragraph
+
+  private def doc(id: Long, toks: Seq[String]): (Long, String) =
+    (id, toks.mkString(" "))
+
+  test("planted repeated paragraph: found exactly once, maximal, token-exact") {
+    val docs = Seq(
+      doc(1L, uniq("a", 5) ++ span12 ++ uniq("b", 5)),
+      doc(2L, uniq("c", 3) ++ span12 ++ uniq("d", 7)))
+      .toDF("doc_id", "text")
+    val got = SpanDedup.repeatedSpans(docs, "doc_id", "text",
+        k = 4, minLen = 10, occCap = 32)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // exactly ONE manifest row — maximal, never the 9 constituent
+    // 4-gram islands or any sub-span
+    got.toSeq shouldBe Seq((1L, 6L, 2L, 4L, 12L))
+  }
+
+  test("strip removes the later occurrence only, in token order") {
+    val docs = Seq(
+      doc(1L, uniq("a", 5) ++ span12 ++ uniq("b", 5)),
+      doc(2L, uniq("c", 3) ++ span12 ++ uniq("d", 7)))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minLen = 10, occCap = 32)
+    val got = SpanDedup.stripSpans(docs, "doc_id", "text", spans)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    got(0) shouldBe ((1L, 22L, 0L,
+      (uniq("a", 5) ++ span12 ++ uniq("b", 5)).mkString(" ")))
+    got(1) shouldBe ((2L, 22L, 12L,
+      (uniq("c", 3) ++ uniq("d", 7)).mkString(" ")))
+  }
+
+  test("within-document repeat: first occurrence kept, second stripped") {
+    val rep = uniq("r", 10)
+    val docs = Seq(
+      doc(7L, uniq("x", 4) ++ rep ++ uniq("y", 4) ++ rep ++ uniq("z", 2)))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minLen = 10, occCap = 32)
+    spans.as[(Long, Long, Long, Long, Long)].collect().toSeq shouldBe
+      Seq((7L, 5L, 7L, 19L, 10L))
+    val got = SpanDedup.stripSpans(docs, "doc_id", "text", spans)
+      .as[(Long, Long, Long, String)].collect()
+    got.length shouldBe 1
+    got.head shouldBe ((7L, 30L, 10L,
+      (uniq("x", 4) ++ rep ++ uniq("y", 4) ++ uniq("z", 2)).mkString(" ")))
+  }
+
+  test("overlapping removal intervals merge: covered union, not the sum") {
+    // doc 10 carries X at [5,16] and Y at [13,24], overlapping by 4
+    // tokens; X is doc 1 verbatim, Y is doc 2 verbatim
+    val x = uniq("x", 12)
+    val y = x.drop(8) ++ uniq("w", 8)
+    val d10 = uniq("u", 4) ++ x ++ y.drop(4) ++ uniq("v", 4)
+    val docs = Seq(doc(1L, x), doc(2L, y), doc(10L, d10))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minLen = 10, occCap = 32)
+    spans.as[(Long, Long, Long, Long, Long)].collect().toSet shouldBe
+      Set((1L, 1L, 10L, 5L, 12L), (2L, 1L, 10L, 13L, 12L))
+    val merged = SpanDedup.removalIntervals(spans, "doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    merged shouldBe Seq((10L, 5L, 24L))
+    val got = SpanDedup.stripSpans(docs, "doc_id", "text", spans)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // 20 covered positions (the union), never 24 (the sum)
+    got.map(r => (r._1, r._3)).toSeq shouldBe
+      Seq((1L, 0L), (2L, 0L), (10L, 20L))
+    got(2)._4 shouldBe (uniq("u", 4) ++ uniq("v", 4)).mkString(" ")
+  }
+
+  test("per-gram occurrence cap is deterministic: first cap occurrences pair") {
+    // the same paragraph in three docs; cap 2 keeps only the two
+    // lexicographically-first occurrences of each gram, so doc 3's
+    // copy pairs with nothing and survives the strip
+    val docs = Seq(
+      doc(1L, uniq("a", 3) ++ span12),
+      doc(2L, uniq("b", 3) ++ span12),
+      doc(3L, uniq("c", 3) ++ span12))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minLen = 10, occCap = 2)
+    spans.as[(Long, Long, Long, Long, Long)].collect().toSeq shouldBe
+      Seq((1L, 4L, 2L, 4L, 12L))
+    val got = SpanDedup.stripSpans(docs, "doc_id", "text", spans)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    got.map(r => (r._1, r._3)).toSeq shouldBe
+      Seq((1L, 0L), (2L, 12L), (3L, 0L))
+    // uncapped, all three pair and docs 2 and 3 both lose the span
+    val full = SpanDedup.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minLen = 10, occCap = 32)
+    full.count() shouldBe 3L // (1,2), (1,3), (2,3)
+    SpanDedup.stripSpans(docs, "doc_id", "text", full)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      .map(r => (r._1, r._3)).toSeq shouldBe
+      Seq((1L, 0L), (2L, 12L), (3L, 12L))
+  }
+
+  test("short and empty documents pass through untouched") {
+    val docs = Seq(doc(1L, Seq("one", "two")), (2L, ""),
+      doc(3L, uniq("a", 3) ++ span12), doc(4L, uniq("b", 3) ++ span12))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minLen = 10, occCap = 32)
+    spans.count() shouldBe 1L
+    val got = SpanDedup.stripSpans(docs, "doc_id", "text", spans)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    got(0) shouldBe ((1L, 2L, 0L, "one two"))
+    // normalize("") splits to [""]: one empty token, nothing removable
+    got(1) shouldBe ((2L, 1L, 0L, ""))
+    got(2)._3 shouldBe 0L
+    got(3)._3 shouldBe 12L
+  }
+
+  test("fixture replay: every manifest span really repeats, verbatim and maximal") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.ingest.Tables.documents(spark, d)
+    val spans = SpanDedup.repeatedSpans(docs, "doc_id", "text",
+      k = 8, minLen = 10, occCap = 32)
+    val toks = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.tokens(col("text")).as("toks"))
+    val checked = spans
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+        Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("a_start"), col("doc_b"), col("b_start"),
+        col("span_toks"),
+        // verbatim: the two slices are token-identical
+        (slice(col("ta"), col("a_start").cast("int"),
+          col("span_toks").cast("int")) ===
+          slice(col("tb"), col("b_start").cast("int"),
+            col("span_toks").cast("int"))).as("same"),
+        // maximal: extending one token left or right breaks the match
+        (col("a_start") === 1 || col("b_start") === 1 ||
+          element_at(col("ta"), (col("a_start") - 1).cast("int")) =!=
+            element_at(col("tb"), (col("b_start") - 1).cast("int")))
+          .as("left_max"),
+        // qualified: ScalaTest's Matchers.size shadows functions.size
+        ((col("a_start") + col("span_toks"))
+          .gt(org.apache.spark.sql.functions.size(col("ta"))) ||
+          (col("b_start") + col("span_toks"))
+            .gt(org.apache.spark.sql.functions.size(col("tb"))) ||
+          element_at(col("ta"),
+            (col("a_start") + col("span_toks")).cast("int")) =!=
+            element_at(col("tb"),
+              (col("b_start") + col("span_toks")).cast("int")))
+          .as("right_max"))
+    checked.count() should be > 0L
+    checked.filter(!col("same") || !col("left_max") || !col("right_max"))
+      .count() shouldBe 0L
+  }
+}
