@@ -600,12 +600,12 @@ object StreamBench {
       .semDroppedIds(spark, sfDir).localCheckpoint()
     val lmW = graft.queries.TextQueries.lmWeightArray(spark, sfDir)
     val lmBg = graft.queries.TextQueries.lmBgWeightArray(spark, sfDir)
-    val (rNum, rDen) = graft.queries.TextQueries.lmRatioThreshold
+    val lmTheta = graft.queries.TextQueries.lmCalibTheta(spark, sfDir)
     val dsirW = graft.queries.DedupQueries.dsirWeightArray(spark, sfDir)
     val in = MemoryStream[PipeIn]
     val q = graft.streaming.StreamingIntake.pipelineStream(
         in.toDF().toDF("source", "doc_id", "lang", "text", "ts"),
-        cutoffs, semDrops, lmW, lmBg, rNum, rDen,
+        cutoffs, semDrops, lmW, lmBg, lmTheta,
         dsirW, graft.queries.DedupQueries.pipelineStep,
         // 64-way sharded resampler: at the section's replicated volume
         // every stratum's weight is far above the step, so the

@@ -191,8 +191,10 @@ object DedupQueries {
         // threshold partially restated language ID; the ratio cancels
         // the generic-probability term). Both grids are trained
         // models served as broadcast arrays; the predicate is int64
-        // cross-multiplied.
-        val (rNum, rDen) = TextQueries.lmRatioThreshold
+        // arithmetic on the CALIBRATED order-statistic threshold
+        // (r13 proved the fixed rational saturates at 10× data — the
+        // capstones compose the scale-transferring gate; the fixed
+        // form survives as the historical curate_lm_ratio_gate row).
         // stage 4: semantic near-dup drop in the shared id space
         val semDrops = SimilarityQueries.semDroppedIds(s, d)
           .withColumnRenamed("vec_id", "doc_id")
@@ -203,13 +205,9 @@ object DedupQueries {
         // second full tokenize+MD5 sweep for the classifier); the plain
         // variant keeps the ratio-only score frame
         val clsGated = if (classifierGate)
-          gated.join(TextQueries.lmNbFusedAdmittedIds(s, d),
+          gated.join(TextQueries.lmNbFusedAdmittedIdsCalib(s, d),
             Seq("doc_id"), "left_semi")
-        else gated.join(
-          TextQueries.lmRatioScoreFrame(s, d)
-            .filter(lit(rDen) * (col("lp_t") - col("lp_bg")) >=
-              lit(rNum) * col("n_bigrams"))
-            .select(col("doc_id")),
+        else gated.join(TextQueries.lmCalibAdmittedIds(s, d),
           Seq("doc_id"), "left_semi")
         // The survivors' manifest (source, doc_id, n_tokens — kilobytes)
         // feeds TWO consumers: the DSIR scoring pass and the final split
@@ -261,10 +259,10 @@ object DedupQueries {
         def bucketSql(e: String) =
           s"(${PortableHash.hash60Sql(s"CAST($e AS VARCHAR) || '|split'")} % 100)"
         val hSql = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|dsir'")
-        val (rNum, rDen) = TextQueries.lmRatioThreshold
         val nbBlocks =
           if (classifierGate) s"${TextQueries.nbCtesBody},\n" else ""
         s"""WITH ${TextQueries.lmRatioCtes},
+           |${TextQueries.calibThetaCtes},
            |$nbBlocks${SimilarityQueries.semDropOracleCtes},
            |$dsirCtes,
            |xk AS (SELECT MIN(doc_id) AS doc_id FROM documents
@@ -284,8 +282,7 @@ object DedupQueries {
            |pclean AS (
            |  SELECT g.* FROM pgated g
            |  JOIN lmrsc ON lmrsc.doc_id = g.doc_id
-           |    AND $rDen * (lmrsc.lp_t - lmrsc.lp_bg) >=
-           |        $rNum * lmrsc.n_bigrams
+           |    AND ${TextQueries.calibAdmitSql("lmrsc")}
            |  WHERE g.doc_id NOT IN (SELECT vec_id FROM sdup)
            |    ${if (classifierGate)
                   "AND g.doc_id IN (SELECT doc_id FROM nbscd WHERE pred_lang = 'en')"

@@ -343,8 +343,194 @@ object TextQueries {
   /** Ratio-gate threshold as a rational (num, den): admit iff
     * den·(lp_t − lp_bg) ≥ num·n_bigrams. Package-visible so the
     * capstone, the streaming twin wiring, and the gate share one
-    * constant pair. */
+    * constant pair. KEPT for history (`curate_lm_ratio_gate`): the
+    * fixed rational does NOT transfer across corpus scale — r13
+    * measured it saturating at sf0.1 (5,000/5,000 admitted, kappa
+    * exactly 0 against the NB gate). New compositions should use the
+    * CALIBRATED threshold ([[lmCalibTheta]]). */
   private[graft] def lmRatioThreshold: (Long, Long) = (LmRatioNum, LmRatioDen)
+
+  /** Calibrated ratio-gate parameters. The gate's per-document score
+    * is the fixed-point ratio key
+    *   qk = (Q·(lp_t − lp_bg) + Off·Q·n_bigrams) div n_bigrams
+    * — Q = 2²⁰ carries 20 fractional bits of the quarter-bits-per-
+    * bigram ratio; the +Off·Q·n offset makes the numerator strictly
+    * positive (per-bigram wbits ∈ [1, 49], so lp_t − lp_bg ≥ −48·n >
+    * −Off·n), which makes Spark's truncating `div` and DuckDB's
+    * flooring `//` agree (the curate_nb_bands doctrine). No overflow
+    * at any corpus size: |lp_t − lp_bg| ≤ 49·n and n ≤ 2²² tokens per
+    * document keeps the numerator under 2⁴⁹.
+    *
+    * The THRESHOLD is not a constant: it is the k-th smallest qk over
+    * the scored target-language training slice, k = max(1, N div
+    * RankDen) — an exact integer order statistic computed at train
+    * time and shipped as a plan literal like the trained grids. By
+    * construction the gate admits ≈ (1 − 1/RankDen) of the target
+    * slice at ANY corpus scale — the r13 finding was that a fixed
+    * rational saturates when 10× data shifts the score distribution;
+    * an order statistic shifts with it. */
+  private val CalibQ = 1L << 20
+  private val CalibOff = 64L
+  private val CalibRankDen = 10L
+
+  /** The fixed-point ratio key as a SQL-text expression over columns
+    * `lp_t`/`lp_bg`/`n_bigrams` — ONE text used verbatim by the Spark
+    * plans (via expr) and echoed (with `//`) in the oracle, so the two
+    * engines can never drift on the key arithmetic. */
+  private def calibKeyExpr(div: String): String =
+    s"(($CalibQ * (lp_t - lp_bg) + ${CalibOff * CalibQ} * n_bigrams) " +
+      s"$div n_bigrams)"
+
+  /** Train-time calibration: (theta, k, n_train) — theta the k-th
+    * smallest ratio key over the en slice (n_bigrams > 0). Computed as
+    * a qk-histogram + cumulative count (never a global sort of the
+    * corpus: the histogram is distinct-key-sized, map-side combined),
+    * memoized and checkpointed like every trained model. */
+  private def lmCalibThetaFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // resolve the score frame's grid memos BEFORE entering our own
+    // memo (FrameCache must not nest)
+    val sc = lmRatioScoreSpark(s, d)
+    FrameCache.memo(s, d, "lm_calib_theta") {
+      import org.apache.spark.sql.expressions.Window
+      val en = sc.filter(col("lang") === "en" && col("n_bigrams") > 0)
+        .select(expr(calibKeyExpr("div")).as("qk"))
+      val hist = en.groupBy(col("qk")).agg(count(lit(1)).as("c"))
+      // single-partition window is SAFE here: rows = distinct ratio
+      // keys of the training slice's histogram, not corpus rows
+      val cw = Window.orderBy(col("qk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("c")).over(cw))
+        .crossJoin(broadcast(en.agg(count(lit(1)).as("n_train"))))
+        .withColumn("k", greatest(lit(1L),
+          expr(s"n_train div $CalibRankDen")))
+        .filter(col("cum") >= col("k"))
+        .agg(min(col("qk")).as("theta"), max(col("k")).as("k"),
+          max(col("n_train")).as("n_train"))
+    }
+  }
+
+  /** The calibrated threshold, collected once per (session, sf) and
+    * shipped into gate plans as a literal (the trained-grid serving
+    * doctrine). */
+  private[graft] def lmCalibTheta(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    lmCalibThetaFrame(s, d).collect()(0).getAs[Long]("theta")
+
+  /** (Q, Off) of the calibrated key, package-visible so the streaming
+    * capstone twin applies bit-identical gate arithmetic to the theta
+    * it is handed (StreamingSpec pins the manifests equal). */
+  private[graft] def lmCalibScale: (Long, Long) = (CalibQ, CalibOff)
+
+  /** The calibrated admission predicate over a frame carrying
+    * `lp_t`/`lp_bg`/`n_bigrams` columns: ratio key ≥ theta, with
+    * zero-bigram documents admitted (no evidence → pass through, the
+    * fixed gate's 0 ≥ 0 convention). */
+  private def calibAdmit(theta: Long): org.apache.spark.sql.Column =
+    col("n_bigrams") === 0L || expr(calibKeyExpr("div")) >= lit(theta)
+
+  /** Oracle CTEs for the calibration: the qk slice (`ccq`) and the
+    * 1-row threshold (`cth`) — appended after [[lmRatioCtes]]'s
+    * `lmrsc`. The order statistic replays via row_number: the VALUE at
+    * rank k is deterministic under ties (equal keys), and `//` floors
+    * = `div` truncates because the offset keeps the numerator
+    * positive. */
+  private[queries] def calibThetaCtes: String =
+    s"""ccq AS (SELECT ${calibKeyExpr("//")} AS qk
+       |  FROM lmrsc WHERE lang = 'en' AND n_bigrams > 0),
+       |cth AS (SELECT qk AS theta, greatest(1, nn // $CalibRankDen) AS k,
+       |    nn AS n_train
+       |  FROM (SELECT qk, row_number() OVER (ORDER BY qk) AS rn,
+       |          count(*) OVER () AS nn FROM ccq)
+       |  WHERE rn = greatest(1, nn // $CalibRankDen))""".stripMargin
+
+  /** The calibrated gate's oracle predicate over `lmrsc`-shaped
+    * columns (table alias `t`). */
+  private[queries] def calibAdmitSql(t: String): String =
+    s"($t.n_bigrams = 0 OR " +
+      s"($CalibQ * ($t.lp_t - $t.lp_bg) + ${CalibOff * CalibQ} * " +
+      s"$t.n_bigrams) // $t.n_bigrams >= (SELECT theta FROM cth))"
+
+  /** Ids the CALIBRATED ratio gate admits — the scale-transferring
+    * form of the LM stage for capstone composition. */
+  private[queries] def lmCalibAdmittedIds(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val theta = lmCalibTheta(s, d)
+    lmRatioScoreSpark(s, d).filter(calibAdmit(theta)).select(col("doc_id"))
+  }
+
+  /** 2×2 gate-agreement contingency + Cohen's kappa over a (lm, nb)
+    * 0/1-flag frame — ONE kernel for the fixed-threshold and
+    * calibrated agreement rows, so the two audits can never drift on
+    * the contingency arithmetic. Kappa is a single IEEE division of
+    * two exact int64 polynomials in the cell counts, bit-identical in
+    * the oracle. */
+  private def agreementFromFlags(
+      flags: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cnt = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("lm") * col("nb")).as("both_keep"),
+      sum(col("lm") * (lit(1L) - col("nb"))).as("lm_only"),
+      sum((lit(1L) - col("lm")) * col("nb")).as("nb_only"),
+      sum((lit(1L) - col("lm")) * (lit(1L) - col("nb"))).as("neither"))
+    val agree = col("both_keep") + col("neither")
+    val margins = (col("both_keep") + col("lm_only")) *
+      (col("both_keep") + col("nb_only")) +
+      (col("nb_only") + col("neither")) *
+      (col("lm_only") + col("neither"))
+    cnt.select(col("n_docs"),
+      (col("both_keep") + col("lm_only")).as("lm_kept"),
+      (col("both_keep") + col("nb_only")).as("nb_kept"),
+      col("both_keep"), col("lm_only"), col("nb_only"), col("neither"),
+      floor(lit(10000L) * agree / col("n_docs")).cast("long")
+        .as("agree_bp"),
+      ((col("n_docs") * agree - margins).cast("double") /
+        (col("n_docs") * col("n_docs") - margins).cast("double"))
+        .as("kappa"))
+  }
+
+  /** The oracle tail shared by both agreement rows: contingency cells
+    * + kappa off a `gfl(lm, nb)` CTE the caller defines. */
+  private def agreementTailSql: String =
+    s""",gcnt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(lm * nb) AS BIGINT) AS both_keep,
+       |    CAST(sum(lm * (1 - nb)) AS BIGINT) AS lm_only,
+       |    CAST(sum((1 - lm) * nb) AS BIGINT) AS nb_only,
+       |    CAST(sum((1 - lm) * (1 - nb)) AS BIGINT) AS neither
+       |  FROM gfl)
+       |SELECT n_docs,
+       |  both_keep + lm_only AS lm_kept,
+       |  both_keep + nb_only AS nb_kept,
+       |  both_keep, lm_only, nb_only, neither,
+       |  (10000 * (both_keep + neither)) // n_docs AS agree_bp,
+       |  CAST(n_docs * (both_keep + neither)
+       |      - ((both_keep + lm_only) * (both_keep + nb_only)
+       |        + (nb_only + neither) * (lm_only + neither)) AS DOUBLE)
+       |  / CAST(n_docs * n_docs
+       |      - ((both_keep + lm_only) * (both_keep + nb_only)
+       |        + (nb_only + neither) * (lm_only + neither)) AS DOUBLE)
+       |    AS kappa
+       |FROM gcnt""".stripMargin
+
+  /** Ids admitted by the CALIBRATED ratio gate AND the NB classifier,
+    * from the same ONE fused tokenize+MD5 pass as
+    * [[lmNbFusedAdmittedIds]] — the capstone `_cls` composition on the
+    * scale-transferring threshold. */
+  private[queries] def lmNbFusedAdmittedIdsCalib(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val theta = lmCalibTheta(s, d)
+    lmNbFusedFrame(s, d)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("f.lp_t").as("lp_t"), col("f.lp_bg").as("lp_bg"),
+        col("f.cls").as("cls"))
+      .filter(calibAdmit(theta) && col("cls") === "en")
+      .select(col("doc_id"))
+  }
 
   /** [[LmScale]], package-visible so the streaming NB scorer centers
     * with exactly the batch side's probability scale. */
@@ -2151,6 +2337,44 @@ object TextQueries {
          |             $LmRatioNum * n_bigrams THEN 1 END) AS BIGINT) AS n_kept
          |FROM lmrsc GROUP BY lang""".stripMargin),
 
+    // The calibration itself, auditable: (theta, k, n_train) — the
+    // k-th smallest fixed-point ratio key over the en training slice,
+    // k = max(1, N div 10). Exact integer order statistic: the Spark
+    // side selects it off a qk-histogram + cumulative count (no
+    // global corpus sort at any scale); the oracle replays it with
+    // row_number. This 1-row frame IS the trained artifact the
+    // calibrated gate ships as a plan literal.
+    "text_lm_calib_theta" -> QueryDef(
+      (s, d) => lmCalibThetaFrame(s, d),
+      s"""WITH $lmRatioCtes,
+         |$calibThetaCtes
+         |SELECT theta, CAST(k AS BIGINT) AS k,
+         |  CAST(n_train AS BIGINT) AS n_train FROM cth""".stripMargin),
+
+    // The CALIBRATED CCNet ratio gate — the scale-transferring form of
+    // curate_lm_ratio_gate. The r13 audit proved the fixed rational
+    // saturates at 10× data (5,000/5,000 admitted at sf0.1, kappa 0
+    // against the NB gate — a dead stage); this gate thresholds on a
+    // train-time ORDER STATISTIC of the target slice's score
+    // distribution instead, so by construction it admits ≈ 90 % of en
+    // and stays strictly non-saturated at every scale (measured: en
+    // 90 %/90.2 %, others 10–24 %/4.5–13 % at sf0.01/sf0.1). The
+    // fixed-threshold row stays registered for history.
+    "curate_lm_calib_gate" -> QueryDef(
+      (s, d) => {
+        val theta = lmCalibTheta(s, d)
+        lmRatioScoreSpark(s, d)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            count(when(calibAdmit(theta), 1)).as("n_kept"))
+      },
+      s"""WITH $lmRatioCtes,
+         |$calibThetaCtes
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+         |  CAST(count(CASE WHEN ${calibAdmitSql("lmrsc")} THEN 1 END)
+         |    AS BIGINT) AS n_kept
+         |FROM lmrsc GROUP BY lang""".stripMargin),
+
     // LM perplexity gate — the filter CCNet actually applies: keep
     // documents whose mean LM score clears the threshold (4·lp ≥
     // 105·n, pure int64 cross-multiplication). Reports the per-language
@@ -2241,30 +2465,10 @@ object TextQueries {
     "curate_gate_agreement" -> QueryDef(
       (s, d) => {
         val (rNum, rDen) = lmRatioThreshold
-        val flags = lmNbFusedFrame(s, d).select(
+        agreementFromFlags(lmNbFusedFrame(s, d).select(
           when(lit(rDen) * (col("f.lp_t") - col("f.lp_bg")) >=
             lit(rNum) * col("n_bigrams"), 1L).otherwise(0L).as("lm"),
-          when(col("f.cls") === "en", 1L).otherwise(0L).as("nb"))
-        val cnt = flags.agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("lm") * col("nb")).as("both_keep"),
-          sum(col("lm") * (lit(1L) - col("nb"))).as("lm_only"),
-          sum((lit(1L) - col("lm")) * col("nb")).as("nb_only"),
-          sum((lit(1L) - col("lm")) * (lit(1L) - col("nb"))).as("neither"))
-        val agree = col("both_keep") + col("neither")
-        val margins = (col("both_keep") + col("lm_only")) *
-          (col("both_keep") + col("nb_only")) +
-          (col("nb_only") + col("neither")) *
-          (col("lm_only") + col("neither"))
-        cnt.select(col("n_docs"),
-          (col("both_keep") + col("lm_only")).as("lm_kept"),
-          (col("both_keep") + col("nb_only")).as("nb_kept"),
-          col("both_keep"), col("lm_only"), col("nb_only"), col("neither"),
-          floor(lit(10000L) * agree / col("n_docs")).cast("long")
-            .as("agree_bp"),
-          ((col("n_docs") * agree - margins).cast("double") /
-            (col("n_docs") * col("n_docs") - margins).cast("double"))
-            .as("kappa"))
+          when(col("f.cls") === "en", 1L).otherwise(0L).as("nb")))
       },
       {
         val (rNum, rDen) = lmRatioThreshold
@@ -2274,28 +2478,35 @@ object TextQueries {
            |  SELECT CASE WHEN $rDen * (l.lp_t - l.lp_bg) >=
            |    $rNum * l.n_bigrams THEN 1 ELSE 0 END AS lm,
            |    CASE WHEN n.pred_lang = 'en' THEN 1 ELSE 0 END AS nb
-           |  FROM lmrsc l JOIN nbscd n ON n.doc_id = l.doc_id),
-           |gcnt AS (
-           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(sum(lm * nb) AS BIGINT) AS both_keep,
-           |    CAST(sum(lm * (1 - nb)) AS BIGINT) AS lm_only,
-           |    CAST(sum((1 - lm) * nb) AS BIGINT) AS nb_only,
-           |    CAST(sum((1 - lm) * (1 - nb)) AS BIGINT) AS neither
-           |  FROM gfl)
-           |SELECT n_docs,
-           |  both_keep + lm_only AS lm_kept,
-           |  both_keep + nb_only AS nb_kept,
-           |  both_keep, lm_only, nb_only, neither,
-           |  (10000 * (both_keep + neither)) // n_docs AS agree_bp,
-           |  CAST(n_docs * (both_keep + neither)
-           |      - ((both_keep + lm_only) * (both_keep + nb_only)
-           |        + (nb_only + neither) * (lm_only + neither)) AS DOUBLE)
-           |  / CAST(n_docs * n_docs
-           |      - ((both_keep + lm_only) * (both_keep + nb_only)
-           |        + (nb_only + neither) * (lm_only + neither)) AS DOUBLE)
-           |    AS kappa
-           |FROM gcnt""".stripMargin
+           |  FROM lmrsc l JOIN nbscd n ON n.doc_id = l.doc_id)
+           |$agreementTailSql""".stripMargin
       }),
+
+    // The agreement audit RE-MEASURED on the calibrated ratio gate —
+    // the row that proves the r13 finding is fixed: with the order-
+    // statistic threshold the lm stage cannot saturate, so kappa is
+    // meaningful at every scale (measured: the fixed gate's kappa
+    // collapses 0.756 → 0.0 from sf0.01 to sf0.1; the calibrated
+    // gate's stays positive at both). Same fused one-pass scorer,
+    // same exact-int64 contingency, only the lm flag differs.
+    "curate_gate_agreement_cal" -> QueryDef(
+      (s, d) => {
+        val theta = lmCalibTheta(s, d)
+        agreementFromFlags(lmNbFusedFrame(s, d)
+          .select(col("n_bigrams"), col("f.lp_t").as("lp_t"),
+            col("f.lp_bg").as("lp_bg"), col("f.cls").as("cls"))
+          .select(
+            when(calibAdmit(theta), 1L).otherwise(0L).as("lm"),
+            when(col("cls") === "en", 1L).otherwise(0L).as("nb")))
+      },
+      s"""WITH $lmRatioCtes,
+         |$calibThetaCtes,
+         |$nbCtesBody,
+         |gfl AS (
+         |  SELECT CASE WHEN ${calibAdmitSql("l")} THEN 1 ELSE 0 END AS lm,
+         |    CASE WHEN n.pred_lang = 'en' THEN 1 ELSE 0 END AS nb
+         |  FROM lmrsc l JOIN nbscd n ON n.doc_id = l.doc_id)
+         |$agreementTailSql""".stripMargin),
 
     // Score-band precision curve of the NB admission gate — the audit
     // that says whether the gate's SCORE is a usable knob: the

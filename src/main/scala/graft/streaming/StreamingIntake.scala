@@ -159,11 +159,15 @@ object StreamingIntake {
     *
     * `docs`: (source, doc_id, lang, text, `tsCol`); `lmTarget` /
     * `lmBackground`: the two 65,536-entry LM grids of the CCNet ratio
-    * gate (admit iff lmRatioDen·(lp_t − lp_bg) ≥ lmRatioNum·n);
-    * `dsirWeights`: the 64-entry DSIR table. */
+    * gate; `lmTheta`: the CALIBRATED order-statistic threshold
+    * ([[graft.queries.TextQueries.lmCalibTheta]] — a trained scalar
+    * shipped like the grids; admit iff n = 0 or the fixed-point ratio
+    * key (Q·(lp_t − lp_bg) + Off·Q·n) div n ≥ theta, same arithmetic
+    * as the batch capstone's stage 3); `dsirWeights`: the 64-entry
+    * DSIR table. */
   def pipelineStream(docs: DataFrame, cutoffs: DataFrame,
       semDrops: DataFrame, lmTarget: Seq[Long], lmBackground: Seq[Long],
-      lmRatioNum: Long, lmRatioDen: Long,
+      lmTheta: Long,
       dsirWeights: Seq[Long], step: Long, tsCol: String,
       delay: String, resampleShards: Int = 1): Dataset[Admit] = {
     require(lmTarget.length == 65536,
@@ -232,11 +236,17 @@ object StreamingIntake {
       graft.functions.TextHashFunctions.weightedBucketSum(
         graft.functions.TextHashFunctions.hashedShingles60(toks, 2), rl)
         .as("w"))
-    // stage 3: CCNet ratio admission (int64 cross-multiplied)
+    // stage 3: CCNet ratio admission on the CALIBRATED threshold —
+    // the batch capstone's exact int64 key arithmetic ((Q, Off) read
+    // from the one shared definition), theta a trained plan literal
+    val (calQ, calOff) = graft.queries.TextQueries.lmCalibScale
     val lmPassed = scored
-      .filter(lit(lmRatioDen) *
-          (element_at(col("lps"), 1) - element_at(col("lps"), 2)) >=
-        lit(lmRatioNum) * col("n_bigrams"))
+      .withColumn("__lmkey_num",
+        lit(calQ) * (element_at(col("lps"), 1) - element_at(col("lps"), 2)) +
+          lit(calOff * calQ) * col("n_bigrams"))
+      .filter(col("n_bigrams") === 0L ||
+        expr("__lmkey_num div n_bigrams") >= lit(lmTheta))
+      .drop("__lmkey_num")
     // stage 4: semantic drop list (broadcast; missing vector = pass)
     val cleaned = lmPassed
       .join(broadcast(semDrops.select(col("vec_id").as("doc_id"),

@@ -1500,9 +1500,9 @@ class StreamingSpec extends SparkSpec {
     val stream = in.toDF().toDF("source", "doc_id", "lang", "text")
       .withColumn("ts", (lit(1704067200L) + col("doc_id")).cast("timestamp"))
     val lmBg = graft.queries.TextQueries.lmBgWeightArray(spark, d)
-    val (rNum, rDen) = graft.queries.TextQueries.lmRatioThreshold
+    val lmTheta = graft.queries.TextQueries.lmCalibTheta(spark, d)
     val q = graft.streaming.StreamingIntake.pipelineStream(
-        stream, cutoffs, semDrops, lmW, lmBg, rNum, rDen, dsirW,
+        stream, cutoffs, semDrops, lmW, lmBg, lmTheta, dsirW,
         graft.queries.DedupQueries.pipelineStep, "ts", "10 minutes")
       .writeStream.format("memory").queryName("spipe")
       .outputMode("append")

@@ -313,6 +313,48 @@ class TextAnalysisSpec extends SparkSpec {
     r.getAs[Double]("kappa") should (be > 0.0 and be < 1.0)
   }
 
+  test("calibrated ratio gate: theta replays as the exact order statistic, gate stays interior") {
+    val d = "/root/testdata/sf0.001"
+    // (1) calibration replay: theta is the k-th smallest fixed-point
+    // ratio key over the en slice — brute-forced here with the
+    // constants spelled out (2^20 scale, 64·2^20 offset), so a drifted
+    // CalibQ/CalibOff/rank formula fails loud
+    val th = SparkEntry.queries("text_lm_calib_theta")(spark, d).collect()(0)
+    val (theta, k, nTrain) = (th.getAs[Long]("theta"),
+      th.getAs[Long]("k"), th.getAs[Long]("n_train"))
+    val qks = SparkEntry.queries("text_lm_ratio_score")(spark, d)
+      .filter(col("lang") === "en" && col("n_bigrams") > 0)
+      .selectExpr(
+        "(1048576 * (lp_t - lp_bg) + 67108864 * n_bigrams) div n_bigrams")
+      .as[Long].collect().sorted
+    nTrain shouldBe qks.length.toLong
+    k shouldBe math.max(1L, qks.length / 10)
+    theta shouldBe qks((k - 1).toInt)
+    // (2) the gate is strictly interior (the r13 saturation finding:
+    // a fixed rational admitted 100 % at sf0.1; an order statistic
+    // rejects at least the k−1 training docs below theta at any scale)
+    val gate = SparkEntry.queries("curate_lm_calib_gate")(spark, d).collect()
+    val total = gate.map(_.getAs[Long]("n_total")).sum
+    val kept = gate.map(_.getAs[Long]("n_kept")).sum
+    kept should be > 0L
+    kept should be < total
+    // (3) the target language is admitted at the top rate, ≈ 90 % by
+    // construction (1 − 1/RankDen of the slice, ties admit upward)
+    val en = gate.find(_.getAs[String]("lang") == "en").get
+    val enRate = en.getAs[Long]("n_kept").toDouble / en.getAs[Long]("n_total")
+    enRate should be >= 0.85
+    gate.filter(_.getAs[String]("lang") != "en").foreach { r =>
+      enRate should be >=
+        (r.getAs[Long]("n_kept").toDouble / r.getAs[Long]("n_total"))
+    }
+    // (4) the calibrated agreement row's lm marginal is this gate's
+    // admission, and kappa is meaningful (nondegenerate) here
+    val ag = SparkEntry.queries("curate_gate_agreement_cal")(spark, d)
+      .collect()(0)
+    ag.getAs[Long]("lm_kept") shouldBe kept
+    ag.getAs[Double]("kappa") should (be > 0.0 and be < 1.0)
+  }
+
   test("NB score bands partition the admitted set and carry exact precision") {
     val d = "/root/testdata/sf0.01"
     val rows = SparkEntry.queries("curate_nb_bands")(spark, d).collect()
