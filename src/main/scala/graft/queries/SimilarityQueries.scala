@@ -1372,6 +1372,34 @@ object SimilarityQueries {
           ") r")
         .mkString("\nUNION ALL\n")),
 
+    // Graph-index ADD path — serving base ∪ admitted-delta BETWEEN
+    // rebuilds, the lifecycle beat the IVF family already has
+    // (`sim_index_serve_delta`) and the graph index lacked (r13: a
+    // streamed-in vector was unreachable until the next full build).
+    // Edges are built offline over the BASE cohort (even ids) only;
+    // delta vectors join the serve-side ASSIGNMENT via one stateless
+    // broadcast-argmin admit under the same fixed centroids — the
+    // O(n·degree) edge list is never touched. A delta vector is then
+    // reachable through the ENTRY stage (the seed beam scans the
+    // query's cell members off the assignment), which per-vector
+    // assignment makes row-identical to a rebuild's entry seeding;
+    // the bounded hops add base-side candidates on top. from_delta
+    // marks served delta neighbors — the row's own evidence that the
+    // admit path serves (measured: delta vectors appear in served
+    // top-10s at both SFs).
+    "sim_graph_serve_delta" -> QueryDef(
+      (s, d) => Similarity.graphSearchQueries(
+          quantized(s, d).filter(pmod(col("vec_id"), lit(50)) === 0)
+            .select(col("vec_id").as("query_id"), col("qv")),
+          trainedCentroids(s, d), graphDeltaAssigned(s, d),
+          nnGraphEdgesBase(s, d),
+          hops = GraphHops, beam = GraphBeam, k = K)
+        .withColumn("from_delta", pmod(col("neighbor_id"), lit(2))),
+      s"""WITH ${graphSearchCtesAt(GraphHops, " AND id % 2 = 0")}
+         |SELECT query_id, neighbor_id, rank, d2,
+         |  CAST(neighbor_id % 2 AS BIGINT) AS from_delta
+         |FROM gsearch""".stripMargin),
+
     // The nprobe frontier — recall@10 of the composed IVF-PQ search at
     // probe widths 1/3/5, each against the exact-L2 baseline: the
     // MEASURED recall-vs-work curve for the index's one serving-time
@@ -2367,6 +2395,50 @@ object SimilarityQueries {
     }
   }
 
+  /** The ADD-path serving pair of the graph index: edges built over
+    * the BASE cohort only (even ids — the offline build), while the
+    * serve-side assignment is base ∪ delta. A streamed-in delta
+    * vector is assigned to its cell under the SAME fixed centroids
+    * (one broadcast argmin — no retrain, no edge-list rebuild, the
+    * O(n·degree) index untouched) and becomes reachable the next
+    * micro-batch through the ENTRY stage: the seed beam scans the
+    * query's cell members off the assignment, so a delta member of
+    * that cell is scored, ranked, and servable even though no edge
+    * points at it. Because cell assignment is per-vector under fixed
+    * centroids, the entry stage is row-identical to what a full
+    * rebuild on base+delta would seed (SimilaritySpec pins the
+    * hops=0 equality); the hops only ADD base-side candidates. */
+  private[graft] def nnGraphEdgesBase(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cents = trainedCentroids(s, d)
+    FrameCache.memo(s, d, "nn_graph_edges_base") {
+      val e = quantized(s, d).filter(pmod(col("vec_id"), lit(2)) === 0)
+      val (_, probes) = Similarity.ivfAssignCentroids(
+        e, "vec_id", "qv", cents, nprobe = 2)
+      Similarity.nnGraph(
+        probes.select(col("query_id").as("id"), col("cell_id")),
+        e.select(col("vec_id"), col("qv").as("v")), GraphDeg)
+    }
+  }
+
+  /** The serve-side assignment base ∪ delta: the base cohort's rows
+    * plus the delta cohort admitted against the SAME trained
+    * centroids (the stateless ADD of serveAssignedSwappableWriter). */
+  private[graft] def graphDeltaAssigned(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cents = trainedCentroids(s, d)
+    FrameCache.memo(s, d, "graph_delta_assigned") {
+      val e = quantized(s, d)
+      val (base, _) = Similarity.ivfAssignCentroids(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "qv",
+        cents, nprobe = 1)
+      val (delta, _) = Similarity.ivfAssignCentroids(
+        e.filter(pmod(col("vec_id"), lit(2)) =!= 0), "vec_id", "qv",
+        cents, nprobe = 1)
+      base.unionByName(delta)
+    }
+  }
+
   /** Beam-search serve over [[nnGraphEdges]] at `hops` unrolled
     * expansion rounds: entry = the query's own (nearest-cell) members,
     * then each hop expands the current beam's out-edges and re-ranks
@@ -2398,7 +2470,14 @@ object SimilarityQueries {
     * the trained centroids, the top-2 cell probes, and the
     * degree-capped edge list `gedges` — must stay in lockstep with
     * [[nnGraphEdges]]. */
-  private def nnGraphCtes: String =
+  private def nnGraphCtes: String = nnGraphCtesWhere("")
+
+  /** [[nnGraphCtes]] with an optional id predicate restricting the
+    * EDGE-LIST side (`gp`/`gpair`/`gsc`/`gedges`) — the serve-delta
+    * oracle builds edges over the base cohort only while `gcs` (and
+    * so the assignment/entry scan) stays full-corpus. Empty = the
+    * whole corpus (every existing consumer). */
+  private def nnGraphCtesWhere(edgeIdPred: String): String =
     s"""e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
        |$ivfTrainCtes,
        |gcs AS (
@@ -2406,7 +2485,8 @@ object SimilarityQueries {
        |    PARTITION BY e.vec_id
        |    ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS cr
        |  FROM e, c),
-       |gp AS (SELECT id, cent_id AS cell_id FROM gcs WHERE cr <= 2),
+       |gp AS (SELECT id, cent_id AS cell_id FROM gcs
+       |  WHERE cr <= 2$edgeIdPred),
        |gpair AS (
        |  SELECT DISTINCT a.id AS src, b.id AS dst
        |  FROM gp a JOIN gp b ON a.cell_id = b.cell_id AND a.id <> b.id),
@@ -2431,7 +2511,12 @@ object SimilarityQueries {
   /** [[graphSearchCtes]] parametrized on the unrolled hop count — the
     * hop-sweep oracle replays the chain once per width (the nprobe
     * sweep pattern); h = 0 degenerates to the entry-cell scan. */
-  private def graphSearchCtesAt(h: Int): String = {
+  private def graphSearchCtesAt(h: Int): String = graphSearchCtesAt(h, "")
+
+  /** [[graphSearchCtesAt]] with the edge-side id predicate threaded
+    * through to [[nnGraphCtesWhere]] — entry/assignment stay
+    * full-corpus, only the traversable edge list is restricted. */
+  private def graphSearchCtesAt(h: Int, edgeIdPred: String): String = {
     val hops = (1 to h).map { i =>
       s"""gb$i AS (
          |  SELECT query_id, cand FROM (
@@ -2452,7 +2537,7 @@ object SimilarityQueries {
          |  SELECT DISTINCT query_id, cand, d2 FROM (
          |    SELECT * FROM gv${i - 1} UNION ALL SELECT * FROM gs$i))""".stripMargin
     }.mkString(",\n")
-    s"""$nnGraphCtes,
+    s"""${nnGraphCtesWhere(edgeIdPred)},
        |gq AS (
        |  SELECT id AS query_id, v AS qv, cent_id AS cell_id
        |  FROM gcs WHERE cr = 1 AND id % 50 = 0),

@@ -180,4 +180,34 @@ object StreamingSearch {
           batch, cents, assigned, edges, hops, beam, k,
           excludeSelfId = excludeSelfId))
       }
+
+  /** GRAPH serving over base ∪ admitted-delta BETWEEN rebuilds — the
+    * graph index's ADD path (the [[serveAssignedSwappableWriter]]
+    * lifecycle beat, r13's missing rung): the serve-side ASSIGNMENT is
+    * read through an AtomicReference per micro-batch and grows by
+    * stateless broadcast-argmin admits under the same fixed centroids
+    * ([[Similarity.ivfAssignCentroids]]); the O(n·degree) EDGE LIST
+    * stays the offline base build, untouched by admits. An admitted
+    * vector is reachable the NEXT query batch through the entry stage
+    * — the seed beam scans the query's cell members off the
+    * assignment, so no edge needs to point at it (per-vector
+    * assignment makes the entry seeding row-identical to a rebuild's;
+    * the batch `sim_graph_serve_delta` row grades exactly this
+    * composition). External-id-space contract (`excludeSelfId =
+    * false`) by default, like every swappable serving path.
+    * StreamingSpec pins pre-admit serving ≡ the batch kernel over
+    * base and post-admit ≡ over the union, with a delta vector
+    * served only after its admit. */
+  def serveGraphSwappableWriter(queries: DataFrame,
+      assigned: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      cents: DataFrame, edges: DataFrame,
+      hops: Int, beam: Int, k: Int,
+      excludeSelfId: Boolean = false)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(Similarity.graphSearchQueries(
+          batch, cents, assigned.get(), edges, hops, beam, k,
+          excludeSelfId = excludeSelfId))
+      }
 }

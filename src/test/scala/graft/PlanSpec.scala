@@ -257,7 +257,8 @@ class PlanSpec extends SparkSpec {
       "curate_nb_bands" -> 3, // measured 2: map-only fixed banding + one ≤21-group aggregate
       // r14 entrants (new-query shapes locked on entry)
       "curate_substring_spans" -> 0, // checkpointed span manifest: a pure scan
-      "curate_substring_strip" -> 4) // measured 3: interval merge window + per-doc agg + the corpus-side broadcast join
+      "curate_substring_strip" -> 4, // measured 3: interval merge window + per-doc agg + the corpus-side broadcast join
+      "sim_graph_serve_delta" -> 2) // measured 1: final top-K window over the checkpointed visited set (the sim_graph_search shape on the base-edge/union-assignment pair)
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

@@ -725,6 +725,51 @@ class SimilaritySpec extends SparkSpec {
     selfEx.map(_._2) should not contain 17L
   }
 
+  test("graph serve-delta: entry seeding equals a rebuild's, delta served without edges") {
+    val d = "/root/testdata/sf0.001"
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val unionAsg = graft.queries.SimilarityQueries.graphDeltaAssigned(spark, d)
+    val edgesBase = graft.queries.SimilarityQueries.nnGraphEdgesBase(spark, d)
+    // a REBUILT edge list over base ∪ delta (what a full rebuild ships)
+    val e = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val (_, probes) = Similarity.ivfAssignCentroids(
+      e, "vec_id", "qv", cents, nprobe = 2)
+    val edgesRebuilt = Similarity.nnGraph(
+      probes.select(col("query_id").as("id"), col("cell_id")),
+      e.select(col("vec_id"), col("qv").as("v")), 6).localCheckpoint()
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long").as("query_id"), col("qv"))
+    // hops = 0 is a pure entry-cell scan of the assignment — which
+    // edge list rides along is irrelevant, so the ADD path's seeding
+    // is ROW-IDENTICAL to a full rebuild's (per-vector assignment
+    // under fixed centroids: the delta-reachability direction)
+    def at0(edges: org.apache.spark.sql.DataFrame) =
+      Similarity.graphSearchQueries(q, cents, unionAsg, edges,
+          hops = 0, beam = 10, k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val served = at0(edgesBase)
+    served should not be empty
+    served shouldBe at0(edgesRebuilt)
+    // an external query at a DELTA vector's coordinates finds it at
+    // rank 1, d2 = 0, through the entry stage alone — no edge points
+    // at a delta vector, yet it serves
+    val vOdd = e.filter(col("vec_id") === 17L)
+      .select(col("qv")).as[Seq[Double]].collect()(0)
+    val hit = Similarity.graphSearchQueries(
+        Seq((999999L, vOdd)).toDF("query_id", "qv"), cents, unionAsg,
+        edgesBase, hops = 2, beam = 10, k = 10, excludeSelfId = false)
+      .as[(Long, Long, Long, Long)].collect().minBy(_._3)
+    hit._2 shouldBe 17L
+    hit._4 shouldBe 0L
+    // the registered row really serves delta members in its top-10s
+    val row = SparkEntry.queries("sim_graph_serve_delta")(spark, d)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    row.map(_._5).toSet shouldBe Set(0L, 1L)
+  }
+
   test("graph recall beats zero and never loses to the entry-cell floor") {
     val d = "/root/testdata/sf0.001"
     def mean(rows: Array[(Long, Long, Long, Double)]) =

@@ -1173,6 +1173,61 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe expected
   }
 
+  test("graph ADD path: admitted delta reachable next batch, edge list untouched") {
+    // the graph index's lifecycle beat between rebuilds: edges stay
+    // the offline BASE build; the admit swaps base ∪ delta into the
+    // serve-side assignment only, and the next query batch reaches
+    // delta vectors through the entry-cell scan (the batch twin
+    // sim_graph_serve_delta grades this composition against its
+    // oracle)
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val e = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val (baseAsg, _) = graft.operators.Similarity.ivfAssignCentroids(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "qv", cents, 1)
+    val (deltaAsg, _) = graft.operators.Similarity.ivfAssignCentroids(
+      e.filter(col("vec_id") % 2 =!= 0), "vec_id", "qv", cents, 1)
+    val base = baseAsg.localCheckpoint()
+    val union = base.unionByName(deltaAsg.localCheckpoint())
+    val edges = graft.queries.SimilarityQueries.nnGraphEdgesBase(spark, d)
+    val qvecsDf = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val qvecs = qvecsDf.as[(Long, Seq[Double])].collect().toIndexedSeq
+    def batchOf(asg: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.graphSearchQueries(qvecsDf, cents, asg,
+          edges, hops = 2, beam = 10, k = 10, excludeSelfId = false)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val preExpected = batchOf(base)
+    val postExpected = batchOf(union)
+    preExpected should not be empty
+    // the admit must CHANGE answers: delta (odd-id) neighbors enter
+    // served top-10s only after the swap
+    postExpected should not be preExpected
+    preExpected.map(_._2).forall(_ % 2 == 0) shouldBe true
+    postExpected.map(_._2).exists(_ % 2 != 0) shouldBe true
+
+    val ref = new java.util.concurrent.atomic.AtomicReference(base)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingSearch.serveGraphSwappableWriter(
+        in.toDF().toDF("query_id", "qv"), ref, cents, edges,
+        hops = 2, beam = 10, k = 10) { out =>
+        buf.synchronized { buf ++= out.as[(Long, Long, Long, Long)].collect() }
+      }
+      .option("checkpointLocation", tmp("ckpt-gadmit")).start()
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    val preAdmit = buf.synchronized { val s = buf.toSet; buf.clear(); s }
+    ref.set(union) // THE ADMIT — no restart, no edge-list rebuild
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    preAdmit shouldBe preExpected
+    buf.toSet shouldBe postExpected
+  }
+
   test("streaming graph-traversal serving equals the batch beam search on the same query set") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
