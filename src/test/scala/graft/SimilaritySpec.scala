@@ -725,6 +725,51 @@ class SimilaritySpec extends SparkSpec {
     selfEx.map(_._2) should not contain 17L
   }
 
+  test("beam sweep: recall monotone in width, beam-10 branch equals the standalone gate") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sim_graph_beam_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    rows should not be empty
+    val mean = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    // a wider beam keeps a strict superset of visited candidates each
+    // hop, so recall can never fall with width
+    mean(5L) should be <= mean(10L)
+    mean(10L) should be <= mean(20L)
+    // the beam-10 branch must be the standalone recall row, row for row
+    val gate = SparkEntry.queries("sim_graph_recall")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    rows.filter(_._1 == 10L).map(r => (r._2, r._3, r._4, r._5))
+      .toSet shouldBe gate
+  }
+
+  test("degree sweep: one build serves every width, degree-6 branch equals the gate") {
+    val d = "/root/testdata/sf0.001"
+    // the widest build's erank-6 prefix IS the production edge list —
+    // the sweep grades prefixes of one scored pair frame, not three
+    // independent builds
+    val wide6 = graft.queries.SimilarityQueries.nnGraphEdgesWide(spark, d)
+      .filter(col("erank") <= 6)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val prod = graft.queries.SimilarityQueries.nnGraphEdges(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    wide6 shouldBe prod
+    val rows = SparkEntry.queries("sim_graph_degree_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    rows should not be empty
+    val mean = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    // direction is measured, not assumed (a wider beam-step can in
+    // principle detour); on every fixture measured so far the curve
+    // rises with degree — pin the ends so a silent regression shows
+    mean(3L) should be <= mean(12L)
+    // the degree-6 branch must be the standalone recall row
+    val gate = SparkEntry.queries("sim_graph_recall")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    rows.filter(_._1 == 6L).map(r => (r._2, r._3, r._4, r._5))
+      .toSet shouldBe gate
+  }
+
   test("graph serve-delta: entry seeding equals a rebuild's, delta served without edges") {
     val d = "/root/testdata/sf0.001"
     val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
