@@ -47,7 +47,10 @@ object PrefixSum {
       .orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // bucket offsets: rows = buckets (per partition) — the single-task
-    // window here is `buckets` rows by construction, not data-sized
+    // window here is `buckets` rows by construction, not data-sized.
+    // Spark's "WindowExec: No Partition Defined" warning on this node
+    // is expected and safe: it fires on row COUNT it can't see, and
+    // the count is the fixed bucket fan-out, never the corpus.
     val acrossBuckets = (if (partBy.isEmpty) Window.orderBy(col(bktCol))
       else Window.partitionBy(partBy: _*).orderBy(col(bktCol)))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -268,6 +268,9 @@ object Sketch {
       .distinct()
       .orderBy(col("h").asc)
       .limit(KmvK)
+      // single-partition window over ≤ KmvK rows (the sketch minima,
+      // already LIMIT-cut) — Spark's "WindowExec: No Partition
+      // Defined" warning here is expected and safe, never data-sized
       .withColumn("rk",
         row_number().over(Window.orderBy(col("h").asc)).cast("long"))
       .select(col("rk"), col("h"))

@@ -397,7 +397,8 @@ object TextQueries {
         .select(expr(calibKeyExpr("div")).as("qk"))
       val hist = en.groupBy(col("qk")).agg(count(lit(1)).as("c"))
       // single-partition window is SAFE here: rows = distinct ratio
-      // keys of the training slice's histogram, not corpus rows
+      // keys of the training slice's histogram, not corpus rows (the
+      // "WindowExec: No Partition Defined" warning is expected)
       val cw = Window.orderBy(col("qk"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       hist
@@ -1742,7 +1743,9 @@ object TextQueries {
           // bucket(n) is monotone in n, so the bucket-level cumulative
           // AT bucket b equals the value-level walk's max within b —
           // attach it per row (one bucket-keyed window), no second
-          // frame and no bucket→value join needed downstream
+          // frame and no bucket→value join needed downstream. The
+          // "WindowExec: No Partition Defined" warning is expected and
+          // safe: vh is the distinct-value histogram, not the corpus.
           vh.withColumn("cum", sum(col("c")).over(Window.orderBy("n")))
             .withColumn("bucket", bitlen4(col("n")))
             .withColumn("bc",
