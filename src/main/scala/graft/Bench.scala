@@ -99,6 +99,23 @@ object Bench {
     * that all rounds divide by the SAME pin. */
   private val ReferenceCalibSec = 0.30
 
+  /** Per-chunk ambient-normalized throughput of a stream section, when
+    * it recorded per-chunk probes: rows / Σ(chunk_wall / max(1,
+    * chunk_probe/pin)). Same ≥1 clamp as every other normalization —
+    * correct up under measured load, never deflate on a fast host;
+    * chunks whose probe failed (≤0) keep their raw wall. None when the
+    * section has no per-chunk record (falls back to the one
+    * pre-section probe). */
+  private def perChunkRpsNorm(s: StreamBench.Section): Option[Double] =
+    if (s.chunkCalib.isEmpty || s.chunkCalib.size != s.chunkSec.size ||
+        s.chunkRows.size != s.chunkSec.size) None
+    else {
+      val normSec = s.chunkSec.lazyZip(s.chunkCalib).map { (w, c) =>
+        if (c > 0) w / math.max(1.0, c / ReferenceCalibSec) else w
+      }.sum
+      if (normSec > 0) Some(s.chunkRows.sum / normSec) else None
+    }
+
   /** 1-minute /proc/loadavg at a sample point — the other half of the
     * ambient-vs-code signal (records what ELSE the host was running). */
   private def loadavg(): Double =
@@ -317,6 +334,8 @@ object Bench {
           val qb = s.queryBatch
             .map { case (n, bs) => s""""$n":${secArr(bs)}""" }.mkString(",")
           s""","chunk_sec":${secArr(s.chunkSec)}""" +
+            (if (s.chunkCalib.nonEmpty)
+              s""","chunk_calib":${secArr(s.chunkCalib)}""" else "") +
             (if (qb.nonEmpty) s""","query_batch_sec":{$qb}""" else "")
         }
       // rps_norm: the section's ambient-normalized throughput (measured
@@ -333,10 +352,18 @@ object Bench {
       // probes of 0.065-0.09 s against the 0.30 pin that would have
       // deflated honest numbers ~4×). So rps_norm is "measured, or
       // corrected up under measured load" — never deflated.
-      val rpsNorm =
+      // PER-CHUNK normalization when the section recorded per-chunk
+      // probes (r13 nit: one pre-section probe cannot attribute a
+      // contention phase that lands mid-section): each chunk's wall is
+      // deflated by its OWN clamped probe ratio, so only the chunks
+      // that measured slow probes normalize — a section whose slow
+      // chunks coincide with slow probes reads as environment chunk by
+      // chunk, and a genuinely slow chunk under a quiet probe stays
+      // slow in the normalized number.
+      val rpsNorm = perChunkRpsNorm(s).getOrElse(
         if (s.calibSec > 0)
           s.rps * math.max(1.0, s.calibSec / ReferenceCalibSec)
-        else 0.0
+        else 0.0)
       s"""{"name":"${s.name}","rows":${s.rows},"sec":${sec3(s.sec)},""" +
         s""""batches":${s.batches},"rps":${s.rps.round},""" +
         s""""rps_norm":${rpsNorm.round},""" +
@@ -430,7 +457,12 @@ object Bench {
           else if (n == "minute_windows") "win" else n
         s""""$short":${secArr2(bs)}"""
       }.mkString(",")
+      // ccal: the per-chunk probes themselves on the metric line (the
+      // r14 attribution fields; 2-decimal — the 1900-byte guard), so a
+      // mid-section contention phase is visible in the tail capture
       s"""{"calib":${sec3(s.calibSec)}""" +
+        (if (s.chunkCalib.nonEmpty) s""","ccal":${secArr2(s.chunkCalib)}"""
+         else "") +
         (if (qb.nonEmpty) s",$qb" else "") + "}"
     }.getOrElse("{}")
     // Load-normalized streaming headline (same derivation as
@@ -440,9 +472,12 @@ object Bench {
     // value is the cross-round comparable one.
     // Clamped at 1 for the same reason as rps_norm / normalized_rps:
     // correct up under measured load, never deflate on a fast host.
+    // Per-chunk when recorded (the r14 attribution upgrade), else the
+    // one pre-section probe.
     val streamRpsNorm = streamSections.find(_.name == "pipeline")
-      .filter(_.calibSec > 0)
-      .map(s => s.rps * math.max(1.0, s.calibSec / ReferenceCalibSec))
+      .flatMap(s => perChunkRpsNorm(s).orElse(
+        Some(s.calibSec).filter(_ > 0)
+          .map(c => s.rps * math.max(1.0, c / ReferenceCalibSec))))
       .getOrElse(0.0)
     def buildLine(qMap: String, streams: String, pipeDetail: String): String =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qMap,""" +
@@ -468,8 +503,21 @@ object Bench {
       else {
         System.err.println(
           s"WARN bench: metric line ${full.length}B > 1900B guard; shrinking")
-        // Shrink order: pipeline per-batch detail first (it also lives in
-        // bench_detail.json), then the streams map, then the headline set.
+        // Shrink order: the pipe detail's per-query batch arrays first
+        // (keeping the calib/ccal attribution fields — the r14 upgrade
+        // exists precisely so the tail capture can attribute ambient
+        // phases), then the whole pipe detail, then the streams map,
+        // then the headline set. Everything dropped lives in
+        // bench_detail.json.
+        val calibOnlyPipe = streamSections.find(_.name == "pipeline")
+          .map { s =>
+            s"""{"calib":${sec3(s.calibSec)}""" +
+              (if (s.chunkCalib.nonEmpty)
+                s""","ccal":${secArr2(s.chunkCalib)}""" else "") + "}"
+          }.getOrElse("{}")
+        val slimPipe = buildLine(qs, streamsJson, calibOnlyPipe)
+        if (slimPipe.length <= 1900) slimPipe
+        else {
         val noPipe = buildLine(qs, streamsJson, "{}")
         if (noPipe.length <= 1900) noPipe
         else {
@@ -481,6 +529,7 @@ object Bench {
               .mkString("{", ",", "}")
             buildLine(halfQs, "{}", "{}")
           }
+        }
         }
       }
     }

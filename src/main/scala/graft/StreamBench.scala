@@ -55,12 +55,25 @@ object StreamBench {
     * between same-code runs (multi-minute host-contention phases the
     * guest can't see except as wall-clock); a slow section WITH a slow
     * probe is environment, without one it's code. */
+  /** `chunkCalib`/`chunkRows`: a calibration probe taken UNTIMED before
+    * EACH feed chunk plus that chunk's row count (r13 nit: one
+    * pre-section probe could not attribute a regression whose slow
+    * batches landed mid-section) — rps_norm normalizes per chunk when
+    * these are present, so slow chunks that coincide with slow probes
+    * read as environment, chunk by chunk. */
   case class Section(name: String, rows: Long, sec: Double, batches: Int,
       chunkSec: Seq[Double] = Nil,
       queryBatch: Seq[(String, Seq[Double])] = Nil,
-      calibSec: Double = -1.0) {
+      calibSec: Double = -1.0,
+      chunkCalib: Seq[Double] = Nil,
+      chunkRows: Seq[Long] = Nil) {
     def rps: Double = if (sec > 0) rows / sec else 0.0
   }
+
+  /** Section off a [[Drive]], carrying the per-chunk attribution. */
+  private def sect(name: String, rows: Long, d: Drive): Section =
+    Section(name, rows, d.sec, d.batches, chunkSec = d.chunkSec,
+      chunkCalib = d.chunkCalib, chunkRows = d.chunkRows)
 
   private val Chunks = 8
 
@@ -88,7 +101,8 @@ object StreamBench {
   }
 
   case class Drive(sec: Double, batches: Int,
-      chunkSec: Seq[Double], queryBatch: Seq[(String, Seq[Double])])
+      chunkSec: Seq[Double], queryBatch: Seq[(String, Seq[Double])],
+      chunkCalib: Seq[Double] = Nil, chunkRows: Seq[Long] = Nil)
 
   /** Feed `chunks` through `add`, draining every query after each chunk;
     * returns elapsed, batch count of the first query, per-chunk wall
@@ -102,14 +116,25 @@ object StreamBench {
       add: Seq[T] => Unit, queries: Seq[StreamingQuery]): Drive = {
     try {
       val chunkSec = Vector.newBuilder[Double]
-      val t0 = System.nanoTime()
+      val chunkCalib = Vector.newBuilder[Double]
+      val chunkRows = Vector.newBuilder[Long]
+      val spark = queries.headOption.map(_.sparkSession)
+      var sec = 0.0
       chunks.foreach { c =>
+        // ambient probe per CHUNK, untimed (excluded from the section
+        // wall): the per-chunk ratio is what lets a mid-section host-
+        // contention phase be attributed from the artifact alone
+        chunkCalib += spark.map(s =>
+          try Bench.calibrate(s) catch { case _: Throwable => -1.0 })
+          .getOrElse(-1.0)
+        chunkRows += c.length.toLong
         val c0 = System.nanoTime()
         add(c)
         queries.foreach(_.processAllAvailable())
-        chunkSec += (System.nanoTime() - c0) / 1e9
+        val w = (System.nanoTime() - c0) / 1e9
+        chunkSec += w
+        sec += w
       }
-      val sec = (System.nanoTime() - t0) / 1e9
       val batches = queries.headOption.flatMap(q => Option(q.lastProgress))
         .map(_.batchId.toInt + 1).getOrElse(chunks.size)
       val perQuery = queries.map { q =>
@@ -123,17 +148,16 @@ object StreamBench {
             s"DBG $name batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
         name -> ms
       }
-      Drive(sec, batches, chunkSec.result(), perQuery)
+      Drive(sec, batches, chunkSec.result(), perQuery,
+        chunkCalib.result(), chunkRows.result())
     } finally queries.foreach { q =>
       try q.stop() catch { case _: Throwable => () }
     }
   }
 
   private def drive[T](chunks: Seq[IndexedSeq[T]],
-      add: Seq[T] => Unit, queries: Seq[StreamingQuery]): (Double, Int) = {
-    val d = driveDetailed(chunks, add, queries)
-    (d.sec, d.batches)
-  }
+      add: Seq[T] => Unit, queries: Seq[StreamingQuery]): Drive =
+    driveDetailed(chunks, add, queries)
 
   /** Checkpoint dirs are tracked and deleted at the end of [[run]] —
     * eight-plus state-store/checkpoint trees per bench invocation must
@@ -224,7 +248,8 @@ object StreamBench {
         .option("checkpointLocation", tmp("sb_win")).start()
       val d = driveDetailed[String](chunked(msgs), in.addData(_), Seq(qKv, qWin))
       Section("pipeline", msgs.length.toLong, d.sec, d.batches,
-        d.chunkSec, d.queryBatch)
+        d.chunkSec, d.queryBatch,
+        chunkCalib = d.chunkCalib, chunkRows = d.chunkRows)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
@@ -266,9 +291,9 @@ object StreamBench {
     val q = StatefulEnricher.enrich(in.toDS())
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_enr")).start()
-    val (sec, batches) = drive[StatefulEnricher.CdcRecord](
+    val d = drive[StatefulEnricher.CdcRecord](
       chunks, in.addData(_), Seq(q))
-    Section("enrich_state", nEvents, sec, batches)
+    sect("enrich_state", nEvents, d)
   }
 
   case class FunnelIn(key: String, step: Int, ts: Timestamp)
@@ -290,8 +315,8 @@ object StreamBench {
     val q = StreamingFunnel.funnelStream(in.toDF(), nSteps = 3)
       .writeStream.outputMode("update").format("noop")
       .option("checkpointLocation", tmp("sb_fun")).start()
-    val (sec, batches) = drive[FunnelIn](chunked(evs), in.addData(_), Seq(q))
-    Section("funnel", evs.length.toLong, sec, batches)
+    val d = drive[FunnelIn](chunked(evs), in.addData(_), Seq(q))
+    sect("funnel", evs.length.toLong, d)
   }
 
   case class BudgetIn(source: String, doc_id: Long, n_tokens: Long)
@@ -325,8 +350,8 @@ object StreamBench {
         budget = math.max(20000L, docs.map(_.n_tokens).sum / 2))
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_bud")).start()
-    val (sec, batches) = drive[BudgetIn](chunked(docs), in.addData(_), Seq(q))
-    Section("budget", docs.length.toLong, sec, batches)
+    val d = drive[BudgetIn](chunked(docs), in.addData(_), Seq(q))
+    sect("budget", docs.length.toLong, d)
   }
 
   /** Per-source context-window chunk packing — the same ctx as the
@@ -340,8 +365,8 @@ object StreamBench {
     val q = StreamingPack.packStream(in.toDF(), ctx = 512L)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_pack")).start()
-    val (sec, batches) = drive[BudgetIn](chunked(docs), in.addData(_), Seq(q))
-    Section("pack", docs.length.toLong, sec, batches)
+    val d = drive[BudgetIn](chunked(docs), in.addData(_), Seq(q))
+    sect("pack", docs.length.toLong, d)
   }
 
   case class ScoreIn(doc_id: Long, text: String)
@@ -366,8 +391,8 @@ object StreamBench {
         in.toDF().toDF("doc_id", "text"), weights)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_score")).start()
-    val (sec, batches) = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
-    Section("score", docs.length.toLong, sec, batches)
+    val d = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
+    sect("score", docs.length.toLong, d)
   }
 
   /** Streaming count-min maintenance ([[graft.operators.Sketch]]): the
@@ -390,8 +415,8 @@ object StreamBench {
     val q = graft.operators.Sketch.cmsSketch(in.toDF().toDF("doc_id", "text"))
       .writeStream.outputMode("update").format("noop")
       .option("checkpointLocation", tmp("sb_cms")).start()
-    val (sec, batches) = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
-    Section("cms", docs.length.toLong, sec, batches)
+    val d = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
+    sect("cms", docs.length.toLong, d)
   }
 
   /** Streaming HLL cardinality sketch over the 3-gram shingle space —
@@ -415,8 +440,8 @@ object StreamBench {
     val q = graft.operators.Sketch.hllRegisters(in.toDF().toDF("doc_id", "text"))
       .writeStream.outputMode("update").format("noop")
       .option("checkpointLocation", tmp("sb_hll")).start()
-    val (sec, batches) = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
-    Section("hll", docs.length.toLong, sec, batches)
+    val d = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
+    sect("hll", docs.length.toLong, d)
   }
 
   /** Streaming decontamination monitor ([[graft.operators.Sketch
@@ -440,8 +465,8 @@ object StreamBench {
     val q = graft.operators.Sketch.kmvDecontam(in.toDF().toDF("doc_id", "text"))
       .writeStream.outputMode("update").format("noop")
       .option("checkpointLocation", tmp("sb_dec")).start()
-    val (sec, batches) = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
-    Section("decontam", docs.length.toLong, sec, batches)
+    val d = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
+    sect("decontam", docs.length.toLong, d)
   }
 
   case class LmScoreIn(doc_id: Long, lang: String, text: String)
@@ -471,8 +496,8 @@ object StreamBench {
         in.toDF().toDF("doc_id", "lang", "text"), meta)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_nbscore")).start()
-    val (sec, batches) = drive[LmScoreIn](chunked(docs), in.addData(_), Seq(q))
-    Section("nb_score", docs.length.toLong, sec, batches)
+    val d = drive[LmScoreIn](chunked(docs), in.addData(_), Seq(q))
+    sect("nb_score", docs.length.toLong, d)
   }
 
   /** Streaming LM perplexity scoring
@@ -497,8 +522,8 @@ object StreamBench {
         in.toDF().toDF("doc_id", "lang", "text"), wbits)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_lmscore")).start()
-    val (sec, batches) = drive[LmScoreIn](chunked(docs), in.addData(_), Seq(q))
-    Section("lm_score", docs.length.toLong, sec, batches)
+    val d = drive[LmScoreIn](chunked(docs), in.addData(_), Seq(q))
+    sect("lm_score", docs.length.toLong, d)
   }
 
   /** Streaming multimodal ingest
@@ -522,9 +547,9 @@ object StreamBench {
     val q = graft.streaming.StreamingMedia.ingestStream(in.toDS(), dec)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_media")).start()
-    val (sec, batches) = drive[graft.operators.Multimodal.MediaRecord](
+    val d = drive[graft.operators.Multimodal.MediaRecord](
       chunked(docs), in.addData(_), Seq(q))
-    Section("media", docs.length.toLong, sec, batches)
+    sect("media", docs.length.toLong, d)
   }
 
   /** Streaming CCNet RATIO scoring
@@ -552,8 +577,8 @@ object StreamBench {
         in.toDF().toDF("doc_id", "lang", "text"), wT, wB)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_lmratio")).start()
-    val (sec, batches) = drive[LmScoreIn](chunked(docs), in.addData(_), Seq(q))
-    Section("lm_ratio", docs.length.toLong, sec, batches)
+    val d = drive[LmScoreIn](chunked(docs), in.addData(_), Seq(q))
+    sect("lm_ratio", docs.length.toLong, d)
   }
 
   case class PipeIn(source: String, doc_id: Long, lang: String,
@@ -613,8 +638,8 @@ object StreamBench {
         "ts", "10 minutes", resampleShards = 64)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_pipe")).start()
-    val (sec, batches) = drive[PipeIn](chunked(docs), in.addData(_), Seq(q))
-    Section("curation", docs.length.toLong, sec, batches)
+    val d = drive[PipeIn](chunked(docs), in.addData(_), Seq(q))
+    sect("curation", docs.length.toLong, d)
   }
 
   case class DedupIn(doc_id: Long, text: String, ts: Timestamp)
@@ -652,8 +677,8 @@ object StreamBench {
     val q = StreamingDedup.dedupStream(in.toDF(), "ts", "60 seconds")
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_ded")).start()
-    val (sec, batches) = drive[DedupIn](chunked(docs), in.addData(_), Seq(q))
-    Section("dedup", docs.length.toLong, sec, batches)
+    val d = drive[DedupIn](chunked(docs), in.addData(_), Seq(q))
+    sect("dedup", docs.length.toLong, d)
   }
 
   case class IntakeIn(source: String, doc_id: Long, text: String,
@@ -683,8 +708,8 @@ object StreamBench {
         ctx = 512L)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_int")).start()
-    val (sec, batches) = drive[IntakeIn](chunked(docs), in.addData(_), Seq(q))
-    Section("intake", docs.length.toLong, sec, batches)
+    val d = drive[IntakeIn](chunked(docs), in.addData(_), Seq(q))
+    sect("intake", docs.length.toLong, d)
   }
 
   /** Streaming systematic-PPS sampling ([[graft.streaming.StreamingSample]]):
@@ -703,9 +728,9 @@ object StreamBench {
     val q = graft.streaming.StreamingSample.sampleStream(in.toDF(), step)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_pps")).start()
-    val (sec, batches) = drive[graft.streaming.StreamingSample.WeightedDoc](
+    val d = drive[graft.streaming.StreamingSample.WeightedDoc](
       chunked(docs), in.addData(_), Seq(q))
-    Section("pps_sample", docs.length.toLong, sec, batches)
+    sect("pps_sample", docs.length.toLong, d)
   }
 
   case class IndexIn(vec_id: Long, qv: Seq[Double])
@@ -736,8 +761,8 @@ object StreamBench {
     val q = graft.streaming.StreamingIndex.indexStream(in.toDF(), cents, cb)
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_idx")).start()
-    val (sec, batches) = drive[IndexIn](chunked(vecs), in.addData(_), Seq(q))
-    Section("index", vecs.length.toLong, sec, batches)
+    val d = drive[IndexIn](chunked(vecs), in.addData(_), Seq(q))
+    sect("index", vecs.length.toLong, d)
   }
 
   /** Streaming ANN serving ([[graft.streaming.StreamingSearch]]): query
@@ -778,8 +803,8 @@ object StreamBench {
         nprobe = 3, k = 10)(
         out => out.write.format("noop").mode("overwrite").save())
       .option("checkpointLocation", tmp("sb_srch")).start()
-    val (sec, batches) = drive[IndexIn](chunked(queries), in.addData(_), Seq(q))
-    Section("search", queries.length.toLong, sec, batches)
+    val d = drive[IndexIn](chunked(queries), in.addData(_), Seq(q))
+    sect("search", queries.length.toLong, d)
   }
 
   /** FILTERED serving ([[graft.streaming.StreamingSearch.serveFilteredWriter]]):
@@ -813,8 +838,8 @@ object StreamBench {
         nprobe = 3, k = 10)(
         out => out.write.format("noop").mode("overwrite").save())
       .option("checkpointLocation", tmp("sb_fsrch")).start()
-    val (sec, batches) = drive[IndexIn](chunked(queries), in.addData(_), Seq(q))
-    Section("fsearch", queries.length.toLong, sec, batches)
+    val d = drive[IndexIn](chunked(queries), in.addData(_), Seq(q))
+    sect("fsearch", queries.length.toLong, d)
   }
 
   case class AnomalyIn(key: String, event_id: Long, ts: Timestamp, x: Long)
@@ -836,8 +861,8 @@ object StreamBench {
     val q = StreamingAnomaly.rollingZScoreStream(in.toDF())
       .writeStream.outputMode("append").format("noop")
       .option("checkpointLocation", tmp("sb_ano")).start()
-    val (sec, batches) = drive[AnomalyIn](chunked(evs), in.addData(_), Seq(q))
-    Section("anomaly", evs.length.toLong, sec, batches)
+    val d = drive[AnomalyIn](chunked(evs), in.addData(_), Seq(q))
+    sect("anomaly", evs.length.toLong, d)
   }
 
   /** The TTL variant of the stateful enricher (`ProcessingTimeTimeout`)

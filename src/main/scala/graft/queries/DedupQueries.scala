@@ -489,6 +489,96 @@ object DedupQueries {
          |  ON p.doc_id = c.doc_id AND p.pos = c.pos
          |GROUP BY p.doc_id""".stripMargin),
 
+    // Span-LEVEL decontamination: strip from the TRAIN split every
+    // span it shares with the held-out (test) split — the substring
+    // counterpart of curate_decontaminate's document-level lexical
+    // pass (a benchmark answer pasted INTO an otherwise-unique train
+    // document leaks at span granularity and no document-level dedup
+    // sees it). Direction is leakage-driven, not keep-first: whichever
+    // SIDE of the pair is the train doc gets stripped, the test doc is
+    // never touched. Same gram index, same islands, same merged-
+    // interval strip — one new filter, zero new kernels. Reports the
+    // decontaminated train corpus per source.
+    "curate_substring_decontam" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        def split(c: org.apache.spark.sql.Column) = {
+          val b = PortableHash.hash60(
+            concat(c.cast("string"), lit("|split"))) % 100
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        val spans = substringSpans(s, d)
+          .withColumn("split_a", split(col("doc_a")))
+          .withColumn("split_b", split(col("doc_b")))
+        // spans-shaped frame whose (doc_b, b_start) is ALWAYS the
+        // train side of a train×test pair — both pair orientations
+        val leak = spans
+          .filter(col("split_a") === "train" && col("split_b") === "test")
+          .select(col("doc_a").as("doc_b"), col("a_start").as("b_start"),
+            col("span_toks"))
+          .unionByName(spans
+            .filter(col("split_a") === "test" && col("split_b") === "train")
+            .select(col("doc_b"), col("b_start"), col("span_toks")))
+        val train = Tables.documents(s, d)
+          .filter(split(col("doc_id")) === "train")
+        graft.operators.SpanDedup.stripSpans(train, "doc_id", "text", leak)
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("n_removed")).as("n_removed"),
+            count(when(col("n_removed") > 0, 1)).as("n_docs_hit"))
+      }, {
+        def bkt(e: String) =
+          s"(${graft.functions.PortableHash.hash60Sql(
+            s"CAST($e AS VARCHAR) || '|split'")} % 100)"
+        def splitOf(e: String) =
+          s"CASE WHEN ${bkt(e)} < 80 THEN 'train' " +
+            s"WHEN ${bkt(e)} < 90 THEN 'val' ELSE 'test' END"
+        s"""WITH $substringCtes,
+           |sdsp AS (SELECT *, ${splitOf("doc_a")} AS split_a,
+           |    ${splitOf("doc_b")} AS split_b FROM sspan),
+           |sdiv0 AS (
+           |  SELECT DISTINCT doc_id, s, e FROM (
+           |    SELECT doc_a AS doc_id, a_start AS s,
+           |      a_start + span_toks - 1 AS e
+           |    FROM sdsp WHERE split_a = 'train' AND split_b = 'test'
+           |    UNION ALL
+           |    SELECT doc_b AS doc_id, b_start AS s,
+           |      b_start + span_toks - 1 AS e
+           |    FROM sdsp WHERE split_a = 'test' AND split_b = 'train')),
+           |sdivw AS (SELECT doc_id, s, e, max(e) OVER (
+           |    PARTITION BY doc_id ORDER BY s, e
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           |  FROM sdiv0),
+           |sdivg AS (SELECT doc_id, s, e,
+           |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY s, e
+           |        ROWS UNBOUNDED PRECEDING) AS grp
+           |  FROM sdivw),
+           |sdivm AS (SELECT doc_id, min(s) AS ms, max(e) AS me
+           |  FROM sdivg GROUP BY doc_id, grp),
+           |sdpos AS (SELECT t.doc_id, u.i AS pos
+           |  FROM sst t, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+           |  WHERE ${splitOf("t.doc_id")} = 'train'),
+           |sdcov AS (SELECT DISTINCT p.doc_id, p.pos
+           |  FROM sdpos p JOIN sdivm v
+           |  ON p.doc_id = v.doc_id AND p.pos BETWEEN v.ms AND v.me),
+           |sdstat AS (
+           |  SELECT p.doc_id, count(*) AS n_toks, count(c.pos) AS n_rm
+           |  FROM sdpos p LEFT JOIN sdcov c
+           |    ON p.doc_id = c.doc_id AND p.pos = c.pos
+           |  GROUP BY p.doc_id)
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(st.n_toks) AS BIGINT) AS n_tokens,
+           |  CAST(sum(st.n_rm) AS BIGINT) AS n_removed,
+           |  CAST(count(CASE WHEN st.n_rm > 0 THEN 1 END) AS BIGINT)
+           |    AS n_docs_hit
+           |FROM sdstat st JOIN documents d ON d.doc_id = st.doc_id
+           |GROUP BY d.source""".stripMargin
+      }),
+
     // MinHash + LSH banding near-dup: map-only signatures, equi-join on
     // band keys, exact Jaccard verification on candidates only — over
     // the FULL corpus, with each band bucket capped to its 48 lowest-id

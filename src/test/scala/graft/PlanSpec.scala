@@ -260,7 +260,8 @@ class PlanSpec extends SparkSpec {
       "curate_substring_strip" -> 4, // measured 3: interval merge window + per-doc agg + the corpus-side broadcast join
       "sim_graph_serve_delta" -> 2, // measured 1: final top-K window over the checkpointed visited set (the sim_graph_search shape on the base-edge/union-assignment pair)
       "sim_graph_beam_sweep" -> 13, // measured 12: 3 × (search branch + exact-baseline compare) off the checkpointed index — far under the hop sweep's 35 because every branch reuses the same checkpointed entry scan
-      "sim_graph_degree_sweep" -> 13) // measured 12: same 3-branch shape over erank-prefix filters of the one wide checkpointed build
+      "sim_graph_degree_sweep" -> 13, // measured 12: same 3-branch shape over erank-prefix filters of the one wide checkpointed build
+      "curate_substring_decontam" -> 6) // measured 5: the strip shape (interval merge + per-doc agg + corpus join) + the source rollup, off the checkpointed span manifest
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

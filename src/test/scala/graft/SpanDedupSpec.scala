@@ -129,6 +129,54 @@ class SpanDedupSpec extends SparkSpec {
     got(3)._3 shouldBe 12L
   }
 
+  test("span decontamination: train side of a train×test leak stripped, test untouched") {
+    import graft.functions.PortableHash
+    // splits are hash-determined — pick real ids from each split
+    def bucket(id: Long) = PortableHash.seedLong(s"$id|split") % 100
+    val ids = (0L to 500L)
+    val trainA = ids.find(bucket(_) < 80).get
+    val trainB = ids.find(i => bucket(i) < 80 && i != trainA).get
+    val testC = ids.find(bucket(_) >= 90).get
+    // trainA shares a span with testC (the LEAK) and another with
+    // trainB (in-split repetition — decontamination must NOT touch it)
+    val leakSpan = uniq("l", 10)
+    val dupSpan = uniq("m", 10)
+    val docs = Seq(
+      doc(trainA, uniq("a", 3) ++ leakSpan ++ uniq("b", 2) ++ dupSpan),
+      doc(trainB, uniq("c", 4) ++ dupSpan ++ uniq("e", 3)),
+      doc(testC, uniq("f", 5) ++ leakSpan ++ uniq("g", 4)))
+      .toDF("doc_id", "text")
+    val spans = SpanDedup.repeatedSpans(docs, "doc_id", "text",
+      k = 4, minLen = 10, occCap = 32)
+    def split(c: org.apache.spark.sql.Column) = {
+      val b = PortableHash.hash60(
+        concat(c.cast("string"), lit("|split"))) % 100
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    // the registered query's leak orientation: strip whichever side of
+    // a train×test pair is the train doc
+    val tagged = spans
+      .withColumn("split_a", split(col("doc_a")))
+      .withColumn("split_b", split(col("doc_b")))
+    val leak = tagged
+      .filter(col("split_a") === "train" && col("split_b") === "test")
+      .select(col("doc_a").as("doc_b"), col("a_start").as("b_start"),
+        col("span_toks"))
+      .unionByName(tagged
+        .filter(col("split_a") === "test" && col("split_b") === "train")
+        .select(col("doc_b"), col("b_start"), col("span_toks")))
+    val train = docs.filter(split(col("doc_id")) === "train")
+    val byId = SpanDedup.stripSpans(train, "doc_id", "text", leak)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // trainA loses EXACTLY the leaked span; the in-split dup survives
+    byId(trainA)._3 shouldBe 10L
+    byId(trainA)._4 shouldBe
+      (uniq("a", 3) ++ uniq("b", 2) ++ dupSpan).mkString(" ")
+    // trainB untouched (its only repeat is in-split)
+    byId(trainB)._3 shouldBe 0L
+    byId.size shouldBe 2 // test doc never enters the decontaminated corpus
+  }
+
   test("fixture replay: every manifest span really repeats, verbatim and maximal") {
     val d = "/root/testdata/sf0.001"
     val docs = graft.ingest.Tables.documents(spark, d)
