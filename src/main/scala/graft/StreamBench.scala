@@ -469,6 +469,47 @@ object StreamBench {
     sect("decontam", docs.length.toLong, d)
   }
 
+  /** Streaming span decontamination
+    * ([[graft.streaming.StreamingSpanDedup.decontamStripWriter]]):
+    * arriving documents stripped AT INGEST of every span shared with
+    * the held-out split's capped gram index (built before the clock,
+    * the trained-artifact side) — stateless per batch; per-doc work is
+    * gram-count × ≤ occCap joined index rows plus the island windows
+    * on the HITS only, so the volume cap mirrors the search sections'
+    * (per-row cost is an index join + windows, ~an order above the
+    * hash-scoring sections'; rps stays a per-row signal either way and
+    * the rows field reports the capped count honestly). */
+  private def xstripSection(spark: SparkSession, sfDir: String,
+      floor: Int): Section = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.PortableHash
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = PortableHash.hash60(
+        concat(c.cast("string"), lit("|split"))) % 100
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    val docs0 = Tables.documents(spark, sfDir)
+    val refGrams = graft.operators.SpanDedup.cappedGrams(
+      docs0.filter(splitOf(col("doc_id")) === "test"),
+      "doc_id", "text", k = 8, occCap = 32).localCheckpoint()
+    val base = docs0.filter(splitOf(col("doc_id")) === "train")
+      .select(col("doc_id").cast("long"), col("text").cast("string"))
+      .as[ScoreIn].collect().toIndexedSeq
+    val span = if (base.isEmpty) 1L else base.map(_.doc_id).max + 1L
+    val dFloor = math.min(floor, 25000)
+    val docs = replicate(base, dFloor)(
+      (r, i) => r.copy(doc_id = r.doc_id + i * span))
+    val in = MemoryStream[ScoreIn]
+    val q = graft.streaming.StreamingSpanDedup.decontamStripWriter(
+        in.toDF().toDF("doc_id", "text"), refGrams,
+        "doc_id", "text", k = 8, minLen = 10)(
+        out => out.write.format("noop").mode("overwrite").save())
+      .option("checkpointLocation", tmp("sb_xstrip")).start()
+    val d = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))
+    sect("xstrip", docs.length.toLong, d)
+  }
+
   case class LmScoreIn(doc_id: Long, lang: String, text: String)
 
   /** Streaming NB classification
@@ -1083,6 +1124,7 @@ object StreamBench {
       "cms" -> (cmsSection(_, _, volumeFloor)),
       "hll" -> (hllSection(_, _, volumeFloor)),
       "decontam" -> (decontamSection(_, _, volumeFloor)),
+      "xstrip" -> (xstripSection(_, _, volumeFloor)),
       "lm_score" -> (lmScoreSection(_, _, volumeFloor)),
       "lm_ratio" -> (lmRatioSection(_, _, volumeFloor)),
       "nb_score" -> (nbScoreSection(_, _, volumeFloor)),

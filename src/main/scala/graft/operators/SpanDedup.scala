@@ -127,6 +127,57 @@ object SpanDedup {
       .select(col("p.da"), col("p.oa"), col("p.db"), col("p.ob"))
   }
 
+  /** The reference-side gram index for CROSS-CORPUS span matching
+    * ([[spansAgainst]]): (rid, roff, gram), with each gram's
+    * occurrence list deterministically capped at `occCap` (rank by
+    * (rid, roff) — the same tie-break as the in-corpus pass). Built
+    * ONCE over the reference corpus and checkpointed by the caller;
+    * the cap is paid at build time so serving never re-windows the
+    * static side. */
+  def cappedGrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, occCap: Int): DataFrame = {
+    val rw = Window.partitionBy(col("gram"))
+      .orderBy(col("rid"), col("roff"))
+    posGrams(docs, idCol, textCol, k)
+      .select(col(idCol).cast("long").as("rid"), col("off").as("roff"),
+        col("gram"))
+      .withColumn("__r", row_number().over(rw))
+      .filter(col("__r") <= occCap)
+      .drop("__r")
+  }
+
+  /** Maximal spans the `docs` side shares with a REFERENCE gram index
+    * ([[cappedGrams]]) — the cross-corpus form of [[repeatedSpans]],
+    * shaped for [[stripSpans]]: (doc_b, b_start, span_toks) with
+    * doc_b/b_start always the `docs` (to-be-stripped) side. One
+    * equi-join of the arriving grams against the static index, then
+    * the same (ref doc, arriving doc, diagonal) island merge. Per
+    * arriving gram the join fans out to ≤ occCap reference
+    * occurrences; nothing on the reference side moves or re-ranks at
+    * serving time — the shape a streaming decontamination twin needs.
+    * Equals the in-corpus pass's cross-pair spans exactly whenever no
+    * gram's COMBINED occurrence count exceeds the cap (the production
+    * case; a hotter gram is truncated differently because the
+    * in-corpus cap ranks the combined list — the documented trade). */
+  def spansAgainst(refGrams: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, k: Int, minLen: Int): DataFrame = {
+    require(minLen >= k, s"minLen ($minLen) must be >= gram size ($k)")
+    val hits = posGrams(docs, idCol, textCol, k)
+      .select(col(idCol).cast("long").as("d"), col("off"), col("gram"))
+      .join(refGrams, Seq("gram"))
+      .select(col("d"), col("off"), col("rid"), col("roff"))
+    val iw = Window.partitionBy(col("d"), col("rid"), col("diag"))
+      .orderBy(col("off"))
+    hits
+      .withColumn("diag", col("off") - col("roff"))
+      .withColumn("grp", col("off") - row_number().over(iw))
+      .groupBy(col("d"), col("rid"), col("diag"), col("grp"))
+      .agg(min(col("off")).as("b_start"),
+        (max(col("off")) + (k - 1) - min(col("off")) + 1).as("span_toks"))
+      .filter(col("span_toks") >= minLen)
+      .select(col("d").as("doc_b"), col("b_start"), col("span_toks"))
+  }
+
   /** Disjoint per-document removal intervals (idCol, ms, me) — the
     * LATER (b-side) occurrence of every repeated span, merged where
     * overlapping/adjacent-overlapping via the running-max window. */

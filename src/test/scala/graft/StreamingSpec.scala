@@ -1228,6 +1228,61 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe postExpected
   }
 
+  test("streaming span decontamination equals the batch strip and the oracle-green rollup") {
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    import graft.functions.PortableHash
+    def split(c: org.apache.spark.sql.Column) = {
+      val b = PortableHash.hash60(
+        concat(c.cast("string"), lit("|split"))) % 100
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    val docs0 = graft.ingest.Tables.documents(spark, d)
+    // the trained artifact: the held-out (test) corpus's capped gram
+    // index, built once and checkpointed
+    val refGrams = graft.operators.SpanDedup.cappedGrams(
+      docs0.filter(split(col("doc_id")) === "test"),
+      "doc_id", "text", k = 8, occCap = 32).localCheckpoint()
+    val train = docs0.filter(split(col("doc_id")) === "train")
+      .select(col("doc_id"), col("text"))
+    val expected = graft.operators.SpanDedup.stripSpans(
+        train, "doc_id", "text",
+        graft.operators.SpanDedup.spansAgainst(
+          refGrams, train, "doc_id", "text", k = 8, minLen = 10))
+      .as[(Long, Long, Long, String)].collect().toSet
+    expected should not be empty
+    expected.count(_._3 > 0) should be > 0 // the fixture leaks (379 tokens)
+
+    val rows = train.as[(Long, String)].collect().toIndexedSeq.sortBy(_._1)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingSpanDedup.decontamStripWriter(
+        in.toDF().toDF("doc_id", "text"), refGrams,
+        "doc_id", "text", k = 8, minLen = 10) { out =>
+        buf.synchronized { buf ++= out.as[(Long, Long, Long, String)].collect() }
+      }
+      .option("checkpointLocation", tmp("ckpt-spandc")).start()
+    // three chunks: each batch strips statelessly against the static index
+    rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { c =>
+      in.addData(c); q.processAllAvailable()
+    }
+    q.stop()
+    buf.toSet shouldBe expected
+
+    // and the streamed output's per-source rollup IS the oracle-green
+    // batch row — the twin serves exactly what the gate verified
+    val got = buf.toSeq.toDF("doc_id", "n_toks", "n_removed", "clean_text")
+      .join(docs0.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_removed")).as("n_removed"),
+        count(when(col("n_removed") > 0, 1)).as("n_docs_hit"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val batchRow = SparkEntry.queries("curate_substring_decontam")(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    got shouldBe batchRow
+  }
+
   test("streaming graph-traversal serving equals the batch beam search on the same query set") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
