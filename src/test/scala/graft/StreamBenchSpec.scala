@@ -20,8 +20,8 @@ class StreamBenchSpec extends SparkSpec {
       "pipeline", "enrich_state", "enrich_ttl", "funnel", "budget", "pack",
       "dedup", "intake", "index", "search", "fsearch", "pps_sample",
       "content_stats",
-      "score", "cms", "hll", "decontam", "lm_score", "lm_ratio", "nb_score",
-      "media", "curation", "anomaly")
+      "score", "cms", "hll", "decontam", "xstrip", "lm_score", "lm_ratio",
+      "nb_score", "media", "curation", "anomaly")
     sections.foreach { s =>
       withClue(s"section ${s.name}: ") {
         s.rows should be > 0L
