@@ -493,6 +493,11 @@ object StreamBench {
     val refGrams = graft.operators.SpanDedup.cappedGrams(
       docs0.filter(splitOf(col("doc_id")) === "test"),
       "doc_id", "text", k = 8, occCap = 32).localCheckpoint()
+    // the trained-artifact pre-filter, built before the clock next to
+    // the index: most arriving grams miss the reference, and the
+    // sketch drops them scan-side before the join's exchange
+    val refSketch = Some(graft.operators.SpanDedup.refGramSketch(
+      refGrams, refGrams.count()))
     val base = docs0.filter(splitOf(col("doc_id")) === "train")
       .select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[ScoreIn].collect().toIndexedSeq
@@ -503,7 +508,7 @@ object StreamBench {
     val in = MemoryStream[ScoreIn]
     val q = graft.streaming.StreamingSpanDedup.decontamStripWriter(
         in.toDF().toDF("doc_id", "text"), refGrams,
-        "doc_id", "text", k = 8, minLen = 10)(
+        "doc_id", "text", k = 8, minLen = 10, refSketch)(
         out => out.write.format("noop").mode("overwrite").save())
       .option("checkpointLocation", tmp("sb_xstrip")).start()
     val d = drive[ScoreIn](chunked(docs), in.addData(_), Seq(q))

@@ -18,6 +18,16 @@ object StreamBenchProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Discarded small-volume pass of the SAME selected sections first:
+    // the scoped harness previously timed its first sections against a
+    // colder JIT/codegen state than the full bench ever does (the full
+    // protocol's batch passes warm the serving kernels long before the
+    // stream clock starts) — docs/AB_r14.md measured fsearch ~15 % low
+    // under SPARK_GRAFT_STREAM_ONLY for exactly this reason. The
+    // warm-up pass pays micro-batch engine + codegen + broadcast init
+    // for every section it will time, then its numbers are thrown away.
+    try StreamBench.run(spark, sfDir, volumeFloor = 2000)
+    catch { case _: Throwable => () }
     StreamBench.run(spark, sfDir).foreach { s =>
       println(f"SECTION ${s.name}%-14s rows=${s.rows}%7d sec=${s.sec}%7.2f " +
         f"batches=${s.batches}%2d rps=${s.rps.round}%7d")

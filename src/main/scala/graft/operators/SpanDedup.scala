@@ -53,6 +53,22 @@ import graft.functions.PortableHash
   */
 object SpanDedup {
 
+  /** The pairing/indexing kernels cast `idCol` to int64 so the one big
+    * shuffle carries fixed-width keys. A cast from a non-numeric id
+    * would return NULL silently — collapsing every document onto one
+    * null key and producing garbage spans with no error — so the id
+    * type is validated up front: integral types only (hash string ids
+    * to int64, e.g. [[graft.functions.PortableHash.hash60]], before
+    * calling). */
+  private def requireIntegralId(docs: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = docs.schema(idCol).dataType
+    require(Set[DataType](ByteType, ShortType, IntegerType, LongType)
+      .contains(dt),
+      s"SpanDedup: id column '$idCol' must be an integral type castable " +
+        s"to int64, got $dt — hash string ids to int64 first")
+  }
+
   /** Positional k-gram index: (idCol, off, gram) — off is the 1-based
     * token offset of the gram's first token, gram the 60-bit hash of
     * the space-joined k tokens. Map-only; one output row per token
@@ -110,6 +126,7 @@ object SpanDedup {
   private def pairHits(docs: DataFrame, idCol: String, textCol: String,
       k: Int, occCap: Int): DataFrame = {
     require(occCap >= 2, s"occCap must be >= 2, got $occCap")
+    requireIntegralId(docs, idCol)
     val occs = slice(
       sort_array(collect_list(struct(col("d"), col("off")))),
       1, occCap)
@@ -136,6 +153,7 @@ object SpanDedup {
     * static side. */
   def cappedGrams(docs: DataFrame, idCol: String, textCol: String,
       k: Int, occCap: Int): DataFrame = {
+    requireIntegralId(docs, idCol)
     val rw = Window.partitionBy(col("gram"))
       .orderBy(col("rid"), col("roff"))
     posGrams(docs, idCol, textCol, k)
@@ -145,6 +163,19 @@ object SpanDedup {
       .filter(col("__r") <= occCap)
       .drop("__r")
   }
+
+  /** Bloom sketch of a [[cappedGrams]] index's gram hashes — the
+    * trained-artifact pre-filter for [[spansAgainst]]: built ONCE
+    * offline next to the index itself (a bounded-size driver sketch,
+    * KBs), shipped to the scan as a codegen'd literal, and used to
+    * drop non-matching arriving grams BEFORE the join's exchange.
+    * `expectedItems` ≈ the index's distinct gram count (the caller
+    * knows it at build time); bits default to 16× items ≈ 0.04 % FP —
+    * and every FP is removed by the exact join anyway. */
+  def refGramSketch(refGrams: DataFrame,
+      expectedItems: Long): Array[Byte] =
+    BloomJoin.keySketch(refGrams, col("gram"),
+      math.max(expectedItems, 1L), math.max(expectedItems, 1L) * 16)
 
   /** Maximal spans the `docs` side shares with a REFERENCE gram index
     * ([[cappedGrams]]) — the cross-corpus form of [[repeatedSpans]],
@@ -160,10 +191,25 @@ object SpanDedup {
     * case; a hotter gram is truncated differently because the
     * in-corpus cap ranks the combined list — the documented trade). */
   def spansAgainst(refGrams: DataFrame, docs: DataFrame,
-      idCol: String, textCol: String, k: Int, minLen: Int): DataFrame = {
+      idCol: String, textCol: String, k: Int, minLen: Int,
+      refSketch: Option[Array[Byte]] = None): DataFrame = {
     require(minLen >= k, s"minLen ($minLen) must be >= gram size ($k)")
-    val hits = posGrams(docs, idCol, textCol, k)
+    requireIntegralId(docs, idCol)
+    // optional scan-side membership pre-filter on the reference gram
+    // hashes ([[refGramSketch]]): in production nearly every arriving
+    // gram MISSES the reference index, yet without the sketch each one
+    // pays the shuffle into the equi-join. Bloom false positives are
+    // eliminated by the exact join that follows, so the result is
+    // row-identical with and without the sketch (spec-pinned); a null
+    // sketch (empty reference) drops every gram — exactly the empty
+    // inner join's semantics.
+    val arriving = posGrams(docs, idCol, textCol, k)
       .select(col(idCol).cast("long").as("d"), col("off"), col("gram"))
+    val prefiltered = refSketch match {
+      case Some(sk) => arriving.filter(BloomJoin.mightContain(sk, col("gram")))
+      case None => arriving
+    }
+    val hits = prefiltered
       .join(refGrams, Seq("gram"))
       .select(col("d"), col("off"), col("rid"), col("roff"))
     val iw = Window.partitionBy(col("d"), col("rid"), col("diag"))

@@ -166,6 +166,15 @@ object DedupQueries {
     * perplexity ratio — the full quality stack CCNet-style recipes
     * run; both variants register as capstone rows. */
   private def pipelineFrame(s: org.apache.spark.sql.SparkSession,
+      d: String, classifierGate: Boolean): org.apache.spark.sql.DataFrame =
+    pipelineDocs(s, d, classifierGate)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** The capstone's PER-DOCUMENT admission manifest (source, doc_id,
+    * n_tokens, split) — [[pipelineFrame]] is its (source × split)
+    * rollup; the shard-export capstone consumes the train slice. */
+  private def pipelineDocs(s: org.apache.spark.sql.SparkSession,
       d: String, classifierGate: Boolean): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.expressions.Window
         import graft.functions.PortableHash
@@ -246,22 +255,40 @@ object DedupQueries {
         val split = when(b < 80, "train").when(b < 90, "val")
           .otherwise("test")
         clean.join(sampled, Seq("doc_id"), "left_semi")
-          .groupBy(col("source"), split.as("split"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            split.as("split"))
   }
 
   /** Oracle text for [[pipelineFrame]], with the nb* CTE blocks and
     * the classifier predicate appended for the `_cls` variant (the
     * nb* blocks read the SAME `lmex` bigram fan-out the ratio gate's
     * CTEs define — one bigram pipeline feeds both gates). */
+  private def splitBucketSql(e: String) =
+    s"(${graft.functions.PortableHash.hash60Sql(
+      s"CAST($e AS VARCHAR) || '|split'")} % 100)"
+
   private def pipelineSql(classifierGate: Boolean): String = {
+        def bucketSql(e: String) = splitBucketSql(e)
+        s"""WITH ${pipelineCtes(classifierGate)}
+           |SELECT c.source,
+           |  CASE WHEN ${bucketSql("c.doc_id")} < 80 THEN 'train'
+           |       WHEN ${bucketSql("c.doc_id")} < 90 THEN 'val'
+           |       ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs, CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
+           |FROM pclean c JOIN psel ON psel.doc_id = c.doc_id
+           |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** The capstone's CTE chain (everything through `psel`, no WITH/final
+    * select) — shared by [[pipelineSql]] and the shard-export capstone
+    * oracle, which appends its own shard CTEs over the same admitted
+    * set. */
+  private def pipelineCtes(classifierGate: Boolean): String = {
         import graft.functions.PortableHash
-        def bucketSql(e: String) =
-          s"(${PortableHash.hash60Sql(s"CAST($e AS VARCHAR) || '|split'")} % 100)"
         val hSql = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|dsir'")
         val nbBlocks =
           if (classifierGate) s"${TextQueries.nbCtesBody},\n" else ""
-        s"""WITH ${TextQueries.lmRatioCtes},
+        s"""${TextQueries.lmRatioCtes},
            |${TextQueries.calibThetaCtes},
            |$nbBlocks${SimilarityQueries.semDropOracleCtes},
            |$dsirCtes,
@@ -299,15 +326,47 @@ object DedupQueries {
            |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
            |  FROM pt),
            |psel AS (SELECT doc_id FROM pcum
-           |  WHERE cw // $PipelineStep > (cw - wgt) // $PipelineStep)
-           |SELECT c.source,
-           |  CASE WHEN ${bucketSql("c.doc_id")} < 80 THEN 'train'
-           |       WHEN ${bucketSql("c.doc_id")} < 90 THEN 'val'
-           |       ELSE 'test' END AS split,
-           |  COUNT(*) AS n_docs, CAST(SUM(c.n_tokens) AS BIGINT) AS n_tokens
-           |FROM pclean c JOIN psel ON psel.doc_id = c.doc_id
-           |GROUP BY 1, 2""".stripMargin
+           |  WHERE cw // $PipelineStep > (cw - wgt) // $PipelineStep)"""
+          .stripMargin
   }
+
+  /** Shard-export width. 8 shards over the ~500-doc sf0.01 fixture
+    * leaves every shard tens of documents wide, so the balance bound
+    * (± one maximal document around total/8) is visible and the
+    * oracle exercises every boundary; at 100 TB the same arithmetic
+    * serves any width below ~9·10¹⁸/total_tokens (see
+    * [[graft.operators.ShardExport]]). */
+  private val ShardN = 8
+
+  /** Oracle CTEs replaying [[graft.operators.ShardExport.shardPlan]]
+    * over `src` (a sub-select with source, doc_id, n_tokens): `shp` is
+    * the per-unit assignment — the flat sequential window the
+    * distributed two-level prefix sum must equal. */
+  private def shardCtes(src: String): String = {
+    import graft.functions.PortableHash
+    val hSql = PortableHash.hash60Sql("CAST(doc_id AS VARCHAR) || '|shard'")
+    s"""sht AS (SELECT source, doc_id, n_tokens,
+       |    $hSql % 64 AS bkt, $hSql AS ord
+       |  FROM $src),
+       |shc AS (SELECT source, doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY bkt, ord, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM sht),
+       |shtot AS (SELECT CAST(GREATEST(SUM(n_tokens), 1) AS BIGINT)
+       |    AS total FROM sht),
+       |shp AS (SELECT source, doc_id, n_tokens, cum_tokens,
+       |    CAST(((cum_tokens - n_tokens) * $ShardN) // total AS BIGINT)
+       |      AS shard
+       |  FROM shc, shtot)""".stripMargin
+  }
+
+  private val shardManifestSelect: String =
+    s"""SELECT shard, COUNT(*) AS n_units,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(MIN(cum_tokens - n_tokens) AS BIGINT) AS start_pos,
+       |  CAST(MAX(cum_tokens) AS BIGINT) AS end_pos
+       |FROM shp GROUP BY shard""".stripMargin
 
   /** Substring-span dedup parameters. Gram size 8 with min span 10
     * tokens: the fixture plants repeated paragraphs of 10–99 tokens
@@ -480,14 +539,21 @@ object DedupQueries {
          |  FROM sst, LATERAL unnest(range(1, len(toks) + 1)) AS u(i)),
          |sscov AS (SELECT DISTINCT p.doc_id, p.pos
          |  FROM sspos p JOIN ssivm v
-         |  ON p.doc_id = v.doc_id AND p.pos BETWEEN v.ms AND v.me)
-         |SELECT p.doc_id, CAST(max(p.n_toks) AS BIGINT) AS n_toks,
-         |  CAST(count(c.pos) AS BIGINT) AS n_removed,
-         |  COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN p.tok END,
-         |    ' ' ORDER BY p.pos), '') AS clean_text
-         |FROM sspos p LEFT JOIN sscov c
-         |  ON p.doc_id = c.doc_id AND p.pos = c.pos
-         |GROUP BY p.doc_id""".stripMargin),
+         |  ON p.doc_id = v.doc_id AND p.pos BETWEEN v.ms AND v.me),
+         |ssagg AS (
+         |  SELECT p.doc_id, CAST(count(c.pos) AS BIGINT) AS n_removed,
+         |    COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN p.tok END,
+         |      ' ' ORDER BY p.pos), '') AS clean_text
+         |  FROM sspos p LEFT JOIN sscov c
+         |    ON p.doc_id = c.doc_id AND p.pos = c.pos
+         |  GROUP BY p.doc_id)
+         |-- LEFT JOIN from sst so a ZERO-token document (no position
+         |-- rows to enumerate) still emits its row, matching Spark's
+         |-- stripSpans (n_toks = 0, n_removed = 0, clean_text = '')
+         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_toks,
+         |  CAST(COALESCE(a.n_removed, 0) AS BIGINT) AS n_removed,
+         |  COALESCE(a.clean_text, '') AS clean_text
+         |FROM sst t LEFT JOIN ssagg a ON t.doc_id = a.doc_id""".stripMargin),
 
     // Span-LEVEL decontamination: strip from the TRAIN split every
     // span it shares with the held-out (test) split — the substring
@@ -565,11 +631,17 @@ object DedupQueries {
            |sdcov AS (SELECT DISTINCT p.doc_id, p.pos
            |  FROM sdpos p JOIN sdivm v
            |  ON p.doc_id = v.doc_id AND p.pos BETWEEN v.ms AND v.me),
+           |sdrm AS (SELECT doc_id, count(*) AS n_rm
+           |  FROM sdcov GROUP BY doc_id),
+           |-- stats from sst (LEFT JOIN), not from the position frame:
+           |-- a ZERO-token train document enumerates no positions but
+           |-- must still count toward its source's n_docs, as Spark's
+           |-- stripSpans output does
            |sdstat AS (
-           |  SELECT p.doc_id, count(*) AS n_toks, count(c.pos) AS n_rm
-           |  FROM sdpos p LEFT JOIN sdcov c
-           |    ON p.doc_id = c.doc_id AND p.pos = c.pos
-           |  GROUP BY p.doc_id)
+           |  SELECT t.doc_id, len(t.toks) AS n_toks,
+           |    COALESCE(r.n_rm, 0) AS n_rm
+           |  FROM sst t LEFT JOIN sdrm r ON t.doc_id = r.doc_id
+           |  WHERE ${splitOf("t.doc_id")} = 'train')
            |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(st.n_toks) AS BIGINT) AS n_tokens,
            |  CAST(sum(st.n_rm) AS BIGINT) AS n_removed,
@@ -1477,6 +1549,71 @@ object DedupQueries {
     "curate_pipeline_cls" -> QueryDef(
       (s, d) => pipelineFrame(s, d, classifierGate = true),
       pipelineSql(classifierGate = true)),
+
+    // Deterministic shard export — the TERMINAL pipeline stage (the
+    // one stage the board computed everything up to and nothing at):
+    // hash-ordered reproducible interleave + closed-form greedy
+    // token-balanced bin assignment (shard = start_offset·N div
+    // total — a prefix-sum bin, balanced to ± one maximal document
+    // around total/N). The running offset is the shared two-level
+    // prefix-sum kernel; the corpus total rides a 1-row broadcast.
+    // The output IS the ordered assignment: (unit, global token
+    // offset, shard) — N writers can stream their slices
+    // independently and byte-identically on any cluster.
+    "curate_shard_plan" -> QueryDef(
+      (s, d) => graft.operators.ShardExport.shardPlan(
+        Tables.documents(s, d).select(col("source"), col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", nShards = ShardN),
+      s"""WITH ${shardCtes(
+             s"(SELECT source, doc_id, CAST(len(${tokens("text")}) AS BIGINT)" +
+             " AS n_tokens FROM documents)")}
+         |SELECT source, doc_id, n_tokens, cum_tokens, shard
+         |FROM shp""".stripMargin),
+
+    // The per-shard audit manifest of the same plan: unit/token
+    // counts, source-mix width, and each shard's contiguous
+    // [start_pos, end_pos] token slice of the interleaved stream —
+    // what a 100 TB run ships to the trainer next to the shard files.
+    "curate_shard_manifest" -> QueryDef(
+      (s, d) => graft.operators.ShardExport.shardManifest(
+        graft.operators.ShardExport.shardPlan(
+          Tables.documents(s, d).select(col("source"), col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+          "doc_id", "n_tokens", nShards = ShardN), "n_tokens"),
+      s"""WITH ${shardCtes(
+             s"(SELECT source, doc_id, CAST(len(${tokens("text")}) AS BIGINT)" +
+             " AS n_tokens FROM documents)")}
+         |$shardManifestSelect""".stripMargin),
+
+    // Shard-export capstone — the full terminal composition: the
+    // six-family curated corpus (curate_pipeline_cls' per-document
+    // admission manifest), train split only, assigned to N balanced
+    // shards and rolled up to the shipping manifest. The oracle
+    // replays the ENTIRE chain (dedup → quality → calibrated ratio +
+    // NB gates → SemDeDup → DSIR resample → split → shard bins) in
+    // one CTE chain off the shared pipeline CTEs — the hash-match
+    // proves curation and export compose, not just pass separately.
+    "curate_pipeline_shards" -> QueryDef(
+      (s, d) => graft.operators.ShardExport.shardManifest(
+        graft.operators.ShardExport.shardPlan(
+          // the admitted-train manifest is kilobytes; checkpointing it
+          // makes the six-family upstream run and PLAN once — the
+          // shard kernel's window/offsets/total branches would
+          // otherwise each replay the whole literal-grid chain
+          // (measured 65 → 8 exchanges)
+          pipelineDocs(s, d, classifierGate = true)
+            .filter(col("split") === "train")
+            .select(col("source"), col("doc_id"), col("n_tokens"))
+            .localCheckpoint(true),
+          "doc_id", "n_tokens", nShards = ShardN), "n_tokens"),
+      s"""WITH ${pipelineCtes(classifierGate = true)},
+         |${shardCtes(
+             "(SELECT c.source, c.doc_id, c.n_tokens FROM pclean c" +
+             " JOIN psel ON psel.doc_id = c.doc_id" +
+             s" WHERE ${splitBucketSql("c.doc_id")} < 80)")}
+         |$shardManifestSelect""".stripMargin),
 
     // Deterministic weighted source mixing — the training-data recipe
     // step: each source gets a sampling rate (here derived from a

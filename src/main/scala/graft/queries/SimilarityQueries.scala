@@ -111,6 +111,16 @@ object SimilarityQueries {
     * hops·beam·degree scored rows, no index rebuild. */
   private val GraphBeamSweep = Seq(5, 10, 20)
 
+  /** The delta-drift sweep's moduli: edges built over the
+    * `vec_id % m ≠ 0` base cohort only, so the edge-less admitted
+    * delta is ≈ 100/m % of the served corpus (10 / 33 / 50 %). */
+  private val GraphDriftMods = Seq(10, 3, 2)
+
+  /** The entry-seeding sweep's widths (1 = the production single-cell
+    * entry every other graph row uses): serving-time only, like beam —
+    * seeding scans the query's `w` nearest cells' members. */
+  private val GraphEntrySweep = Seq(1, 2, 3)
+
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
@@ -1411,6 +1421,67 @@ object SimilarityQueries {
          |  CAST(neighbor_id % 2 AS BIGINT) AS from_delta
          |FROM gsearch""".stripMargin),
 
+    // Delta-DRIFT of the graph index — the degradation curve behind
+    // the ADD path (`sim_graph_serve_delta` proved admits are
+    // servable; this row measures what they COST as the delta grows):
+    // recall@10 of full-corpus serving over an edge list built on the
+    // (1 − 1/m) base cohort, at delta fractions ≈ 10/33/50 %. Delta
+    // vectors are reachable only through entry-cell seeding (no edge
+    // points at them and they point at nothing), so recall must fall
+    // as the edge-less fraction grows — the measured curve prices the
+    // REBUILD TRIGGER the IVF family already has (sim_index_drift →
+    // retrain) and the graph family lacked: SCALE.md pins the rule
+    // (rebuild before the delta reaches ~1/3). Each fraction's base
+    // build is checkpointed once; serving shape is sim_graph_search's.
+    "sim_graph_delta_drift" -> QueryDef(
+      (s, d) => GraphDriftMods.map { m =>
+        recallAgainstExactL2(s, d,
+          graphSearchAt(s, d, GraphHops, GraphBeam,
+            Some(nnGraphEdgesBaseAt(s, d, m)))
+            .select(col("query_id"), col("neighbor_id")))
+          .select(lit((100 / m).toLong).as("delta_pct"), col("query_id"),
+            col("n_exact"), col("n_hit"), col("recall_at_k"))
+      }.reduce(_ unionAll _),
+      GraphDriftMods.map(m =>
+        s"SELECT CAST(${100 / m} AS BIGINT) AS delta_pct, r.* FROM (\n" +
+          recallAgainstExactL2Sql(
+            s"WITH ${graphSearchCtesAt(GraphHops, s" AND id % $m <> 0")}\n" +
+              "SELECT query_id, neighbor_id AS vec_id FROM gsearch") +
+          ") r")
+        .mkString("\nUNION ALL\n")),
+
+    // Entry-seeding sweep — the traversal's THIRD serving-time knob
+    // (beside hops and beam), acting on the r14 scale observation
+    // that beam-20 recall fell 0.94 → 0.8975 from sf0.01 → sf0.1
+    // while beam-10 held: the single-nearest-cell seed covers less of
+    // the true top-10's neighborhood as cells grow, so widening the
+    // SEED (probe the query's 1/2/3 nearest cells' members — the
+    // nprobe doctrine applied to seeding) attacks the limiter
+    // directly, with no rebuild and no change to the per-hop
+    // beam·degree bound. Width 1 is spec-pinned row-identical to the
+    // production sim_graph_search. The direction is NOT guaranteed a
+    // priori (a wider seed supersets hop-0, but the fixed beam then
+    // prunes a larger candidate set, so later hops can detour), so
+    // the row measures it: mean recall@10 reads 0.88 → 0.95 → 0.96
+    // at widths 1/2/3 (sf0.01) — the width-2 seed recovers more than
+    // beam 20 bought (0.94) at a fraction of the scored rows, and
+    // the spec pins the measured width-2 ≥ width-1 gain.
+    "sim_graph_entry_sweep" -> QueryDef(
+      (s, d) => GraphEntrySweep.map { ew =>
+        recallAgainstExactL2(s, d,
+          graphSearchEntryAt(s, d, GraphHops, GraphBeam, ew)
+            .select(col("query_id"), col("neighbor_id")))
+          .select(lit(ew.toLong).as("entry_cells"), col("query_id"),
+            col("n_exact"), col("n_hit"), col("recall_at_k"))
+      }.reduce(_ unionAll _),
+      GraphEntrySweep.map(ew =>
+        s"SELECT CAST($ew AS BIGINT) AS entry_cells, r.* FROM (\n" +
+          recallAgainstExactL2Sql(
+            s"WITH ${graphSearchCtesAt(GraphHops, "", entryCells = ew)}\n" +
+              "SELECT query_id, neighbor_id AS vec_id FROM gsearch") +
+          ") r")
+        .mkString("\nUNION ALL\n")),
+
     // Beam-width sweep of the graph search — the SERVING-TIME knob
     // (per-query work is |entry| + hops·beam·degree scored rows; no
     // index rebuild, the widths share one checkpointed edge list).
@@ -2505,6 +2576,26 @@ object SimilarityQueries {
     }
   }
 
+  /** [[nnGraphEdgesBase]] parametrized on the delta fraction — edges
+    * over the `vec_id % m ≠ 0` cohort only, so the excluded 1/m of
+    * the corpus models the vectors ADMITTED since the last rebuild
+    * (m = 10/3/2 → delta ≈ 10/33/50 %). The drift row serves the full
+    * corpus against each base build and measures what recall the
+    * edge-less delta costs — the degradation curve that prices the
+    * rebuild trigger. */
+  private[graft] def nnGraphEdgesBaseAt(s: org.apache.spark.sql.SparkSession,
+      d: String, m: Int): org.apache.spark.sql.DataFrame = {
+    val cents = trainedCentroids(s, d)
+    FrameCache.memo(s, d, s"nn_graph_edges_base_m$m") {
+      val e = quantized(s, d).filter(pmod(col("vec_id"), lit(m)) =!= 0)
+      val (_, probes) = Similarity.ivfAssignCentroids(
+        e, "vec_id", "qv", cents, nprobe = 2)
+      Similarity.nnGraph(
+        probes.select(col("query_id").as("id"), col("cell_id")),
+        e.select(col("vec_id"), col("qv").as("v")), GraphDeg)
+    }
+  }
+
   /** The serve-side assignment base ∪ delta: the base cohort's rows
     * plus the delta cohort admitted against the SAME trained
     * centroids (the stateless ADD of serveAssignedSwappableWriter). */
@@ -2557,6 +2648,40 @@ object SimilarityQueries {
     Similarity.graphBeamSearch(
       q.select("query_id", "qv"), entry,
       edges.getOrElse(nnGraphEdges(s, d)),
+      e.select(col("vec_id"), col("qv").as("v")),
+      hops = hops, beam = beam, k = K)
+  }
+
+  /** [[graphSearchAt]] with the ENTRY stage widened to the query's
+    * `entryCells` nearest cells (the nprobe doctrine applied to the
+    * traversal's seeding): the beam seeds from every member of the
+    * probed cells, DISTINCT across cells, then the hops proceed
+    * unchanged. entryCells = 1 is exactly [[graphSearchAt]] (the
+    * sweep's spec pins the branch equality); wider entries are a
+    * SERVING-TIME knob — per-query seed cost grows with the probed
+    * cells' membership, the edge list and the per-hop bound
+    * (beam·degree) never change. */
+  private[graft] def graphSearchEntryAt(s: org.apache.spark.sql.SparkSession,
+      d: String, hops: Int, beam: Int, entryCells: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val e = quantized(s, d)
+    val (assigned, probes) = Similarity.ivfAssignCentroids(
+      e, "vec_id", "qv", trainedCentroids(s, d), nprobe = entryCells)
+    val q = assigned.filter(pmod(col("__id"), lit(50)) === 0)
+      .select(col("__id").as("query_id"), col("__v").as("qv"))
+    val entry = q
+      .join(probes.filter(pmod(col("query_id"), lit(50)) === 0),
+        Seq("query_id"))
+      .join(assigned.select(col("__id").as("cand"),
+        col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("d2", (Similarity.dot(col("qv"), col("qv"))
+        - lit(2.0) * Similarity.dot(col("qv"), col("__cv"))
+        + Similarity.dot(col("__cv"), col("__cv"))).cast("long"))
+      .select("query_id", "cand", "d2")
+      .dropDuplicates("query_id", "cand")
+    Similarity.graphBeamSearch(
+      q, entry, nnGraphEdges(s, d),
       e.select(col("vec_id"), col("qv").as("v")),
       hops = hops, beam = beam, k = K)
   }
@@ -2617,7 +2742,8 @@ object SimilarityQueries {
     * the serving beam width and the index degree (the two sweep
     * knobs). */
   private def graphSearchCtesAt(h: Int, edgeIdPred: String,
-      beam: Int = GraphBeam, deg: Int = GraphDeg): String = {
+      beam: Int = GraphBeam, deg: Int = GraphDeg,
+      entryCells: Int = 1): String = {
     val hops = (1 to h).map { i =>
       s"""gb$i AS (
          |  SELECT query_id, cand FROM (
@@ -2638,16 +2764,37 @@ object SimilarityQueries {
          |  SELECT DISTINCT query_id, cand, d2 FROM (
          |    SELECT * FROM gv${i - 1} UNION ALL SELECT * FROM gs$i))""".stripMargin
     }.mkString(",\n")
+    // entryCells = 1 keeps the original seeding text byte-identical
+    // (every pre-sweep consumer's oracle is unchanged); wider widths
+    // seed from the query's `entryCells` nearest cells' members
+    // (DISTINCT — a member reachable via two probed cells scores once)
+    val seed = if (entryCells == 1)
+      s"""gq AS (
+         |  SELECT id AS query_id, v AS qv, cent_id AS cell_id
+         |  FROM gcs WHERE cr = 1 AND id % 50 = 0),
+         |gasg AS (SELECT id, v, cent_id AS cell_id FROM gcs WHERE cr = 1),
+         |gv0 AS (
+         |  SELECT q.query_id, m.id AS cand,
+         |    CAST(${d2Sql("q.qv", "m.v", Dims)} AS BIGINT) AS d2
+         |  FROM gq q JOIN gasg m
+         |    ON m.cell_id = q.cell_id AND m.id <> q.query_id)""".stripMargin
+    else
+      s"""gq AS (
+         |  SELECT id AS query_id, v AS qv, cent_id AS cell_id
+         |  FROM gcs WHERE cr = 1 AND id % 50 = 0),
+         |gqp AS (
+         |  SELECT id AS query_id, cent_id AS cell_id
+         |  FROM gcs WHERE cr <= $entryCells AND id % 50 = 0),
+         |gasg AS (SELECT id, v, cent_id AS cell_id FROM gcs WHERE cr = 1),
+         |gv0 AS (
+         |  SELECT DISTINCT q.query_id, m.id AS cand,
+         |    CAST(${d2Sql("q.qv", "m.v", Dims)} AS BIGINT) AS d2
+         |  FROM gq q
+         |  JOIN gqp p ON p.query_id = q.query_id
+         |  JOIN gasg m ON m.cell_id = p.cell_id
+         |    AND m.id <> q.query_id)""".stripMargin
     s"""${nnGraphCtesWhere(edgeIdPred, deg)},
-       |gq AS (
-       |  SELECT id AS query_id, v AS qv, cent_id AS cell_id
-       |  FROM gcs WHERE cr = 1 AND id % 50 = 0),
-       |gasg AS (SELECT id, v, cent_id AS cell_id FROM gcs WHERE cr = 1),
-       |gv0 AS (
-       |  SELECT q.query_id, m.id AS cand,
-       |    CAST(${d2Sql("q.qv", "m.v", Dims)} AS BIGINT) AS d2
-       |  FROM gq q JOIN gasg m
-       |    ON m.cell_id = q.cell_id AND m.id <> q.query_id),
+       |$seed,
        |${if (h > 0) hops + ",\n" else ""}gsearch AS (
        |  SELECT query_id, cand AS neighbor_id, rank, d2 FROM (
        |    SELECT *, row_number() OVER (

@@ -198,7 +198,11 @@ object StreamingIntake {
       md5(graft.operators.Dedup.normalize(col("text"))).as("text_hash"),
       TextAnalysis.qualityScore(col("text")).as("quality"),
       size(toks0).cast("long").as("n_tokens"),
-      (size(toks0) - 1).cast("long").as("n_bigrams"))
+      // clamp at 0 like the batch gates (TextQueries): a zero-token doc
+      // would otherwise read n_bigrams = -1, miss the n_bigrams === 0
+      // pass-through below, and divide the calibrated key by a negative
+      // divisor — flipping the admission the batch capstone makes
+      greatest(size(toks0) - 1, lit(0)).cast("long").as("n_bigrams"))
     // stage 1: exact-dedup gate (stateful, watermark-bounded) on the
     // precomputed digest
     val deduped = StreamingDedup.dedupStreamPreHashed(scored0, tsCol, delay)

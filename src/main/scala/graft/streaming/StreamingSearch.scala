@@ -162,17 +162,21 @@ object StreamingSearch {
     * StreamingSpec pins streamed results row-identical to the batch
     * query on the same query set.
     *
-    * `excludeSelfId` defaults to `true` ONLY for that batch-twin
-    * parity contract, where the streamed queries ARE corpus members.
-    * A deployment serving genuinely external queries whose id space
-    * may collide with corpus vec_ids must pass `false` (the
-    * external-serving contract of [[serveAssignedSwappableWriter]]),
-    * else a colliding query id silently drops that corpus vector from
-    * its own results. */
+    * `excludeSelfId` has NO default (nor on
+    * [[serveGraphSwappableWriter]] — the two adjacent graph-serving
+    * APIs previously defaulted to opposite values, so switching
+    * between them silently changed the id-space contract): the caller
+    * must state it. Pass `true` only when the streamed queries ARE
+    * corpus members (the batch-twin parity contract); a deployment
+    * serving genuinely external queries whose id space may collide
+    * with corpus vec_ids must pass `false` (the external-serving
+    * contract of [[serveAssignedSwappableWriter]]), else a colliding
+    * query id silently drops that corpus vector from its own
+    * results. */
   def serveGraphWriter(queries: DataFrame, cents: DataFrame,
       assigned: DataFrame, edges: DataFrame,
       hops: Int, beam: Int, k: Int,
-      excludeSelfId: Boolean = true)(
+      excludeSelfId: Boolean)(
       sink: DataFrame => Unit): DataStreamWriter[Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -193,16 +197,17 @@ object StreamingSearch {
     * assignment, so no edge needs to point at it (per-vector
     * assignment makes the entry seeding row-identical to a rebuild's;
     * the batch `sim_graph_serve_delta` row grades exactly this
-    * composition). External-id-space contract (`excludeSelfId =
-    * false`) by default, like every swappable serving path.
-    * StreamingSpec pins pre-admit serving ≡ the batch kernel over
-    * base and post-admit ≡ over the union, with a delta vector
+    * composition). `excludeSelfId` has NO default (see
+    * [[serveGraphWriter]] — the caller states the id-space contract
+    * explicitly); external serving, like every swappable path, wants
+    * `false`. StreamingSpec pins pre-admit serving ≡ the batch kernel
+    * over base and post-admit ≡ over the union, with a delta vector
     * served only after its admit. */
   def serveGraphSwappableWriter(queries: DataFrame,
       assigned: java.util.concurrent.atomic.AtomicReference[DataFrame],
       cents: DataFrame, edges: DataFrame,
       hops: Int, beam: Int, k: Int,
-      excludeSelfId: Boolean = false)(
+      excludeSelfId: Boolean)(
       sink: DataFrame => Unit): DataStreamWriter[Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>

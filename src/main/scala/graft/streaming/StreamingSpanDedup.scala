@@ -33,14 +33,21 @@ object StreamingSpanDedup {
 
   /** Per micro-batch: strip arrivals against the static reference
     * index and emit (idCol, n_toks, n_removed, clean_text) rows.
-    * `refGrams`: a checkpointed [[SpanDedup.cappedGrams]] frame. */
+    * `refGrams`: a checkpointed [[SpanDedup.cappedGrams]] frame.
+    * `refSketch`: the index's Bloom gram sketch
+    * ([[SpanDedup.refGramSketch]]), built offline next to the index —
+    * nearly every arriving gram misses the reference, and the sketch
+    * drops those scan-side BEFORE the join's exchange (results
+    * row-identical by the exact join; spec-pinned). Pass None to run
+    * the bare join. */
   def decontamStripWriter(docs: DataFrame, refGrams: DataFrame,
-      idCol: String, textCol: String, k: Int, minLen: Int)(
+      idCol: String, textCol: String, k: Int, minLen: Int,
+      refSketch: Option[Array[Byte]] = None)(
       sink: DataFrame => Unit): DataStreamWriter[Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spans = SpanDedup.spansAgainst(
-          refGrams, batch, idCol, textCol, k, minLen)
+          refGrams, batch, idCol, textCol, k, minLen, refSketch)
         sink(SpanDedup.stripSpans(batch, idCol, textCol, spans))
       }
 }

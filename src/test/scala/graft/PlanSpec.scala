@@ -74,7 +74,12 @@ class PlanSpec extends SparkSpec {
       // (the graph-ANN serve/recall rows' centroid-probe broadcast crosses
       // live inside their eagerly-checkpointed index builds — those SERVED
       // plans are clean, so they are deliberately NOT registered here)
-      "sim_graph_hop_sweep") // the hop-0 branch IS the raw entry-cell scan: its k-sized centroid-probe broadcast is in the plan by design
+      "sim_graph_hop_sweep", // the hop-0 branch IS the raw entry-cell scan: its k-sized centroid-probe broadcast is in the plan by design
+      "curate_shard_plan", // 1-row corpus-total broadcast cross (the scalar-cross doctrine)
+      "curate_shard_manifest", // same 1-row total cross under the rollup
+      "curate_pipeline_shards", // pipeline's grid broadcasts + the same 1-row total cross
+      "sim_graph_delta_drift", // per-fraction entry seeding plans the k-sized centroid-probe broadcast
+      "sim_graph_entry_sweep") // same centroid-probe broadcast, once per entry width
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -261,7 +266,13 @@ class PlanSpec extends SparkSpec {
       "sim_graph_serve_delta" -> 2, // measured 1: final top-K window over the checkpointed visited set (the sim_graph_search shape on the base-edge/union-assignment pair)
       "sim_graph_beam_sweep" -> 13, // measured 12: 3 × (search branch + exact-baseline compare) off the checkpointed index — far under the hop sweep's 35 because every branch reuses the same checkpointed entry scan
       "sim_graph_degree_sweep" -> 13, // measured 12: same 3-branch shape over erank-prefix filters of the one wide checkpointed build
-      "curate_substring_decontam" -> 6) // measured 5: the strip shape (interval merge + per-doc agg + corpus join) + the source rollup, off the checkpointed span manifest
+      "curate_substring_decontam" -> 6, // measured 5: the strip shape (interval merge + per-doc agg + corpus join) + the source rollup, off the checkpointed span manifest
+      // r15 entrants (new-query shapes locked on entry)
+      "curate_shard_plan" -> 9, // measured 7: prefix-sum kernel (bucket window + offsets agg/window + broadcast) + the 64-row-derived total (its corpus agg is a ReusedExchange) + 1-row broadcast cross
+      "curate_shard_manifest" -> 11, // measured 9: the plan shape + the per-shard rollup
+      "curate_pipeline_shards" -> 11, // measured 9 (65 before the train-manifest checkpoint): shard kernel over the checkpointed six-family manifest
+      "sim_graph_delta_drift" -> 14, // measured 12: 3 × (search + exact-baseline compare) off per-fraction checkpointed base builds — the beam-sweep shape
+      "sim_graph_entry_sweep" -> 14) // measured 12: same 3-branch shape; per-width seeding joins ride the one checkpointed edge build
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

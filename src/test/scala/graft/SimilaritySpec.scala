@@ -815,6 +815,57 @@ class SimilaritySpec extends SparkSpec {
     row.map(_._5).toSet shouldBe Set(0L, 1L)
   }
 
+  test("entry sweep: width 1 IS the production search; wider seeding pays") {
+    val d = "/root/testdata/sf0.001"
+    // the width-1 branch must be the production traversal, row for row
+    val prod = graft.queries.SimilarityQueries.graphSearchAt(spark, d, 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w1 = graft.queries.SimilarityQueries
+      .graphSearchEntryAt(spark, d, hops = 2, beam = 10, entryCells = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    w1 shouldBe prod
+    val rows = SparkEntry.queries("sim_graph_entry_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    rows should not be empty
+    val mean = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    mean.keySet shouldBe Set(1L, 2L, 3L)
+    // direction is measured, not assumed (a wider seed supersets
+    // hop-0 but the fixed beam prunes a larger set): on every fixture
+    // measured the width-2 seed recovers recall the single-cell entry
+    // leaves behind — pin the gain so a regression shows
+    mean(1L) should be <= mean(2L)
+    mean(1L) should be <= mean(3L)
+    // and the width-1 branch's recall rows are the standalone gate's
+    val gate = SparkEntry.queries("sim_graph_recall")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    rows.filter(_._1 == 1L).map(r => (r._2, r._3, r._4, r._5))
+      .toSet shouldBe gate
+  }
+
+  test("delta drift: recall never improves as the edge-less delta grows, floor holds") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sim_graph_delta_drift")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    rows should not be empty
+    val mean = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    mean.keySet shouldBe Set(10L, 33L, 50L)
+    // the measured direction the rebuild trigger prices: a half-stale
+    // index serves worse than a tenth-stale one
+    mean(50L) should be <= mean(10L)
+    // a priori floor: entry seeding scans the FULL assignment whatever
+    // the edge list, and hops only add — so even the stalest branch
+    // can never lose to the hop-0 entry-cell scan
+    def meanOf(rows: Array[(Long, Long, Long, Double)]) =
+      rows.map(_._4).sum / rows.length
+    val floor = meanOf(
+      graft.queries.SimilarityQueries.recallOfApprox(spark, d,
+        graft.queries.SimilarityQueries.graphSearchAt(spark, d, 0))
+        .as[(Long, Long, Long, Double)].collect())
+    for (pct <- Seq(10L, 33L, 50L)) mean(pct) should be >= floor
+  }
+
   test("graph recall beats zero and never loses to the entry-cell floor") {
     val d = "/root/testdata/sf0.001"
     def mean(rows: Array[(Long, Long, Long, Double)]) =

@@ -215,4 +215,38 @@ class SpanDedupSpec extends SparkSpec {
     checked.filter(!col("same") || !col("left_max") || !col("right_max"))
       .count() shouldBe 0L
   }
+
+  test("Bloom gram pre-filter: spansAgainst row-identical with and without the sketch") {
+    import graft.functions.PortableHash
+    val d = "/root/testdata/sf0.001"
+    def split(c: org.apache.spark.sql.Column) = {
+      val b = PortableHash.hash60(
+        concat(c.cast("string"), lit("|split"))) % 100
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    val docs0 = graft.ingest.Tables.documents(spark, d)
+    val refGrams = SpanDedup.cappedGrams(
+      docs0.filter(split(col("doc_id")) === "test"),
+      "doc_id", "text", k = 8, occCap = 32).localCheckpoint()
+    val train = docs0.filter(split(col("doc_id")) === "train")
+    val bare = SpanDedup.spansAgainst(
+        refGrams, train, "doc_id", "text", k = 8, minLen = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    bare should not be empty
+    val sketch = SpanDedup.refGramSketch(refGrams, refGrams.count())
+    val filtered = SpanDedup.spansAgainst(
+        refGrams, train, "doc_id", "text", k = 8, minLen = 10,
+        Some(sketch))
+      .as[(Long, Long, Long)].collect().toSet
+    filtered shouldBe bare
+    // and the composed strip (what the streaming twin serves) matches
+    val a = SpanDedup.stripSpans(train, "doc_id", "text",
+        SpanDedup.spansAgainst(refGrams, train, "doc_id", "text", 8, 10))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val b = SpanDedup.stripSpans(train, "doc_id", "text",
+        SpanDedup.spansAgainst(refGrams, train, "doc_id", "text", 8, 10,
+          Some(sketch)))
+      .as[(Long, Long, Long, String)].collect().toSet
+    b shouldBe a
+  }
 }

@@ -1215,7 +1215,7 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(Long, Seq[Double])]
     val q = graft.streaming.StreamingSearch.serveGraphSwappableWriter(
         in.toDF().toDF("query_id", "qv"), ref, cents, edges,
-        hops = 2, beam = 10, k = 10) { out =>
+        hops = 2, beam = 10, k = 10, excludeSelfId = false) { out =>
         buf.synchronized { buf ++= out.as[(Long, Long, Long, Long)].collect() }
       }
       .option("checkpointLocation", tmp("ckpt-gadmit")).start()
@@ -1256,9 +1256,15 @@ class StreamingSpec extends SparkSpec {
     val rows = train.as[(Long, String)].collect().toIndexedSeq.sortBy(_._1)
     val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
     val in = MemoryStream[(Long, String)]
+    // serve through the PRODUCTION path: the Bloom gram pre-filter
+    // built offline next to the index (the bench's xstrip shape) —
+    // the batch `expected` above runs bare, so this equality also
+    // re-proves sketch-transparency end to end
+    val sketch = Some(graft.operators.SpanDedup.refGramSketch(
+      refGrams, refGrams.count()))
     val q = graft.streaming.StreamingSpanDedup.decontamStripWriter(
         in.toDF().toDF("doc_id", "text"), refGrams,
-        "doc_id", "text", k = 8, minLen = 10) { out =>
+        "doc_id", "text", k = 8, minLen = 10, sketch) { out =>
         buf.synchronized { buf ++= out.as[(Long, Long, Long, String)].collect() }
       }
       .option("checkpointLocation", tmp("ckpt-spandc")).start()
@@ -1309,7 +1315,7 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(Long, Seq[Double])]
     val q = graft.streaming.StreamingSearch.serveGraphWriter(
         in.toDF().toDF("query_id", "qv"), cents, asg, edges,
-        hops = 2, beam = 10, k = 10) { out =>
+        hops = 2, beam = 10, k = 10, excludeSelfId = true) { out =>
         buf.synchronized { buf ++= out.as[(Long, Long, Long, Long)].collect() }
       }
       .option("checkpointLocation", tmp("ckpt-graph")).start()
