@@ -712,18 +712,26 @@ object Similarity {
   def graphSearchQueries(queries: DataFrame, cents: DataFrame,
       assigned: DataFrame, edges: DataFrame,
       hops: Int, beam: Int, k: Int,
-      excludeSelfId: Boolean = true): DataFrame = {
+      excludeSelfId: Boolean = true,
+      entryCells: Int = 1): DataFrame = {
+    require(entryCells >= 1, s"entryCells must be >= 1, got $entryCells")
     val qd2 = dot(col("qv"), col("qv")) -
       lit(2.0) * dot(col("qv"), col("cent_v")) +
       dot(col("cent_v"), col("cent_v"))
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("__qd2").asc, col("cent_id").asc)
-    val probes = queries.select(col("query_id"), col("qv"))
+    val ranked = queries.select(col("query_id"), col("qv"))
       .crossJoin(broadcast(cents))
       .withColumn("__qd2", qd2)
       .withColumn("__pr", row_number().over(pw))
-      .filter(col("__pr") === 1)
+    // entryCells > 1 widens the SEED to the query's nearest cells (the
+    // serving-time knob sim_graph_entry_sweep grades; a member belongs
+    // to exactly one cell, so the probed-cell join cannot duplicate a
+    // candidate); the traversal frame stays one row per query
+    val probes = ranked.filter(col("__pr") <= entryCells)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell_id"))
+    val qframe = ranked.filter(col("__pr") === 1)
+      .select(col("query_id"), col("qv"))
     val entry0 = probes
       .join(assigned.select(col("__id").as("cand"),
         col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
@@ -733,7 +741,7 @@ object Similarity {
         - lit(2.0) * dot(col("qv"), col("__cv"))
         + dot(col("__cv"), col("__cv"))).cast("long"))
       .select("query_id", "cand", "d2")
-    graphBeamSearch(probes.select(col("query_id"), col("qv")), entry,
+    graphBeamSearch(qframe, entry,
       edges, assigned.select(col("__id").as("vec_id"), col("__v").as("v")),
       hops = hops, beam = beam, k = k, excludeSelfId = excludeSelfId)
   }

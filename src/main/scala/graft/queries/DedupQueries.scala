@@ -1587,6 +1587,60 @@ object DedupQueries {
              " AS n_tokens FROM documents)")}
          |$shardManifestSelect""".stripMargin),
 
+    // Chunk-level shard export — the pack → export composition at the
+    // unit a trainer actually loads: the per-source packed context
+    // windows (curate_pack_chunks' 512-token chunk space — chunk
+    // count and tail size are pure arithmetic on the per-source token
+    // total, so the chunk frame derives from ONE tiny per-source
+    // aggregate, never a corpus re-walk), each chunk keyed by a
+    // portable hash of (source, chunk_id), interleaved and
+    // token-balance-binned by the same shard kernel. Tail chunks are
+    // the only sub-512 units, so the manifest's balance bound
+    // tightens to ± one context window.
+    "curate_pack_shards" -> QueryDef(
+      (s, d) => {
+        import graft.functions.PortableHash
+        val ctx = 512L
+        val totals = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("t"))
+          .filter(col("t") > 0)
+        val chunks = totals
+          .select(col("source"), col("t"),
+            explode(sequence(lit(0L), expr(s"(t - 1) div $ctx")))
+              .as("chunk_id"))
+          .select(col("source"),
+            PortableHash.hash60(concat(col("source"), lit(":"),
+              col("chunk_id").cast("string"))).as("chunk_uid"),
+            least(lit(ctx), col("t") - lit(ctx) * col("chunk_id"))
+              .cast("long").as("n_tokens"))
+          // chunk-space-sized (sources × chunks, kilobytes):
+          // checkpointing it makes the per-source totals aggregate run
+          // and plan once instead of once per shard-kernel branch
+          .localCheckpoint(true)
+        graft.operators.ShardExport.shardManifest(
+          graft.operators.ShardExport.shardPlan(
+            chunks, "chunk_uid", "n_tokens", nShards = ShardN),
+          "n_tokens")
+      }, {
+        import graft.functions.PortableHash
+        val uidSql = PortableHash.hash60Sql(
+          "source || ':' || CAST(u.i AS VARCHAR)")
+        s"""WITH pct AS (
+           |  SELECT source,
+           |    CAST(SUM(len(${tokens("text")})) AS BIGINT) AS t
+           |  FROM documents GROUP BY source HAVING SUM(len(${
+             tokens("text")})) > 0),
+           |pch AS (
+           |  SELECT source, $uidSql AS doc_id,
+           |    CAST(LEAST(512, t - 512 * u.i) AS BIGINT) AS n_tokens
+           |  FROM pct, LATERAL unnest(range(0, (t - 1) // 512 + 1))
+           |    AS u(i)),
+           |${shardCtes("pch")}
+           |$shardManifestSelect""".stripMargin
+      }),
+
     // Shard-export capstone — the full terminal composition: the
     // six-family curated corpus (curate_pipeline_cls' per-document
     // admission manifest), train split only, assigned to N balanced

@@ -176,13 +176,47 @@ object StreamingSearch {
   def serveGraphWriter(queries: DataFrame, cents: DataFrame,
       assigned: DataFrame, edges: DataFrame,
       hops: Int, beam: Int, k: Int,
-      excludeSelfId: Boolean)(
+      excludeSelfId: Boolean,
+      entryCells: Int = 1)(
       sink: DataFrame => Unit): DataStreamWriter[Row] =
     queries.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(Similarity.graphSearchQueries(
           batch, cents, assigned, edges, hops, beam, k,
-          excludeSelfId = excludeSelfId))
+          excludeSelfId = excludeSelfId, entryCells = entryCells))
+      }
+
+  /** One generation of the graph index — everything serving reads:
+    * the cell assignment (the ADD path grows it between rebuilds) and
+    * the O(n·degree) edge list (only a REBUILD replaces it). */
+  final case class GraphIndex(assigned: DataFrame, edges: DataFrame)
+
+  /** The graph index's REBUILD hot-swap — the lifecycle beat
+    * `sim_graph_delta_drift` prices (rebuild before the admitted
+    * delta reaches ~1/3 of the served corpus, SCALE.md): both sides
+    * of the index are read through ONE AtomicReference per
+    * micro-batch, so when the offline rebuild finishes (fresh edges
+    * over base ∪ delta, same or retrained assignment) the operator
+    * sets the reference and the NEXT query batch traverses the fresh
+    * generation — in-flight batches finish on the generation they
+    * started with, every answer consistent with exactly one index
+    * (the servePrunedSwappableWriter doctrine). `entryCells` rides
+    * along: the entry-width knob stays turnable across swaps.
+    * StreamingSpec pins pre-swap serving ≡ the batch kernel on the
+    * stale generation and post-swap ≡ on the rebuilt one. */
+  def serveGraphRebuildSwappableWriter(queries: DataFrame,
+      index: java.util.concurrent.atomic.AtomicReference[GraphIndex],
+      cents: DataFrame,
+      hops: Int, beam: Int, k: Int,
+      excludeSelfId: Boolean,
+      entryCells: Int = 1)(
+      sink: DataFrame => Unit): DataStreamWriter[Row] =
+    queries.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ix = index.get()
+        sink(Similarity.graphSearchQueries(
+          batch, cents, ix.assigned, ix.edges, hops, beam, k,
+          excludeSelfId = excludeSelfId, entryCells = entryCells))
       }
 
   /** GRAPH serving over base ∪ admitted-delta BETWEEN rebuilds — the

@@ -75,6 +75,7 @@ class PlanSpec extends SparkSpec {
       // live inside their eagerly-checkpointed index builds — those SERVED
       // plans are clean, so they are deliberately NOT registered here)
       "sim_graph_hop_sweep", // the hop-0 branch IS the raw entry-cell scan: its k-sized centroid-probe broadcast is in the plan by design
+      "curate_pack_shards", // the same 1-row total cross over the chunk frame
       "curate_shard_plan", // 1-row corpus-total broadcast cross (the scalar-cross doctrine)
       "curate_shard_manifest", // same 1-row total cross under the rollup
       "curate_pipeline_shards", // pipeline's grid broadcasts + the same 1-row total cross
@@ -272,7 +273,8 @@ class PlanSpec extends SparkSpec {
       "curate_shard_manifest" -> 11, // measured 9: the plan shape + the per-shard rollup
       "curate_pipeline_shards" -> 11, // measured 9 (65 before the train-manifest checkpoint): shard kernel over the checkpointed six-family manifest
       "sim_graph_delta_drift" -> 14, // measured 12: 3 × (search + exact-baseline compare) off per-fraction checkpointed base builds — the beam-sweep shape
-      "sim_graph_entry_sweep" -> 14) // measured 12: same 3-branch shape; per-width seeding joins ride the one checkpointed edge build
+      "sim_graph_entry_sweep" -> 14, // measured 12: same 3-branch shape; per-width seeding joins ride the one checkpointed edge build
+      "curate_pack_shards" -> 11) // measured 9: shard kernel over the checkpointed chunk frame (sources × chunks rows)
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

@@ -843,6 +843,32 @@ class SimilaritySpec extends SparkSpec {
       .toSet shouldBe gate
   }
 
+  test("served entry width equals the sweep's batch kernel at width 2") {
+    val d = "/root/testdata/sf0.001"
+    // the SERVING path (raw query vectors probed against broadcast
+    // centroids, the shape every graph writer runs) must agree with
+    // the sweep's corpus-side kernel for corpus-member queries — the
+    // entry-width knob serves exactly what the sweep graded
+    val e = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val qdf = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long").as("query_id"), col("qv"))
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val (asg, _) = Similarity.ivfAssignCentroids(
+      e, "vec_id", "qv", cents, nprobe = 1)
+    val edges = graft.queries.SimilarityQueries.nnGraphEdges(spark, d)
+    val served = Similarity.graphSearchQueries(qdf, cents, asg, edges,
+        hops = 2, beam = 10, k = 10, excludeSelfId = true, entryCells = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    served should not be empty
+    val sweep = graft.queries.SimilarityQueries
+      .graphSearchEntryAt(spark, d, hops = 2, beam = 10, entryCells = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    served shouldBe sweep
+  }
+
   test("delta drift: recall never improves as the edge-less delta grows, floor holds") {
     val d = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("sim_graph_delta_drift")(spark, d)

@@ -1228,6 +1228,61 @@ class StreamingSpec extends SparkSpec {
     buf.toSet shouldBe postExpected
   }
 
+  test("graph REBUILD hot-swap: fresh edges serve the next batch, zero downtime") {
+    // the lifecycle beat sim_graph_delta_drift prices: serving runs on
+    // the STALE generation (base-cohort edges + grown assignment)
+    // until the offline rebuild lands; one reference-set swaps BOTH
+    // index sides and the next query batch traverses the fresh edges
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val e = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id").cast("long"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val (unionAsg0, probes) = graft.operators.Similarity.ivfAssignCentroids(
+      e, "vec_id", "qv", cents, 2)
+    val unionAsg = unionAsg0.localCheckpoint()
+    val edgesStale = graft.queries.SimilarityQueries.nnGraphEdgesBase(spark, d)
+    // the rebuilt generation: fresh edges over the FULL corpus (what
+    // the offline build ships after the drift trigger fires)
+    val edgesFresh = graft.operators.Similarity.nnGraph(
+      probes.select(col("query_id").as("id"), col("cell_id")),
+      e.select(col("vec_id"), col("qv").as("v")), 6).localCheckpoint()
+    val qvecsDf = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("qv"))
+    val qvecs = qvecsDf.as[(Long, Seq[Double])].collect().toIndexedSeq
+    def batchOf(edges: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.graphSearchQueries(qvecsDf, cents,
+          unionAsg, edges, hops = 2, beam = 10, k = 10,
+          excludeSelfId = false)
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val preExpected = batchOf(edgesStale)
+    val postExpected = batchOf(edgesFresh)
+    preExpected should not be empty
+    // the rebuild must CHANGE answers (the drift row's whole point)
+    postExpected should not be preExpected
+
+    val ref = new java.util.concurrent.atomic.AtomicReference(
+      graft.streaming.StreamingSearch.GraphIndex(unionAsg, edgesStale))
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.StreamingSearch.serveGraphRebuildSwappableWriter(
+        in.toDF().toDF("query_id", "qv"), ref, cents,
+        hops = 2, beam = 10, k = 10, excludeSelfId = false) { out =>
+        buf.synchronized { buf ++= out.as[(Long, Long, Long, Long)].collect() }
+      }
+      .option("checkpointLocation", tmp("ckpt-grebuild")).start()
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    val preSwap = buf.synchronized { val s = buf.toSet; buf.clear(); s }
+    ref.set(graft.streaming.StreamingSearch.GraphIndex(
+      unionAsg, edgesFresh)) // THE REBUILD SWAP — no restart
+    qvecs.grouped(4).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    preSwap shouldBe preExpected
+    buf.toSet shouldBe postExpected
+  }
+
   test("streaming span decontamination equals the batch strip and the oracle-green rollup") {
     implicit val sqlCtx = spark.sqlContext
     val d = "/root/testdata/sf0.001"
