@@ -683,6 +683,35 @@ object Similarity {
       .select(col("src"), col("dst"), col("erank"), col("d2"))
   }
 
+  /** [[nnGraph]] restricted to a SOURCE cohort — the incremental edge
+    * PATCH between rebuilds: build out-edges for just-admitted delta
+    * vectors against the FULL probe space, leaving the base edge list
+    * untouched. A rebuild's out-edges for a given src depend only on
+    * that src's own probed cells (the pair join is probes ⋈ probes on
+    * cell_id), so the patched rows are EXACTLY the full rebuild's
+    * rows for those srcs — at |delta-cohort pair| cost instead of a
+    * corpus-wide re-pair (SimilaritySpec pins the set-equality).
+    * `srcProbes` ⊆ `allProbes`, both (id, cell_id). */
+  def nnGraphPatch(srcProbes: DataFrame, allProbes: DataFrame,
+      vecs: DataFrame, degree: Int): DataFrame = {
+    val pairs = srcProbes.select(col("id").as("src"), col("cell_id"))
+      .join(allProbes.select(col("id").as("dst"), col("cell_id")),
+        Seq("cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    val scored = pairs
+      .join(vecs.select(col("vec_id").as("src"), col("v").as("__sv")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("v").as("__dv")), Seq("dst"))
+      .withColumn("d2", (dot(col("__sv"), col("__sv"))
+        - lit(2.0) * dot(col("__sv"), col("__dv"))
+        + dot(col("__dv"), col("__dv"))).cast("long"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    scored.withColumn("erank", row_number().over(w).cast("long"))
+      .filter(col("erank") <= degree)
+      .select(col("src"), col("dst"), col("erank"), col("d2"))
+  }
+
   /** [[graphBeamSearch]] for an ARRIVING query frame — the serving
     * form: each query finds its entry cell by the same broadcast
     * centroid argmin every IVF consumer uses (nprobe = 1), scans that

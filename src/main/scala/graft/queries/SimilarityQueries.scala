@@ -1450,6 +1450,39 @@ object SimilarityQueries {
           ") r")
         .mkString("\nUNION ALL\n")),
 
+    // Incremental edge PATCH — the lifecycle rung BETWEEN the free
+    // ADD (entry-reachable, edge-less) and the full REBUILD: build
+    // out-edges for just the admitted delta cohort against the full
+    // probe space ([[Similarity.nnGraphPatch]] — the rebuild's pair
+    // construction restricted to delta srcs, so the patched rows are
+    // EXACTLY the rebuild's rows for those srcs, spec-pinned) and
+    // serve base ∪ patch. Cost is the delta cohort's pair space, not
+    // a corpus re-pair; base vectors still lack edges TOWARD the
+    // delta (the one asymmetry a rebuild fixes). Measured at the
+    // drift row's worst branch (50 % delta): the row reports both
+    // states side by side — the patch recovers most of what the
+    // drift cost.
+    "sim_graph_delta_patch" -> QueryDef(
+      (s, d) => {
+        val stale = nnGraphEdgesBaseAt(s, d, 2)
+        val patched = stale.unionByName(graphPatchedEdges(s, d, 2))
+        Seq(("stale", stale), ("patched", patched)).map { case (tag, ed) =>
+          recallAgainstExactL2(s, d,
+            graphSearchAt(s, d, GraphHops, GraphBeam, Some(ed))
+              .select(col("query_id"), col("neighbor_id")))
+            .select(lit(tag).as("state"), col("query_id"),
+              col("n_exact"), col("n_hit"), col("recall_at_k"))
+        }.reduce(_ unionAll _)
+      },
+      Seq(("stale", ""), ("patched", " % 2 = 0")).map { case (tag, pp) =>
+        s"SELECT '$tag' AS state, r.* FROM (\n" +
+          recallAgainstExactL2Sql(
+            s"WITH ${graphSearchCtesAt(GraphHops, " AND id % 2 <> 0",
+              patchSrcPred = pp)}\n" +
+              "SELECT query_id, neighbor_id AS vec_id FROM gsearch") +
+          ") r"
+      }.mkString("\nUNION ALL\n")),
+
     // Entry-seeding sweep — the traversal's THIRD serving-time knob
     // (beside hops and beam), acting on the r14 scale observation
     // that beam-20 recall fell 0.94 → 0.8975 from sf0.01 → sf0.1
@@ -2596,6 +2629,25 @@ object SimilarityQueries {
     }
   }
 
+  /** The incremental edge PATCH for the `vec_id % m = 0` delta cohort
+    * ([[Similarity.nnGraphPatch]]): out-edges for the admitted
+    * vectors against the full probe space — row-identical to a full
+    * rebuild's rows for those srcs (spec-pinned), built without
+    * touching the base list. */
+  private[graft] def graphPatchedEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, m: Int): org.apache.spark.sql.DataFrame = {
+    val cents = trainedCentroids(s, d)
+    FrameCache.memo(s, d, s"graph_patch_m$m") {
+      val e = quantized(s, d)
+      val (_, probes) = Similarity.ivfAssignCentroids(
+        e, "vec_id", "qv", cents, nprobe = 2)
+      val gp = probes.select(col("query_id").as("id"), col("cell_id"))
+      Similarity.nnGraphPatch(
+        gp.filter(pmod(col("id"), lit(m)) === 0), gp,
+        e.select(col("vec_id"), col("qv").as("v")), GraphDeg)
+    }
+  }
+
   /** The serve-side assignment base ∪ delta: the base cohort's rows
     * plus the delta cohort admitted against the SAME trained
     * centroids (the stateless ADD of serveAssignedSwappableWriter). */
@@ -2700,7 +2752,33 @@ object SimilarityQueries {
     * cap). Empty/default = the whole corpus at [[GraphDeg]] (every
     * existing consumer). */
   private def nnGraphCtesWhere(edgeIdPred: String,
-      deg: Int = GraphDeg): String =
+      deg: Int = GraphDeg, patchSrcPred: String = ""): String = {
+    // optional incremental-PATCH block: out-edges for the delta cohort
+    // (src matching `patchSrcPred`) against the FULL probe space —
+    // the rebuild's pair construction restricted to those srcs; the
+    // traversable list becomes gall = base ∪ patch
+    val patch = if (patchSrcPred.isEmpty) "" else
+      s""",
+         |gpp AS (SELECT id, cent_id AS cell_id FROM gcs WHERE cr <= 2),
+         |gppair AS (
+         |  SELECT DISTINCT a.id AS src, b.id AS dst
+         |  FROM gpp a JOIN gpp b ON a.cell_id = b.cell_id
+         |    AND a.id <> b.id
+         |  WHERE a.id$patchSrcPred),
+         |gpsc AS (
+         |  SELECT p.src, p.dst,
+         |    CAST(${d2Sql("sv.v", "dv.v", Dims)} AS BIGINT) AS d2
+         |  FROM gppair p
+         |  JOIN e sv ON sv.vec_id = p.src
+         |  JOIN e dv ON dv.vec_id = p.dst),
+         |gpedges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY src ORDER BY d2 ASC, dst ASC) AS erank
+         |    FROM gpsc)
+         |  WHERE erank <= $deg),
+         |gall AS (SELECT src, dst FROM gedges
+         |  UNION ALL SELECT src, dst FROM gpedges)""".stripMargin
     s"""e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
        |$ivfTrainCtes,
        |gcs AS (
@@ -2724,7 +2802,8 @@ object SimilarityQueries {
        |    SELECT *, row_number() OVER (
        |      PARTITION BY src ORDER BY d2 ASC, dst ASC) AS erank
        |    FROM gsc)
-       |  WHERE erank <= $deg)""".stripMargin
+       |  WHERE erank <= $deg)$patch""".stripMargin
+  }
 
   /** [[nnGraphCtes]] + the unrolled beam search, ending in
     * `gsearch(query_id, neighbor_id, rank, d2)` — lockstep with
@@ -2743,7 +2822,8 @@ object SimilarityQueries {
     * knobs). */
   private def graphSearchCtesAt(h: Int, edgeIdPred: String,
       beam: Int = GraphBeam, deg: Int = GraphDeg,
-      entryCells: Int = 1): String = {
+      entryCells: Int = 1, patchSrcPred: String = ""): String = {
+    val edgeCte = if (patchSrcPred.isEmpty) "gedges" else "gall"
     val hops = (1 to h).map { i =>
       s"""gb$i AS (
          |  SELECT query_id, cand FROM (
@@ -2752,7 +2832,7 @@ object SimilarityQueries {
          |    FROM gv${i - 1}) WHERE r <= $beam),
          |gx$i AS (
          |  SELECT DISTINCT b.query_id, g.dst AS cand
-         |  FROM gb$i b JOIN gedges g ON g.src = b.cand
+         |  FROM gb$i b JOIN $edgeCte g ON g.src = b.cand
          |  WHERE g.dst <> b.query_id),
          |gs$i AS (
          |  SELECT x.query_id, x.cand,
@@ -2793,7 +2873,7 @@ object SimilarityQueries {
          |  JOIN gqp p ON p.query_id = q.query_id
          |  JOIN gasg m ON m.cell_id = p.cell_id
          |    AND m.id <> q.query_id)""".stripMargin
-    s"""${nnGraphCtesWhere(edgeIdPred, deg)},
+    s"""${nnGraphCtesWhere(edgeIdPred, deg, patchSrcPred)},
        |$seed,
        |${if (h > 0) hops + ",\n" else ""}gsearch AS (
        |  SELECT query_id, cand AS neighbor_id, rank, d2 FROM (

@@ -80,6 +80,7 @@ class PlanSpec extends SparkSpec {
       "curate_shard_manifest", // same 1-row total cross under the rollup
       "curate_pipeline_shards", // pipeline's grid broadcasts + the same 1-row total cross
       "sim_graph_delta_drift", // per-fraction entry seeding plans the k-sized centroid-probe broadcast
+      "sim_graph_delta_patch", // same entry-seeding broadcast, stale + patched branches
       "sim_graph_entry_sweep") // same centroid-probe broadcast, once per entry width
 
   test("no query plans an accidental cartesian / nested-loop join") {
@@ -274,7 +275,8 @@ class PlanSpec extends SparkSpec {
       "curate_pipeline_shards" -> 11, // measured 9 (65 before the train-manifest checkpoint): shard kernel over the checkpointed six-family manifest
       "sim_graph_delta_drift" -> 14, // measured 12: 3 × (search + exact-baseline compare) off per-fraction checkpointed base builds — the beam-sweep shape
       "sim_graph_entry_sweep" -> 14, // measured 12: same 3-branch shape; per-width seeding joins ride the one checkpointed edge build
-      "curate_pack_shards" -> 11) // measured 9: shard kernel over the checkpointed chunk frame (sources × chunks rows)
+      "curate_pack_shards" -> 11, // measured 9: shard kernel over the checkpointed chunk frame (sources × chunks rows)
+      "sim_graph_delta_patch" -> 10) // measured 8: 2 × (search + exact-baseline compare) off the checkpointed stale/patched edge frames
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

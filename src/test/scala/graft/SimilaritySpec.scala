@@ -892,6 +892,27 @@ class SimilaritySpec extends SparkSpec {
     for (pct <- Seq(10L, 33L, 50L)) mean(pct) should be >= floor
   }
 
+  test("delta patch IS the rebuild's delta rows; patched serving never loses to stale") {
+    val d = "/root/testdata/sf0.001"
+    // the patch kernel must produce EXACTLY what a full rebuild would
+    // for the delta srcs — same pair space, same cap, same tie-break
+    val patch = graft.queries.SimilarityQueries.graphPatchedEdges(spark, d, 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    patch should not be empty
+    val rebuildDelta = graft.queries.SimilarityQueries.nnGraphEdges(spark, d)
+      .filter(col("src") % 2 === 0)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    patch shouldBe rebuildDelta
+    // and serving base ∪ patch recovers recall the drift cost
+    val rows = SparkEntry.queries("sim_graph_delta_patch")(spark, d)
+      .as[(String, Long, Long, Long, Double)].collect()
+    rows should not be empty
+    val mean = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    mean.keySet shouldBe Set("stale", "patched")
+    mean("patched") should be >= mean("stale")
+  }
+
   test("graph recall beats zero and never loses to the entry-cell floor") {
     val d = "/root/testdata/sf0.001"
     def mean(rows: Array[(Long, Long, Long, Double)]) =
