@@ -495,9 +495,14 @@ object StreamBench {
       "doc_id", "text", k = 8, occCap = 32).localCheckpoint()
     // the trained-artifact pre-filter, built before the clock next to
     // the index: most arriving grams miss the reference, and the
-    // sketch drops them scan-side before the join's exchange
-    val refSketch = Some(graft.operators.SpanDedup.refGramSketch(
-      refGrams, refGrams.count()))
+    // sketch drops them scan-side before the join's exchange. A/B
+    // knob (the STREAM_ONLY doctrine — diagnostic only, never set in
+    // driver runs): SPARK_GRAFT_XSTRIP_SKETCH=off serves the bare
+    // join, isolating the sketch's contribution on one box.
+    val refSketch =
+      if (sys.env.get("SPARK_GRAFT_XSTRIP_SKETCH").contains("off")) None
+      else Some(graft.operators.SpanDedup.refGramSketch(
+        refGrams, refGrams.count()))
     val base = docs0.filter(splitOf(col("doc_id")) === "train")
       .select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[ScoreIn].collect().toIndexedSeq
