@@ -89,32 +89,11 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Pinned idle-host seconds for [[calibrate]]'s constant-work probe —
-    * the denominator of the load-normalization ratio. Anchored to the
-    * best observed probe pass on this host class (round-8 artifact min
-    * 0.31; a round-9 re-measure at loadavg ~2 ranged 0.18–0.43 —
-    * the probe is itself noisy, so the anchor favors the stable r8
-    * floor). The ABSOLUTE value only shifts every round's normalized
-    * number by the same constant; what makes the trend comparable is
-    * that all rounds divide by the SAME pin. */
-  private val ReferenceCalibSec = 0.30
-
-  /** Per-chunk ambient-normalized throughput of a stream section, when
-    * it recorded per-chunk probes: rows / Σ(chunk_wall / max(1,
-    * chunk_probe/pin)). Same ≥1 clamp as every other normalization —
-    * correct up under measured load, never deflate on a fast host;
-    * chunks whose probe failed (≤0) keep their raw wall. None when the
-    * section has no per-chunk record (falls back to the one
-    * pre-section probe). */
-  private def perChunkRpsNorm(s: StreamBench.Section): Option[Double] =
-    if (s.chunkCalib.isEmpty || s.chunkCalib.size != s.chunkSec.size ||
-        s.chunkRows.size != s.chunkSec.size) None
-    else {
-      val normSec = s.chunkSec.lazyZip(s.chunkCalib).map { (w, c) =>
-        if (c > 0) w / math.max(1.0, c / ReferenceCalibSec) else w
-      }.sum
-      if (normSec > 0) Some(s.chunkRows.sum / normSec) else None
-    }
+  /** All normalization math lives in [[BenchNorm]] (spec-pinned); the
+    * absolute reference pin survives only as the run-relative
+    * baseline's upper bound — see BenchNorm's scaladoc for the r16
+    * derivation change. */
+  private val ReferenceCalibSec = BenchNorm.ReferenceCalibSec
 
   /** 1-minute /proc/loadavg at a sample point — the other half of the
     * ambient-vs-code signal (records what ELSE the host was running). */
@@ -279,6 +258,18 @@ object Bench {
       }
     val streamRps = streamSections.find(_.name == "pipeline")
       .map(_.rps).getOrElse(0.0)
+    // The RUN-RELATIVE probe baseline (r16, BenchNorm's scaladoc has
+    // the full rationale): the median of every probe this run recorded
+    // — batch-pass probes, pre-section probes, per-chunk probes —
+    // capped at the absolute reference pin. Every normalized number
+    // below divides its probe reading by THIS baseline instead of the
+    // pin, so contention that the probes visibly record on a
+    // fast host (r15: idle 0.09 s, contention chunks 0.14–0.27 s, all
+    // under the 0.30 pin → correction clamped to a no-op) actually
+    // corrects.
+    val probeBase = BenchNorm.runBaseline(
+      passes.map(_.calibSec) ++ streamSections.map(_.calibSec) ++
+        streamSections.flatMap(_.chunkCalib))
     // Formatted plans of the slowest queries, captured BEFORE the detail
     // write so they land in both bench_plans.txt (human review) and
     // bench_detail.json (machine-readable artifact — a reviewer can
@@ -338,32 +329,15 @@ object Bench {
               s""","chunk_calib":${secArr(s.chunkCalib)}""" else "") +
             (if (qb.nonEmpty) s""","query_batch_sec":{$qb}""" else "")
         }
-      // rps_norm: the section's ambient-normalized throughput (measured
-      // rps × its own immediately-preceding probe / the idle pin). The
-      // q/s serving sections (search/fsearch) previously had NO
-      // normalized floor recorded anywhere; docs/SCALE.md states the
-      // floors this field grounds. The ratio is CLAMPED at 1: the
-      // linear probe model only corrects for CONTENTION (probe and
-      // section starve by roughly the same factor). A probe faster
-      // than the pin measures burst-speed of the host, which a stream
-      // section — dominated by fixed per-batch commit/scheduling costs
-      // — does not inherit; scaling the section DOWN by a sub-1 ratio
-      // fabricates a regression on fast hardware (r13 observed idle
-      // probes of 0.065-0.09 s against the 0.30 pin that would have
-      // deflated honest numbers ~4×). So rps_norm is "measured, or
-      // corrected up under measured load" — never deflated.
-      // PER-CHUNK normalization when the section recorded per-chunk
-      // probes (r13 nit: one pre-section probe cannot attribute a
-      // contention phase that lands mid-section): each chunk's wall is
-      // deflated by its OWN clamped probe ratio, so only the chunks
-      // that measured slow probes normalize — a section whose slow
-      // chunks coincide with slow probes reads as environment chunk by
-      // chunk, and a genuinely slow chunk under a quiet probe stays
-      // slow in the normalized number.
-      val rpsNorm = perChunkRpsNorm(s).getOrElse(
-        if (s.calibSec > 0)
-          s.rps * math.max(1.0, s.calibSec / ReferenceCalibSec)
-        else 0.0)
+      // rps_norm: the section's ambient-normalized throughput — per
+      // chunk when the section recorded per-chunk probes (each chunk's
+      // wall deflates by its OWN clamped ratio, so a contention phase
+      // landing mid-section corrects itself from the artifact alone),
+      // else the one pre-section probe's ratio. Ratios divide by the
+      // RUN-RELATIVE baseline and clamp at 1 — corrected up under
+      // measured load, never deflated (BenchNorm's scaladoc).
+      val rpsNorm = BenchNorm.sectionRpsNorm(s.rps, s.calibSec,
+        s.chunkSec, s.chunkRows, s.chunkCalib, probeBase)
       s"""{"name":"${s.name}","rows":${s.rows},"sec":${sec3(s.sec)},""" +
         s""""batches":${s.batches},"rps":${s.rps.round},""" +
         s""""rps_norm":${rpsNorm.round},""" +
@@ -391,6 +365,7 @@ object Bench {
         s""""runs":$runsJson,"passes":$passesJson,""" +
         s""""shared_frames_sec":${sec3(sharedSec)},""" +
         s""""reference_calib_sec":${sec3(ReferenceCalibSec)},""" +
+        s""""run_probe_baseline":${sec3(probeBase)},""" +
         s""""failed":$failedJson,"streams":$streamsDetail,""" +
         s""""plans":$plansJson,"sf":"$sfDir"}""")
         .getBytes(StandardCharsets.UTF_8))
@@ -431,15 +406,14 @@ object Bench {
       if (sortedCalib.size % 2 == 1) sortedCalib(sortedCalib.size / 2)
       else (sortedCalib(sortedCalib.size / 2 - 1) +
         sortedCalib(sortedCalib.size / 2)) / 2.0
+    // calib_ratio stays the RAW cross-round probe datum (median pass
+    // probe / the absolute pin) — it is evidence, not a throughput
+    // claim, and changing its definition would break every prior
+    // round's reading of it. The normalization itself divides by the
+    // run-relative baseline (r16): the batch pipeline has no dedicated
+    // probe, so its probe reading is the pass-probe median.
     val calibRatio = calibMedian / ReferenceCalibSec
-    // Same ≥1 clamp as the per-section rps_norm above (r13 advice): a
-    // probe faster than the idle pin measures host burst speed that the
-    // fixed per-batch costs of the pipeline section do not inherit, so
-    // an unclamped sub-1 ratio deflated the headline ~4× on fast
-    // hardware while bench_detail's rps_norm stayed honest. calib_ratio
-    // itself stays RAW on the metric line — it is the probe datum the
-    // normalization derives from, not a throughput claim.
-    val normalizedRps = rps * math.max(1.0, calibRatio)
+    val normalizedRps = rps * BenchNorm.ratio(calibMedian, probeBase)
     // Compact per-batch/per-query attribution for the headline stream
     // section ON the metric line (the r9 `pipeline` regression could not
     // be attributed from the official artifact — 2,507 vs the committed
@@ -465,19 +439,14 @@ object Bench {
          else "") +
         (if (qb.nonEmpty) s",$qb" else "") + "}"
     }.getOrElse("{}")
-    // Load-normalized streaming headline (same derivation as
-    // normalized_rps): measured section rps × (its own immediately-
-    // preceding probe / the idle pin). Streaming on this host class
-    // swings several-fold between same-code runs, so the normalized
-    // value is the cross-round comparable one.
-    // Clamped at 1 for the same reason as rps_norm / normalized_rps:
-    // correct up under measured load, never deflate on a fast host.
-    // Per-chunk when recorded (the r14 attribution upgrade), else the
-    // one pre-section probe.
+    // Load-normalized streaming headline (same derivation as the
+    // per-section rps_norm — per-chunk ratios against the run-relative
+    // baseline, clamped at 1). Streaming on this host class swings
+    // several-fold between same-code runs, so the normalized value is
+    // the cross-round comparable one.
     val streamRpsNorm = streamSections.find(_.name == "pipeline")
-      .flatMap(s => perChunkRpsNorm(s).orElse(
-        Some(s.calibSec).filter(_ > 0)
-          .map(c => s.rps * math.max(1.0, c / ReferenceCalibSec))))
+      .map(s => BenchNorm.sectionRpsNorm(s.rps, s.calibSec,
+        s.chunkSec, s.chunkRows, s.chunkCalib, probeBase))
       .getOrElse(0.0)
     def buildLine(qMap: String, streams: String, pipeDetail: String): String =
       s"""{"metric":"total","value":${sec3(total)},"unit":"sec","queries":$qMap,""" +
@@ -486,6 +455,7 @@ object Bench {
         s""""shared_frames_sec":${sec3(sharedSec)},""" +
         s""""pipeline_rows":$rows,"pipeline_rps":${rps.round},""" +
         s""""calib_ratio":${sec3(calibRatio)},""" +
+        s""""probe_base":${sec3(probeBase)},""" +
         s""""normalized_rps":${normalizedRps.round},""" +
         s""""stream_rps":${streamRps.round},""" +
         s""""stream_rps_norm":${streamRpsNorm.round},"streams":$streams,""" +

@@ -26,8 +26,15 @@ object StreamBenchProf {
     // under SPARK_GRAFT_STREAM_ONLY for exactly this reason. The
     // warm-up pass pays micro-batch engine + codegen + broadcast init
     // for every section it will time, then its numbers are thrown away.
-    try StreamBench.run(spark, sfDir, volumeFloor = 2000)
-    catch { case _: Throwable => () }
+    // NonFatal only, and loudly: a warm-up that dies (broken fixture,
+    // bad config) must surface as a WARN, not as mysteriously cold
+    // timings in the real pass; fatal errors (OOM) still propagate.
+    try { StreamBench.run(spark, sfDir, volumeFloor = 2000); () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARN StreamBenchProf: warm-up pass failed: " +
+          s"${e.getClass.getName}: ${e.getMessage}")
+    }
     StreamBench.run(spark, sfDir).foreach { s =>
       println(f"SECTION ${s.name}%-14s rows=${s.rows}%7d sec=${s.sec}%7.2f " +
         f"batches=${s.batches}%2d rps=${s.rps.round}%7d")
