@@ -48,9 +48,24 @@ object ShardExport {
     * `cum_tokens` (global running token count in the interleave
     * order, inclusive) and `shard` (0-based). `idCol` must be unique;
     * `tokCol` the unit's token count (≥ 0). */
+  /** Column names the kernel appends or uses internally: a pre-existing
+    * column with one of these names would silently collide with the
+    * kernel's own (`cum_tokens` in particular would be overwritten by
+    * the prefix sum), so [[shardPlan]] rejects such inputs loudly. */
+  private val ReservedCols =
+    Seq("cum_tokens", "shard", "__bkt", "__ord", "__start", "__total")
+
   def shardPlan(units: DataFrame, idCol: String, tokCol: String,
       nShards: Int, buckets: Int = 64): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val clash = units.columns.filter(c =>
+      ReservedCols.contains(c) && c != idCol && c != tokCol)
+    require(clash.isEmpty,
+      s"shardPlan reserved column name(s) already present in input: " +
+        clash.mkString(", "))
+    require(!ReservedCols.contains(idCol) && !ReservedCols.contains(tokCol),
+      s"idCol/tokCol must not use a reserved kernel name " +
+        s"(${ReservedCols.mkString(", ")})")
     val h = PortableHash.hash60(
       concat(col(idCol).cast("string"), lit("|shard")))
     val base = units
@@ -71,10 +86,54 @@ object ShardExport {
         .as("__total"))
     cum
       .crossJoin(broadcast(total))
+      // the unit's start offset via the Column API (no raw SQL over the
+      // caller-supplied tokCol name — a name needing backticks would
+      // misparse an interpolated expr); the bin index itself needs
+      // exact INTEGER division (double `/` loses bits past 2^53 —
+      // real at 100 TB token counts), so the one `expr` runs over
+      // kernel-internal names only.
+      .withColumn("__start",
+        (col("cum_tokens") - col(tokCol)) * lit(nShards.toLong))
       .withColumn("shard",
-        expr(s"((cum_tokens - $tokCol) * $nShards) div __total")
-          .cast("long"))
-      .drop("__bkt", "__ord", "__total")
+        expr("__start div __total").cast("long"))
+      .drop("__bkt", "__ord", "__start", "__total")
+  }
+
+  /** Multi-epoch deterministic interleave — the trainer-side
+    * requirement on top of [[shardPlan]]: a run consumes the same
+    * shards for MANY epochs and wants a DIFFERENT reproducible order
+    * each epoch, without the shard membership churning (re-sharding
+    * per epoch would re-shuffle corpus-sized data every epoch and
+    * invalidate every per-shard manifest/cache; re-ORDERING within
+    * the fixed shards is a per-shard sort of already-local data).
+    *
+    * Construction: cross the plan with the epoch ids (a broadcast of
+    * `nEpochs` rows — never a corpus re-scan per epoch) and give each
+    * (unit, epoch) an `epoch_ord` = [[PortableHash.hash60]] of
+    * `id|"|shard|"|epoch` — the same salt family as the interleave
+    * hash, so epoch 0 is just another member of it (NOT the
+    * `cum_tokens` write order: the assignment hash is `id|"|shard"`,
+    * no epoch suffix, so no epoch accidentally replays the assignment
+    * order). Within a shard the epoch's write order is `(epoch_ord,
+    * id)`; the shard column is untouched, so same-shards-across-
+    * epochs holds by construction (ShardExportSpec pins it, plus
+    * per-epoch determinism and cross-epoch order divergence).
+    *
+    * Returns one row per (unit, epoch): the plan's columns plus
+    * `epoch` and `epoch_ord`. */
+  def epochOrder(plan: DataFrame, idCol: String, nEpochs: Int): DataFrame = {
+    require(nEpochs >= 1, s"nEpochs must be >= 1, got $nEpochs")
+    val clash = plan.columns.filter(Seq("epoch", "epoch_ord").contains)
+    require(clash.isEmpty,
+      s"epochOrder output column name(s) already present in input: " +
+        clash.mkString(", "))
+    val epochs = plan.sparkSession.range(nEpochs)
+      .select(col("id").as("epoch"))
+    plan
+      .crossJoin(broadcast(epochs))
+      .withColumn("epoch_ord", PortableHash.hash60(
+        concat(col(idCol).cast("string"), lit("|shard|"),
+          col("epoch").cast("string"))))
   }
 
   /** The per-shard audit manifest a run ships with: row counts, token

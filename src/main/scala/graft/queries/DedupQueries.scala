@@ -338,6 +338,11 @@ object DedupQueries {
     * [[graft.operators.ShardExport]]). */
   private val ShardN = 8
 
+  /** Epochs graded by `curate_shard_epochs` — 3 is enough to prove
+    * pairwise order divergence while keeping the row's output at
+    * epochs × shards × 3 head entries. */
+  private val ShardEpochs = 3
+
   /** Oracle CTEs replaying [[graft.operators.ShardExport.shardPlan]]
     * over `src` (a sub-select with source, doc_id, n_tokens): `shp` is
     * the per-unit assignment — the flat sequential window the
@@ -1639,6 +1644,53 @@ object DedupQueries {
            |    AS u(i)),
            |${shardCtes("pch")}
            |$shardManifestSelect""".stripMargin
+      }),
+
+    // Multi-epoch deterministic interleave — the trainer-side rung on
+    // top of the shard plan: the same shards consumed for many epochs,
+    // each epoch in a DIFFERENT reproducible order, with shard
+    // membership pinned (re-ordering WITHIN the fixed shards is a
+    // per-shard sort of already-local data; re-sharding per epoch
+    // would re-shuffle the corpus every epoch and invalidate every
+    // per-shard manifest — the documented alternative, rejected).
+    // epoch_ord = hash60(id|"|shard|"|epoch) — the interleave hash's
+    // own salt family, so no epoch replays the assignment order. The
+    // row grades the per-(epoch, shard) HEAD of each order (ranks
+    // 1–3): order-sensitive evidence at epochs × shards × 3 rows,
+    // and the oracle replays the full chain (prefix-sum bins + the
+    // per-epoch window) so the hash-match proves the orders
+    // themselves, not just their existence.
+    "curate_shard_epochs" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("epoch_ord"), col("doc_id"))
+        graft.operators.ShardExport.epochOrder(
+            graft.operators.ShardExport.shardPlan(
+              Tables.documents(s, d).select(col("source"), col("doc_id"),
+                TextAnalysis.tokenCount(col("text")).cast("long")
+                  .as("n_tokens")),
+              "doc_id", "n_tokens", nShards = ShardN),
+            "doc_id", nEpochs = ShardEpochs)
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("epoch"), col("shard"), col("rnk"), col("doc_id"),
+            col("n_tokens"))
+      }, {
+        import graft.functions.PortableHash
+        val eordSql = PortableHash.hash60Sql(
+          "CAST(doc_id AS VARCHAR) || '|shard|' || CAST(ep.epoch AS VARCHAR)")
+        s"""WITH ${shardCtes(
+               s"(SELECT source, doc_id, CAST(len(${tokens("text")}) AS BIGINT)" +
+               " AS n_tokens FROM documents)")},
+           |eo AS (
+           |  SELECT ep.epoch, shp.shard, shp.doc_id, shp.n_tokens,
+           |    row_number() OVER (PARTITION BY ep.epoch, shp.shard
+           |      ORDER BY $eordSql, doc_id) AS rnk
+           |  FROM shp, range(0, $ShardEpochs) AS ep(epoch))
+           |SELECT epoch, shard, CAST(rnk AS BIGINT) AS rnk, doc_id,
+           |  n_tokens
+           |FROM eo WHERE rnk <= 3""".stripMargin
       }),
 
     // Shard-export capstone — the full terminal composition: the

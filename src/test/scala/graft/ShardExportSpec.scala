@@ -115,6 +115,39 @@ class ShardExportSpec extends SparkSpec {
     s0.map(_._4).toSeq shouldBe s0.map(_._4).sorted.toSeq
   }
 
+  test("epoch order: same shards every epoch, different order each epoch, deterministic") {
+    val plan = ShardExport.shardPlan(units(300), "doc_id", "n_tokens", N)
+    val eo = ShardExport.epochOrder(plan, "doc_id", nEpochs = 3)
+    val rows = eo.select("epoch", "shard", "doc_id", "epoch_ord")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.length shouldBe 900 // one row per (unit, epoch)
+    // shard membership is PINNED across epochs — re-ordering within
+    // the fixed shards, never re-sharding
+    val byEpoch = rows.groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    byEpoch.keySet shouldBe Set(0L, 1L, 2L)
+    byEpoch(1L) shouldBe byEpoch(0L)
+    byEpoch(2L) shouldBe byEpoch(0L)
+    // each epoch's within-shard order differs from every other's (the
+    // whole point), and from the assignment's cum_tokens write order
+    def orderOf(e: Long): Map[Long, Seq[Long]] = rows.filter(_._1 == e)
+      .groupBy(_._2).view
+      .mapValues(_.sortBy(r => (r._4, r._3)).map(_._3).toSeq).toMap
+    val o0 = orderOf(0L); val o1 = orderOf(1L); val o2 = orderOf(2L)
+    o0 should not be o1
+    o0 should not be o2
+    o1 should not be o2
+    val cumOrder = plan.select("shard", "doc_id", "cum_tokens")
+      .as[(Long, Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    o0 should not be cumOrder
+    // per-epoch determinism: a second invocation is byte-identical
+    val again = ShardExport.epochOrder(plan, "doc_id", nEpochs = 3)
+      .select("epoch", "shard", "doc_id", "epoch_ord")
+      .as[(Long, Long, Long, Long)].collect()
+    again.toSet shouldBe rows.toSet
+  }
+
   test("zero-token units ride the plan without disturbing the bins") {
     val df = Seq(("a", 1L, 0L), ("a", 2L, 10L), ("b", 3L, 0L),
       ("b", 4L, 10L)).toDF("source", "doc_id", "n_tokens")
