@@ -665,23 +665,8 @@ object Similarity {
     *
     * `probes`: (id, cell_id) — one row per (vector, probed cell).
     * `vecs`: (vec_id, v). Returns (src, dst, erank, d2). */
-  def nnGraph(probes: DataFrame, vecs: DataFrame, degree: Int): DataFrame = {
-    val pairs = probes.select(col("id").as("src"), col("cell_id"))
-      .join(probes.select(col("id").as("dst"), col("cell_id")), Seq("cell_id"))
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
-    val scored = pairs
-      .join(vecs.select(col("vec_id").as("src"), col("v").as("__sv")), Seq("src"))
-      .join(vecs.select(col("vec_id").as("dst"), col("v").as("__dv")), Seq("dst"))
-      .withColumn("d2", (dot(col("__sv"), col("__sv"))
-        - lit(2.0) * dot(col("__sv"), col("__dv"))
-        + dot(col("__dv"), col("__dv"))).cast("long"))
-    val w = Window.partitionBy(col("src"))
-      .orderBy(col("d2").asc, col("dst").asc)
-    scored.withColumn("erank", row_number().over(w).cast("long"))
-      .filter(col("erank") <= degree)
-      .select(col("src"), col("dst"), col("erank"), col("d2"))
-  }
+  def nnGraph(probes: DataFrame, vecs: DataFrame, degree: Int): DataFrame =
+    nnGraphPatch(probes, probes, vecs, degree)
 
   /** [[nnGraph]] restricted to a SOURCE cohort — the incremental edge
     * PATCH between rebuilds: build out-edges for just-admitted delta
@@ -691,7 +676,9 @@ object Similarity {
     * cell_id), so the patched rows are EXACTLY the full rebuild's
     * rows for those srcs — at |delta-cohort pair| cost instead of a
     * corpus-wide re-pair (SimilaritySpec pins the set-equality).
-    * `srcProbes` ⊆ `allProbes`, both (id, cell_id). */
+    * `srcProbes` ⊆ `allProbes`, both (id, cell_id). [[nnGraph]] IS the
+    * `srcProbes = allProbes` case — one scoring/ranking body serves
+    * both, so the full build and the patch cannot drift apart. */
   def nnGraphPatch(srcProbes: DataFrame, allProbes: DataFrame,
       vecs: DataFrame, degree: Int): DataFrame = {
     val pairs = srcProbes.select(col("id").as("src"), col("cell_id"))

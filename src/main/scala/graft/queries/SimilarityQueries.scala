@@ -1483,6 +1483,42 @@ object SimilarityQueries {
           ") r"
       }.mkString("\nUNION ALL\n")),
 
+    // The PATCHED drift curve — the r15 patch row measured one point
+    // (the 50 % branch); the trigger rule ("rebuild before ~1/3")
+    // still priced the UNPATCHED drift, leaving the
+    // patch-per-admit-window policy priced from a single measurement.
+    // This row measures patched recall@10 at ALL the drift row's
+    // fractions (10/33/50 %), so SCALE.md prices patch-vs-rebuild
+    // from the residual CURVE: what the base→delta in-edge asymmetry
+    // (the one thing a patch cannot fix) costs as the delta grows.
+    // Each fraction reuses the drift row's checkpointed base build
+    // (FrameCache) and adds only the delta cohort's patch pairs; the
+    // serving shape is sim_graph_search's. The direction is NOT
+    // per-query guaranteed (the patch only ADDS out-edges, but the
+    // fixed beam then prunes a larger candidate set, so single
+    // queries can detour — the entry-sweep caveat); the spec pins the
+    // MEASURED direction, mean patched ≥ mean stale per fraction, and
+    // the m = 2 branch row-identical to sim_graph_delta_patch's
+    // patched half.
+    "sim_graph_patch_sweep" -> QueryDef(
+      (s, d) => GraphDriftMods.map { m =>
+        val patched = nnGraphEdgesBaseAt(s, d, m)
+          .unionByName(graphPatchedEdges(s, d, m))
+        recallAgainstExactL2(s, d,
+          graphSearchAt(s, d, GraphHops, GraphBeam, Some(patched))
+            .select(col("query_id"), col("neighbor_id")))
+          .select(lit((100 / m).toLong).as("delta_pct"), col("query_id"),
+            col("n_exact"), col("n_hit"), col("recall_at_k"))
+      }.reduce(_ unionAll _),
+      GraphDriftMods.map(m =>
+        s"SELECT CAST(${100 / m} AS BIGINT) AS delta_pct, r.* FROM (\n" +
+          recallAgainstExactL2Sql(
+            s"WITH ${graphSearchCtesAt(GraphHops, s" AND id % $m <> 0",
+              patchSrcPred = s" % $m = 0")}\n" +
+              "SELECT query_id, neighbor_id AS vec_id FROM gsearch") +
+          ") r")
+        .mkString("\nUNION ALL\n")),
+
     // Entry-seeding sweep — the traversal's THIRD serving-time knob
     // (beside hops and beam), acting on the r14 scale observation
     // that beam-20 recall fell 0.94 → 0.8975 from sf0.01 → sf0.1

@@ -81,7 +81,8 @@ class PlanSpec extends SparkSpec {
       "curate_pipeline_shards", // pipeline's grid broadcasts + the same 1-row total cross
       "sim_graph_delta_drift", // per-fraction entry seeding plans the k-sized centroid-probe broadcast
       "sim_graph_delta_patch", // same entry-seeding broadcast, stale + patched branches
-      "sim_graph_entry_sweep") // same centroid-probe broadcast, once per entry width
+      "sim_graph_entry_sweep", // same centroid-probe broadcast, once per entry width
+      "curate_shard_epochs") // shard plan's 1-row total cross + the nEpochs-row epoch broadcast cross (both metadata-sized)
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -276,7 +277,10 @@ class PlanSpec extends SparkSpec {
       "sim_graph_delta_drift" -> 14, // measured 12: 3 × (search + exact-baseline compare) off per-fraction checkpointed base builds — the beam-sweep shape
       "sim_graph_entry_sweep" -> 14, // measured 12: same 3-branch shape; per-width seeding joins ride the one checkpointed edge build
       "curate_pack_shards" -> 11, // measured 9: shard kernel over the checkpointed chunk frame (sources × chunks rows)
-      "sim_graph_delta_patch" -> 10) // measured 8: 2 × (search + exact-baseline compare) off the checkpointed stale/patched edge frames
+      "sim_graph_delta_patch" -> 10, // measured 8: 2 × (search + exact-baseline compare) off the checkpointed stale/patched edge frames
+      // r16 entrants (new-query shapes locked on entry)
+      "curate_shard_epochs" -> 11, // measured 9: the shard-plan shape (prefix-sum kernel + total cross) + the per-(epoch,shard) rank window over the epoch-crossed plan
+      "sim_graph_patch_sweep" -> 14) // measured 12: 3 × (search + exact-baseline compare) off per-fraction checkpointed base∪patch edge frames — the delta-drift shape
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

@@ -913,6 +913,34 @@ class SimilaritySpec extends SparkSpec {
     mean("patched") should be >= mean("stale")
   }
 
+  test("patch sweep: patched never loses to stale at any fraction, 50% branch matches the patch row") {
+    val d = "/root/testdata/sf0.001"
+    val patched = SparkEntry.queries("sim_graph_patch_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    patched should not be empty
+    val pm = patched.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    pm.keySet shouldBe Set(10L, 33L, 50L)
+    // the measured direction per fraction: patching the delta srcs'
+    // out-edges never loses to serving the stale base list (mean, not
+    // per-query — the fixed beam prunes a larger candidate set, so
+    // single queries can detour)
+    val stale = SparkEntry.queries("sim_graph_delta_drift")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val sm = stale.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+    for (pct <- Seq(10L, 33L, 50L))
+      withClue(s"delta $pct%: ") { pm(pct) should be >= sm(pct) }
+    // the 50% branch IS sim_graph_delta_patch's patched half — the
+    // sweep generalizes that row, it must not drift from it
+    val patchRow = SparkEntry.queries("sim_graph_delta_patch")(spark, d)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .filter(_._1 == "patched")
+      .map(r => (r._2, r._3, r._4, r._5)).toSet
+    patched.filter(_._1 == 50L)
+      .map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe patchRow
+  }
+
   test("graph recall beats zero and never loses to the entry-cell floor") {
     val d = "/root/testdata/sf0.001"
     def mean(rows: Array[(Long, Long, Long, Double)]) =
