@@ -501,8 +501,7 @@ object StreamBench {
     // join, isolating the sketch's contribution on one box.
     val refSketch =
       if (sys.env.get("SPARK_GRAFT_XSTRIP_SKETCH").contains("off")) None
-      else Some(graft.operators.SpanDedup.refGramSketch(
-        refGrams, refGrams.count()))
+      else graft.operators.SpanDedup.refGramSketch(refGrams)
     val base = docs0.filter(splitOf(col("doc_id")) === "train")
       .select(col("doc_id").cast("long"), col("text").cast("string"))
       .as[ScoreIn].collect().toIndexedSeq

@@ -169,13 +169,21 @@ object SpanDedup {
     * offline next to the index itself (a bounded-size driver sketch,
     * KBs), shipped to the scan as a codegen'd literal, and used to
     * drop non-matching arriving grams BEFORE the join's exchange.
-    * `expectedItems` ≈ the index's distinct gram count (the caller
-    * knows it at build time); bits default to 16× items ≈ 0.04 % FP —
-    * and every FP is removed by the exact join anyway. */
-  def refGramSketch(refGrams: DataFrame,
-      expectedItems: Long): Array[Byte] =
-    BloomJoin.keySketch(refGrams, col("gram"),
-      math.max(expectedItems, 1L), math.max(expectedItems, 1L) * 16)
+    * Sizes itself from the index's DISTINCT gram count (one cheap
+    * aggregate over the already-checkpointed build frame — callers
+    * previously passed the total occurrence-row count, inflating the
+    * 16×-items bit budget by up to occCap); bits = 16× items ≈ 0.04 %
+    * FP — and every FP is removed by the exact join anyway. Returns
+    * None on an empty build frame (an empty index has nothing to
+    * pre-filter against; the previous shape returned a null sketch
+    * that only worked via might_contain(null,·) null-propagation). */
+  def refGramSketch(refGrams: DataFrame): Option[Array[Byte]] = {
+    val distinct = refGrams
+      .agg(count_distinct(col("gram"))).head().getLong(0)
+    if (distinct == 0L) None
+    else Some(BloomJoin.keySketch(refGrams, col("gram"),
+      distinct, distinct * 16))
+  }
 
   /** Maximal spans the `docs` side shares with a REFERENCE gram index
     * ([[cappedGrams]]) — the cross-corpus form of [[repeatedSpans]],

@@ -233,19 +233,23 @@ class SpanDedupSpec extends SparkSpec {
         refGrams, train, "doc_id", "text", k = 8, minLen = 10)
       .as[(Long, Long, Long)].collect().toSet
     bare should not be empty
-    val sketch = SpanDedup.refGramSketch(refGrams, refGrams.count())
+    val sketch = SpanDedup.refGramSketch(refGrams)
+    sketch should not be empty
     val filtered = SpanDedup.spansAgainst(
         refGrams, train, "doc_id", "text", k = 8, minLen = 10,
-        Some(sketch))
+        sketch)
       .as[(Long, Long, Long)].collect().toSet
     filtered shouldBe bare
+    // an EMPTY build frame yields no sketch, loudly — not a null
+    // sketch that filters via might_contain null-propagation
+    SpanDedup.refGramSketch(refGrams.limit(0)) shouldBe None
     // and the composed strip (what the streaming twin serves) matches
     val a = SpanDedup.stripSpans(train, "doc_id", "text",
         SpanDedup.spansAgainst(refGrams, train, "doc_id", "text", 8, 10))
       .as[(Long, Long, Long, String)].collect().toSet
     val b = SpanDedup.stripSpans(train, "doc_id", "text",
         SpanDedup.spansAgainst(refGrams, train, "doc_id", "text", 8, 10,
-          Some(sketch)))
+          sketch))
       .as[(Long, Long, Long, String)].collect().toSet
     b shouldBe a
   }

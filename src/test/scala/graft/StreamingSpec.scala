@@ -1315,8 +1315,8 @@ class StreamingSpec extends SparkSpec {
     // built offline next to the index (the bench's xstrip shape) —
     // the batch `expected` above runs bare, so this equality also
     // re-proves sketch-transparency end to end
-    val sketch = Some(graft.operators.SpanDedup.refGramSketch(
-      refGrams, refGrams.count()))
+    val sketch = graft.operators.SpanDedup.refGramSketch(refGrams)
+    sketch should not be empty
     val q = graft.streaming.StreamingSpanDedup.decontamStripWriter(
         in.toDF().toDF("doc_id", "text"), refGrams,
         "doc_id", "text", k = 8, minLen = 10, sketch) { out =>
