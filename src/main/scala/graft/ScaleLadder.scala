@@ -90,8 +90,11 @@ object ScaleLadder {
     val passes = math.max(1,
       scala.util.Try(sys.env("SPARK_GRAFT_LADDER_PASSES").toInt).getOrElse(2))
 
-    // ---- shard export: 200k / 600k / 2M units ----
-    val shardNs = Seq(200000L, 600000L, 2000000L)
+    // ---- shard export: 2M / 6M / 20M units (a first 200k–2M ladder
+    //      fit 0.44 — fixed job overhead ~0.8 s dominated every point,
+    //      so the fit measured the overhead, not the kernel; a decade
+    //      up the marginal cost shows) ----
+    val shardNs = Seq(2000000L, 6000000L, 20000000L)
     def shardPoint(n: Long): Double = {
       val units = syntheticUnits(spark, n).localCheckpoint(true)
       val secs = (1 to passes).map(_ => time(force(
@@ -105,37 +108,56 @@ object ScaleLadder {
       println(f"LADDER shard_export n=$n sec=$s%.3f") }
     println(f"LADDER_FIT shard_export exponent=${fitExponent(shardPts)}%.2f")
 
-    // ---- graph kernels: 2k / 6k / 20k vectors, cells held at ~50
-    //      members (k = n/50 — the fixture recipe's geometry) ----
-    val graphNs = Seq(2000L, 6000L, 20000L)
-    def graphPoint(n: Long): (Double, Double) = {
+    // ---- graph kernels, cells held at ~50 members (k = n/50 — the
+    //      fixture recipe's geometry). Separate ladders per kernel:
+    //      the assignment's n·k work term is tiny per pair (native
+    //      codegen dot), so it needs a decade more corpus than the
+    //      pair join before the term clears the fixed job overhead
+    //      (a joint 2k–20k ladder fit assign at 0.38 — pure
+    //      overhead), while the pair join at 200k would swamp the
+    //      run. ----
+    def vecsAt(n: Long): (DataFrame, DataFrame) = {
       val vecs = syntheticVecs(spark, n, "vec_id", "qv", "v")
         .localCheckpoint(true)
       val cents = syntheticVecs(spark, math.max(1L, n / 50),
         "cent_id", "cent_v", "c").localCheckpoint(true)
-      val assignSec = (1 to passes).map(_ => time(force(
+      (vecs, cents)
+    }
+    val assignNs = Seq(20000L, 60000L, 200000L)
+    def assignPoint(n: Long): Double = {
+      val (vecs, cents) = vecsAt(n)
+      val sec = (1 to passes).map(_ => time(force(
         Similarity.ivfAssignCentroids(vecs, "vec_id", "qv", cents,
           nprobe = 2)._2))).min
+      Seq(vecs, cents).foreach(_.unpersist())
+      sec
+    }
+    assignPoint(assignNs.head / 4) // untimed warm-up
+    val assignPts = assignNs.map(n => n -> assignPoint(n))
+    assignPts.foreach { case (n, s) =>
+      println(f"LADDER graph_assign n=$n sec=$s%.3f") }
+    println(f"LADDER_FIT graph_assign exponent=${
+      fitExponent(assignPts)}%.2f")
+
+    val pairNs = Seq(2000L, 6000L, 20000L)
+    def pairPoint(n: Long): Double = {
+      val (vecs, cents) = vecsAt(n)
       val probes = Similarity.ivfAssignCentroids(vecs, "vec_id", "qv",
           cents, nprobe = 2)._2
         .select(col("query_id").as("id"), col("cell_id"))
         .localCheckpoint(true)
-      val pairSec = (1 to passes).map(_ => time(force(
+      val sec = (1 to passes).map(_ => time(force(
         Similarity.nnGraph(probes,
           vecs.select(col("vec_id"), col("qv").as("v")), degree = 6)))).min
       Seq(vecs, cents, probes).foreach(_.unpersist())
-      (assignSec, pairSec)
+      sec
     }
-    graphPoint(graphNs.head / 4) // untimed warm-up
-    val graphPts = graphNs.map(n => n -> graphPoint(n))
-    graphPts.foreach { case (n, (a, p)) =>
-      println(f"LADDER graph_assign n=$n sec=$a%.3f")
-      println(f"LADDER graph_pairs n=$n sec=$p%.3f")
-    }
-    println(f"LADDER_FIT graph_assign exponent=${
-      fitExponent(graphPts.map(p => p._1 -> p._2._1))}%.2f")
+    pairPoint(pairNs.head / 4) // untimed warm-up
+    val pairPts = pairNs.map(n => n -> pairPoint(n))
+    pairPts.foreach { case (n, s) =>
+      println(f"LADDER graph_pairs n=$n sec=$s%.3f") }
     println(f"LADDER_FIT graph_pairs exponent=${
-      fitExponent(graphPts.map(p => p._1 -> p._2._2))}%.2f")
+      fitExponent(pairPts)}%.2f")
     spark.stop()
   }
 }
