@@ -25,6 +25,10 @@ import graft.operators.{ShardExport, Similarity}
   *     SIZE is held; a 100 TB deployment caps k at index-metadata
   *     size or goes hierarchical — the measured exponent is the
   *     evidence for why).
+  *   - `graph_assign_hier`: [[Similarity.hierAssignCentroids]] on the
+  *     same ladder with k_c ≈ √k coarse cells, nprobeC 2 — the
+  *     mitigation's measured exponent (~n^1.5 expected where the flat
+  *     kernel measures ~n²).
   *   - `graph_pairs`: [[Similarity.nnGraph]] (the equi-keyed pair
   *     join + degree cap) over pre-built, checkpointed probes —
   *     expected ~linear at held cell size (pairs ≈ n · cell ·
@@ -138,6 +142,30 @@ object ScaleLadder {
       println(f"LADDER graph_assign n=$n sec=$s%.3f") }
     println(f"LADDER_FIT graph_assign exponent=${
       fitExponent(assignPts)}%.2f")
+
+    // the hierarchical mitigation on the SAME ladder: coarse level
+    // k_c ≈ √k (the harness can pick √k per point — the fixed-modulus
+    // query surface cannot), nprobeC 2 ⇒ expected ~n^1.5 at held cell
+    // size instead of the flat kernel's measured ~n²
+    def hierPoint(n: Long): Double = {
+      val (vecs, cents) = vecsAt(n)
+      val k = math.max(1L, n / 50)
+      val step = math.max(1L, math.round(math.sqrt(k.toDouble)))
+      val coarse = cents.filter(pmod(col("cent_id"), lit(step)) === 0)
+        .select(col("cent_id").as("co_id"), col("cent_v").as("co_v"))
+        .localCheckpoint(true)
+      val sec = (1 to passes).map(_ => time(force(
+        Similarity.hierAssignCentroids(vecs, "vec_id", "qv", cents,
+          coarse, nprobeC = 2)))).min
+      Seq(vecs, cents, coarse).foreach(_.unpersist())
+      sec
+    }
+    hierPoint(assignNs.head / 4) // untimed warm-up
+    val hierPts = assignNs.map(n => n -> hierPoint(n))
+    hierPts.foreach { case (n, s) =>
+      println(f"LADDER graph_assign_hier n=$n sec=$s%.3f") }
+    println(f"LADDER_FIT graph_assign_hier exponent=${
+      fitExponent(hierPts)}%.2f")
 
     val pairNs = Seq(2000L, 6000L, 20000L)
     def pairPoint(n: Long): Double = {

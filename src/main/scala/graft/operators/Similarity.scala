@@ -174,6 +174,66 @@ object Similarity {
     (assigned, probes)
   }
 
+  /** HIERARCHICAL (coarse→fine) assignment — the measured-quadratic
+    * mitigation of [[ivfAssignCentroids]]: the flat assignment scores
+    * every vector against every fine centroid, and with cell SIZE held
+    * (k ∝ n) that is n·k ≈ n²/cell work — the r16 scaling ladder
+    * measured the exponent at 2.18 (`docs/SCALE.md`). Here each vector
+    * scores only the `nprobeC` nearest COARSE cells' fine centroids:
+    *
+    *   1. each fine centroid maps to its nearest coarse centroid
+    *      (argmin over the broadcast coarse frame — k·k_c work, index
+    *      metadata);
+    *   2. each vector picks its `nprobeC` nearest coarse cells
+    *      (n·k_c);
+    *   3. each vector argmins over ONLY those cells' fine centroids
+    *      (n·nprobeC·k/k_c expected) — candidate fine sets are
+    *      disjoint across coarse cells (step 1 is a function), so no
+    *      dedup is needed.
+    *
+    * Total n·(k_c + nprobeC·k/k_c): with k_c ≈ √k this is n·√k — at
+    * held cell size n^1.5 instead of n². The price is approximation:
+    * a vector whose true nearest fine centroid lives in an un-probed
+    * coarse cell assigns elsewhere (`sim_hier_assign` grades the
+    * agreement rate against the flat assignment; the probe-width
+    * sweep prices it per `nprobeC`). Both centroid frames broadcast;
+    * every join is equi-keyed on broadcast-sized frames; ties break
+    * by centroid id like the flat kernel. Returns (id, cell_id) —
+    * the flat assignment's columns, so consumers swap freely. */
+  def hierAssignCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, coarse: DataFrame, nprobeC: Int): DataFrame = {
+    require(nprobeC >= 1, s"nprobeC must be >= 1, got $nprobeC")
+    def d2(v: Column, c: Column): Column =
+      dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
+    // 1. fine centroid -> its coarse cell (metadata-sized cross)
+    val cw = Window.partitionBy(col("cent_id"))
+      .orderBy(col("__cd2").asc, col("co_id").asc)
+    val centAss = cents.crossJoin(broadcast(coarse))
+      .withColumn("__cd2", d2(col("cent_v"), col("co_v")))
+      .withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") === 1)
+      .select(col("cent_id"), col("cent_v"), col("co_id"))
+    // 2. vector -> top-nprobeC coarse cells
+    val vw = Window.partitionBy(col("__id"))
+      .orderBy(col("__vd2").asc, col("co_id").asc)
+    val vecCoarse = corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("__vd2", d2(col("__v"), col("co_v")))
+      .withColumn("__vr", row_number().over(vw))
+      .filter(col("__vr") <= nprobeC)
+      .select(col("__id"), col("__v"), col("co_id"))
+    // 3. argmin over the probed cells' fine centroids only
+    val fw = Window.partitionBy(col("__id"))
+      .orderBy(col("__fd2").asc, col("cent_id").asc)
+    vecCoarse
+      .join(broadcast(centAss), Seq("co_id"))
+      .withColumn("__fd2", d2(col("__v"), col("cent_v")))
+      .withColumn("__fr", row_number().over(fw))
+      .filter(col("__fr") === 1)
+      .select(col("__id").as("id"), col("cent_id").as("cell_id"))
+  }
+
   /** IVF top-k: probe `nprobe` cells per query, exact cosine re-rank of
     * cell members only. Same output shape as [[knnBruteForce]]. */
   def knnIvf(corpus: DataFrame, idCol: String, vecCol: String, k: Int,

@@ -121,6 +121,17 @@ object SimilarityQueries {
     * seeding scans the query's `w` nearest cells' members. */
   private val GraphEntrySweep = Seq(1, 2, 3)
 
+  /** Hierarchical (coarse→fine) assignment: the coarse level is every
+    * 8th trained fine centroid (fine init ids are multiples of 50, so
+    * `cent_id % 400 = 0` ⇒ k_c = k/8 at every SF — a fixed ratio; the
+    * scaling ladder's harness picks k_c ≈ √k dynamically, which a
+    * fixed SQL modulus cannot express), probing [[HierProbeC]] coarse
+    * cells per vector. The sweep prices the approximation per probe
+    * width. Init-before-`defs` rule applies (see [[TrainIters]]). */
+  private val HierCoarseMod = 400
+  private val HierProbeC = 2
+  private val HierProbeSweep = Seq(1, 2, 4)
+
   private def quantized(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000)).as("qv"))
@@ -449,6 +460,49 @@ object SimilarityQueries {
          |LEFT JOIN approx a
          |  ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
          |GROUP BY b.query_id""".stripMargin),
+
+    // HIERARCHICAL (coarse→fine) assignment vs the flat argmin — the
+    // r16 scaling ladder measured the flat assignment's exponent at
+    // 2.18 under the held-cell-size recipe (k ∝ n ⇒ n·k ≈ n²/cell
+    // work, docs/SCALE.md); the coarse→fine kernel scores each vector
+    // against nprobeC coarse cells' fine centroids only
+    // (n·(k_c + nprobeC·k/k_c) — with k_c ≈ √k, n^1.5 at held cell
+    // size). This row grades the price: per-vector agreement with the
+    // flat assignment (a vector disagrees exactly when its true
+    // nearest fine centroid lives in an un-probed coarse cell). The
+    // oracle replays both assignments off the SAME trained-centroid
+    // CTE chain.
+    "sim_hier_assign" -> QueryDef(
+      (s, d) => hierJoined(s, d, HierProbeC)
+        .select(col("vec_id"), col("cell_flat"), col("cell_hier"),
+          col("agree")),
+      s"""WITH ${hierCtes(HierProbeC)}
+         |SELECT f.vec_id, f.cell_flat, h.cell_hier,
+         |  CAST(f.cell_flat = h.cell_hier AS BIGINT) AS agree
+         |FROM hflat f JOIN hier h ON h.vec_id = f.vec_id""".stripMargin),
+
+    // The probe-width sweep over the hierarchical assignment: the
+    // agreement rate per nprobeC (1/2/4) — the knob a deployment turns
+    // to trade assignment exactness against the n^1.5 build cost. The
+    // division at the edge is one IEEE op over two exact counts.
+    "sim_hier_probe_sweep" -> QueryDef(
+      (s, d) => HierProbeSweep.map { p =>
+        hierJoined(s, d, p)
+          .agg(count(lit(1)).as("n_vecs"), sum(col("agree")).as("n_agree"))
+          .select(lit(p.toLong).as("probe_c"), col("n_vecs"),
+            col("n_agree"),
+            (col("n_agree").cast("double") / col("n_vecs").cast("double"))
+              .as("agree_rate"))
+      }.reduce(_ unionAll _),
+      HierProbeSweep.map(p =>
+        s"SELECT CAST($p AS BIGINT) AS probe_c, r.* FROM (\n" +
+          s"WITH ${hierCtes(p)}\n" +
+          "SELECT COUNT(*) AS n_vecs,\n" +
+          "  CAST(SUM(CAST(f.cell_flat = h.cell_hier AS BIGINT)) AS BIGINT) AS n_agree,\n" +
+          "  CAST(SUM(CAST(f.cell_flat = h.cell_hier AS BIGINT)) AS DOUBLE)\n" +
+          "    / CAST(COUNT(*) AS DOUBLE) AS agree_rate\n" +
+          "FROM hflat f JOIN hier h ON h.vec_id = f.vec_id) r")
+        .mkString("\nUNION ALL\n")),
 
     // FILTERED vector search — ANN under a relational predicate (the
     // embedding's document is English; shared id space), served by the
@@ -3068,6 +3122,62 @@ object SimilarityQueries {
   }
 
   private def ivfTrainCtes: String = ivfTrainChain("e", "")
+
+  /** Flat vs hierarchical assignment joined per vector — shared by
+    * `sim_hier_assign` and its probe-width sweep. Both kernels read
+    * the SAME trained fine centroids; the coarse level is the fixed
+    * [[HierCoarseMod]] id-pick of them. */
+  private def hierJoined(s: org.apache.spark.sql.SparkSession, d: String,
+      nprobeC: Int): org.apache.spark.sql.DataFrame = {
+    val flat = Similarity.ivfAssignCentroids(quantized(s, d), "vec_id",
+        "qv", trainedCentroids(s, d), nprobe = 1)._1
+      .select(col("__id").as("vec_id"), col("cell_id").as("cell_flat"))
+    val coarse = trainedCentroids(s, d)
+      .filter(pmod(col("cent_id"), lit(HierCoarseMod)) === 0)
+      .select(col("cent_id").as("co_id"), col("cent_v").as("co_v"))
+    val hier = Similarity.hierAssignCentroids(quantized(s, d), "vec_id",
+        "qv", trainedCentroids(s, d), coarse, nprobeC)
+      .select(col("id").as("vec_id"), col("cell_id").as("cell_hier"))
+    flat.join(hier, Seq("vec_id"))
+      .withColumn("agree",
+        (col("cell_flat") === col("cell_hier")).cast("long"))
+  }
+
+  /** CTE chain replaying BOTH assignments off the trained centroids:
+    * `hco` the coarse pick, `hca` fine→coarse (argmin, ties by co_id),
+    * `hvc` vector→top-nprobeC coarse, `hier` the argmin over probed
+    * cells' fine centroids, `hflat` the flat argmin — tie orders
+    * matching [[Similarity.hierAssignCentroids]] /
+    * [[Similarity.ivfAssignCentroids]] exactly. */
+  private def hierCtes(nprobeC: Int): String =
+    s"""e AS (SELECT vec_id, ${quantVec("embedding")} AS v FROM embeddings),
+       |$ivfTrainCtes,
+       |hco AS (SELECT cent_id AS co_id, cent_v AS co_v FROM c
+       |  WHERE cent_id % $HierCoarseMod = 0),
+       |hca AS (
+       |  SELECT cent_id, cent_v, co_id FROM (
+       |    SELECT c.cent_id, c.cent_v, h.co_id, row_number() OVER (
+       |      PARTITION BY c.cent_id
+       |      ORDER BY ${d2Sql("c.cent_v", "h.co_v", Dims)} ASC, h.co_id ASC) AS r
+       |    FROM c, hco h) WHERE r = 1),
+       |hvc AS (
+       |  SELECT vec_id, v, co_id FROM (
+       |    SELECT e.vec_id, e.v, h.co_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${d2Sql("e.v", "h.co_v", Dims)} ASC, h.co_id ASC) AS r
+       |    FROM e, hco h) WHERE r <= $nprobeC),
+       |hier AS (
+       |  SELECT vec_id, cent_id AS cell_hier FROM (
+       |    SELECT v.vec_id, a.cent_id, row_number() OVER (
+       |      PARTITION BY v.vec_id
+       |      ORDER BY ${d2Sql("v.v", "a.cent_v", Dims)} ASC, a.cent_id ASC) AS r
+       |    FROM hvc v JOIN hca a ON a.co_id = v.co_id) WHERE r = 1),
+       |hflat AS (
+       |  SELECT vec_id, cent_id AS cell_flat FROM (
+       |    SELECT e.vec_id, c.cent_id, row_number() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${d2Sql("e.v", "c.cent_v", Dims)} ASC, c.cent_id ASC) AS r
+       |    FROM e, c) WHERE r = 1)""".stripMargin
 
   /** The id-pick init + K grouped-Lloyd training steps over a subvector
     * fan-out CTE `fanout(vec_id, sub, sv)`, all CTE names prefixed with

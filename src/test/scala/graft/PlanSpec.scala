@@ -82,7 +82,9 @@ class PlanSpec extends SparkSpec {
       "sim_graph_delta_drift", // per-fraction entry seeding plans the k-sized centroid-probe broadcast
       "sim_graph_delta_patch", // same entry-seeding broadcast, stale + patched branches
       "sim_graph_entry_sweep", // same centroid-probe broadcast, once per entry width
-      "curate_shard_epochs") // shard plan's 1-row total cross + the nEpochs-row epoch broadcast cross (both metadata-sized)
+      "curate_shard_epochs", // shard plan's 1-row total cross + the nEpochs-row epoch broadcast cross (both metadata-sized)
+      "sim_hier_assign", // flat + coarse + fine centroid broadcasts (all k-sized, linear in the corpus)
+      "sim_hier_probe_sweep") // the same three k-sized broadcasts, once per probe width
 
   test("no query plans an accidental cartesian / nested-loop join") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -280,7 +282,9 @@ class PlanSpec extends SparkSpec {
       "sim_graph_delta_patch" -> 10, // measured 8: 2 × (search + exact-baseline compare) off the checkpointed stale/patched edge frames
       // r16 entrants (new-query shapes locked on entry)
       "curate_shard_epochs" -> 11, // measured 9: the shard-plan shape (prefix-sum kernel + total cross) + the per-(epoch,shard) rank window over the epoch-crossed plan
-      "sim_graph_patch_sweep" -> 14) // measured 12: 3 × (search + exact-baseline compare) off per-fraction checkpointed base∪patch edge frames — the delta-drift shape
+      "sim_graph_patch_sweep" -> 14, // measured 12: 3 × (search + exact-baseline compare) off per-fraction checkpointed base∪patch edge frames — the delta-drift shape
+      "sim_hier_assign" -> 9, // measured 7: flat argmin window + the 3-stage hier chain (fine→coarse window, vector→coarse window, probed-cells argmin) + the flat⋈hier SMJ
+      "sim_hier_probe_sweep" -> 27) // measured 24: the sim_hier_assign shape once per probe width (3), each branch reduced to a 1-row aggregate before the union
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
       val n = plan(name).linesIterator
         .count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))

@@ -941,6 +941,67 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe patchRow
   }
 
+  test("hierarchical assignment: exact when coarse=fine, probe-width monotone to flat") {
+    // 40 vectors on a line, fine centroids at 0/100/200/300 — cluster
+    // c's member j sits at 100c+j (j in 0..9), so every member's
+    // nearest fine centroid is unambiguously 100c
+    val vecs = (0L until 40L).map { i =>
+      val c = i / 10; val j = i % 10
+      (i, Seq((100 * c + j).toDouble, 0.0))
+    }.toDF("vec_id", "qv")
+    val cents = Seq(0L, 1L, 2L, 3L)
+      .map(c => (c, Seq((100 * c).toDouble, 0.0))).toDF("cent_id", "cent_v")
+    val flat = Similarity.ivfAssignCentroids(vecs, "vec_id", "qv",
+        cents, nprobe = 1)._1
+      .select(col("__id").as("id"), col("cell_id"))
+      .as[(Long, Long)].collect().toMap
+    flat.size shouldBe 40
+    // coarse = the fine set itself, one probe: hier IS flat
+    val coarseAsFine = cents
+      .select(col("cent_id").as("co_id"), col("cent_v").as("co_v"))
+    val same = Similarity.hierAssignCentroids(vecs, "vec_id", "qv",
+        cents, coarseAsFine, nprobeC = 1)
+      .as[(Long, Long)].collect().toMap
+    same shouldBe flat
+    // a 2-cell coarse level at 0 and 210: fine 0/100 hang off coarse
+    // 0, fine 200/300 off coarse 210. Cluster-1 members at 106..109
+    // sit nearer coarse 210 (|p-210| = 101..104 < p) while their true
+    // fine centroid 100 lives under coarse 0 — width 1 probes only
+    // coarse 210's cells {200,300} and misassigns exactly those 4
+    // vectors; width 2 ( = k_c) sees every fine centroid and recovers
+    // flat. Exactly one row per id at every width.
+    val coarse2 = Seq((0L, Seq(0.0, 0.0)), (2L, Seq(210.0, 0.0)))
+      .toDF("co_id", "co_v")
+    def agreeAt(w: Int): (Int, Int) = {
+      val rows = Similarity.hierAssignCentroids(vecs, "vec_id", "qv",
+        cents, coarse2, nprobeC = w).as[(Long, Long)].collect()
+      rows.map(_._1).distinct.length shouldBe 40
+      rows.length shouldBe 40
+      (rows.count(r => flat(r._1) == r._2), rows.length)
+    }
+    val (a1, _) = agreeAt(1)
+    val (a2, _) = agreeAt(2)
+    a1 shouldBe 36 // the 106..109 boundary band, and nothing else
+    a2 shouldBe 40 // width = k_c sees all fine cells ⇒ ≡ flat
+  }
+
+  test("hier probe sweep query: rate monotone in width, full agreement only at the top") {
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("sim_hier_probe_sweep")(spark, d)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    rows.map(_._1).toSeq shouldBe Seq(1L, 2L, 4L)
+    // agreement never falls as the probe widens (more coarse cells
+    // can only add candidate fine centroids)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      hi._4 should be >= lo._4
+    }
+    // per-vector detail row agrees with the sweep's width-2 aggregate
+    val detail = SparkEntry.queries("sim_hier_assign")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    detail.length shouldBe rows.find(_._1 == 2L).get._2
+    detail.map(_._4).sum shouldBe rows.find(_._1 == 2L).get._3
+  }
+
   test("graph recall beats zero and never loses to the entry-cell floor") {
     val d = "/root/testdata/sf0.001"
     def mean(rows: Array[(Long, Long, Long, Double)]) =
