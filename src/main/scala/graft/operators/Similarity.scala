@@ -157,21 +157,33 @@ object Similarity {
     * [[kmeansTrain]] (or any offline build) and broadcast identically. */
   def ivfAssignCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame, nprobe: Int): (DataFrame, DataFrame) = {
-    // squared L2 in exact integer-valued doubles: |a|² - 2a·b + |b|²
-    val d2 = dot(col("__v"), col("__v")) -
-      lit(2.0) * dot(col("__v"), col("cent_v")) +
-      dot(col("cent_v"), col("cent_v"))
-    val scored = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("__d2", d2)
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__d2").asc, col("cent_id").asc)
-    val ranked = scored.withColumn("__cr", row_number().over(w))
+    val ranked = ivfAssignRanked(corpus, idCol, vecCol, cents)
     val assigned = ranked.filter(col("__cr") === 1)
       .select(col("__id"), col("__v"), col("cent_id").as("cell_id"))
     val probes = ranked.filter(col("__cr") <= nprobe)
       .select(col("__id").as("query_id"), col("cent_id").as("cell_id"))
     (assigned, probes)
+  }
+
+  /** The full centroid ranking behind [[ivfAssignCentroids]] —
+    * (__id, __v, cent_id, __cr) with `__cr` the 1-based closeness rank
+    * of each centroid for each vector. Exposed so a probe-width SWEEP
+    * can rank once and take every width as a `__cr ≤ w` filter instead
+    * of re-scoring the corpus against the broadcast centroids per
+    * width (the r16 entry-sweep fusion). */
+  def ivfAssignRanked(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    // squared L2 in exact integer-valued doubles: |a|² - 2a·b + |b|²
+    val d2 = dot(col("__v"), col("__v")) -
+      lit(2.0) * dot(col("__v"), col("cent_v")) +
+      dot(col("cent_v"), col("cent_v"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__d2").asc, col("cent_id").asc)
+    corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d2", d2)
+      .withColumn("__cr", row_number().over(w))
+      .select(col("__id"), col("__v"), col("cent_id"), col("__cr"))
   }
 
   /** HIERARCHICAL (coarse→fine) assignment — the measured-quadratic
@@ -232,6 +244,47 @@ object Similarity {
       .withColumn("__fr", row_number().over(fw))
       .filter(col("__fr") === 1)
       .select(col("__id").as("id"), col("cent_id").as("cell_id"))
+  }
+
+  /** Probe-width-BRANCHED [[hierAssignCentroids]] (r16 sweep fusion):
+    * the coarse probe sets nest (`__vr ≤ w` prefixes of ONE ranking),
+    * so the sweep ranks vector→coarse once, tags each width, and runs
+    * one fine argmin keyed by (probe_c, __id) — per-branch rows
+    * identical to the standalone kernel. Returns (probe_c, id,
+    * cell_id). */
+  def hierAssignCentroidsNp(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, coarse: DataFrame,
+      nprobeCs: Seq[Int]): DataFrame = {
+    def d2(v: Column, c: Column): Column =
+      dot(v, v) - lit(2.0) * dot(v, c) + dot(c, c)
+    val cw = Window.partitionBy(col("cent_id"))
+      .orderBy(col("__cd2").asc, col("co_id").asc)
+    val centAss = cents.crossJoin(broadcast(coarse))
+      .withColumn("__cd2", d2(col("cent_v"), col("co_v")))
+      .withColumn("__cr", row_number().over(cw))
+      .filter(col("__cr") === 1)
+      .select(col("cent_id"), col("cent_v"), col("co_id"))
+    val vw = Window.partitionBy(col("__id"))
+      .orderBy(col("__vd2").asc, col("co_id").asc)
+    val vecCoarseB = corpus
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("__vd2", d2(col("__v"), col("co_v")))
+      .withColumn("__vr", row_number().over(vw))
+      .filter(col("__vr") <= nprobeCs.max)
+      .withColumn("probe_c",
+        explode(array(nprobeCs.map(p => lit(p.toLong)): _*)))
+      .filter(col("__vr") <= col("probe_c"))
+      .select(col("probe_c"), col("__id"), col("__v"), col("co_id"))
+    val fw = Window.partitionBy(col("probe_c"), col("__id"))
+      .orderBy(col("__fd2").asc, col("cent_id").asc)
+    vecCoarseB
+      .join(broadcast(centAss), Seq("co_id"))
+      .withColumn("__fd2", d2(col("__v"), col("cent_v")))
+      .withColumn("__fr", row_number().over(fw))
+      .filter(col("__fr") === 1)
+      .select(col("probe_c"), col("__id").as("id"),
+        col("cent_id").as("cell_id"))
   }
 
   /** IVF top-k: probe `nprobe` cells per query, exact cosine re-rank of
@@ -478,6 +531,115 @@ object Similarity {
         col("vec_id"), col("adist"))
   }
 
+  /** Probe-width-BRANCHED [[ivfPqSearch]] (r16 sweep fusion): every
+    * swept width's probe set is the `__pr ≤ w` prefix of ONE centroid
+    * ranking (row_number with deterministic tie-break ⇒ prefixes nest),
+    * so the sweep ranks the centroids once, tags each width as a
+    * branch, and runs ONE cell-pruned ADC scan + top-k keyed by
+    * (nprobe, query_id) — per-branch rows identical to the standalone
+    * search (the sweep specs pin it), per-stage cost paid once instead
+    * of once per width. Returns (nprobe, query_id, rank, vec_id,
+    * adist). */
+  def ivfPqSearchNp(queries: DataFrame, cellCodes: DataFrame,
+      cb: DataFrame, cents: DataFrame, nprobes: Seq[Int],
+      k: Int): DataFrame = {
+    val qd2 = dot(col("qv"), col("qv")) -
+      lit(2.0) * dot(col("qv"), col("cent_v")) +
+      dot(col("cent_v"), col("cent_v"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qd2").asc, col("cent_id").asc)
+    val probesB = queries.crossJoin(broadcast(cents))
+      .withColumn("__qd2", qd2)
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobes.max)
+      .withColumn("nprobe",
+        explode(array(nprobes.map(n => lit(n.toLong)): _*)))
+      .filter(col("__pr") <= col("nprobe"))
+      .select(col("nprobe"), col("query_id"), col("cent_id").as("cell_id"))
+    val dt = adcDistTable(queries, cb)
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    cellCodes
+      .join(broadcast(probesB), Seq("cell_id"))
+      .join(broadcast(dt), Seq("query_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("nprobe"), col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"),
+        col("rank").cast("long").as("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** Probe-width-BRANCHED [[ivfPqResidualSearch]] — the same r16
+    * fusion for the residual (IVFADC) chain: one centroid ranking, one
+    * per-(branch, query, probed-cell) residual distance table, one
+    * cell-restricted ADC + top-k keyed by (nprobe, query_id).
+    * Returns (nprobe, query_id, rank, vec_id, adist). */
+  def ivfPqResidualSearchNp(queries: DataFrame, cellCodes: DataFrame,
+      cb: DataFrame, cents: DataFrame, nprobes: Seq[Int],
+      k: Int): DataFrame = {
+    val qd2 = dot(col("qv"), col("qv")) -
+      lit(2.0) * dot(col("qv"), col("cent_v")) +
+      dot(col("cent_v"), col("cent_v"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__qd2").asc, col("cent_id").asc)
+    val probesB = queries.crossJoin(broadcast(cents))
+      .withColumn("__qd2", qd2)
+      .withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= nprobes.max)
+      .withColumn("nprobe",
+        explode(array(nprobes.map(n => lit(n.toLong)): _*)))
+      .filter(col("__pr") <= col("nprobe"))
+      .select(col("nprobe"), col("query_id"),
+        col("cent_id").as("cell_id"),
+        zip_with(col("qv"), col("cent_v"), (a, b) => a - b).as("qres"))
+    val subD2 = (dot(col("sv"), col("sv")) -
+      lit(2.0) * dot(col("sv"), col("cv")) +
+      dot(col("cv"), col("cv"))).cast("long")
+    val dt = probesB
+      .select(col("nprobe"), col("query_id"), col("cell_id"),
+        explode(sequence(lit(0), lit(3))).as("sub"), col("qres"))
+      .withColumn("sv", slice(col("qres"), col("sub") * 16 + 1, lit(16)))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("nprobe"), col("query_id"), col("cell_id"),
+        col("sub").cast("long").as("sub"), col("code"), subD2.as("dt"))
+    val w = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    cellCodes
+      .join(broadcast(dt), Seq("cell_id", "sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("nprobe"), col("query_id"), col("vec_id"))
+      .agg(sum(col("dt")).as("adist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("nprobe"), col("query_id"),
+        col("rank").cast("long").as("rank"), col("vec_id"), col("adist"))
+  }
+
+  /** Branch-keyed [[rerankExact]] (r16 sweep fusion): the shortlist
+    * carries a branch column; one gather + one (branch, query) window
+    * re-ranks every branch's shortlist at once, rows per branch
+    * identical to the standalone re-rank. */
+  def rerankExactBranched(bidCol: String, shortlist: DataFrame,
+      queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val d2 = (dot(col("xv"), col("xv")) -
+      lit(2.0) * dot(col("xv"), col("cv2")) +
+      dot(col("cv2"), col("cv2"))).cast("long")
+    val w = Window.partitionBy(col(bidCol), col("query_id"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    corpus.select(col("vec_id"), col("qv").as("cv2"))
+      .join(broadcast(shortlist.select(col(bidCol), col("query_id"),
+        col("vec_id"))), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qv").as("xv"))),
+        Seq("query_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(bidCol), col("query_id"),
+        col("rank").cast("long").as("rank"), col("vec_id"), col("d2"))
+  }
+
   /** Iterated integer-Lloyd k-means — the training loop that turns the
     * deterministic id-pick init into DATA-ADAPTED centroids for the IVF
     * cells and the PQ codebook, with zero RNG anywhere.
@@ -513,7 +675,7 @@ object Similarity {
     val d2 = dot(col("__v"), col("__v")) -
       lit(2.0) * dot(col("__v"), col("cent_v")) +
       dot(col("cent_v"), col("cent_v"))
-    (1 to iters).foldLeft(init) { (cents, _) =>
+    (1 to iters).foldLeft(init) { (cents, it) =>
       val joined =
         if (groupCols.isEmpty) points.crossJoin(broadcast(cents))
         else points.join(broadcast(cents), groupCols)
@@ -533,9 +695,19 @@ object Similarity {
         .select((g :+ col("cluster_id").as("cent_id") :+
           transform(col("__ps"), p => p.getField("__mean")).as("cent_v")): _*)
       val keys = groupCols :+ "cent_id"
-      cents.as("o").join(next.as("n"), keys, "left")
+      // eager checkpoint of the k×dims RESULT per NON-FINAL iteration:
+      // each iteration's centroid frame is consumed twice by the next
+      // (the broadcast assignment AND the empty-cluster left join), so
+      // un-checkpointed lineage re-executes every earlier iteration's
+      // corpus aggregation per consumer — at 100 TB that is a duplicate
+      // full corpus pass per iteration (r16). The FINAL iteration's
+      // frame goes back un-checkpointed: the caller consumes it once
+      // (typically into a FrameCache checkpoint anyway) and PlanSpec
+      // pins the trainer's plan shape off it.
+      val out = cents.as("o").join(next.as("n"), keys, "left")
         .select((keys.map(col) :+
           coalesce(col("n.cent_v"), col("o.cent_v")).as("cent_v")): _*)
+      if (it < iters) out.localCheckpoint(true) else out
     }
   }
 
@@ -681,7 +853,13 @@ object Similarity {
           (-col("i")).as("ni"), col("d2").as("dd"))).as("m"))
         .select(col("query_id"), (-col("m.ni")).as("vec_id"),
           col("m.dd").as("d2"), lit(t.toLong).as("mmr_rank"))
-      sel = sel.unionByName(pick).localCheckpoint(true)
+      // checkpoint per NON-FINAL round (the selected set feeds the next
+      // round three ways: anti-join, pair join, union); the final
+      // round's set is consumed once by the output select, so its
+      // materialization job buys nothing (r16 elision, same as
+      // graphBeamSearch's last hop)
+      val u = sel.unionByName(pick)
+      sel = if (t < k) u.localCheckpoint(true) else u
     }
     sel.select(col("query_id"), col("mmr_rank"), col("vec_id"), col("d2"))
   }
@@ -759,6 +937,37 @@ object Similarity {
       .select(col("src"), col("dst"), col("erank"), col("d2"))
   }
 
+  /** Branch-keyed [[nnGraphPatch]] (r16 build fusion): several cohort
+    * configurations build their edge lists in ONE pair-join/score/rank
+    * pass over branch-tagged probe frames. Every operator is keyed by
+    * (`bidCol`, …): pairs join on (branch, cell), dedup per (branch,
+    * src, dst), rank per (branch, src) — each branch's rows are exactly
+    * the standalone kernel's (SimilaritySpec pins it). `srcProbes`:
+    * (bidCol, id, cell_id); `allProbes`: (bidCol, id, cell_id) — tag
+    * both sides with the branch (self-build: same frame; patch: delta
+    * srcs vs the full probe space, both carrying the branch key).
+    * Returns (bidCol, src, dst, erank, d2). */
+  def nnGraphPatchBranched(bidCol: String, srcProbes: DataFrame,
+      allProbes: DataFrame, vecs: DataFrame, degree: Int): DataFrame = {
+    val pairs = srcProbes.select(col(bidCol), col("id").as("src"),
+        col("cell_id"))
+      .join(allProbes.select(col(bidCol), col("id").as("dst"),
+        col("cell_id")), Seq(bidCol, "cell_id"))
+      .filter(col("src") =!= col("dst"))
+      .select(col(bidCol), col("src"), col("dst")).distinct()
+    val scored = pairs
+      .join(vecs.select(col("vec_id").as("src"), col("v").as("__sv")), Seq("src"))
+      .join(vecs.select(col("vec_id").as("dst"), col("v").as("__dv")), Seq("dst"))
+      .withColumn("d2", (dot(col("__sv"), col("__sv"))
+        - lit(2.0) * dot(col("__sv"), col("__dv"))
+        + dot(col("__dv"), col("__dv"))).cast("long"))
+    val w = Window.partitionBy(col(bidCol), col("src"))
+      .orderBy(col("d2").asc, col("dst").asc)
+    scored.withColumn("erank", row_number().over(w).cast("long"))
+      .filter(col("erank") <= degree)
+      .select(col(bidCol), col("src"), col("dst"), col("erank"), col("d2"))
+  }
+
   /** [[graphBeamSearch]] for an ARRIVING query frame — the serving
     * form: each query finds its entry cell by the same broadcast
     * centroid argmin every IVF consumer uses (nprobe = 1), scans that
@@ -806,8 +1015,6 @@ object Similarity {
     // candidate); the traversal frame stays one row per query
     val probes = ranked.filter(col("__pr") <= entryCells)
       .select(col("query_id"), col("qv"), col("cent_id").as("cell_id"))
-    val qframe = ranked.filter(col("__pr") === 1)
-      .select(col("query_id"), col("qv"))
     val entry0 = probes
       .join(assigned.select(col("__id").as("cand"),
         col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
@@ -817,7 +1024,14 @@ object Similarity {
         - lit(2.0) * dot(col("qv"), col("__cv"))
         + dot(col("__cv"), col("__cv"))).cast("long"))
       .select("query_id", "cand", "d2")
-    graphBeamSearch(qframe, entry,
+    // the traversal's query side is the CALLER's frame, not the
+    // centroid-ranked derivation (row-equivalent — the rank-1 filter
+    // was just a roundabout copy of (query_id, qv); any duplicate ids
+    // collapse in the per-hop distinct either way). This keeps the
+    // served plan free of the probe stage's broadcast cross now that
+    // the final hop executes in the output job (r16 checkpoint
+    // elision) instead of behind a checkpoint.
+    graphBeamSearch(queries.select(col("query_id"), col("qv")), entry,
       edges, assigned.select(col("__id").as("vec_id"), col("__v").as("v")),
       hops = hops, beam = beam, k = k, excludeSelfId = excludeSelfId)
   }
@@ -843,7 +1057,7 @@ object Similarity {
     val bw = Window.partitionBy(col("query_id"))
       .orderBy(col("d2").asc, col("cand").asc)
     var visited = entry.select("query_id", "cand", "d2")
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val beamF = visited.withColumn("__r", row_number().over(bw))
         .filter(col("__r") <= beam).select(col("query_id"), col("cand"))
       val expanded0 = beamF
@@ -859,16 +1073,134 @@ object Similarity {
           - lit(2.0) * dot(col("qv"), col("__cv"))
           + dot(col("__cv"), col("__cv"))).cast("long"))
         .select("query_id", "cand", "d2")
-      // eager checkpoint per hop (the mmrDiversify pattern): the visited
-      // set is hops·beam·degree-bounded per query, and materializing it
-      // keeps the next hop's plan a checkpoint scan instead of a
-      // re-planned copy of every prior hop's subtree
-      visited = visited.unionByName(scored)
-        .select("query_id", "cand", "d2").distinct().localCheckpoint(true)
+      // eager checkpoint per NON-FINAL hop (the mmrDiversify pattern): the
+      // visited set feeds the NEXT hop twice (beam cut + union), and
+      // materializing it keeps that hop's plan a checkpoint scan instead
+      // of a re-planned copy of every prior hop's subtree. The FINAL
+      // hop's visited set is consumed exactly once (the top-K cut), so
+      // checkpointing it would pay a materialization job + cache
+      // write/read that buys nothing — r16 measured the elision, one
+      // fewer job per search at identical rows.
+      val u = visited.unionByName(scored)
+        .select("query_id", "cand", "d2").distinct()
+      visited = if (h < hops) u.localCheckpoint(true) else u
     }
     visited.withColumn("rank", row_number().over(bw).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("cand").as("neighbor_id"),
         col("rank"), col("d2"))
+  }
+
+  /** Branch-FUSED form of [[graphBeamSearch]]: several traversal
+    * configurations ("branches" — e.g. the beam/degree/entry/drift
+    * sweep points) run in ONE set of jobs over a branch-keyed frame
+    * instead of one full traversal per configuration. Every operator is
+    * keyed by (`bidCol`, query_id), so each branch's rows evolve exactly
+    * as an independent [[graphBeamSearch]] run would produce them
+    * (SimilaritySpec pins the per-branch row equality): the windows
+    * partition by (branch, query), the expansion equi-join carries the
+    * branch key when the edge list is branch-specific, and the visited
+    * dedup is per (branch, query, cand). What fuses is the COST: one
+    * window + one expansion join + one distinct + one checkpoint per hop
+    * for the whole sweep, instead of per branch — at 100 TB the shared
+    * frames (assignment scan, edge list, vectors) are read once per hop
+    * rather than once per branch per hop, and at fixture scale the
+    * per-stage fixed costs collapse by the branch count.
+    *
+    * `queries`: (query_id, qv) — SHARED across branches (every sweep
+    * varies the serving knob, not the query set).
+    * `entry`: (bidCol, query_id, cand, d2) — per-branch seeds (tag a
+    * shared seed frame with the branch id when seeding doesn't vary).
+    * `edges`: (bidCol, src, dst) when `edgesBranched`, else (src, dst)
+    * shared by all branches.
+    * `beamLim`: per-row beam-width expression (a literal for uniform
+    * sweeps, a function of the branch column for the beam sweep). */
+  def graphBeamSearchBranched(bidCol: String, queries: DataFrame,
+      entry: DataFrame, edges: DataFrame, edgesBranched: Boolean,
+      vecs: DataFrame, hops: Int, beamLim: Column, k: Int,
+      excludeSelfId: Boolean = true): DataFrame = {
+    val bw = Window.partitionBy(col(bidCol), col("query_id"))
+      .orderBy(col("d2").asc, col("cand").asc)
+    var visited = entry.select(col(bidCol), col("query_id"), col("cand"),
+      col("d2"))
+    for (h <- 1 to hops) {
+      val beamF = visited.withColumn("__r", row_number().over(bw))
+        .filter(col("__r") <= beamLim)
+        .select(col(bidCol), col("query_id"), col("cand"))
+      val expanded0 =
+        if (edgesBranched) beamF.join(
+          edges.select(col(bidCol), col("src").as("cand"), col("dst")),
+          Seq(bidCol, "cand"))
+        else beamF.join(edges.select(col("src").as("cand"), col("dst")),
+          Seq("cand"))
+      val expanded = (if (excludeSelfId)
+          expanded0.filter(col("dst") =!= col("query_id")) else expanded0)
+        .select(col(bidCol), col("query_id"), col("dst").as("cand"))
+        .distinct()
+      val scored = expanded
+        .join(queries, Seq("query_id"))
+        .join(vecs.select(col("vec_id").as("cand"), col("v").as("__cv")),
+          Seq("cand"))
+        .withColumn("d2", (dot(col("qv"), col("qv"))
+          - lit(2.0) * dot(col("qv"), col("__cv"))
+          + dot(col("__cv"), col("__cv"))).cast("long"))
+        .select(col(bidCol), col("query_id"), col("cand"), col("d2"))
+      val u = visited.unionByName(scored)
+        .select(col(bidCol), col("query_id"), col("cand"), col("d2"))
+        .distinct()
+      visited = if (h < hops) u.localCheckpoint(true) else u
+    }
+    visited.withColumn("rank", row_number().over(bw).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(bidCol), col("query_id"), col("cand").as("neighbor_id"),
+        col("rank"), col("d2"))
+  }
+
+  /** Hop-depth TRACE of one [[graphBeamSearch]] traversal: the top-K
+    * cut of the visited set AFTER EVERY hop 0..`hops`, tagged by hop
+    * depth — (hops, query_id, neighbor_id, rank, d2). A depth-h run's
+    * state is a prefix of a deeper run's evolution (same deterministic
+    * per-hop step), so the hop-h slice is ROW-IDENTICAL to a standalone
+    * `hops = h` search (SimilaritySpec pins it) — but the trace pays
+    * ONE traversal where the hop sweep previously paid one full
+    * traversal (entry scan included) per depth. Intermediate visited
+    * sets get the usual eager checkpoint (each now has two consumers:
+    * its snapshot cut and the next hop); the deepest set is consumed
+    * once and stays un-checkpointed. */
+  def graphBeamSearchTrace(queries: DataFrame, entry: DataFrame,
+      edges: DataFrame, vecs: DataFrame, hops: Int, beam: Int, k: Int,
+      excludeSelfId: Boolean = true): DataFrame = {
+    val bw = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2").asc, col("cand").asc)
+    def cut(v: DataFrame, h: Int): DataFrame =
+      v.withColumn("rank", row_number().over(bw).cast("long"))
+        .filter(col("rank") <= k)
+        .select(lit(h.toLong).as("hops"), col("query_id"),
+          col("cand").as("neighbor_id"), col("rank"), col("d2"))
+    var visited = entry.select("query_id", "cand", "d2")
+    if (hops > 0) visited = visited.localCheckpoint(true)
+    var out = cut(visited, 0)
+    for (h <- 1 to hops) {
+      val beamF = visited.withColumn("__r", row_number().over(bw))
+        .filter(col("__r") <= beam).select(col("query_id"), col("cand"))
+      val expanded0 = beamF
+        .join(edges.select(col("src").as("cand"), col("dst")), Seq("cand"))
+      val expanded = (if (excludeSelfId)
+          expanded0.filter(col("dst") =!= col("query_id")) else expanded0)
+        .select(col("query_id"), col("dst").as("cand")).distinct()
+      val scored = expanded
+        .join(queries, Seq("query_id"))
+        .join(vecs.select(col("vec_id").as("cand"), col("v").as("__cv")),
+          Seq("cand"))
+        .withColumn("d2", (dot(col("qv"), col("qv"))
+          - lit(2.0) * dot(col("qv"), col("__cv"))
+          + dot(col("__cv"), col("__cv"))).cast("long"))
+        .select("query_id", "cand", "d2")
+      val u = visited.unionByName(scored)
+        .select("query_id", "cand", "d2").distinct()
+      visited = if (h < hops) u.localCheckpoint(true) else u
+      out = out.unionByName(cut(visited, h))
+    }
+    out
   }
 }

@@ -167,13 +167,38 @@ object DedupQueries {
     * run; both variants register as capstone rows. */
   private def pipelineFrame(s: org.apache.spark.sql.SparkSession,
       d: String, classifierGate: Boolean): org.apache.spark.sql.DataFrame =
-    pipelineDocs(s, d, classifierGate)
+    pipelineDocsMemo(s, d, classifierGate)
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
 
   /** The capstone's PER-DOCUMENT admission manifest (source, doc_id,
     * n_tokens, split) — [[pipelineFrame]] is its (source × split)
-    * rollup; the shard-export capstone consumes the train slice. */
+    * rollup; the shard-export capstone consumes the train slice.
+    *
+    * Memoized per (session, sf, variant) since r16: the manifest is
+    * the ONE artifact a production curation run materializes (every
+    * downstream consumer — the audit rollup, the shard export — reads
+    * it from storage, never re-runs the six-family chain), and the
+    * registry's three capstone rows re-ran the whole chain per row
+    * (`curate_pipeline_shards` measured 4.9 s of which ~3.7 s was the
+    * upstream `curate_pipeline_cls` already paid). Kilobytes per
+    * entry; the bench clears it per pass, so each pass still pays
+    * each variant's chain exactly once (the FrameCache doctrine). */
+  private def pipelineDocsMemo(s: org.apache.spark.sql.SparkSession,
+      d: String, classifierGate: Boolean): org.apache.spark.sql.DataFrame = {
+    val variant = if (classifierGate) "cls" else "ratio"
+    // probe-then-build (FrameCache.get): pipelineDocs CONSTRUCTION is
+    // eager (the survivors' checkpoint inside it fires the whole
+    // upstream chain), so the usual by-name memo would re-run the
+    // six-family chain on every HIT; the inner trained-model memos
+    // resolve during the miss-path construction, before the insert
+    // (no-nesting rule)
+    FrameCache.get(s, d, s"pipeline_docs_$variant").getOrElse {
+      val built = pipelineDocs(s, d, classifierGate)
+      FrameCache.memo(s, d, s"pipeline_docs_$variant")(built)
+    }
+  }
+
   private def pipelineDocs(s: org.apache.spark.sql.SparkSession,
       d: String, classifierGate: Boolean): org.apache.spark.sql.DataFrame = {
         import org.apache.spark.sql.expressions.Window
@@ -732,12 +757,19 @@ object DedupQueries {
           .filter(pmod(col("doc_id"), lit(4)) === 0)
           .select(col("doc_id").as("__id"),
             Dedup.hashedShingles(col("text"), 1).as("__sh"))
+        // the exhaustive truth cross-pair and the signature frame are
+        // SHARED by all four band configs — eagerly checkpointed (r16)
+        // so each runs once instead of once per config (the truth
+        // quadratic was the row's dominant cost ×4); both are
+        // slice-scale (pairs / docs-in-sample rows)
         val truth = sl.as("p").join(sl.as("q"),
             col("p.__id") < col("q.__id"))
           .filter(Dedup.jaccardSorted(col("p.__sh"), col("q.__sh")) >= 0.9)
           .select(col("p.__id").as("a"), col("q.__id").as("b"),
             lit(1).as("t"))
+          .localCheckpoint(true)
         val signed = Dedup.withMinhashSignature(sl, "__sh", K)
+          .localCheckpoint(true)
         SweepBands.map { nb =>
           val cand = Dedup.candidatePairs(signed, "__id", nb, K / nb)
             .select(col("a"), col("b"), lit(1).as("c"))
@@ -1704,15 +1736,16 @@ object DedupQueries {
     "curate_pipeline_shards" -> QueryDef(
       (s, d) => graft.operators.ShardExport.shardManifest(
         graft.operators.ShardExport.shardPlan(
-          // the admitted-train manifest is kilobytes; checkpointing it
-          // makes the six-family upstream run and PLAN once — the
-          // shard kernel's window/offsets/total branches would
-          // otherwise each replay the whole literal-grid chain
-          // (measured 65 → 8 exchanges)
-          pipelineDocs(s, d, classifierGate = true)
+          // the admitted-train manifest is the MEMOIZED per-document
+          // pipeline checkpoint (r16: this row re-ran the whole
+          // six-family chain curate_pipeline_cls had already paid;
+          // reading the shared manifest is the production shape — the
+          // r13 lesson "the shard kernel's window/offsets/total
+          // branches must plan over a checkpoint, not replay the
+          // literal-grid chain" now holds via the memo)
+          pipelineDocsMemo(s, d, classifierGate = true)
             .filter(col("split") === "train")
-            .select(col("source"), col("doc_id"), col("n_tokens"))
-            .localCheckpoint(true),
+            .select(col("source"), col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", nShards = ShardN), "n_tokens"),
       s"""WITH ${pipelineCtes(classifierGate = true)},
          |${shardCtes(

@@ -47,6 +47,15 @@ private[graft] object FrameCache {
     })
   }
 
+  /** Cache probe WITHOUT a build closure — for callers whose frame
+    * CONSTRUCTION is itself eager (e.g. a builder chain containing its
+    * own `localCheckpoint`): `memo`'s by-name argument only defers
+    * evaluation to the miss path when the caller can construct lazily;
+    * when it can't (the no-nesting rule forces pre-resolution), probe
+    * with [[get]] first and construct only on a miss. */
+  def get(s: SparkSession, d: String, kind: String): Option[DataFrame] =
+    Option(cache.get((s, d, kind)))
+
   /** kind → build seconds for every memo built since the last
     * [[clearAll]], in stable (sorted) order. */
   def buildSeconds: Seq[(String, Double)] = {

@@ -285,8 +285,7 @@ object SimilarityQueries {
     * the caller, probed per micro-batch. */
   private[graft] def filteredAssignedFrame(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val (assigned, _) = Similarity.ivfAssignCentroids(quantized(s, d),
-      "vec_id", "qv", trainedCentroids(s, d), 1)
+    val assigned = graphAssigned(s, d) // the shared memoized argmin (r16)
     assigned.join(
       filteredAllowed(s, d).withColumnRenamed("vec_id", "__id"),
       Seq("__id"), "left_semi")
@@ -485,15 +484,29 @@ object SimilarityQueries {
     // agreement rate per nprobeC (1/2/4) — the knob a deployment turns
     // to trade assignment exactness against the n^1.5 build cost. The
     // division at the edge is one IEEE op over two exact counts.
+    // r16 fusion: the coarse probe sets nest (prefixes of one
+    // vector→coarse ranking), so one branch-keyed fine argmin + one
+    // (branch)-grouped agreement aggregate replace three full kernels.
     "sim_hier_probe_sweep" -> QueryDef(
-      (s, d) => HierProbeSweep.map { p =>
-        hierJoined(s, d, p)
+      (s, d) => {
+        val flat = graphAssigned(s, d)
+          .select(col("__id").as("vec_id"), col("cell_id").as("cell_flat"))
+        val coarse = trainedCentroids(s, d)
+          .filter(pmod(col("cent_id"), lit(HierCoarseMod)) === 0)
+          .select(col("cent_id").as("co_id"), col("cent_v").as("co_v"))
+        val hierB = Similarity.hierAssignCentroidsNp(quantized(s, d),
+            "vec_id", "qv", trainedCentroids(s, d), coarse, HierProbeSweep)
+          .select(col("probe_c"), col("id").as("vec_id"),
+            col("cell_id").as("cell_hier"))
+        flat.join(hierB, Seq("vec_id"))
+          .withColumn("agree",
+            (col("cell_flat") === col("cell_hier")).cast("long"))
+          .groupBy(col("probe_c"))
           .agg(count(lit(1)).as("n_vecs"), sum(col("agree")).as("n_agree"))
-          .select(lit(p.toLong).as("probe_c"), col("n_vecs"),
-            col("n_agree"),
+          .select(col("probe_c"), col("n_vecs"), col("n_agree"),
             (col("n_agree").cast("double") / col("n_vecs").cast("double"))
               .as("agree_rate"))
-      }.reduce(_ unionAll _),
+      },
       HierProbeSweep.map(p =>
         s"SELECT CAST($p AS BIGINT) AS probe_c, r.* FROM (\n" +
           s"WITH ${hierCtes(p)}\n" +
@@ -822,8 +835,7 @@ object SimilarityQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         import graft.functions.PortableHash
-        val (assigned, _) = Similarity.ivfAssignCentroids(quantized(s, d),
-          "vec_id", "qv", cents = trainedCentroids(s, d), nprobe = 1)
+        val assigned = graphAssigned(s, d) // shared memoized argmin (r16)
         val w = Window.partitionBy(col("cell_id"))
           .orderBy(PortableHash.hash60(
             concat(col("__id").cast("string"), lit("|coreset"))), col("__id"))
@@ -1313,9 +1325,7 @@ object SimilarityQueries {
     // shuffles vectors more than once.
     "sim_index_build" -> QueryDef(
       (s, d) => {
-        val e = quantized(s, d)
-        val (assigned, _) = Similarity.ivfAssignCentroids(e, "vec_id", "qv",
-          cents = trainedCentroids(s, d), nprobe = 1)
+        val assigned = graphAssigned(s, d) // shared memoized argmin (r16)
         val pow16 = array(lit(1L), lit(16L), lit(256L), lit(4096L))
         val packed = pqCodes(s, d)
           .groupBy(col("vec_id"))
@@ -1431,14 +1441,22 @@ object SimilarityQueries {
     // buys nothing at degree 6. On a corpus with small cells the same
     // curve starts low and rises steeply — which is why the frontier
     // must be measured per corpus, not assumed from the index shape.
+    // r16 fusion: the three depths are prefixes of ONE deterministic
+    // traversal (a depth-h run's state is a deeper run's state after
+    // hop h), so the row traces one hops=2 search and cuts top-K after
+    // every hop — one entry scan + one traversal + one fused recall
+    // compare instead of three of each (rows identical per branch,
+    // SimilaritySpec pins the hop-2 slice against the standalone gate).
     "sim_graph_hop_sweep" -> QueryDef(
-      (s, d) => Seq(0, 1, 2).map { h =>
-        recallAgainstExactL2(s, d,
-          graphSearchAt(s, d, h)
-            .select(col("query_id"), col("neighbor_id")))
-          .select(lit(h.toLong).as("hops"), col("query_id"),
-            col("n_exact"), col("n_hit"), col("recall_at_k"))
-      }.reduce(_ unionAll _),
+      (s, d) => {
+        val (q, entry) = graphQueryEntry(s, d)
+        val traced = Similarity.graphBeamSearchTrace(q, entry,
+          nnGraphEdges(s, d), graphVecs(s, d),
+          hops = GraphHops, beam = GraphBeam, k = K)
+        recallBranched(s, d, "hops",
+          (0 to GraphHops).map(h => lit(h.toLong)),
+          traced.select(col("hops"), col("query_id"), col("neighbor_id")))
+      },
       Seq(0, 1, 2).map(h =>
         s"SELECT CAST($h AS BIGINT) AS hops, r.* FROM (\n" +
           recallAgainstExactL2Sql(
@@ -1487,15 +1505,29 @@ object SimilarityQueries {
     // retrain) and the graph family lacked: SCALE.md pins the rule
     // (rebuild before the delta reaches ~1/3). Each fraction's base
     // build is checkpointed once; serving shape is sim_graph_search's.
+    // r16 fusion: the three fractions differ ONLY through the edge
+    // list, so the per-fraction base builds stay (distinct cohorts, no
+    // share) but the three traversals + three recall compares fuse
+    // into one branch-keyed run over the tagged edge union — one
+    // window/join/distinct per hop for the whole sweep.
     "sim_graph_delta_drift" -> QueryDef(
-      (s, d) => GraphDriftMods.map { m =>
-        recallAgainstExactL2(s, d,
-          graphSearchAt(s, d, GraphHops, GraphBeam,
-            Some(nnGraphEdgesBaseAt(s, d, m)))
-            .select(col("query_id"), col("neighbor_id")))
-          .select(lit((100 / m).toLong).as("delta_pct"), col("query_id"),
-            col("n_exact"), col("n_hit"), col("recall_at_k"))
-      }.reduce(_ unionAll _),
+      (s, d) => {
+        val (q, entry) = graphQueryEntry(s, d)
+        val bids = GraphDriftMods.map(m => lit((100 / m).toLong))
+        val entryB = entry.withColumn("delta_pct",
+          explode(array(bids: _*)))
+        val edgesB = GraphDriftMods.map { m =>
+          nnGraphEdgesBaseAt(s, d, m)
+            .select(lit((100 / m).toLong).as("delta_pct"),
+              col("src"), col("dst"))
+        }.reduce(_ unionByName _)
+        val searched = Similarity.graphBeamSearchBranched("delta_pct",
+          q, entryB, edgesB, edgesBranched = true, graphVecs(s, d),
+          hops = GraphHops, beamLim = lit(GraphBeam), k = K)
+        recallBranched(s, d, "delta_pct", bids,
+          searched.select(col("delta_pct"), col("query_id"),
+            col("neighbor_id")))
+      },
       GraphDriftMods.map(m =>
         s"SELECT CAST(${100 / m} AS BIGINT) AS delta_pct, r.* FROM (\n" +
           recallAgainstExactL2Sql(
@@ -1516,17 +1548,25 @@ object SimilarityQueries {
     // drift row's worst branch (50 % delta): the row reports both
     // states side by side — the patch recovers most of what the
     // drift cost.
+    // r16 fusion: stale/patched differ only through the edge list —
+    // same branch-keyed single traversal as the drift row (2 branches).
     "sim_graph_delta_patch" -> QueryDef(
       (s, d) => {
         val stale = nnGraphEdgesBaseAt(s, d, 2)
         val patched = stale.unionByName(graphPatchedEdges(s, d, 2))
-        Seq(("stale", stale), ("patched", patched)).map { case (tag, ed) =>
-          recallAgainstExactL2(s, d,
-            graphSearchAt(s, d, GraphHops, GraphBeam, Some(ed))
-              .select(col("query_id"), col("neighbor_id")))
-            .select(lit(tag).as("state"), col("query_id"),
-              col("n_exact"), col("n_hit"), col("recall_at_k"))
-        }.reduce(_ unionAll _)
+        val (q, entry) = graphQueryEntry(s, d)
+        val bids = Seq(lit("stale"), lit("patched"))
+        val entryB = entry.withColumn("state", explode(array(bids: _*)))
+        val edgesB = stale
+          .select(lit("stale").as("state"), col("src"), col("dst"))
+          .unionByName(patched
+            .select(lit("patched").as("state"), col("src"), col("dst")))
+        val searched = Similarity.graphBeamSearchBranched("state",
+          q, entryB, edgesB, edgesBranched = true, graphVecs(s, d),
+          hops = GraphHops, beamLim = lit(GraphBeam), k = K)
+        recallBranched(s, d, "state", bids,
+          searched.select(col("state"), col("query_id"),
+            col("neighbor_id")))
       },
       Seq(("stale", ""), ("patched", " % 2 = 0")).map { case (tag, pp) =>
         s"SELECT '$tag' AS state, r.* FROM (\n" +
@@ -1554,16 +1594,27 @@ object SimilarityQueries {
     // MEASURED direction, mean patched ≥ mean stale per fraction, and
     // the m = 2 branch row-identical to sim_graph_delta_patch's
     // patched half.
+    // r16 fusion: the delta-drift shape — per-fraction base∪patch edge
+    // frames tagged into one branch-keyed traversal + one fused recall.
     "sim_graph_patch_sweep" -> QueryDef(
-      (s, d) => GraphDriftMods.map { m =>
-        val patched = nnGraphEdgesBaseAt(s, d, m)
-          .unionByName(graphPatchedEdges(s, d, m))
-        recallAgainstExactL2(s, d,
-          graphSearchAt(s, d, GraphHops, GraphBeam, Some(patched))
-            .select(col("query_id"), col("neighbor_id")))
-          .select(lit((100 / m).toLong).as("delta_pct"), col("query_id"),
-            col("n_exact"), col("n_hit"), col("recall_at_k"))
-      }.reduce(_ unionAll _),
+      (s, d) => {
+        val (q, entry) = graphQueryEntry(s, d)
+        val bids = GraphDriftMods.map(m => lit((100 / m).toLong))
+        val entryB = entry.withColumn("delta_pct",
+          explode(array(bids: _*)))
+        val edgesB = GraphDriftMods.map { m =>
+          nnGraphEdgesBaseAt(s, d, m)
+            .unionByName(graphPatchedEdges(s, d, m))
+            .select(lit((100 / m).toLong).as("delta_pct"),
+              col("src"), col("dst"))
+        }.reduce(_ unionByName _)
+        val searched = Similarity.graphBeamSearchBranched("delta_pct",
+          q, entryB, edgesB, edgesBranched = true, graphVecs(s, d),
+          hops = GraphHops, beamLim = lit(GraphBeam), k = K)
+        recallBranched(s, d, "delta_pct", bids,
+          searched.select(col("delta_pct"), col("query_id"),
+            col("neighbor_id")))
+      },
       GraphDriftMods.map(m =>
         s"SELECT CAST(${100 / m} AS BIGINT) AS delta_pct, r.* FROM (\n" +
           recallAgainstExactL2Sql(
@@ -1589,14 +1640,42 @@ object SimilarityQueries {
     // at widths 1/2/3 (sf0.01) — the width-2 seed recovers more than
     // beam 20 bought (0.94) at a fraction of the scored rows, and
     // the spec pins the measured width-2 ≥ width-1 gain.
+    // r16 fusion: every width's probe set is a `__cr ≤ w` filter of ONE
+    // centroid ranking (ivfAssignRanked), and the three traversals +
+    // recall compares fuse into one branch-keyed run — the corpus is
+    // scored against the broadcast centroids once per query, not once
+    // per width.
     "sim_graph_entry_sweep" -> QueryDef(
-      (s, d) => GraphEntrySweep.map { ew =>
-        recallAgainstExactL2(s, d,
-          graphSearchEntryAt(s, d, GraphHops, GraphBeam, ew)
-            .select(col("query_id"), col("neighbor_id")))
-          .select(lit(ew.toLong).as("entry_cells"), col("query_id"),
-            col("n_exact"), col("n_hit"), col("recall_at_k"))
-      }.reduce(_ unionAll _),
+      (s, d) => {
+        val assigned = graphAssigned(s, d)
+        val widths = GraphEntrySweep.map(ew => lit(ew.toLong))
+        val ranked = Similarity.ivfAssignRanked(quantized(s, d),
+          "vec_id", "qv", trainedCentroids(s, d))
+        val q = assigned.filter(pmod(col("__id"), lit(50)) === 0)
+          .select(col("__id").as("query_id"), col("__v").as("qv"))
+        val probesB = ranked.filter(pmod(col("__id"), lit(50)) === 0)
+          .withColumn("entry_cells", explode(array(widths: _*)))
+          .filter(col("__cr") <= col("entry_cells"))
+          .select(col("entry_cells"), col("__id").as("query_id"),
+            col("cent_id").as("cell_id"))
+        val entryB = q.join(probesB, Seq("query_id"))
+          .join(assigned.select(col("__id").as("cand"),
+            col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
+          .filter(col("cand") =!= col("query_id"))
+          .withColumn("d2", (Similarity.dot(col("qv"), col("qv"))
+            - lit(2.0) * Similarity.dot(col("qv"), col("__cv"))
+            + Similarity.dot(col("__cv"), col("__cv"))).cast("long"))
+          .select(col("entry_cells"), col("query_id"), col("cand"),
+            col("d2"))
+          .dropDuplicates("entry_cells", "query_id", "cand")
+        val searched = Similarity.graphBeamSearchBranched("entry_cells",
+          q, entryB, nnGraphEdges(s, d), edgesBranched = false,
+          graphVecs(s, d), hops = GraphHops, beamLim = lit(GraphBeam),
+          k = K)
+        recallBranched(s, d, "entry_cells", widths,
+          searched.select(col("entry_cells"), col("query_id"),
+            col("neighbor_id")))
+      },
       GraphEntrySweep.map(ew =>
         s"SELECT CAST($ew AS BIGINT) AS entry_cells, r.* FROM (\n" +
           recallAgainstExactL2Sql(
@@ -1616,14 +1695,22 @@ object SimilarityQueries {
     // beam 20 is the quality point (2× scored rows for +6 recall
     // points at sf0.01); beam 10 stays the default operating point
     // (SCALE.md's graph section records the trade).
+    // r16 fusion: the widths share entry seed and edge list; only the
+    // per-hop beam cut differs, so one branch-keyed traversal runs all
+    // three with the cut as a per-branch limit (`__r ≤ beam`).
     "sim_graph_beam_sweep" -> QueryDef(
-      (s, d) => GraphBeamSweep.map { b =>
-        recallAgainstExactL2(s, d,
-          graphSearchAt(s, d, GraphHops, b, None)
-            .select(col("query_id"), col("neighbor_id")))
-          .select(lit(b.toLong).as("beam"), col("query_id"),
-            col("n_exact"), col("n_hit"), col("recall_at_k"))
-      }.reduce(_ unionAll _),
+      (s, d) => {
+        val (q, entry) = graphQueryEntry(s, d)
+        val bids = GraphBeamSweep.map(b => lit(b.toLong))
+        val entryB = entry.withColumn("beam", explode(array(bids: _*)))
+        val searched = Similarity.graphBeamSearchBranched("beam",
+          q, entryB, nnGraphEdges(s, d), edgesBranched = false,
+          graphVecs(s, d), hops = GraphHops, beamLim = col("beam"),
+          k = K)
+        recallBranched(s, d, "beam", bids,
+          searched.select(col("beam"), col("query_id"),
+            col("neighbor_id")))
+      },
       GraphBeamSweep.map(b =>
         s"SELECT CAST($b AS BIGINT) AS beam, r.* FROM (\n" +
           recallAgainstExactL2Sql(
@@ -1642,15 +1729,25 @@ object SimilarityQueries {
     // 0.88 → 0.91 at sf0.1) — halving the index costs 3 recall
     // points, doubling it buys 6 at sf0.01 / 3 at sf0.1; degree 6
     // stays the default (SCALE.md's graph section records the trade).
+    // r16 fusion: every width serves an erank-prefix of the ONE wide
+    // build (unchanged), and the three traversals + recall compares
+    // fuse into one branch-keyed run over the prefix-tagged edge union.
     "sim_graph_degree_sweep" -> QueryDef(
-      (s, d) => GraphDegSweep.map { dg =>
-        recallAgainstExactL2(s, d,
-          graphSearchAt(s, d, GraphHops, GraphBeam,
-            Some(nnGraphEdgesWide(s, d).filter(col("erank") <= dg)))
-            .select(col("query_id"), col("neighbor_id")))
-          .select(lit(dg.toLong).as("degree"), col("query_id"),
-            col("n_exact"), col("n_hit"), col("recall_at_k"))
-      }.reduce(_ unionAll _),
+      (s, d) => {
+        val (q, entry) = graphQueryEntry(s, d)
+        val bids = GraphDegSweep.map(dg => lit(dg.toLong))
+        val entryB = entry.withColumn("degree", explode(array(bids: _*)))
+        val edgesB = nnGraphEdgesWide(s, d)
+          .withColumn("degree", explode(array(bids: _*)))
+          .filter(col("erank") <= col("degree"))
+          .select(col("degree"), col("src"), col("dst"))
+        val searched = Similarity.graphBeamSearchBranched("degree",
+          q, entryB, edgesB, edgesBranched = true, graphVecs(s, d),
+          hops = GraphHops, beamLim = lit(GraphBeam), k = K)
+        recallBranched(s, d, "degree", bids,
+          searched.select(col("degree"), col("query_id"),
+            col("neighbor_id")))
+      },
       GraphDegSweep.map(dg =>
         s"SELECT CAST($dg AS BIGINT) AS degree, r.* FROM (\n" +
           recallAgainstExactL2Sql(
@@ -1677,18 +1774,22 @@ object SimilarityQueries {
     // must be measured rather than assumed; SimilaritySpec pins the
     // measured shape and the nprobe=3 row's consistency with
     // `sim_ivfpq_recall`.
+    // r16 fusion: the widths' probe sets nest (rank-prefix of one
+    // centroid ranking), so one branch-keyed ADC scan + one fused
+    // recall compare replace three of each.
     "sim_nprobe_sweep" -> QueryDef(
-      (s, d) => Seq(1, 3, 5).map { np =>
-        recallAgainstExactL2(s, d,
-          Similarity.ivfPqSearch(
-            quantized(s, d).filter(pmod(col("vec_id"), lit(50)) === 0)
-              .select(col("vec_id").as("query_id"), col("qv")),
-            indexedCodes(s, d), trainedCodebook(s, d),
-            trainedCentroids(s, d), nprobe = np, k = K)
-            .select(col("query_id"), col("vec_id").as("neighbor_id")))
-          .select(lit(np.toLong).as("nprobe"), col("query_id"),
-            col("n_exact"), col("n_hit"), col("recall_at_k"))
-      }.reduce(_ unionAll _),
+      (s, d) => {
+        val q = quantized(s, d)
+          .filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("query_id"), col("qv"))
+        val searched = Similarity.ivfPqSearchNp(q, indexedCodes(s, d),
+          trainedCodebook(s, d), trainedCentroids(s, d),
+          nprobes = Seq(1, 3, 5), k = K)
+        recallBranched(s, d, "nprobe",
+          Seq(1, 3, 5).map(np => lit(np.toLong)),
+          searched.select(col("nprobe"), col("query_id"),
+            col("vec_id").as("neighbor_id")))
+      },
       Seq(1, 3, 5).map(np =>
         s"SELECT CAST($np AS BIGINT) AS nprobe, r.* FROM (\n" +
           s"${recallAgainstExactL2Sql(ivfpqSqlAt(np))}) r")
@@ -1711,14 +1812,24 @@ object SimilarityQueries {
     // once refinement exists. SimilaritySpec pins the nprobe=3 branch
     // row-identical to `sim_ivfpq_rerank_recall` and every branch
     // above its raw-ADC counterpart.
+    // r16 fusion: one branch-keyed residual-ADC chain (probe prefixes
+    // nest) + one fused exact re-rank + one fused recall compare.
     "sim_nprobe_rerank_sweep" -> QueryDef(
-      (s, d) => Seq(1, 3, 5).map { np =>
-        recallAgainstExactL2(s, d,
-          ivfpqRerankSpark(s, d, r = RerankR, np = np)
-            .select(col("query_id"), col("vec_id").as("neighbor_id")))
-          .select(lit(np.toLong).as("nprobe"), col("query_id"),
-            col("n_exact"), col("n_hit"), col("recall_at_k"))
-      }.reduce(_ unionAll _),
+      (s, d) => {
+        val e = quantized(s, d)
+        val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("query_id"), col("qv"))
+        val sl = Similarity.ivfPqResidualSearchNp(q,
+          residualCellCodes(s, d), trainedResCodebook(s, d),
+          trainedCentroids(s, d), nprobes = Seq(1, 3, 5), k = RerankR)
+        val reranked = Similarity.rerankExactBranched("nprobe",
+          sl.select(col("nprobe"), col("query_id"), col("vec_id")),
+          q, e, K)
+        recallBranched(s, d, "nprobe",
+          Seq(1, 3, 5).map(np => lit(np.toLong)),
+          reranked.select(col("nprobe"), col("query_id"),
+            col("vec_id").as("neighbor_id")))
+      },
       Seq(1, 3, 5).map(np =>
         s"SELECT CAST($np AS BIGINT) AS nprobe, r.* FROM (\n" +
           s"${recallAgainstExactL2Sql(ivfpqRerankSqlAt(RerankR, np))}) r")
@@ -1739,14 +1850,29 @@ object SimilarityQueries {
     // coverage, is what bounds the 4×4-bit code at this corpus size.
     // SimilaritySpec pins the R=3K branch row-identical to
     // `sim_ivfpq_rerank_recall` and the non-decreasing direction.
+    // r16 fusion: the shortlists ARE nested here (each width is the
+    // rank-prefix of the one deterministic residual-ADC ranking — the
+    // row_number tie-break makes the general non-nesting caveat moot
+    // for this implementation), so the sweep runs the ADC chain once
+    // at the widest width and serves every branch as a prefix filter
+    // through one fused re-rank + recall compare.
     "sim_rwidth_sweep" -> QueryDef(
-      (s, d) => Seq(K, RerankR, 10 * K).map { r =>
-        recallAgainstExactL2(s, d,
-          ivfpqRerankSpark(s, d, r = r, np = Nprobe)
-            .select(col("query_id"), col("vec_id").as("neighbor_id")))
-          .select(lit(r.toLong).as("rerank_r"), col("query_id"),
-            col("n_exact"), col("n_hit"), col("recall_at_k"))
-      }.reduce(_ unionAll _),
+      (s, d) => {
+        val e = quantized(s, d)
+        val q = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("query_id"), col("qv"))
+        val widths = Seq(K, RerankR, 10 * K)
+        val bids = widths.map(r => lit(r.toLong))
+        val sl = ivfpqResSpark(s, d, k = widths.max, np = Nprobe)
+          .withColumn("rerank_r", explode(array(bids: _*)))
+          .filter(col("rank") <= col("rerank_r"))
+          .select(col("rerank_r"), col("query_id"), col("vec_id"))
+        val reranked = Similarity.rerankExactBranched("rerank_r",
+          sl, q, e, K)
+        recallBranched(s, d, "rerank_r", bids,
+          reranked.select(col("rerank_r"), col("query_id"),
+            col("vec_id").as("neighbor_id")))
+      },
       Seq(K, RerankR, 10 * K).map(r =>
         s"SELECT CAST($r AS BIGINT) AS rerank_r, r.* FROM (\n" +
           s"${recallAgainstExactL2Sql(ivfpqRerankSqlAt(r, Nprobe))}) r")
@@ -1971,7 +2097,11 @@ object SimilarityQueries {
     * Package-visible for the streaming pruned-search twin. */
   private[graft] def indexedCodes(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    indexedCodesUnder(s, d, trainedCentroids(s, d))
+    // trained-centroid generation: read the memoized argmin (r16)
+    // instead of re-deriving it; the explicit-generation form below
+    // stays parameterized for the swap spec's stale index
+    graphAssigned(s, d).select(col("__id").as("vec_id"), col("cell_id"))
+      .join(pqCodesFrame(s, d), Seq("vec_id"))
 
   /** [[indexedCodes]] under an EXPLICIT centroid generation — the swap
     * spec builds the stale (drift-cohort) index with it; a retrain
@@ -2218,10 +2348,10 @@ object SimilarityQueries {
     val e = quantized(s, d)
     val cents = trainedCentroids(s, d)
     // corpus cells (argmin) and query probes (top-Nprobe) from the
-    // exact-geometry assignment every IVF consumer shares
-    val (assigned, _) = Similarity.ivfAssignCentroids(
-      e, "vec_id", "qv", cents = cents, nprobe = 1)
-    val cells = assigned.select(col("__id").as("vec_id"), col("cell_id"))
+    // exact-geometry assignment every IVF consumer shares (the memoized
+    // frame since r16)
+    val cells = graphAssigned(s, d)
+      .select(col("__id").as("vec_id"), col("cell_id"))
     val (_, probes) = Similarity.ivfAssignCentroids(
       e.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", "qv",
       cents = cents, nprobe = Nprobe)
@@ -2303,8 +2433,7 @@ object SimilarityQueries {
   private def residualFrame(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val cents = trainedCentroids(s, d)
-    val (assigned, _) = Similarity.ivfAssignCentroids(quantized(s, d),
-      "vec_id", "qv", cents = cents, nprobe = 1)
+    val assigned = graphAssigned(s, d) // shared memoized argmin (r16)
     assigned.join(
         broadcast(cents.select(col("cent_id").as("cell_id"), col("cent_v"))),
         Seq("cell_id"))
@@ -2348,18 +2477,26 @@ object SimilarityQueries {
     * [[pqCodes]] with the cell id riding the grouping keys. */
   private[graft] def residualCellCodes(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // "only the codes persist" (residualFrame's doc) — so the codes are
+    // the memoized artifact (r16): every ADC consumer (the residual
+    // search, the re-rank rows, both serving-knob sweeps, the MMR
+    // pool) re-coded the corpus per row before; the stored index is
+    // coded once per pass, exactly like the trained codebook it's
+    // built from. Inner memos resolve before entering (no-nesting).
+    val rf = residualFrame(s, d)
     val cb = trainedResCodebook(s, d)
-    residualFrame(s, d)
-      .select(col("vec_id"), col("cell_id"),
-        explode(sequence(lit(0), lit(3))).as("sub"), col("rv"))
-      .withColumn("sv", slice(col("rv"), col("sub") * 16 + 1, lit(16)))
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("key", pqD2 * 16 + col("code"))
-      .groupBy(col("vec_id"), col("cell_id"),
-        col("sub").cast("long").as("sub"))
-      .agg(min(col("key")).as("k"))
-      .select(col("vec_id"), col("cell_id"), col("sub"),
-        col("k").bitwiseAND(lit(15L)).as("code"))
+    FrameCache.memo(s, d, "res_cell_codes") {
+      rf.select(col("vec_id"), col("cell_id"),
+          explode(sequence(lit(0), lit(3))).as("sub"), col("rv"))
+        .withColumn("sv", slice(col("rv"), col("sub") * 16 + 1, lit(16)))
+        .join(broadcast(cb), Seq("sub"))
+        .withColumn("key", pqD2 * 16 + col("code"))
+        .groupBy(col("vec_id"), col("cell_id"),
+          col("sub").cast("long").as("sub"))
+        .agg(min(col("key")).as("k"))
+        .select(col("vec_id"), col("cell_id"), col("sub"),
+          col("k").bitwiseAND(lit(15L)).as("code"))
+    }
   }
 
   /** Probe-pruned residual-ADC top-k (the sim_ivfpq_residual body);
@@ -2640,19 +2777,13 @@ object SimilarityQueries {
     * top-2 cell probes ([[Similarity.nnGraph]]), checkpointed, then
     * served read-only to every traversal. */
   private[graft] def nnGraphEdges(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    // resolve the centroid memo BEFORE entering our own (computeIfAbsent
-    // must not re-enter the cache)
-    val cents = trainedCentroids(s, d)
-    FrameCache.memo(s, d, "nn_graph_edges") {
-      val e = quantized(s, d)
-      val (_, probes) = Similarity.ivfAssignCentroids(
-        e, "vec_id", "qv", cents, nprobe = 2)
-      Similarity.nnGraph(
-        probes.select(col("query_id").as("id"), col("cell_id")),
-        e.select(col("vec_id"), col("qv").as("v")), GraphDeg)
-    }
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    // the production degree-[[GraphDeg]] list IS the erank ≤ GraphDeg
+    // prefix of the ONE wide build (erank is assigned before any cap;
+    // the degree-sweep spec pins the equality row for row) — r16 stops
+    // paying the pair-join/score/rank pass twice for nested prefixes
+    // of the same scored frame
+    nnGraphEdgesWide(s, d).filter(col("erank") <= GraphDeg)
 
   /** The widest edge list of the degree sweep, built ONCE at
     * [[GraphDegMax]]: because erank is assigned before any cap, every
@@ -2706,37 +2837,68 @@ object SimilarityQueries {
     * corpus against each base build and measures what recall the
     * edge-less delta costs — the degradation curve that prices the
     * rebuild trigger. */
-  private[graft] def nnGraphEdgesBaseAt(s: org.apache.spark.sql.SparkSession,
-      d: String, m: Int): org.apache.spark.sql.DataFrame = {
+  /** ALL drift-fraction base builds in ONE branch-keyed pass (r16
+    * build fusion): the per-m cohorts can't share pairs, but they CAN
+    * share the pair-join/score/rank machinery — one tagged probe
+    * frame, one distinct, one window for the three builds the drift
+    * and patch-sweep rows consume every pass. Per-vector centroid
+    * ranking is independent of the rest of the cohort, so filtering
+    * the FULL probe frame by cohort id ≡ probing the filtered corpus
+    * (the standalone kernel's form); per-m rows are exactly the
+    * standalone build's (SimilaritySpec pins m = 3 against an inline
+    * [[Similarity.nnGraph]] build). (__m, src, dst, erank, d2). */
+  private[graft] def nnGraphEdgesBaseByM(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val cents = trainedCentroids(s, d)
-    FrameCache.memo(s, d, s"nn_graph_edges_base_m$m") {
-      val e = quantized(s, d).filter(pmod(col("vec_id"), lit(m)) =!= 0)
+    FrameCache.memo(s, d, "nn_graph_edges_base_by_m") {
+      val e = quantized(s, d)
       val (_, probes) = Similarity.ivfAssignCentroids(
         e, "vec_id", "qv", cents, nprobe = 2)
-      Similarity.nnGraph(
-        probes.select(col("query_id").as("id"), col("cell_id")),
+      val pb = probes
+        .withColumn("__m",
+          explode(array(GraphDriftMods.map(m => lit(m.toLong)): _*)))
+        .filter(pmod(col("query_id"), col("__m")) =!= 0)
+        .select(col("__m"), col("query_id").as("id"), col("cell_id"))
+      Similarity.nnGraphPatchBranched("__m", pb, pb,
         e.select(col("vec_id"), col("qv").as("v")), GraphDeg)
     }
   }
+
+  private[graft] def nnGraphEdgesBaseAt(s: org.apache.spark.sql.SparkSession,
+      d: String, m: Int): org.apache.spark.sql.DataFrame =
+    nnGraphEdgesBaseByM(s, d).filter(col("__m") === m.toLong)
+      .select(col("src"), col("dst"), col("erank"), col("d2"))
 
   /** The incremental edge PATCH for the `vec_id % m = 0` delta cohort
     * ([[Similarity.nnGraphPatch]]): out-edges for the admitted
     * vectors against the full probe space — row-identical to a full
     * rebuild's rows for those srcs (spec-pinned), built without
     * touching the base list. */
-  private[graft] def graphPatchedEdges(s: org.apache.spark.sql.SparkSession,
-      d: String, m: Int): org.apache.spark.sql.DataFrame = {
+  /** ALL drift-fraction PATCH builds in one branch-keyed pass —
+    * [[nnGraphEdgesBaseByM]]'s fusion applied to the delta-src patch
+    * kernel (srcs = the `id % m = 0` cohort per branch, probe space =
+    * the full frame per branch). */
+  private[graft] def graphPatchedEdgesByM(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
     val cents = trainedCentroids(s, d)
-    FrameCache.memo(s, d, s"graph_patch_m$m") {
+    FrameCache.memo(s, d, "graph_patch_by_m") {
       val e = quantized(s, d)
       val (_, probes) = Similarity.ivfAssignCentroids(
         e, "vec_id", "qv", cents, nprobe = 2)
-      val gp = probes.select(col("query_id").as("id"), col("cell_id"))
-      Similarity.nnGraphPatch(
-        gp.filter(pmod(col("id"), lit(m)) === 0), gp,
+      val all = probes
+        .withColumn("__m",
+          explode(array(GraphDriftMods.map(m => lit(m.toLong)): _*)))
+        .select(col("__m"), col("query_id").as("id"), col("cell_id"))
+      Similarity.nnGraphPatchBranched("__m",
+        all.filter(pmod(col("id"), col("__m")) === 0), all,
         e.select(col("vec_id"), col("qv").as("v")), GraphDeg)
     }
   }
+
+  private[graft] def graphPatchedEdges(s: org.apache.spark.sql.SparkSession,
+      d: String, m: Int): org.apache.spark.sql.DataFrame =
+    graphPatchedEdgesByM(s, d).filter(col("__m") === m.toLong)
+      .select(col("src"), col("dst"), col("erank"), col("d2"))
 
   /** The serve-side assignment base ∪ delta: the base cohort's rows
     * plus the delta cohort admitted against the SAME trained
@@ -2773,24 +2935,15 @@ object SimilarityQueries {
       d: String, hops: Int, beam: Int,
       edges: Option[org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
-    val e = quantized(s, d)
-    val (assigned, _) = Similarity.ivfAssignCentroids(
-      e, "vec_id", "qv", trainedCentroids(s, d), nprobe = 1)
-    val q = assigned.filter(pmod(col("__id"), lit(50)) === 0)
-      .select(col("__id").as("query_id"), col("__v").as("qv"),
-        col("cell_id"))
-    val entry = q
-      .join(assigned.select(col("__id").as("cand"),
-        col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
-      .filter(col("cand") =!= col("query_id"))
-      .withColumn("d2", (Similarity.dot(col("qv"), col("qv"))
-        - lit(2.0) * Similarity.dot(col("qv"), col("__cv"))
-        + Similarity.dot(col("__cv"), col("__cv"))).cast("long"))
-      .select("query_id", "cand", "d2")
+    // entry/query/vector sides all read the MEMOIZED assignment (r16:
+    // the per-call broadcast-argmin re-derivation and the per-hop
+    // parquet re-scan + re-quantize both collapse to checkpoint scans;
+    // rows are identical — the assignment carries each vector verbatim)
+    val (q, entry) = graphQueryEntry(s, d)
     Similarity.graphBeamSearch(
-      q.select("query_id", "qv"), entry,
+      q, entry,
       edges.getOrElse(nnGraphEdges(s, d)),
-      e.select(col("vec_id"), col("qv").as("v")),
+      graphVecs(s, d),
       hops = hops, beam = beam, k = K)
   }
 
@@ -2826,6 +2979,73 @@ object SimilarityQueries {
       q, entry, nnGraphEdges(s, d),
       e.select(col("vec_id"), col("qv").as("v")),
       hops = hops, beam = beam, k = K)
+  }
+
+  /** The corpus' nprobe = 1 cell assignment under the trained
+    * centroids — (__id, __v, cell_id), the static serve-side frame
+    * every graph traversal's entry stage scans. This IS [[semAssigned]]
+    * (same corpus, same trained centroids, same argmin): before r16
+    * every graph/IVF row re-derived the broadcast-argmin + rank window
+    * per call (~20 derivations per bench pass) for a frame that at
+    * 100 TB is the STORED index artifact — assignment is computed once
+    * at build time and served read-only (graphSearchQueries' scaladoc
+    * already names the assignment a checkpointed static side; the
+    * streaming writers serve it off an AtomicReference). */
+  private[graft] def graphAssigned(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = semAssigned(s, d)
+
+  /** The assigned corpus as the traversal's vector-lookup side —
+    * (vec_id, v), identical values to the quantized scan (assignment
+    * carries each vector verbatim), read off the checkpoint instead of
+    * re-scanning + re-quantizing the parquet per hop. */
+  private def graphVecs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graphAssigned(s, d)
+      .select(col("__id").as("vec_id"), col("__v").as("v"))
+
+  /** The production serving inputs every graph sweep shares: the
+    * query sample (query_id, qv) and its single-cell entry seed
+    * (query_id, cand, d2) — [[graphSearchAt]]'s derivation off the
+    * memoized assignment, factored out so the fused sweeps build it
+    * once per query instead of once per branch. */
+  private def graphQueryEntry(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val assigned = graphAssigned(s, d)
+    val q = assigned.filter(pmod(col("__id"), lit(50)) === 0)
+      .select(col("__id").as("query_id"), col("__v").as("qv"),
+        col("cell_id"))
+    val entry = q
+      .join(assigned.select(col("__id").as("cand"),
+        col("__v").as("__cv"), col("cell_id")), Seq("cell_id"))
+      .filter(col("cand") =!= col("query_id"))
+      .withColumn("d2", (Similarity.dot(col("qv"), col("qv"))
+        - lit(2.0) * Similarity.dot(col("qv"), col("__cv"))
+        + Similarity.dot(col("__cv"), col("__cv"))).cast("long"))
+      .select("query_id", "cand", "d2")
+    (q.select("query_id", "qv"), entry)
+  }
+
+  /** Branch-fused [[recallAgainstExactL2]]: ONE exact⋈approx join and
+    * ONE (branch, query) aggregate for a whole sweep, instead of one
+    * join + aggregate per branch. The exact baseline is tagged with
+    * every branch id, so each branch's LEFT-JOIN/count semantics — and
+    * therefore its rows — are exactly the per-branch gate's (the
+    * sweeps' existing branch-equality specs pin it). `approx` carries
+    * (bidCol, query_id, neighbor_id). */
+  private def recallBranched(s: org.apache.spark.sql.SparkSession,
+      d: String, bidCol: String, bids: Seq[org.apache.spark.sql.Column],
+      approx: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val exact = exactL2TopK(s, d)
+      .withColumn(bidCol, explode(array(bids: _*)))
+    exact.join(approx.withColumn("hit", lit(1)),
+        Seq(bidCol, "query_id", "neighbor_id"), "left")
+      .groupBy(col(bidCol), col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col(bidCol), col("query_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact").cast("double"))
+          .as("recall_at_k"))
   }
 
   /** Shared oracle CTEs of the graph-ANN family: quantized vectors,
@@ -3129,8 +3349,9 @@ object SimilarityQueries {
     * [[HierCoarseMod]] id-pick of them. */
   private def hierJoined(s: org.apache.spark.sql.SparkSession, d: String,
       nprobeC: Int): org.apache.spark.sql.DataFrame = {
-    val flat = Similarity.ivfAssignCentroids(quantized(s, d), "vec_id",
-        "qv", trainedCentroids(s, d), nprobe = 1)._1
+    // the flat baseline IS the memoized serving assignment (r16: was a
+    // fresh per-call argmin re-derivation of the same rows)
+    val flat = graphAssigned(s, d)
       .select(col("__id").as("vec_id"), col("cell_id").as("cell_flat"))
     val coarse = trainedCentroids(s, d)
       .filter(pmod(col("cent_id"), lit(HierCoarseMod)) === 0)
@@ -3237,11 +3458,15 @@ object SimilarityQueries {
     * snaps to its nearest codeword; the argmin rides a MIN over the
     * collision-free key d2·16+code, so assignment is one map-side-
     * combined aggregation — no per-vector window. */
-  private def pqCodes(s: org.apache.spark.sql.SparkSession,
+  /** The PQ coding plan UN-memoized — the build inside [[pqCodes]]'s
+    * memo, package-visible so PlanSpec keeps pinning the coding SHAPE
+    * (broadcast codebook equi-join + min-key aggregation, no window)
+    * after the r16 memoization turned the registered row into a
+    * checkpoint scan. */
+  private[graft] def pqCodesBuild(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val e = quantized(s, d)
     val cb = trainedCodebook(s, d)
-    e.select(col("vec_id"), col("qv"),
+    quantized(s, d).select(col("vec_id"), col("qv"),
         explode(sequence(lit(0), lit(3))).as("sub"))
       .withColumn("sv", slice(col("qv"), col("sub") * 16 + 1, lit(16)))
       .join(broadcast(cb), Seq("sub"))
@@ -3251,6 +3476,16 @@ object SimilarityQueries {
       .select(col("vec_id"), col("sub"),
         col("k").bitwiseAND(lit(15L)).as("code"),
         shiftright(col("k"), 4).as("d2"))
+  }
+
+  private def pqCodes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    // memoized since r16 — same persisted-index doctrine as
+    // [[residualCellCodes]]: the codes row, the packed index-build
+    // capstone, and every indexedCodes consumer coded the corpus per
+    // row before
+    val built = pqCodesBuild(s, d)
+    FrameCache.memo(s, d, "pq_codes")(built)
   }
 
   /** DuckDB CTE block shared by the PQ family: quantized corpus `e`,

@@ -331,6 +331,10 @@ object TextQueries {
     lmGrid(s, d)
     lmGridBg(s, d)
     nbGrid(s, d)
+    // the lexical serving index (r16 memo) — built here so the bench
+    // itemizes it as a shared frame instead of charging the first
+    // BM25-family consumer
+    lexIndex(s, d)
     ()
   }
 
@@ -839,15 +843,12 @@ object TextQueries {
   private def bm25TopSpark(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
-    val a = toks.count() / n // integer avgdl — exact, replayed as l // n
+    // the memoized lexical index (r16) — one tf/df/dl build + one
+    // stats pass per session/pass, shared with corpus_search, the
+    // hybrid rows, and the streaming writer
+    val ix = lexIndex(s, d)
+    val (tf, dfT, dl) = (ix.tf, ix.df, ix.dl)
+    val (n, a) = (ix.n, ix.avgdl)
     val qw = Window.partitionBy(col("doc_id"))
       .orderBy((col("tf") * lit(n) / col("df")).desc, col("term").asc)
     val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)
@@ -964,18 +965,58 @@ object TextQueries {
       df: org.apache.spark.sql.DataFrame,
       dl: org.apache.spark.sql.DataFrame, n: Long, avgdl: Long)
 
+  // The lexical index frames, memoized per (session, sf) since r16 —
+  // the stored serving artifact (the LexIndex doc already says "built
+  // ONCE from the corpus, checkpointed"): before, EVERY consumer
+  // (corpus_search, corpus_bm25, corpus_hybrid_rrf, the cross-modal
+  // fusion row, the streaming hybrid writer) re-ran the token
+  // explosion + tf/df/dl aggregations AND two eager corpus-count jobs
+  // per call. The scalars (n, integer avgdl) come off a memoized 1-row
+  // stats frame — sum(size(tokens)) ≡ the exploded token count (empty
+  // arrays contribute 0 rows to the explode and 0 to the sum).
+  private def lexTf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.memo(s, d, "lex_tf") {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+    }
+
+  private def lexDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tf = lexTf(s, d) // resolve before entering (no-nesting rule)
+    FrameCache.memo(s, d, "lex_df")(
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+  }
+
+  private def lexDl(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.memo(s, d, "lex_dl") {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    }
+
+  /** (n docs, integer avgdl) off the memoized 1-row stats frame. */
+  private def lexStats(s: org.apache.spark.sql.SparkSession,
+      d: String): (Long, Long) = {
+    val st = FrameCache.memo(s, d, "lex_stats") {
+      Tables.documents(s, d).agg(
+        countDistinct(col("doc_id")).as("n"),
+        coalesce(sum(size(TextAnalysis.tokens(col("text"))).cast("long")),
+          lit(0L)).as("tot"))
+    }.first()
+    val n = st.getLong(0)
+    (n, st.getLong(1) / n)
+  }
+
   private[graft] def lexIndex(s: org.apache.spark.sql.SparkSession,
       d: String): LexIndex = {
-    val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysis.tokens(col("text"))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
-    val a = toks.count() / n
-    LexIndex(tf, dfT, dl, n, a)
+    val (n, a) = lexStats(s, d)
+    LexIndex(lexTf(s, d), lexDf(s, d), lexDl(s, d), n, a)
   }
 
   /** BM25 top-5 per query against a [[LexIndex]], with the query terms
@@ -1392,15 +1433,10 @@ object TextQueries {
     "corpus_search" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, d)
-        val toks = docs.select(col("doc_id"),
-          explode(TextAnalysis.tokens(col("text"))).as("term"))
-        val tf = toks.groupBy(col("doc_id"), col("term"))
-          .agg(count(lit(1)).as("tf"))
-        // df falls out of tf — its rows are already distinct (doc, term),
-        // so deriving it saves a second corpus explode + distinct shuffle
-        val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        val n = docs.select(countDistinct(col("doc_id"))).first().getLong(0)
+        // the memoized lexical index (r16) — tf/df/n shared with the
+        // BM25/hybrid family instead of a per-row rebuild
+        val ix = lexIndex(s, d)
+        val (tf, dfT, n) = (ix.tf, ix.df, ix.n)
         val qw = Window.partitionBy(col("doc_id"))
           .orderBy((col("tf") * lit(n) / col("df")).desc, col("term").asc)
         val qterms = tf.filter(pmod(col("doc_id"), lit(100)) === 0)

@@ -260,29 +260,35 @@ class PlanSpec extends SparkSpec {
       // graph-ANN rows (serve plans read eagerly-checkpointed indexes;
       // the builds' centroid broadcasts land before the measured plan)
       "sim_nn_graph" -> 1, // measured 0: a pure scan of the checkpointed edge list
-      "sim_graph_search" -> 2, // measured 1: final top-K window over the checkpointed visited set
-      "sim_graph_recall" -> 5, // measured 4: exact-baseline join + per-query recall agg
+      // r16 re-measure for the graph traversal family: the final hop now
+      // executes in the OUTPUT job (last-hop checkpoint elision — one
+      // fewer materialization job per search), so its window/join/
+      // distinct exchanges moved INTO the measured plan instead of
+      // hiding in a checkpoint side-job; executed exchange totals are
+      // unchanged-to-lower, the counts below just stopped undercounting
+      "sim_graph_search" -> 11, // measured 10: the hop-2 subtree (beam window + edge/query/vec joins + distinct) + final top-K window, over the hop-1 checkpoint
+      "sim_graph_recall" -> 14, // measured 13: the search shape + exact-baseline join + per-query recall agg
       "curate_gate_agreement" -> 3, // measured 2: one fused literal-grid pass + the 1-row contingency agg
-      "sim_graph_hop_sweep" -> 35, // measured 32: 3 × (search branch + exact-baseline compare); the hop-0 branch plans the raw entry scan
+      "sim_graph_hop_sweep" -> 16, // measured 15 (was 32): r16 trace fusion — ONE traversal with per-depth top-K cuts + ONE branch-keyed recall compare, instead of 3 full searches + 3 compares
       "curate_nb_bands" -> 3, // measured 2: map-only fixed banding + one ≤21-group aggregate
       // r14 entrants (new-query shapes locked on entry)
       "curate_substring_spans" -> 0, // checkpointed span manifest: a pure scan
       "curate_substring_strip" -> 4, // measured 3: interval merge window + per-doc agg + the corpus-side broadcast join
-      "sim_graph_serve_delta" -> 2, // measured 1: final top-K window over the checkpointed visited set (the sim_graph_search shape on the base-edge/union-assignment pair)
-      "sim_graph_beam_sweep" -> 13, // measured 12: 3 × (search branch + exact-baseline compare) off the checkpointed index — far under the hop sweep's 35 because every branch reuses the same checkpointed entry scan
-      "sim_graph_degree_sweep" -> 13, // measured 12: same 3-branch shape over erank-prefix filters of the one wide checkpointed build
+      "sim_graph_serve_delta" -> 11, // measured 10: the sim_graph_search shape on the base-edge/union-assignment pair (r16: final hop in the measured plan, and the serve-side query frame no longer routes through the probe stage's broadcast cross)
+      "sim_graph_beam_sweep" -> 14, // measured 13: r16 branch fusion — ONE branch-keyed traversal (per-branch beam cut) + ONE fused recall compare, instead of 3 searches + 3 compares
+      "sim_graph_degree_sweep" -> 14, // measured 13: same fused shape over the branch-tagged erank prefixes of the one wide checkpointed build
       "curate_substring_decontam" -> 6, // measured 5: the strip shape (interval merge + per-doc agg + corpus join) + the source rollup, off the checkpointed span manifest
       // r15 entrants (new-query shapes locked on entry)
       "curate_shard_plan" -> 9, // measured 7: prefix-sum kernel (bucket window + offsets agg/window + broadcast) + the 64-row-derived total (its corpus agg is a ReusedExchange) + 1-row broadcast cross
       "curate_shard_manifest" -> 11, // measured 9: the plan shape + the per-shard rollup
       "curate_pipeline_shards" -> 11, // measured 9 (65 before the train-manifest checkpoint): shard kernel over the checkpointed six-family manifest
-      "sim_graph_delta_drift" -> 14, // measured 12: 3 × (search + exact-baseline compare) off per-fraction checkpointed base builds — the beam-sweep shape
-      "sim_graph_entry_sweep" -> 14, // measured 12: same 3-branch shape; per-width seeding joins ride the one checkpointed edge build
+      "sim_graph_delta_drift" -> 14, // measured 13: r16 branch fusion over the tagged union of per-fraction checkpointed base builds
+      "sim_graph_entry_sweep" -> 14, // measured 13: r16 branch fusion; every width's probe set is a __cr-prefix filter of ONE centroid ranking
       "curate_pack_shards" -> 11, // measured 9: shard kernel over the checkpointed chunk frame (sources × chunks rows)
-      "sim_graph_delta_patch" -> 10, // measured 8: 2 × (search + exact-baseline compare) off the checkpointed stale/patched edge frames
+      "sim_graph_delta_patch" -> 14, // measured 13: r16 branch fusion (stale/patched as a 2-branch tagged edge union; final hop in the measured plan)
       // r16 entrants (new-query shapes locked on entry)
       "curate_shard_epochs" -> 11, // measured 9: the shard-plan shape (prefix-sum kernel + total cross) + the per-(epoch,shard) rank window over the epoch-crossed plan
-      "sim_graph_patch_sweep" -> 14, // measured 12: 3 × (search + exact-baseline compare) off per-fraction checkpointed base∪patch edge frames — the delta-drift shape
+      "sim_graph_patch_sweep" -> 14, // measured 13: r16 branch fusion over the tagged per-fraction base∪patch edge unions — the delta-drift shape
       "sim_hier_assign" -> 9, // measured 7: flat argmin window + the 3-stage hier chain (fine→coarse window, vector→coarse window, probed-cells argmin) + the flat⋈hier SMJ
       "sim_hier_probe_sweep" -> 27) // measured 24: the sim_hier_assign shape once per probe width (3), each branch reduced to a 1-row aggregate before the union
     val over = ceilings.toSeq.sorted.flatMap { case (name, cap) =>
@@ -481,16 +487,24 @@ class PlanSpec extends SparkSpec {
   }
 
   test("PQ assignment is one map-side-combined aggregation, no per-vector window") {
+    // the registered row serves the MEMOIZED stored index since r16 —
+    // a pure checkpoint scan like the phash pair frame
     val p = plan("sim_pq_code")
-    // the TRAINED codebook (16 codewords × 4 subspaces, a FrameCache
-    // checkpoint) broadcasts onto the subvector fan-out via an equi-join
-    // on `sub`; the argmin rides the min-key aggregation, so there must
-    // be NO window and exactly one hash exchange carrying
-    // (vec_id, sub, partial min)
-    p should include("BroadcastHashJoin")
-    p should include("ExistingRDD") // codebook read from the trained checkpoint
+    p should include("ExistingRDD")
     p should not include "Window"
-    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+    p.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 0
+    // the BUILD behind the memo keeps the pinned coding shape: the
+    // TRAINED codebook (16 codewords × 4 subspaces, a FrameCache
+    // checkpoint) broadcasts onto the subvector fan-out via an
+    // equi-join on `sub`; the argmin rides the min-key aggregation, so
+    // there must be NO window and exactly one hash exchange carrying
+    // (vec_id, sub, partial min)
+    val b = graft.queries.SimilarityQueries.pqCodesBuild(spark, d)
+      .queryExecution.executedPlan.toString
+    b should include("BroadcastHashJoin")
+    b should include("ExistingRDD") // codebook read from the trained checkpoint
+    b should not include "Window"
+    b.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
   }
 
   test("k-means training: broadcast centroids, no unbounded shuffle, argmin without window") {

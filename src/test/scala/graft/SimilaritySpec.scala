@@ -663,8 +663,13 @@ class SimilaritySpec extends SparkSpec {
     val rows = SparkEntry.queries("sim_graph_hop_sweep")(spark, d)
       .as[(Long, Long, Long, Long, Double)].collect()
     rows should not be empty
+    // sum in SORTED order: the mean comparison is between depths whose
+    // per-query recalls can be identical multisets, and an
+    // order-dependent double sum (collect order is partitioning-
+    // dependent) injects ±ulp noise that flips a mathematically-equal
+    // comparison (seen when r16 fused the sweep into one traversal)
     val mean = rows.groupBy(_._1).view
-      .mapValues(rs => rs.map(_._5).sum / rs.length).toMap
+      .mapValues(rs => rs.map(_._5).sorted.sum / rs.length).toMap
     // hops only add candidates — mean recall can never fall with depth
     mean(0L) should be <= mean(1L)
     mean(1L) should be <= mean(2L)
@@ -939,6 +944,76 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r._2, r._3, r._4, r._5)).toSet
     patched.filter(_._1 == 50L)
       .map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe patchRow
+  }
+
+  test("hop sweep trace: every depth slice equals the standalone-depth search") {
+    val d = "/root/testdata/sf0.001"
+    // the r16 fused trace must be ROW-IDENTICAL per depth to running
+    // the traversal standalone at that depth — the fusion shares cost,
+    // never rows
+    val sweep = SparkEntry.queries("sim_graph_hop_sweep")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    sweep should not be empty
+    for (h <- 0 to 2) {
+      val standalone = graft.queries.SimilarityQueries.recallOfApprox(
+          spark, d, graft.queries.SimilarityQueries.graphSearchAt(spark, d, h))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      withClue(s"hops=$h: ") {
+        sweep.filter(_._1 == h.toLong)
+          .map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe standalone
+      }
+    }
+  }
+
+  test("drift sweep branches equal standalone per-fraction searches") {
+    val d = "/root/testdata/sf0.001"
+    // the r16 branch-fused traversal must reproduce each fraction's
+    // rows exactly as the unfused per-branch construction does
+    val sweep = SparkEntry.queries("sim_graph_delta_drift")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    sweep should not be empty
+    for (m <- Seq(10, 3, 2)) {
+      val standalone = graft.queries.SimilarityQueries.recallOfApprox(
+          spark, d, graft.queries.SimilarityQueries.graphSearchAt(spark, d,
+            2, 10, Some(graft.queries.SimilarityQueries
+              .nnGraphEdgesBaseAt(spark, d, m))))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      withClue(s"delta ${100 / m}%: ") {
+        sweep.filter(_._1 == (100 / m).toLong)
+          .map(r => (r._2, r._3, r._4, r._5)).toSet shouldBe standalone
+      }
+    }
+  }
+
+  test("branched base/patch edge builds equal the standalone kernels") {
+    val d = "/root/testdata/sf0.001"
+    // the r16 by-m build fusion must reproduce, per fraction, exactly
+    // what the standalone single-cohort kernels build
+    val e = graft.ingest.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000))
+          .as("qv"))
+    val cents = graft.queries.SimilarityQueries.trainedCentroidsFrame(spark, d)
+    val eco = e.filter(col("vec_id") % 3 =!= 0)
+    val (_, probesCo) = Similarity.ivfAssignCentroids(
+      eco, "vec_id", "qv", cents, nprobe = 2)
+    val inlineBase = Similarity.nnGraph(
+        probesCo.select(col("query_id").as("id"), col("cell_id")),
+        eco.select(col("vec_id"), col("qv").as("v")), 6)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    inlineBase should not be empty
+    graft.queries.SimilarityQueries.nnGraphEdgesBaseAt(spark, d, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet shouldBe inlineBase
+    val (_, probesAll) = Similarity.ivfAssignCentroids(
+      e, "vec_id", "qv", cents, nprobe = 2)
+    val gp = probesAll.select(col("query_id").as("id"), col("cell_id"))
+    val inlinePatch = Similarity.nnGraphPatch(
+        gp.filter(col("id") % 3 === 0), gp,
+        e.select(col("vec_id"), col("qv").as("v")), 6)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    inlinePatch should not be empty
+    graft.queries.SimilarityQueries.graphPatchedEdges(spark, d, 3)
+      .as[(Long, Long, Long, Long)].collect().toSet shouldBe inlinePatch
   }
 
   test("hierarchical assignment: exact when coarse=fine, probe-width monotone to flat") {
