@@ -757,33 +757,47 @@ object DedupQueries {
           .filter(pmod(col("doc_id"), lit(4)) === 0)
           .select(col("doc_id").as("__id"),
             Dedup.hashedShingles(col("text"), 1).as("__sh"))
-        // the exhaustive truth cross-pair and the signature frame are
-        // SHARED by all four band configs — eagerly checkpointed (r16)
-        // so each runs once instead of once per config (the truth
-        // quadratic was the row's dominant cost ×4); both are
-        // slice-scale (pairs / docs-in-sample rows)
+        // r16 branch fusion (the graph-sweep doctrine applied to band
+        // tuning): the four configs share one signature frame
+        // (checkpointed — four exploded band frames read it), the
+        // config-tagged band explosions union into ONE self-join keyed
+        // (bands, band-key), and the truth compare is one config-tagged
+        // full-outer join + one grouped aggregate instead of four of
+        // each. Per-config rows are identical: the join key carries the
+        // config, so no pair crosses configs, and the per-group counts
+        // are the per-config aggregates verbatim.
         val truth = sl.as("p").join(sl.as("q"),
             col("p.__id") < col("q.__id"))
           .filter(Dedup.jaccardSorted(col("p.__sh"), col("q.__sh")) >= 0.9)
           .select(col("p.__id").as("a"), col("q.__id").as("b"),
             lit(1).as("t"))
-          .localCheckpoint(true)
         val signed = Dedup.withMinhashSignature(sl, "__sh", K)
           .localCheckpoint(true)
-        SweepBands.map { nb =>
-          val cand = Dedup.candidatePairs(signed, "__id", nb, K / nb)
-            .select(col("a"), col("b"), lit(1).as("c"))
-          truth.join(cand, Seq("a", "b"), "full_outer")
-            .agg(count(col("t")).as("n_truth"),
-              count(col("c")).as("n_cand"),
-              count(when(col("t").isNotNull && col("c").isNotNull, 1))
-                .as("n_hit"))
-            .select(lit(nb.toLong).as("bands"),
-              lit((K / nb).toLong).as("rows_per_band"),
-              col("n_truth"), col("n_cand"), col("n_hit"),
-              (col("n_hit") / col("n_cand")).as("prec"),
-              (col("n_hit") / col("n_truth")).as("recall"))
-        }.reduce(_.union(_))
+        val bandedB = SweepBands.map { nb =>
+          signed.select(lit(nb.toLong).as("bands"), col("__id"),
+            explode(Dedup.bandKeys(nb, K / nb)).as("__band"))
+        }.reduce(_ unionByName _)
+        val candB = bandedB.as("x").join(bandedB.as("y"),
+            col("x.bands") === col("y.bands") &&
+              col("x.__band") === col("y.__band") &&
+              col("x.__id") < col("y.__id"))
+          .select(col("x.bands").as("bands"), col("x.__id").as("a"),
+            col("y.__id").as("b"))
+          .distinct()
+          .select(col("bands"), col("a"), col("b"), lit(1).as("c"))
+        val truthB = truth.withColumn("bands",
+          explode(array(SweepBands.map(b => lit(b.toLong)): _*)))
+        truthB.join(candB, Seq("bands", "a", "b"), "full_outer")
+          .groupBy(col("bands"))
+          .agg(count(col("t")).as("n_truth"),
+            count(col("c")).as("n_cand"),
+            count(when(col("t").isNotNull && col("c").isNotNull, 1))
+              .as("n_hit"))
+          .select(col("bands"),
+            (lit(K) / col("bands")).cast("long").as("rows_per_band"),
+            col("n_truth"), col("n_cand"), col("n_hit"),
+            (col("n_hit") / col("n_cand")).as("prec"),
+            (col("n_hit") / col("n_truth")).as("recall"))
       },
       s"""WITH sl AS (
          |  SELECT doc_id AS id,
@@ -1932,24 +1946,32 @@ object DedupQueries {
     * corpus — see `curate_dsir_weights` for the formula and bounds.
     * 64 rows; two corpus count aggregates + a seeded left join. */
   private[graft] def dsirWeightTable(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val ex = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        explode(Dedup.hashedShingles(col("text"), 2)).as("g"))
-      .withColumn("b", pmod(col("g"), lit(64L)))
-    val cbF = ex.groupBy(col("b")).agg(count(lit(1)).as("cb"))
-    val ctF = ex.filter(col("lang") === "en")
-      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
-    val nb = ex.count() + 64
-    val nt = ex.filter(col("lang") === "en").count() + 64
-    s.range(1)
-      .select(explode(sequence(lit(0L), lit(63L))).as("b"))
-      .join(cbF, Seq("b"), "left").join(ctF, Seq("b"), "left")
-      .select(col("b"), floor(
-        ((coalesce(col("ct"), lit(0L)) + 1) * nb * 1000) /
-          ((coalesce(col("cb"), lit(0L)) + 1) * nt))
-        .cast("long").as("r"))
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    // memoized since r16 — the weight table is a TRAINED artifact (the
+    // 64-long grid every serving consumer folds in as plan literals),
+    // but each of its four batch consumers re-ran the bigram explosion
+    // aggregations AND the two eager corpus-count jobs per call.
+    // Probe-then-build (FrameCache.get): construction is eager (the
+    // counts), so a by-name memo would re-fire them on every hit.
+    FrameCache.get(s, d, "dsir_weights").getOrElse {
+      val ex = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(Dedup.hashedShingles(col("text"), 2)).as("g"))
+        .withColumn("b", pmod(col("g"), lit(64L)))
+      val cbF = ex.groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      val ctF = ex.filter(col("lang") === "en")
+        .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      val nb = ex.count() + 64
+      val nt = ex.filter(col("lang") === "en").count() + 64
+      val built = s.range(1)
+        .select(explode(sequence(lit(0L), lit(63L))).as("b"))
+        .join(cbF, Seq("b"), "left").join(ctF, Seq("b"), "left")
+        .select(col("b"), floor(
+          ((coalesce(col("ct"), lit(0L)) + 1) * nb * 1000) /
+            ((coalesce(col("cb"), lit(0L)) + 1) * nt))
+          .cast("long").as("r"))
+      FrameCache.memo(s, d, "dsir_weights")(built)
+    }
 
   /** The weight table as a 64-long array ordered by bucket — the
     * trained index metadata the STREAMING scorer folds into its plan

@@ -134,14 +134,10 @@ object MultimodalQueries {
     // — portable for the gate's canonicalizer (a raw array column is
     // not hashable there) and recomputable exactly in SQL.
     "mm_features" -> QueryDef(
-      (s, d) => {
-        val feats = Multimodal.extractFeatures(
-          Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)),
-          new Multimodal.FakeDecoder(8)).toDF()
-        feats.select(col("media_id") +: col("kind") +: col("n_bytes") +:
+      (s, d) => mmFeats(s, d)
+        .select(col("media_id") +: col("kind") +: col("n_bytes") +:
           (0 until 8).map(i =>
-            col("features").getItem(i).cast("double").as(s"f$i")): _*)
-      },
+            col("features").getItem(i).cast("double").as(s"f$i")): _*),
       featuresOracle),
 
     // Frame sampling fan-out — the slicing is integer arithmetic over
@@ -173,9 +169,7 @@ object MultimodalQueries {
     // mm_features), so the whole composition is hash-checked end to end.
     "mm_knn" -> QueryDef(
       (s, d) => {
-        val feats = Multimodal.extractFeatures(
-          Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)),
-          new Multimodal.FakeDecoder(8)).toDF()
+        val feats = mmFeats(s, d)
           .select(col("media_id"),
             transform(col("features"), x => round(x.cast("double") * 1000)).as("qv"))
         graft.operators.Similarity.knnBruteForce(
@@ -212,9 +206,7 @@ object MultimodalQueries {
           .groupBy(col("query_doc"), col("term"))
           .agg(count(lit(1)).as("tf"))
         val lex = TextQueries.bm25Serve(qtf, ix)
-        val feats = Multimodal.extractFeatures(
-          Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)),
-          new Multimodal.FakeDecoder(8)).toDF()
+        val feats = mmFeats(s, d)
           .select(col("media_id"),
             transform(col("features"),
               x => round(x.cast("double") * 1000)).as("qv"))
@@ -273,6 +265,19 @@ object MultimodalQueries {
         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
         |SELECT src AS node, least(src, min(dst)) AS label
         |FROM reach GROUP BY src""".stripMargin))
+
+  /** The decoded feature store (media_id, kind, n_bytes, features) —
+    * memoized since r16: a multimodal pipeline decodes each item ONCE
+    * at the codec seam and persists the features; the registry's three
+    * consumers (`mm_features`, `mm_knn`, `mm_hybrid_rrf`) each re-ran
+    * the mapPartitions decode over the full catalog per row before. */
+  private def mmFeats(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    FrameCache.memo(s, d, "mm_feats") {
+      Multimodal.extractFeatures(
+        Multimodal.fakeMediaFromDocuments(Tables.documents(s, d)),
+        new Multimodal.FakeDecoder(8)).toDF()
+    }
 
   /** The banded-candidate pair frame shared by `mm_phash_pairs` /
     * `mm_phash_clusters`, memoized in [[FrameCache]] exactly like the
