@@ -39,12 +39,27 @@ private[graft] object FrameCache {
   def memo(s: SparkSession, d: String, kind: String)(
       build: => DataFrame): DataFrame = {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    cache.computeIfAbsent((s, d, kind), _ => {
+    val key = (s, d, kind)
+    // get → build → putIfAbsent, NEVER computeIfAbsent: a build that
+    // reaches another memo (directly or through a helper several calls
+    // deep) would re-enter the map while a bin lock is held, and
+    // ConcurrentHashMap only DETECTS the recursion ("Recursive update")
+    // when both keys happen to hash into the same bin — identity-hashed
+    // session keys made that a per-JVM coin flip (r16 hit it: one bench
+    // run's prewarm died where every previous run of the same code
+    // passed). Building outside the lock makes nested memo resolution
+    // safe by construction; the cost is a benign possible double-build
+    // under concurrent first access (the bench and the suites drive
+    // each session single-threaded).
+    val existing = cache.get(key)
+    if (existing != null) existing
+    else {
       val t0 = System.nanoTime()
       val df = build.localCheckpoint()
       buildSec.put(kind, (System.nanoTime() - t0) / 1e9)
-      df
-    })
+      val prev = cache.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
   }
 
   /** Cache probe WITHOUT a build closure — for callers whose frame

@@ -932,10 +932,12 @@ object SimilarityQueries {
           Similarity.dot(col("cent_v"), col("cent_v"))
         (0 to TrainIters).map { t =>
           // the final iteration's centroids are exactly the shared
-          // trained frame — read the checkpoint instead of rebuilding
-          // the whole training DAG a third time
+          // trained frame, and t = 1 is the shared training PREFIX
+          // (r16 memo) — read the checkpoints instead of rebuilding
+          // the training DAG per audited depth
           val cents =
             if (t == TrainIters) trainedCentroids(s, d)
+            else if (t == 1) trainedCentroidsIt1(s, d)
             else Similarity.kmeansTrain(pts, init, iters = t)
           pts.crossJoin(broadcast(cents))
             .groupBy(col("__id")).agg(min(d2).as("md"))
@@ -2904,19 +2906,13 @@ object SimilarityQueries {
     * plus the delta cohort admitted against the SAME trained
     * centroids (the stateless ADD of serveAssignedSwappableWriter). */
   private[graft] def graphDeltaAssigned(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val cents = trainedCentroids(s, d)
-    FrameCache.memo(s, d, "graph_delta_assigned") {
-      val e = quantized(s, d)
-      val (base, _) = Similarity.ivfAssignCentroids(
-        e.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "qv",
-        cents, nprobe = 1)
-      val (delta, _) = Similarity.ivfAssignCentroids(
-        e.filter(pmod(col("vec_id"), lit(2)) =!= 0), "vec_id", "qv",
-        cents, nprobe = 1)
-      base.unionByName(delta)
-    }
-  }
+      d: String): org.apache.spark.sql.DataFrame =
+    // base-cohort assignment ∪ delta-cohort assignment under the SAME
+    // fixed centroids ≡ the full-corpus assignment (per-vector argmin —
+    // the two-call form only partitioned the same rows); r16 serves the
+    // one shared memo instead of a dedicated two-assignment build. The
+    // serve-delta spec's rebuild-equality pins stay green on it.
+    graphAssigned(s, d)
 
   /** Beam-search serve over [[nnGraphEdges]] at `hops` unrolled
     * expansion rounds: entry = the query's own (nearest-cell) members,
@@ -3215,14 +3211,30 @@ object SimilarityQueries {
     * [[TrainIters]] integer-Lloyd iterations over the corpus, exactly
     * replayed by [[ivfTrainCtes]]. Un-memoized so PlanSpec can pin the
     * training plan's shape directly. */
+  /** The FIRST Lloyd iteration's centroids, memoized (r16): the shared
+    * prefix of the trained-centroid pipeline. Training is a
+    * deterministic fold, so continuing from this checkpoint for the
+    * remaining iterations is row-identical to training from the id-pick
+    * init — and the inertia audit's t = 1 branch reads the SAME frame
+    * instead of re-running the first corpus pass standalone. */
+  private def trainedCentroidsIt1(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val e = quantized(s, d)
+    FrameCache.memo(s, d, "ivf_centroids_it1")(
+      Similarity.kmeansTrain(
+        e.select(col("vec_id").as("__id"), col("qv").as("__v")),
+        e.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("cent_id"), col("qv").as("cent_v")),
+        iters = 1))
+  }
+
   private[graft] def ivfTrainPipeline(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val e = quantized(s, d)
     Similarity.kmeansTrain(
       e.select(col("vec_id").as("__id"), col("qv").as("__v")),
-      e.filter(pmod(col("vec_id"), lit(50)) === 0)
-        .select(col("vec_id").as("cent_id"), col("qv").as("cent_v")),
-      iters = TrainIters)
+      trainedCentroidsIt1(s, d),
+      iters = TrainIters - 1)
   }
 
   /** The trained-centroid frame every IVF consumer reads — k·dims
@@ -3230,8 +3242,12 @@ object SimilarityQueries {
     * broadcast from the checkpoint thereafter (a production index
     * trains offline and broadcasts the same way). */
   private def trainedCentroids(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame =
-    FrameCache.memo(s, d, "ivf_centroids")(ivfTrainPipeline(s, d))
+      d: String): org.apache.spark.sql.DataFrame = {
+    // construct OUTSIDE the memo: the pipeline resolves the iteration-1
+    // prefix memo (no-nesting rule); construction itself stays lazy
+    val built = ivfTrainPipeline(s, d)
+    FrameCache.memo(s, d, "ivf_centroids")(built)
+  }
 
   /** The DRIFT-COHORT centroids: the same integer-Lloyd chain trained
     * on the even-id half of the corpus only — the index generation the

@@ -217,14 +217,38 @@ object TextQueries {
 
   /** Grid memoized per (session, sf) — trained once, every consumer
     * (train report, scorer, gate, streaming twin) reads the checkpoint
-    * (the trained-centroid doctrine). */
-  private def lmGrid(s: org.apache.spark.sql.SparkSession, d: String) =
-    FrameCache.memo(s, d, "lm_grid")(lmGridPipeline(s, d))
+    * (the trained-centroid doctrine).
+    *
+    * r16: BOTH LM grids now derive from the ONE per-class bigram
+    * training pass ([[nbGrid]]) instead of re-exploding the corpus —
+    * the target grid is the nb grid's `lang = 'en'` slice verbatim
+    * (same count keys, same `(c12+1)·S div (c1+B)` smoothing, same
+    * wbits — the class-conditional arithmetic IS the slice's), and the
+    * background grid's counts are the class counts SUMMED per code
+    * (every document carries exactly one class, and the nb grid's
+    * class × full-code-domain cross makes the sum total-complete),
+    * re-smoothed with the identical formula. One corpus bigram
+    * explosion per pass where three ran before; at 100 TB, one pass
+    * with per-class partial counts instead of three full passes.
+    * TextSpec/the oracle pin the values unchanged. */
+  private def lmGrid(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val nb = nbGrid(s, d) // resolve before entering (no-nesting rule)
+    FrameCache.memo(s, d, "lm_grid")(
+      nb.filter(col("lang") === "en")
+        .select(col("g"), col("c12"), col("c1"), col("wbits")))
+  }
 
-  /** The background grid (full corpus), memoized like the target. */
-  private def lmGridBg(s: org.apache.spark.sql.SparkSession, d: String) =
+  /** The background grid (full corpus) — the nb grid's class-sum. */
+  private def lmGridBg(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val nb = nbGrid(s, d)
     FrameCache.memo(s, d, "lm_grid_bg")(
-      lmGridOver(s, Tables.documents(s, d)))
+      nb.groupBy(col("g"))
+        .agg(sum(col("c12")).as("c12"), sum(col("c1")).as("c1"))
+        .withColumn("x", expr(s"((c12 + 1) * $LmScale) DIV (c1 + $LmB)"))
+        .select(col("g"), col("c12"), col("c1"),
+          length(bin(col("x") * col("x") * col("x") * col("x")))
+            .cast("long").as("wbits")))
+  }
 
   /** The per-document LM score frame (doc_id, lang, n_bigrams,
     * lp_bits): the 65,536-entry wbits grid folds into ONE array on a
